@@ -1,0 +1,185 @@
+"""Minimal functional module system (init/apply transform).
+
+TPU-native replacement for the reference's TF-1.x graph construction
+(reference: convnet.py — graph build with ``tf.variable_scope`` /
+``tf.get_variable``; mount was empty, see SURVEY.md §0).  Instead of a
+stateful graph, a model is a *pure function* ``fn(x, train=...)`` that
+requests parameters/state through :func:`param` / :func:`get_state`.
+:func:`transform` turns it into an ``(init, apply)`` pair:
+
+* ``init(key, *args) -> (params, state)`` — traces ``fn`` once, creating
+  every parameter with its initializer (analogue of TF variable creation
+  at graph-build time).
+* ``apply(params, state, key, *args) -> (out, new_state)`` — pure, jittable,
+  differentiable; BN moving statistics travel through ``state`` instead of
+  TF's update ops.
+
+Both run the *same* forward code, so architecture is written once.
+Parameters live in a two-level dict ``{scope_path: {name: array}}`` — a
+plain pytree, friendly to optimizers, checkpointing and `jax.sharding`.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+Params = dict[str, dict[str, jax.Array]]
+State = dict[str, dict[str, jax.Array]]
+
+_local = threading.local()
+
+
+class _Frame:
+    """Tracing context for one init/apply invocation."""
+
+    def __init__(self, params: Params, state: State, rng: jax.Array | None,
+                 creating: bool):
+        self.params = params
+        self.state = state
+        self.new_state: State = {}
+        self.rng = rng
+        self.rng_count = 0
+        self.creating = creating
+        self.path: list[str] = []
+        # (path, base_name) -> next auto-number, so layers called in a fixed
+        # order get stable names across init and apply.
+        self.counters: dict[tuple[str, str], int] = {}
+
+    def scope_path(self) -> str:
+        return "/".join(self.path) if self.path else "~"
+
+
+def _frame() -> _Frame:
+    frame = getattr(_local, "frame", None)
+    if frame is None:
+        raise RuntimeError(
+            "module.param()/get_state() used outside transform().init/apply")
+    return frame
+
+
+class scope:
+    """Context manager pushing a name onto the module path."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        _frame().path.append(self.name)
+        return self
+
+    def __exit__(self, *exc):
+        _frame().path.pop()
+        return False
+
+
+def auto_name(base: str) -> str:
+    """Return ``base`` (first use) or ``base_N`` for repeat uses in a scope.
+
+    Deterministic given a deterministic forward pass, which keeps init and
+    apply name-aligned (same trick as haiku's auto-numbered modules).
+    """
+    f = _frame()
+    key = (f.scope_path(), base)
+    idx = f.counters.get(key, 0)
+    f.counters[key] = idx + 1
+    return base if idx == 0 else f"{base}_{idx}"
+
+
+def param(name: str, shape: tuple[int, ...], dtype: Any,
+          init_fn: Callable[[jax.Array, tuple[int, ...], Any], jax.Array]
+          ) -> jax.Array:
+    """Request (create during init, fetch during apply) a parameter."""
+    f = _frame()
+    path = f.scope_path()
+    if f.creating:
+        bucket = f.params.setdefault(path, {})
+        if name not in bucket:
+            bucket[name] = init_fn(next_rng_key(), shape, dtype)
+        return bucket[name]
+    try:
+        return f.params[path][name]
+    except KeyError as e:
+        raise KeyError(f"missing parameter {path!r}/{name!r}") from e
+
+
+def get_state(name: str, shape: tuple[int, ...], dtype: Any,
+              init_fn: Callable[..., jax.Array]) -> jax.Array:
+    """Request non-differentiable state (e.g. BN moving statistics)."""
+    f = _frame()
+    path = f.scope_path()
+    if path in f.new_state and name in f.new_state[path]:
+        return f.new_state[path][name]
+    if f.creating:
+        bucket = f.state.setdefault(path, {})
+        if name not in bucket:
+            bucket[name] = init_fn(shape, dtype)
+        return bucket[name]
+    try:
+        return f.state[path][name]
+    except KeyError as e:
+        raise KeyError(f"missing state {path!r}/{name!r}") from e
+
+
+def set_state(name: str, value: jax.Array) -> None:
+    f = _frame()
+    f.new_state.setdefault(f.scope_path(), {})[name] = value
+
+
+def next_rng_key() -> jax.Array:
+    """Fold a fresh key out of the frame key (explicit-PRNG discipline)."""
+    f = _frame()
+    if f.rng is None:
+        raise RuntimeError("no rng key supplied to init/apply")
+    f.rng_count += 1
+    return jax.random.fold_in(f.rng, f.rng_count)
+
+
+def in_init() -> bool:
+    frame = getattr(_local, "frame", None)
+    return frame is not None and frame.creating
+
+
+class Transformed(NamedTuple):
+    init: Callable[..., tuple[Params, State]]
+    apply: Callable[..., tuple[Any, State]]
+
+
+def _merged_state(frame: _Frame) -> State:
+    out: State = {k: dict(v) for k, v in frame.state.items()}
+    for path, bucket in frame.new_state.items():
+        out.setdefault(path, {}).update(bucket)
+    return out
+
+
+def transform(fn: Callable[..., Any]) -> Transformed:
+    """Turn an impure-looking forward fn into a pure (init, apply) pair."""
+
+    def init(key: jax.Array, *args, **kwargs) -> tuple[Params, State]:
+        frame = _Frame({}, {}, key, creating=True)
+        prev = getattr(_local, "frame", None)
+        _local.frame = frame
+        try:
+            fn(*args, **kwargs)
+        finally:
+            _local.frame = prev
+        # Return freshly-created state, NOT post-forward updates: init must
+        # yield e.g. zeroed BN moving stats regardless of the train flag used
+        # for tracing.
+        return frame.params, frame.state
+
+    def apply(params: Params, state: State, key: jax.Array | None,
+              *args, **kwargs) -> tuple[Any, State]:
+        frame = _Frame(params, state, key, creating=False)
+        prev = getattr(_local, "frame", None)
+        _local.frame = frame
+        try:
+            out = fn(*args, **kwargs)
+        finally:
+            _local.frame = prev
+        return out, _merged_state(frame)
+
+    return Transformed(init=init, apply=apply)

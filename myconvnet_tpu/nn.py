@@ -1,0 +1,224 @@
+"""Layer library: the rebuild of the reference's ConvNet layer helpers.
+
+The reference's ``ConvNet`` base class exposes conv_layer / fc_layer /
+batch_norm / pooling / activation / dropout helpers that append TF-1.x ops
+to a graph (reference: convnet.py; mount empty — SURVEY.md §2#1).  Here each
+helper is a small callable that requests parameters through
+``core.module`` and computes with the NHWC/MXU-friendly ops in
+``myconvnet_tpu.ops``.  Models are plain forward functions; see
+``myconvnet_tpu/models``.
+
+All layers respect the active precision Policy: parameters are stored in
+``param_dtype`` (f32) and cast to ``compute_dtype`` (bf16 on TPU) at use.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+
+from myconvnet_tpu.core import initializers as init
+from myconvnet_tpu.core.module import (auto_name, get_state, next_rng_key,
+                                       param, scope, set_state)
+from myconvnet_tpu.core.precision import current_policy
+from myconvnet_tpu.ops.batch_norm import (batch_norm_inference,
+                                          batch_norm_train)
+from myconvnet_tpu.ops.conv import (conv2d, conv2d_transpose,
+                                    depthwise_conv2d)
+from myconvnet_tpu.ops.pool import avg_pool2d, global_avg_pool, max_pool2d
+
+_IntOrPair = Union[int, Sequence[int]]
+
+
+# ---------------------------------------------------------------- conv / fc
+
+def conv(x: jax.Array, features: int, kernel_size: _IntOrPair, *,
+         stride: _IntOrPair = 1, padding: str = "SAME",
+         dilation: _IntOrPair = 1, groups: int = 1, use_bias: bool = True,
+         w_init=None, name: str = "conv") -> jax.Array:
+    """Conv layer (reference conv_layer equivalent). NHWC in/out."""
+    pol = current_policy()
+    kh, kw = (kernel_size, kernel_size) if isinstance(kernel_size, int) \
+        else tuple(kernel_size)
+    cin = x.shape[-1]
+    with scope(auto_name(name)):
+        w = param("w", (kh, kw, cin // groups, features), pol.param_dtype,
+                  w_init or init.he_normal())
+        y = conv2d(pol.cast_to_compute(x), pol.cast_to_compute(w),
+                   stride=stride, padding=padding, dilation=dilation,
+                   groups=groups, precision=pol.lax_precision)
+        if use_bias:
+            b = param("b", (features,), pol.param_dtype, init.zeros)
+            y = y + pol.cast_to_compute(b)
+    return y
+
+
+def conv_transpose(x: jax.Array, features: int, kernel_size: _IntOrPair, *,
+                   stride: _IntOrPair = 2, padding: str = "SAME",
+                   use_bias: bool = True, w_init=None,
+                   name: str = "conv_transpose") -> jax.Array:
+    pol = current_policy()
+    kh, kw = (kernel_size, kernel_size) if isinstance(kernel_size, int) \
+        else tuple(kernel_size)
+    cin = x.shape[-1]
+    with scope(auto_name(name)):
+        w = param("w", (kh, kw, cin, features), pol.param_dtype,
+                  w_init or init.normal(0.02))
+        y = conv2d_transpose(pol.cast_to_compute(x), pol.cast_to_compute(w),
+                             stride=stride, padding=padding,
+                             precision=pol.lax_precision)
+        if use_bias:
+            b = param("b", (features,), pol.param_dtype, init.zeros)
+            y = y + pol.cast_to_compute(b)
+    return y
+
+
+def depthwise_conv(x: jax.Array, kernel_size: _IntOrPair = 3, *,
+                   stride: _IntOrPair = 1, padding: str = "SAME",
+                   dilation: _IntOrPair = 1, multiplier: int = 1,
+                   use_bias: bool = False, w_init=None,
+                   name: str = "depthwise_conv") -> jax.Array:
+    pol = current_policy()
+    kh, kw = (kernel_size, kernel_size) if isinstance(kernel_size, int) \
+        else tuple(kernel_size)
+    c = x.shape[-1]
+    with scope(auto_name(name)):
+        w = param("w", (kh, kw, c, multiplier), pol.param_dtype,
+                  w_init or init.he_normal())
+        y = depthwise_conv2d(pol.cast_to_compute(x), pol.cast_to_compute(w),
+                             stride=stride, padding=padding,
+                             dilation=dilation, precision=pol.lax_precision)
+        if use_bias:
+            b = param("b", (c * multiplier,), pol.param_dtype, init.zeros)
+            y = y + pol.cast_to_compute(b)
+    return y
+
+
+def dense(x: jax.Array, features: int, *, use_bias: bool = True,
+          w_init=None, name: str = "dense") -> jax.Array:
+    """Fully-connected layer (reference fc_layer equivalent)."""
+    pol = current_policy()
+    cin = x.shape[-1]
+    with scope(auto_name(name)):
+        w = param("w", (cin, features), pol.param_dtype,
+                  w_init or init.glorot_uniform())
+        y = jnp.dot(pol.cast_to_compute(x), pol.cast_to_compute(w),
+                    preferred_element_type=jnp.float32,
+                    precision=pol.lax_precision).astype(pol.compute_dtype)
+        if use_bias:
+            b = param("b", (features,), pol.param_dtype, init.zeros)
+            y = y + pol.cast_to_compute(b)
+    return y
+
+
+# ------------------------------------------------------------ normalization
+
+def batch_norm(x: jax.Array, *, train: bool, momentum: float = 0.99,
+               eps: float = 1e-3, scale: bool = True, offset: bool = True,
+               name: str = "bn") -> jax.Array:
+    """Fused BN layer with moving-statistics state (TF-semantics EMA)."""
+    pol = current_policy()
+    c = x.shape[-1]
+    with scope(auto_name(name)):
+        gamma = param("gamma", (c,), jnp.float32,
+                      init.ones) if scale else jnp.ones(c, jnp.float32)
+        beta = param("beta", (c,), jnp.float32,
+                     init.zeros) if offset else jnp.zeros(c, jnp.float32)
+        mov_mean = get_state("moving_mean", (c,), jnp.float32,
+                             lambda s, d: jnp.zeros(s, d))
+        mov_var = get_state("moving_var", (c,), jnp.float32,
+                            lambda s, d: jnp.ones(s, d))
+        if train:
+            y, mean, var = batch_norm_train(x, gamma, beta, eps)
+            set_state("moving_mean",
+                      momentum * mov_mean + (1.0 - momentum) * mean)
+            set_state("moving_var",
+                      momentum * mov_var + (1.0 - momentum) * var)
+        else:
+            y = batch_norm_inference(x, gamma, beta, mov_mean, mov_var, eps)
+    return y.astype(pol.compute_dtype)
+
+
+def layer_norm(x: jax.Array, *, eps: float = 1e-6,
+               name: str = "ln") -> jax.Array:
+    pol = current_policy()
+    c = x.shape[-1]
+    with scope(auto_name(name)):
+        gamma = param("gamma", (c,), jnp.float32, init.ones)
+        beta = param("beta", (c,), jnp.float32, init.zeros)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+    return y.astype(pol.compute_dtype)
+
+
+def instance_norm(x: jax.Array, *, eps: float = 1e-5,
+                  name: str = "in") -> jax.Array:
+    """Instance norm (pix2pix-style generators)."""
+    pol = current_policy()
+    c = x.shape[-1]
+    with scope(auto_name(name)):
+        gamma = param("gamma", (c,), jnp.float32, init.ones)
+        beta = param("beta", (c,), jnp.float32, init.zeros)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+    return y.astype(pol.compute_dtype)
+
+
+# ----------------------------------------------------------------- dropout
+
+def dropout(x: jax.Array, rate: float, *, train: bool) -> jax.Array:
+    if not train or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(next_rng_key(), keep, x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+# -------------------------------------------------------------- activations
+
+def relu(x):
+    return jax.nn.relu(x)
+
+
+def relu6(x):
+    return jnp.minimum(jax.nn.relu(x), 6.0)
+
+
+def leaky_relu(x, alpha: float = 0.2):
+    return jax.nn.leaky_relu(x, alpha)
+
+
+def sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+def tanh(x):
+    return jnp.tanh(x)
+
+
+def swish(x):
+    return jax.nn.silu(x)
+
+
+ACTIVATIONS: dict[str, Callable] = {
+    "relu": relu, "relu6": relu6, "lrelu": leaky_relu,
+    "leaky_relu": leaky_relu, "sigmoid": sigmoid, "tanh": tanh,
+    "swish": swish, "silu": swish, "linear": lambda x: x, "none": lambda x: x,
+}
+
+
+def activation(x, kind: str):
+    return ACTIVATIONS[kind](x)
+
+
+# ----------------------------------------------------------------- pooling
+
+max_pool = max_pool2d
+avg_pool = avg_pool2d
+gap = global_avg_pool

@@ -1,0 +1,13 @@
+from myconvnet_tpu.ops.batch_norm import (batch_norm_inference,
+                                          batch_norm_train)
+from myconvnet_tpu.ops.conv import (conv2d, conv2d_transpose,
+                                    depthwise_conv2d)
+from myconvnet_tpu.ops.pool import avg_pool2d, global_avg_pool, max_pool2d
+from myconvnet_tpu.ops.resize import (resize_bilinear, resize_nearest,
+                                      upsample2x_nearest)
+
+__all__ = [
+    "batch_norm_inference", "batch_norm_train", "conv2d", "conv2d_transpose",
+    "depthwise_conv2d", "avg_pool2d", "global_avg_pool", "max_pool2d",
+    "resize_bilinear", "resize_nearest", "upsample2x_nearest",
+]

@@ -1,0 +1,184 @@
+"""Per-kernel numerics vs torch-CPU goldens (cross-framework parity proxy;
+SURVEY.md §4 calls for TF goldens — TF is not in this image, torch is, and
+torch's conv/BN/pool match TF's within float tolerance)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+from jax import lax
+
+from myconvnet_tpu.ops import (avg_pool2d, batch_norm_inference,
+                               batch_norm_train, conv2d, conv2d_transpose,
+                               depthwise_conv2d, max_pool2d, resize_bilinear)
+
+RTOL, ATOL = 2e-4, 2e-5
+
+
+def _nhwc(t):
+    return np.transpose(t.numpy(), (0, 2, 3, 1))
+
+
+def _nchw(a):
+    return torch.from_numpy(np.transpose(np.asarray(a), (0, 3, 1, 2)))
+
+
+def test_conv2d_same_matches_torch():
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 9, 9, 5).astype(np.float32)
+    w = rng.randn(3, 3, 5, 7).astype(np.float32)
+    y = conv2d(jnp.asarray(x), jnp.asarray(w), stride=1, padding="SAME",
+               precision=lax.Precision.HIGHEST)
+    wt = torch.from_numpy(np.transpose(w, (3, 2, 0, 1)))
+    yt = F.conv2d(_nchw(x), wt, padding=1)
+    np.testing.assert_allclose(y, _nhwc(yt), rtol=RTOL, atol=ATOL)
+
+
+def test_conv2d_strided_valid_matches_torch():
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 12, 12, 4).astype(np.float32)
+    w = rng.randn(5, 5, 4, 6).astype(np.float32)
+    y = conv2d(jnp.asarray(x), jnp.asarray(w), stride=2, padding="VALID",
+               precision=lax.Precision.HIGHEST)
+    wt = torch.from_numpy(np.transpose(w, (3, 2, 0, 1)))
+    yt = F.conv2d(_nchw(x), wt, stride=2)
+    np.testing.assert_allclose(y, _nhwc(yt), rtol=RTOL, atol=ATOL)
+
+
+def test_atrous_conv_matches_torch():
+    rng = np.random.RandomState(2)
+    x = rng.randn(1, 16, 16, 3).astype(np.float32)
+    w = rng.randn(3, 3, 3, 8).astype(np.float32)
+    y = conv2d(jnp.asarray(x), jnp.asarray(w), dilation=2, padding="SAME",
+               precision=lax.Precision.HIGHEST)
+    wt = torch.from_numpy(np.transpose(w, (3, 2, 0, 1)))
+    yt = F.conv2d(_nchw(x), wt, padding=2, dilation=2)
+    np.testing.assert_allclose(y, _nhwc(yt), rtol=RTOL, atol=ATOL)
+
+
+def test_depthwise_conv_matches_torch():
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 8, 8, 6).astype(np.float32)
+    w = rng.randn(3, 3, 6, 1).astype(np.float32)
+    y = depthwise_conv2d(jnp.asarray(x), jnp.asarray(w), padding="SAME",
+                         precision=lax.Precision.HIGHEST)
+    wt = torch.from_numpy(np.transpose(w, (2, 3, 0, 1)))  # [C,1,kh,kw]
+    yt = F.conv2d(_nchw(x), wt, padding=1, groups=6)
+    np.testing.assert_allclose(y, _nhwc(yt), rtol=RTOL, atol=ATOL)
+
+
+def test_conv_transpose_shape_and_grad():
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+    w = jnp.asarray(rng.randn(4, 4, 4, 6).astype(np.float32))
+    y = conv2d_transpose(x, w, stride=2, padding="SAME")
+    assert y.shape == (2, 16, 16, 6)
+    g = jax.grad(lambda w: jnp.sum(conv2d_transpose(x, w) ** 2))(w)
+    assert g.shape == w.shape and np.all(np.isfinite(g))
+
+
+def test_max_pool_matches_torch():
+    rng = np.random.RandomState(5)
+    x = rng.randn(2, 8, 8, 3).astype(np.float32)
+    y = max_pool2d(jnp.asarray(x), 2, 2, padding="VALID")
+    yt = F.max_pool2d(_nchw(x), 2, 2)
+    np.testing.assert_allclose(y, _nhwc(yt), rtol=RTOL, atol=ATOL)
+
+
+def test_avg_pool_same_counts_valid_elems():
+    # TF-style SAME avg pool: edges divide by in-window element count.
+    x = jnp.ones((1, 5, 5, 1))
+    y = avg_pool2d(x, 3, 2, padding="SAME")
+    np.testing.assert_allclose(y, 1.0, rtol=1e-6)
+
+
+def test_avg_pool_valid_matches_torch():
+    rng = np.random.RandomState(6)
+    x = rng.randn(2, 8, 8, 3).astype(np.float32)
+    y = avg_pool2d(jnp.asarray(x), 2, 2, padding="VALID")
+    yt = F.avg_pool2d(_nchw(x), 2, 2)
+    np.testing.assert_allclose(y, _nhwc(yt), rtol=RTOL, atol=ATOL)
+
+
+def test_batch_norm_train_matches_torch():
+    rng = np.random.RandomState(7)
+    x = rng.randn(4, 6, 6, 5).astype(np.float32) * 3 + 2
+    gamma = rng.rand(5).astype(np.float32) + 0.5
+    beta = rng.randn(5).astype(np.float32)
+    eps = 1e-3
+    y, mean, var = batch_norm_train(jnp.asarray(x), jnp.asarray(gamma),
+                                    jnp.asarray(beta), eps)
+    yt = F.batch_norm(_nchw(x), None, None, torch.from_numpy(gamma),
+                      torch.from_numpy(beta), training=True, eps=eps)
+    np.testing.assert_allclose(y, _nhwc(yt), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(mean, x.reshape(-1, 5).mean(0), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(var, x.reshape(-1, 5).var(0), rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_batch_norm_grads_match_torch():
+    rng = np.random.RandomState(8)
+    x = rng.randn(3, 4, 4, 6).astype(np.float32)
+    gamma = rng.rand(6).astype(np.float32) + 0.5
+    beta = rng.randn(6).astype(np.float32)
+
+    def loss(x, g, b):
+        y, _, _ = batch_norm_train(x, g, b, 1e-3)
+        return jnp.sum(y ** 2)
+
+    dx, dg, db = jax.grad(loss, argnums=(0, 1, 2))(
+        jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta))
+
+    xt = _nchw(x).requires_grad_(True)
+    gt = torch.from_numpy(gamma).requires_grad_(True)
+    bt = torch.from_numpy(beta).requires_grad_(True)
+    yt = F.batch_norm(xt, None, None, gt, bt, training=True, eps=1e-3)
+    (yt ** 2).sum().backward()
+    np.testing.assert_allclose(dx, _nhwc(xt.grad.detach()), rtol=1e-3,
+                               atol=1e-4)
+    np.testing.assert_allclose(dg, gt.grad.numpy(), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(db, bt.grad.numpy(), rtol=1e-3, atol=1e-3)
+
+
+def test_batch_norm_inference_matches_formula():
+    rng = np.random.RandomState(9)
+    x = rng.randn(2, 4, 4, 3).astype(np.float32)
+    gamma = rng.rand(3).astype(np.float32)
+    beta = rng.randn(3).astype(np.float32)
+    mean = rng.randn(3).astype(np.float32)
+    var = rng.rand(3).astype(np.float32) + 0.1
+    y = batch_norm_inference(jnp.asarray(x), jnp.asarray(gamma),
+                             jnp.asarray(beta), jnp.asarray(mean),
+                             jnp.asarray(var), 1e-3)
+    expect = (x - mean) / np.sqrt(var + 1e-3) * gamma + beta
+    np.testing.assert_allclose(y, expect, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [((4, 4), (8, 8)), ((8, 8), (4, 4)),
+                                          ((5, 7), (13, 3))])
+def test_resize_bilinear_matches_torch(in_hw, out_hw):
+    rng = np.random.RandomState(10)
+    x = rng.randn(2, *in_hw, 3).astype(np.float32)
+    y = resize_bilinear(jnp.asarray(x), out_hw, half_pixel=True)
+    yt = F.interpolate(_nchw(x), size=out_hw, mode="bilinear",
+                       align_corners=False)
+    np.testing.assert_allclose(y, _nhwc(yt), rtol=1e-4, atol=1e-5)
+
+
+def test_resize_bilinear_align_corners_matches_torch():
+    rng = np.random.RandomState(11)
+    x = rng.randn(1, 6, 6, 2).astype(np.float32)
+    y = resize_bilinear(jnp.asarray(x), (11, 11), align_corners=True)
+    yt = F.interpolate(_nchw(x), size=(11, 11), mode="bilinear",
+                       align_corners=True)
+    np.testing.assert_allclose(y, _nhwc(yt), rtol=1e-4, atol=1e-5)
+
+
+def test_resize_bilinear_grad():
+    x = jnp.ones((1, 4, 4, 1))
+    g = jax.grad(lambda x: jnp.sum(resize_bilinear(x, (8, 8))))(x)
+    # total mass preserved: sum of grads == number of output pixels
+    np.testing.assert_allclose(jnp.sum(g), 64.0, rtol=1e-5)
