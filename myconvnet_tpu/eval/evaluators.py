@@ -1,0 +1,164 @@
+"""Evaluators: task metrics with a uniform score/is_better interface.
+
+Rebuild of the reference's ``evaluators.py`` (SURVEY.md §2#7): accuracy /
+top-k / error-rate for classification, mIoU + pixel accuracy for
+segmentation.  The batch-level accumulators are jittable pure functions
+(so validation can run fully on-device and only the final scalar crosses
+to host); the Evaluator classes own direction ("higher is better") and
+the best-checkpoint comparison, mirroring the reference's
+``score``/``is_better``/``worst_score`` surface.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ------------------------------------------------- jittable batch metrics
+
+def top_k_correct(logits: jax.Array, labels: jax.Array, k: int = 1
+                  ) -> jax.Array:
+    """Number of top-k-correct predictions in the batch (int32 scalar)."""
+    if k == 1:
+        pred = jnp.argmax(logits, axis=-1)
+        return jnp.sum((pred == labels).astype(jnp.int32))
+    topk = jax.lax.top_k(logits, k)[1]
+    hit = jnp.any(topk == labels[:, None], axis=-1)
+    return jnp.sum(hit.astype(jnp.int32))
+
+
+def confusion_matrix(pred: jax.Array, labels: jax.Array, num_classes: int,
+                     ignore_label: int | None = None) -> jax.Array:
+    """[C, C] confusion counts (rows = truth) — one-hot matmul, MXU-friendly,
+    no scatter."""
+    valid = jnp.ones(labels.shape, jnp.float32) if ignore_label is None \
+        else (labels != ignore_label).astype(jnp.float32)
+    labels = jnp.where(valid > 0, labels, 0)
+    t = jax.nn.one_hot(labels.reshape(-1), num_classes,
+                       dtype=jnp.float32) * valid.reshape(-1, 1)
+    p = jax.nn.one_hot(pred.reshape(-1), num_classes, dtype=jnp.float32)
+    return jnp.dot(t.T, p, preferred_element_type=jnp.float32)
+
+
+def miou_from_confusion(cm: jax.Array) -> jax.Array:
+    inter = jnp.diag(cm)
+    union = jnp.sum(cm, 0) + jnp.sum(cm, 1) - inter
+    iou = inter / jnp.maximum(union, 1.0)
+    present = (jnp.sum(cm, 1) > 0).astype(jnp.float32)
+    return jnp.sum(iou * present) / jnp.maximum(jnp.sum(present), 1.0)
+
+
+def pixel_accuracy_from_confusion(cm: jax.Array) -> jax.Array:
+    return jnp.sum(jnp.diag(cm)) / jnp.maximum(jnp.sum(cm), 1.0)
+
+
+# ------------------------------------------------------- Evaluator classes
+
+class Evaluator:
+    """Uniform interface (reference evaluators.py surface):
+    accumulate batches -> score() -> is_better(curr, best)."""
+
+    name = "metric"
+    higher_is_better = True
+
+    def reset(self) -> None:
+        raise NotImplementedError
+
+    def update(self, outputs, labels) -> None:
+        raise NotImplementedError
+
+    def score(self) -> float:
+        raise NotImplementedError
+
+    def worst_score(self) -> float:
+        return -np.inf if self.higher_is_better else np.inf
+
+    def is_better(self, curr: float, best: float) -> bool:
+        return curr > best if self.higher_is_better else curr < best
+
+
+class AccuracyEvaluator(Evaluator):
+    name = "accuracy"
+
+    def __init__(self, k: int = 1):
+        self.k = k
+        if k > 1:
+            self.name = f"top{k}_accuracy"
+        self.reset()
+
+    def reset(self):
+        self._correct = 0
+        self._total = 0
+
+    def update(self, logits, labels):
+        self._correct += int(top_k_correct(jnp.asarray(logits),
+                                           jnp.asarray(labels), self.k))
+        self._total += int(np.shape(labels)[0])
+
+    def score(self) -> float:
+        return self._correct / max(self._total, 1)
+
+
+class ErrorRateEvaluator(AccuracyEvaluator):
+    name = "error_rate"
+    higher_is_better = False
+
+    def score(self) -> float:
+        return 1.0 - super().score()
+
+
+class MeanIoUEvaluator(Evaluator):
+    name = "miou"
+
+    def __init__(self, num_classes: int, ignore_label: int | None = 255):
+        self.num_classes = num_classes
+        self.ignore_label = ignore_label
+        self.reset()
+
+    def reset(self):
+        self._cm = np.zeros((self.num_classes, self.num_classes), np.float64)
+
+    def update(self, logits_or_pred, labels):
+        arr = jnp.asarray(logits_or_pred)
+        pred = jnp.argmax(arr, -1) if arr.ndim == 4 else arr
+        self._cm += np.asarray(confusion_matrix(
+            pred, jnp.asarray(labels), self.num_classes, self.ignore_label))
+
+    def score(self) -> float:
+        return float(miou_from_confusion(jnp.asarray(self._cm)))
+
+    def pixel_accuracy(self) -> float:
+        return float(pixel_accuracy_from_confusion(jnp.asarray(self._cm)))
+
+
+class LossEvaluator(Evaluator):
+    """Tracks mean loss (GAN path, where no accuracy exists)."""
+
+    name = "loss"
+    higher_is_better = False
+
+    def reset(self):
+        self._sum = 0.0
+        self._n = 0
+
+    def __init__(self):
+        self.reset()
+
+    def update(self, loss, _labels=None):
+        self._sum += float(jnp.sum(jnp.asarray(loss)))
+        self._n += max(int(np.size(loss)), 1)
+
+    def score(self) -> float:
+        return self._sum / max(self._n, 1)
+
+
+def make_evaluator(name: str, **kwargs) -> Evaluator:
+    table = {"accuracy": AccuracyEvaluator, "error_rate": ErrorRateEvaluator,
+             "miou": MeanIoUEvaluator, "loss": LossEvaluator}
+    try:
+        return table[name](**kwargs)
+    except KeyError as e:
+        raise ValueError(f"unknown evaluator {name!r}; "
+                         f"valid: {sorted(table)}") from e

@@ -1,0 +1,50 @@
+"""Model zoo: the five BASELINE config families (SURVEY.md §2#2-4).
+
+Every model is a pure forward function ``fn(x, num_classes, train=...)``
+meant to be wrapped with ``core.transform``; the ConvNet-compatible class
+API lives in ``models.base``.
+"""
+
+from myconvnet_tpu.models.deeplab import aspp, deeplab_v3_plus
+from myconvnet_tpu.models.densenet import (densenet, densenet121,
+                                           densenet169, densenet201)
+from myconvnet_tpu.models.gan import (dcgan_discriminator, dcgan_generator,
+                                      patchgan_discriminator, unet_generator)
+from myconvnet_tpu.models.resnet import (resnet, resnet18, resnet34,
+                                         resnet50, resnet101, resnet152,
+                                         resnet_backbone)
+from myconvnet_tpu.models.smallnet import smallnet
+from myconvnet_tpu.models.vgg import vgg, vgg11, vgg16, vgg19
+
+# Registry keyed by the config-file model names (reference: model choice in
+# parameters.py — SURVEY.md §2#10).
+CLASSIFIERS = {
+    "smallnet": smallnet,
+    "resnet18": resnet18, "resnet34": resnet34, "resnet50": resnet50,
+    "resnet101": resnet101, "resnet152": resnet152,
+    "vgg11": vgg11, "vgg16": vgg16, "vgg19": vgg19,
+    "densenet121": densenet121, "densenet169": densenet169,
+    "densenet201": densenet201,
+}
+
+SEGMENTERS = {
+    "deeplab_v3_plus": deeplab_v3_plus,
+}
+
+GAN_GENERATORS = {
+    "dcgan": dcgan_generator,
+    "pix2pix": unet_generator,
+}
+
+GAN_DISCRIMINATORS = {
+    "dcgan": dcgan_discriminator,
+    "pix2pix": patchgan_discriminator,
+}
+
+
+def get_model(name: str):
+    for table in (CLASSIFIERS, SEGMENTERS):
+        if name in table:
+            return table[name]
+    raise ValueError(f"unknown model {name!r}; valid: "
+                     f"{sorted(CLASSIFIERS) + sorted(SEGMENTERS)}")

@@ -1,0 +1,132 @@
+"""ResNet v1 family (18/34/50/101/152), NHWC, TPU-first.
+
+Rebuild of the reference's ResNet `_build_model` (SURVEY.md §2#2, §3.4;
+BASELINE config #2: ResNet-50 ImageNet-style is the headline benchmark).
+
+TPU notes:
+* NHWC + 3x3/1x1 convs map straight onto the MXU; no transposes anywhere.
+* Stride-2 downsampling placed on the 3x3 conv (the "v1.5" variant) —
+  better accuracy *and* better MXU utilization than stride on the 1x1.
+* `output_stride` support (dilated late stages) so the same backbone
+  serves DeepLabv3+ (SURVEY.md §2#3) without re-implementation.
+* Final-BN gamma zero-init for residual branches (standard large-batch
+  trick; keeps early training stable at big global batch).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+
+from myconvnet_tpu import nn
+from myconvnet_tpu.core import initializers as init
+
+STAGE_BLOCKS = {
+    18: (2, 2, 2, 2),
+    34: (3, 4, 6, 3),
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+    152: (3, 8, 36, 3),
+}
+
+
+def _bn(x, train, zero_init=False, name="bn"):
+    return nn.batch_norm(x, train=train, momentum=0.9, eps=1e-5,
+                         gamma_init=init.zeros if zero_init else None,
+                         name=name)
+
+
+def basic_block(x, features, *, stride, dilation, train, projection):
+    shortcut = x
+    y = nn.conv(x, features, 3, stride=stride, dilation=dilation,
+                use_bias=False, name="conv_a")
+    y = _bn(y, train, name="bn_a")
+    y = nn.relu(y)
+    y = nn.conv(y, features, 3, dilation=dilation, use_bias=False,
+                name="conv_b")
+    y = _bn(y, train, zero_init=True, name="bn_b")
+    if projection:
+        shortcut = nn.conv(x, features, 1, stride=stride, use_bias=False,
+                           name="conv_proj")
+        shortcut = _bn(shortcut, train, name="bn_proj")
+    return nn.relu(y + shortcut)
+
+
+def bottleneck_block(x, features, *, stride, dilation, train, projection):
+    shortcut = x
+    y = nn.conv(x, features, 1, use_bias=False, name="conv_a")
+    y = _bn(y, train, name="bn_a")
+    y = nn.relu(y)
+    # stride on the 3x3 (v1.5)
+    y = nn.conv(y, features, 3, stride=stride, dilation=dilation,
+                use_bias=False, name="conv_b")
+    y = _bn(y, train, name="bn_b")
+    y = nn.relu(y)
+    y = nn.conv(y, 4 * features, 1, use_bias=False, name="conv_c")
+    y = _bn(y, train, zero_init=True, name="bn_c")
+    if projection:
+        shortcut = nn.conv(x, 4 * features, 1, stride=stride, use_bias=False,
+                           name="conv_proj")
+        shortcut = _bn(shortcut, train, name="bn_proj")
+    return nn.relu(y + shortcut)
+
+
+def resnet_backbone(x: jax.Array, depth: int = 50, *, train: bool = False,
+                    output_stride: int = 32, width: int = 64,
+                    return_low_level: bool = False):
+    """Feature extractor. Returns final feature map (and the end-of-stage-1
+    low-level features when ``return_low_level`` — DeepLab decoder input)."""
+    if depth not in STAGE_BLOCKS:
+        raise ValueError(f"unsupported ResNet depth {depth}; "
+                         f"valid: {sorted(STAGE_BLOCKS)}")
+    if output_stride not in (8, 16, 32):
+        raise ValueError("output_stride must be 8, 16 or 32")
+    blocks = STAGE_BLOCKS[depth]
+    block_fn = bottleneck_block if depth >= 50 else basic_block
+
+    with nn.scope_named("stem"):
+        x = nn.conv(x, width, 7, stride=2, use_bias=False, name="conv")
+        x = _bn(x, train, name="bn")
+        x = nn.relu(x)
+        x = nn.max_pool(x, 3, 2, padding="SAME")
+
+    low_level = None
+    current_stride = 4
+    dilation = 1
+    for stage, n_blocks in enumerate(blocks):
+        features = width * (2 ** stage)
+        stage_stride = 1 if stage == 0 else 2
+        if current_stride >= output_stride and stage_stride == 2:
+            # swap stride for dilation: keeps resolution for segmentation
+            dilation *= 2
+            stage_stride = 1
+        with nn.scope_named(f"stage{stage + 1}"):
+            for b in range(n_blocks):
+                with nn.scope_named(f"block{b + 1}"):
+                    x = block_fn(
+                        x, features,
+                        stride=stage_stride if b == 0 else 1,
+                        dilation=dilation, train=train,
+                        projection=(b == 0))
+        current_stride *= stage_stride
+        if stage == 0:
+            low_level = x
+    if return_low_level:
+        return x, low_level
+    return x
+
+
+def resnet(x: jax.Array, num_classes: int = 1000, depth: int = 50, *,
+           train: bool = False, width: int = 64) -> jax.Array:
+    x = resnet_backbone(x, depth, train=train, width=width)
+    x = nn.gap(x)
+    return nn.dense(x, num_classes, w_init=init.glorot_uniform(),
+                    name="logits")
+
+
+resnet18 = partial(resnet, depth=18)
+resnet34 = partial(resnet, depth=34)
+resnet50 = partial(resnet, depth=50)
+resnet101 = partial(resnet, depth=101)
+resnet152 = partial(resnet, depth=152)

@@ -32,6 +32,11 @@ from myconvnet_tpu.ops.pool import avg_pool2d, global_avg_pool, max_pool2d
 _IntOrPair = Union[int, Sequence[int]]
 
 
+def scope_named(name: str) -> scope:
+    """Open a (auto-numbered) parameter scope, e.g. per-stage/per-block."""
+    return scope(auto_name(name))
+
+
 # ---------------------------------------------------------------- conv / fc
 
 def conv(x: jax.Array, features: int, kernel_size: _IntOrPair, *,
@@ -117,13 +122,14 @@ def dense(x: jax.Array, features: int, *, use_bias: bool = True,
 
 def batch_norm(x: jax.Array, *, train: bool, momentum: float = 0.99,
                eps: float = 1e-3, scale: bool = True, offset: bool = True,
-               name: str = "bn") -> jax.Array:
+               gamma_init=None, name: str = "bn") -> jax.Array:
     """Fused BN layer with moving-statistics state (TF-semantics EMA)."""
     pol = current_policy()
     c = x.shape[-1]
     with scope(auto_name(name)):
         gamma = param("gamma", (c,), jnp.float32,
-                      init.ones) if scale else jnp.ones(c, jnp.float32)
+                      gamma_init or init.ones) if scale else jnp.ones(
+                          c, jnp.float32)
         beta = param("beta", (c,), jnp.float32,
                      init.zeros) if offset else jnp.zeros(c, jnp.float32)
         mov_mean = get_state("moving_mean", (c,), jnp.float32,

@@ -1,0 +1,258 @@
+"""Optimizers + LR schedules (pure-JAX, optax-style init/update pairs).
+
+Rebuild of the reference's ``optimizers.py`` optimizer-selection and
+LR-schedule machinery (SURVEY.md §2#6; mount empty — recalled surface:
+SGD-momentum / Adam and step/cosine decay).  Each optimizer is a pair of
+pure functions over parameter pytrees, so the whole update lives inside
+one jitted XLA program together with forward+backward (no per-step Python
+in the hot loop).  Schedules are pure functions of the step counter and
+are evaluated *inside* the jitted step.
+
+Weight decay follows the reference's L2-regularization semantics
+(decay added to the gradient, i.e. coupled L2) for ``sgd``/``momentum``;
+``adamw`` provides decoupled decay for modern recipes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+Schedule = Callable[[jax.Array], jax.Array]
+PyTree = Any
+
+
+class Optimizer(NamedTuple):
+    init: Callable[[PyTree], PyTree]
+    update: Callable[[PyTree, PyTree, PyTree, jax.Array], tuple[PyTree, PyTree]]
+    # update(grads, opt_state, params, step) -> (new_params, new_opt_state)
+
+
+# ---------------------------------------------------------------- schedules
+
+def constant(lr: float) -> Schedule:
+    return lambda step: jnp.asarray(lr, jnp.float32)
+
+
+def step_decay(lr: float, boundaries: list[int], rates: list[float]
+               ) -> Schedule:
+    """Piecewise-constant decay: lr * rates[i] after boundaries[i] steps."""
+    bs = jnp.asarray(boundaries)
+    rs = jnp.asarray([1.0] + list(rates), jnp.float32)
+
+    def fn(step):
+        idx = jnp.sum(step >= bs)
+        return lr * rs[idx]
+    return fn
+
+
+def exponential_decay(lr: float, decay_steps: int, decay_rate: float,
+                      staircase: bool = False) -> Schedule:
+    def fn(step):
+        p = step / decay_steps
+        if staircase:
+            p = jnp.floor(p)
+        return jnp.asarray(lr * decay_rate ** p, jnp.float32)
+    return fn
+
+
+def cosine_decay(lr: float, total_steps: int, alpha: float = 0.0) -> Schedule:
+    def fn(step):
+        t = jnp.clip(step / total_steps, 0.0, 1.0)
+        cos = 0.5 * (1.0 + jnp.cos(jnp.pi * t))
+        return jnp.asarray(lr * ((1 - alpha) * cos + alpha), jnp.float32)
+    return fn
+
+
+def polynomial_decay(lr: float, total_steps: int, end_lr: float = 0.0,
+                     power: float = 0.9) -> Schedule:
+    """DeepLab-style poly schedule."""
+    def fn(step):
+        t = jnp.clip(step / total_steps, 0.0, 1.0)
+        return jnp.asarray((lr - end_lr) * (1 - t) ** power + end_lr,
+                           jnp.float32)
+    return fn
+
+
+def warmup(schedule: Schedule, warmup_steps: int) -> Schedule:
+    """Linear warmup from 0 wrapped around any schedule."""
+    if warmup_steps <= 0:
+        return schedule
+
+    def fn(step):
+        scale = jnp.minimum(1.0, (step + 1) / warmup_steps)
+        return scale * schedule(step)
+    return fn
+
+
+def as_schedule(lr) -> Schedule:
+    return lr if callable(lr) else constant(float(lr))
+
+
+# --------------------------------------------------------------- optimizers
+
+def _tree_zeros(params):
+    return jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), params)
+
+
+def _decayed(g, p, weight_decay):
+    if weight_decay <= 0.0:
+        return g.astype(jnp.float32)
+    return g.astype(jnp.float32) + weight_decay * p.astype(jnp.float32)
+
+
+def sgd(lr, *, momentum: float = 0.0, nesterov: bool = False,
+        weight_decay: float = 0.0) -> Optimizer:
+    sched = as_schedule(lr)
+
+    def init(params):
+        if momentum == 0.0:
+            return ()
+        return _tree_zeros(params)
+
+    def update(grads, opt_state, params, step):
+        lr_t = sched(step)
+
+        if momentum == 0.0:
+            def upd(p, g):
+                gd = _decayed(g, p, weight_decay)
+                return (p.astype(jnp.float32) - lr_t * gd).astype(p.dtype)
+            return jax.tree.map(upd, params, grads), ()
+
+        def upd(p, g, m):
+            gd = _decayed(g, p, weight_decay)
+            m_new = momentum * m + gd
+            d = gd + momentum * m_new if nesterov else m_new
+            return ((p.astype(jnp.float32) - lr_t * d).astype(p.dtype),
+                    m_new)
+        out = jax.tree.map(upd, params, grads, opt_state)
+        new_params = jax.tree.map(lambda o: o[0], out,
+                                  is_leaf=lambda x: isinstance(x, tuple))
+        new_m = jax.tree.map(lambda o: o[1], out,
+                             is_leaf=lambda x: isinstance(x, tuple))
+        return new_params, new_m
+
+    return Optimizer(init, update)
+
+
+def momentum(lr, momentum_coef: float = 0.9, *, nesterov: bool = False,
+             weight_decay: float = 0.0) -> Optimizer:
+    return sgd(lr, momentum=momentum_coef, nesterov=nesterov,
+               weight_decay=weight_decay)
+
+
+class AdamState(NamedTuple):
+    mu: PyTree
+    nu: PyTree
+
+
+def adam(lr, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8, *,
+         weight_decay: float = 0.0, decoupled: bool = False) -> Optimizer:
+    sched = as_schedule(lr)
+
+    def init(params):
+        return AdamState(_tree_zeros(params), _tree_zeros(params))
+
+    def update(grads, opt_state, params, step):
+        lr_t = sched(step)
+        count = step.astype(jnp.float32) + 1.0
+        bc1 = 1.0 - b1 ** count
+        bc2 = 1.0 - b2 ** count
+
+        def upd(p, g, mu, nu):
+            gf = g.astype(jnp.float32)
+            if weight_decay > 0.0 and not decoupled:
+                gf = gf + weight_decay * p.astype(jnp.float32)
+            mu_new = b1 * mu + (1 - b1) * gf
+            nu_new = b2 * nu + (1 - b2) * jnp.square(gf)
+            d = (mu_new / bc1) / (jnp.sqrt(nu_new / bc2) + eps)
+            if weight_decay > 0.0 and decoupled:
+                d = d + weight_decay * p.astype(jnp.float32)
+            return ((p.astype(jnp.float32) - lr_t * d).astype(p.dtype),
+                    mu_new, nu_new)
+
+        out = jax.tree.map(upd, params, grads, opt_state.mu, opt_state.nu)
+        is_triple = lambda x: isinstance(x, tuple) and len(x) == 3  # noqa: E731
+        new_params = jax.tree.map(lambda o: o[0], out, is_leaf=is_triple)
+        new_mu = jax.tree.map(lambda o: o[1], out, is_leaf=is_triple)
+        new_nu = jax.tree.map(lambda o: o[2], out, is_leaf=is_triple)
+        return new_params, AdamState(new_mu, new_nu)
+
+    return Optimizer(init, update)
+
+
+def adamw(lr, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+          weight_decay: float = 1e-4) -> Optimizer:
+    return adam(lr, b1, b2, eps, weight_decay=weight_decay, decoupled=True)
+
+
+class RMSPropState(NamedTuple):
+    nu: PyTree
+    mom: PyTree
+
+
+def rmsprop(lr, decay: float = 0.9, eps: float = 1e-8,
+            momentum_coef: float = 0.0, *,
+            weight_decay: float = 0.0) -> Optimizer:
+    sched = as_schedule(lr)
+
+    def init(params):
+        return RMSPropState(_tree_zeros(params), _tree_zeros(params))
+
+    def update(grads, opt_state, params, step):
+        lr_t = sched(step)
+
+        def upd(p, g, nu, m):
+            gf = _decayed(g, p, weight_decay)
+            nu_new = decay * nu + (1 - decay) * jnp.square(gf)
+            d = gf / (jnp.sqrt(nu_new) + eps)
+            m_new = momentum_coef * m + d
+            d = m_new if momentum_coef > 0.0 else d
+            return ((p.astype(jnp.float32) - lr_t * d).astype(p.dtype),
+                    nu_new, m_new)
+
+        out = jax.tree.map(upd, params, grads, opt_state.nu, opt_state.mom)
+        is_triple = lambda x: isinstance(x, tuple) and len(x) == 3  # noqa: E731
+        new_params = jax.tree.map(lambda o: o[0], out, is_leaf=is_triple)
+        new_nu = jax.tree.map(lambda o: o[1], out, is_leaf=is_triple)
+        new_m = jax.tree.map(lambda o: o[2], out, is_leaf=is_triple)
+        return new_params, RMSPropState(new_nu, new_m)
+
+    return Optimizer(init, update)
+
+
+# ---------------------------------------------------------------- registry
+
+def make_optimizer(name: str, lr, **kwargs) -> Optimizer:
+    """Config-string optimizer factory (reference: optimizer choice in
+    parameters.py)."""
+    table = {"sgd": sgd, "momentum": momentum, "adam": adam,
+             "adamw": adamw, "rmsprop": rmsprop}
+    try:
+        return table[name.lower()](lr, **kwargs)
+    except KeyError as e:
+        raise ValueError(
+            f"unknown optimizer {name!r}; valid: {sorted(table)}") from e
+
+
+def make_schedule(cfg: dict) -> Schedule:
+    """Config-dict schedule factory.
+
+    cfg example: {"kind": "cosine", "lr": 0.1, "total_steps": 10000,
+                  "warmup_steps": 500}
+    """
+    cfg = dict(cfg)
+    kind = cfg.pop("kind", "constant")
+    warmup_steps = cfg.pop("warmup_steps", 0)
+    table = {"constant": constant, "step": step_decay,
+             "exponential": exponential_decay, "cosine": cosine_decay,
+             "poly": polynomial_decay, "polynomial": polynomial_decay}
+    try:
+        sched = table[kind](**cfg)
+    except KeyError as e:
+        raise ValueError(
+            f"unknown schedule {kind!r}; valid: {sorted(table)}") from e
+    return warmup(sched, warmup_steps)

@@ -1,0 +1,111 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from myconvnet_tpu.ckpt import checkpoint as ckpt
+from myconvnet_tpu.eval import evaluators as ev
+
+
+def test_accuracy_evaluator():
+    e = ev.AccuracyEvaluator()
+    logits = jnp.asarray([[0.1, 0.9], [0.8, 0.2], [0.3, 0.7]])
+    labels = jnp.asarray([1, 0, 0])
+    e.update(logits, labels)
+    assert e.score() == pytest.approx(2 / 3)
+    e.update(logits, jnp.asarray([1, 0, 1]))
+    assert e.score() == pytest.approx(5 / 6)
+    assert e.is_better(0.9, 0.8)
+
+
+def test_top5_accuracy():
+    e = ev.AccuracyEvaluator(k=5)
+    logits = jnp.asarray([np.arange(10.0)])
+    e.update(logits, jnp.asarray([5]))   # 5 in top-5 (5..9)
+    e.update(logits, jnp.asarray([4]))   # 4 not in top-5
+    assert e.score() == pytest.approx(0.5)
+
+
+def test_error_rate_direction():
+    e = ev.ErrorRateEvaluator()
+    assert not e.higher_is_better
+    assert e.is_better(0.1, 0.2)
+    assert e.worst_score() == np.inf
+
+
+def test_miou_evaluator():
+    e = ev.MeanIoUEvaluator(num_classes=3, ignore_label=255)
+    pred = jnp.asarray([[0, 0, 1, 1, 2, 2]])
+    truth = jnp.asarray([[0, 0, 1, 2, 2, 255]])
+    e.update(pred, truth)
+    # class0: i=2,u=2 -> 1.0 ; class1: i=1,u=2 -> 0.5 ; class2: i=1,u=2 -> 0.5
+    assert e.score() == pytest.approx((1.0 + 0.5 + 0.5) / 3)
+    assert e.pixel_accuracy() == pytest.approx(4 / 5)
+
+
+def test_miou_from_logits():
+    e = ev.MeanIoUEvaluator(num_classes=2, ignore_label=None)
+    logits = jnp.zeros((1, 2, 2, 2)).at[..., 1].set(1.0)  # predicts class 1
+    labels = jnp.ones((1, 2, 2), jnp.int32)
+    e.update(logits, labels)
+    assert e.score() == pytest.approx(1.0)
+
+
+def test_make_evaluator():
+    assert isinstance(ev.make_evaluator("accuracy"), ev.AccuracyEvaluator)
+    with pytest.raises(ValueError):
+        ev.make_evaluator("f1")
+
+
+def _state(seed=0):
+    k = jax.random.key(seed)
+    return {
+        "params": {"conv": {"w": jax.random.normal(k, (3, 3, 2, 4))}},
+        "opt": (jnp.zeros((3,)), {"mu": jnp.ones((2, 2))}),
+        "step": jnp.asarray(7),
+        "rng": jax.random.key_data(jax.random.key(1)),
+    }
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    d = str(tmp_path)
+    state = _state()
+    ckpt.save_checkpoint(d, 7, state)
+    target = jax.tree.map(jnp.zeros_like, _state(1))
+    restored = ckpt.restore_checkpoint(os.path.join(d, "ckpt-7.npz"), target)
+    np.testing.assert_array_equal(restored["params"]["conv"]["w"],
+                                  state["params"]["conv"]["w"])
+    assert int(restored["step"]) == 7
+    np.testing.assert_array_equal(restored["rng"], state["rng"])
+
+
+def test_checkpoint_latest_best_prune(tmp_path):
+    d = str(tmp_path)
+    state = _state()
+    for s in (1, 2, 3, 4):
+        ckpt.save_checkpoint(d, s, state, keep=2, metric=0.1 * s,
+                             is_best=(s == 3))
+    assert ckpt.all_steps(d) == [3, 4]
+    assert ckpt.latest_checkpoint(d).endswith("ckpt-4.npz")
+    assert ckpt.best_checkpoint(d).endswith("best.npz")
+    assert ckpt.checkpoint_step(ckpt.best_checkpoint(d)) == 3
+    restored = ckpt.restore_checkpoint(d, jax.tree.map(jnp.zeros_like,
+                                                       _state(1)))
+    assert int(restored["step"]) == 7
+
+
+def test_checkpoint_shape_mismatch(tmp_path):
+    d = str(tmp_path)
+    ckpt.save_checkpoint(d, 1, {"w": jnp.zeros((2, 2))})
+    with pytest.raises(ValueError, match="shape mismatch"):
+        ckpt.restore_checkpoint(d, {"w": jnp.zeros((3, 3))})
+
+
+def test_checkpoint_missing_key(tmp_path):
+    d = str(tmp_path)
+    ckpt.save_checkpoint(d, 1, {"w": jnp.zeros((2, 2))})
+    with pytest.raises(ValueError, match="missing keys"):
+        ckpt.restore_checkpoint(d, {"w": jnp.zeros((2, 2)),
+                                    "v": jnp.zeros((1,))})

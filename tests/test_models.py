@@ -1,0 +1,163 @@
+"""Model zoo: shapes, param counts, jit-ability, gradient flow.
+
+Small spatial sizes keep CPU CI fast; architecture is size-agnostic."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from myconvnet_tpu import models
+from myconvnet_tpu.core import transform
+
+
+def _build(fn, x, *args, **kwargs):
+    net = transform(fn)
+    key = jax.random.key(0)
+    params, state = net.init(key, x, *args, **kwargs)
+    return net, params, state
+
+
+def _n_params(params):
+    return sum(int(np.prod(p.shape)) for b in params.values()
+               for p in b.values())
+
+
+def test_smallnet_forward():
+    x = jnp.zeros((2, 32, 32, 3))
+    net, params, state = _build(models.smallnet, x, 10, train=True)
+    y, _ = net.apply(params, state, jax.random.key(1), x, 10, train=True)
+    assert y.shape == (2, 10)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("depth,expected_m", [(18, 11.7), (50, 25.6)])
+def test_resnet_param_count(depth, expected_m):
+    """Match the canonical ImageNet parameter counts (sanity vs torchvision:
+    resnet18=11.69M, resnet50=25.56M)."""
+    x = jnp.zeros((1, 32, 32, 3))
+    _, params, _ = _build(models.resnet, x, 1000, depth)
+    n = _n_params(params) / 1e6
+    assert abs(n - expected_m) < 0.15, f"resnet{depth}: {n:.2f}M params"
+
+
+@pytest.mark.slow
+def test_resnet_forward_and_grad():
+    x = jax.random.normal(jax.random.key(0), (2, 32, 32, 3))
+    net, params, state = _build(models.resnet, x, 10, 18, train=True)
+    y, _ = net.apply(params, state, None, x, 10, 18, train=True)
+    assert y.shape == (2, 10)
+
+    def loss(p):
+        out, _ = net.apply(p, state, None, x, 10, 18, train=True)
+        return jnp.mean(out ** 2)
+
+    g = jax.grad(loss)(params)
+    gnorm = jax.tree.reduce(lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0)
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+@pytest.mark.slow
+def test_resnet_output_stride_dilation():
+    x = jnp.zeros((1, 64, 64, 3))
+
+    def bb(x, os):
+        return models.resnet_backbone(x, 18, output_stride=os)
+
+    net, params, state = _build(bb, x, 16)
+    y16, _ = net.apply(params, state, None, x, 16)
+    assert y16.shape[1:3] == (4, 4)  # 64/16
+    net, params, state = _build(bb, x, 32)
+    y32, _ = net.apply(params, state, None, x, 32)
+    assert y32.shape[1:3] == (2, 2)  # 64/32
+
+
+@pytest.mark.slow
+def test_vgg16_param_count():
+    """vgg16 conv trunk = 14.71M conv weights (canonical); classic head
+    adds (flatten->4096->4096->1000).  At 32x32 input flatten = 512, so
+    expected total = trunk + BN + 512*4096+4096 + 4096*4096+4096 +
+    4096*1000+1000."""
+    x = jnp.zeros((1, 32, 32, 3))
+
+    def f(x):
+        return models.vgg(x, 1000, 16, classic_head=True)
+
+    _, params, _ = _build(f, x)
+    conv_w = sum(int(np.prod(b["w"].shape)) for k, b in params.items()
+                 if k.startswith("conv"))
+    assert conv_w == 14_710_464, conv_w  # canonical VGG16 conv weights
+    n = _n_params(params)
+    bn = 2 * sum(b["gamma"].shape[0] for k, b in params.items()
+                 if k.startswith("bn"))
+    head = (512 * 4096 + 4096) + (4096 * 4096 + 4096) + (4096 * 1000 + 1000)
+    assert n == conv_w + bn + head, (n, conv_w + bn + head)
+
+
+@pytest.mark.slow
+def test_densenet121_param_count():
+    """densenet121 = 7.98M params (torchvision)."""
+    x = jnp.zeros((1, 32, 32, 3))
+    _, params, _ = _build(models.densenet, x, 1000, 121)
+    n = _n_params(params) / 1e6
+    assert abs(n - 7.98) < 0.1, f"densenet121: {n:.2f}M"
+
+
+@pytest.mark.slow
+def test_deeplab_output_shape():
+    x = jnp.zeros((1, 33, 33, 3))
+
+    def f(x, train):
+        return models.deeplab_v3_plus(x, 21, train=train, backbone_depth=18)
+
+    net, params, state = _build(f, x, False)
+    y, _ = net.apply(params, state, None, x, False)
+    assert y.shape == (1, 33, 33, 21)
+    assert y.dtype == jnp.float32
+
+
+@pytest.mark.slow
+def test_dcgan_shapes():
+    z = jnp.zeros((2, 100))
+
+    def g(z, train):
+        return models.dcgan_generator(z, train=train, image_size=32,
+                                      base_features=128)
+
+    net, params, state = _build(g, z, True)
+    img, _ = net.apply(params, state, None, z, True)
+    assert img.shape == (2, 32, 32, 3)
+    assert float(jnp.max(jnp.abs(img))) <= 1.0
+
+    def d(x, train):
+        return models.dcgan_discriminator(x, train=train)
+
+    netd, pd, sd = _build(d, img, True)
+    logits, _ = netd.apply(pd, sd, None, img, True)
+    assert logits.shape == (2, 1)
+
+
+@pytest.mark.slow
+def test_pix2pix_shapes():
+    x = jnp.zeros((2, 32, 32, 3))
+
+    def g(x, train):
+        return models.unet_generator(x, train=train, n_levels=5)
+
+    net, params, state = _build(g, x, True)
+    y, _ = net.apply(params, state, jax.random.key(0), x, True)
+    assert y.shape == (2, 32, 32, 3)
+
+    def d(a, b, train):
+        return models.patchgan_discriminator(a, b, train=train)
+
+    netd, pd, sd = _build(d, x, y, True)
+    logits, _ = netd.apply(pd, sd, None, x, y, True)
+    assert logits.shape[0] == 2 and logits.shape[-1] == 1
+    assert logits.shape[1] > 1  # patch output, not scalar
+
+
+def test_registry():
+    assert models.get_model("resnet50") is models.resnet50
+    with pytest.raises(ValueError, match="unknown model"):
+        models.get_model("resnet13")

@@ -1,0 +1,113 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from myconvnet_tpu.train import optim
+
+
+def _quadratic_params():
+    return {"lin": {"w": jnp.asarray([3.0, -2.0]), "b": jnp.asarray(1.5)}}
+
+
+def _grad(params):
+    # grad of 0.5*||p||^2 is p itself
+    return params
+
+
+@pytest.mark.parametrize("name,kwargs", [
+    ("sgd", {}), ("momentum", {}), ("adam", {}), ("adamw", {}),
+    ("rmsprop", {}),
+])
+def test_optimizers_descend(name, kwargs):
+    opt = optim.make_optimizer(name, 0.1, **kwargs)
+    params = _quadratic_params()
+    state = opt.init(params)
+
+    def norm(p):
+        return float(sum(jnp.sum(x ** 2) for b in p.values()
+                         for x in b.values()))
+
+    n0 = norm(params)
+    for step in range(50):
+        params, state = opt.update(_grad(params), state, params,
+                                   jnp.asarray(step))
+    assert norm(params) < 0.05 * n0
+
+
+def test_sgd_momentum_matches_formula():
+    opt = optim.momentum(1.0, 0.9)
+    p = {"a": {"w": jnp.asarray(1.0)}}
+    s = opt.init(p)
+    g = {"a": {"w": jnp.asarray(0.5)}}
+    p1, s1 = opt.update(g, s, p, jnp.asarray(0))
+    # m1 = 0.5, p1 = 1 - 0.5
+    np.testing.assert_allclose(p1["a"]["w"], 0.5)
+    p2, s2 = opt.update(g, s1, p1, jnp.asarray(1))
+    # m2 = 0.9*0.5 + 0.5 = 0.95; p2 = 0.5 - 0.95
+    np.testing.assert_allclose(p2["a"]["w"], -0.45, rtol=1e-6)
+
+
+def test_weight_decay_coupled():
+    opt = optim.sgd(0.1, weight_decay=0.5)
+    p = {"a": {"w": jnp.asarray(2.0)}}
+    g = {"a": {"w": jnp.asarray(0.0)}}
+    p1, _ = opt.update(g, opt.init(p), p, jnp.asarray(0))
+    # effective grad = 0 + 0.5*2 = 1; p1 = 2 - 0.1
+    np.testing.assert_allclose(p1["a"]["w"], 1.9, rtol=1e-6)
+
+
+def test_adam_bias_correction_first_step():
+    opt = optim.adam(1e-1)
+    p = {"a": {"w": jnp.asarray(0.0)}}
+    g = {"a": {"w": jnp.asarray(1.0)}}
+    p1, _ = opt.update(g, opt.init(p), p, jnp.asarray(0))
+    # with bias correction, first step ~= -lr * g/|g| = -0.1
+    np.testing.assert_allclose(p1["a"]["w"], -0.1, rtol=1e-4)
+
+
+def test_schedules():
+    s = optim.step_decay(1.0, [10, 20], [0.1, 0.01])
+    assert float(s(jnp.asarray(0))) == 1.0
+    assert float(s(jnp.asarray(10))) == pytest.approx(0.1)
+    assert float(s(jnp.asarray(25))) == pytest.approx(0.01)
+
+    c = optim.cosine_decay(2.0, 100)
+    assert float(c(jnp.asarray(0))) == pytest.approx(2.0)
+    assert float(c(jnp.asarray(50))) == pytest.approx(1.0)
+    assert float(c(jnp.asarray(100))) == pytest.approx(0.0, abs=1e-6)
+
+    w = optim.warmup(optim.constant(1.0), 10)
+    assert float(w(jnp.asarray(0))) == pytest.approx(0.1)
+    assert float(w(jnp.asarray(9))) == pytest.approx(1.0)
+    assert float(w(jnp.asarray(500))) == pytest.approx(1.0)
+
+    poly = optim.polynomial_decay(1.0, 100, end_lr=0.1, power=1.0)
+    assert float(poly(jnp.asarray(50))) == pytest.approx(0.55)
+
+    cfg = {"kind": "cosine", "lr": 0.4, "total_steps": 10,
+           "warmup_steps": 2}
+    s2 = optim.make_schedule(cfg)
+    assert float(s2(jnp.asarray(0))) == pytest.approx(0.2)
+
+
+def test_update_is_jittable():
+    opt = optim.adam(optim.cosine_decay(0.1, 100))
+    p = {"a": {"w": jnp.ones((4, 4))}}
+    s = opt.init(p)
+
+    @jax.jit
+    def step(p, s, i):
+        g = jax.tree.map(jnp.ones_like, p)
+        return opt.update(g, s, p, i)
+
+    p1, s1 = step(p, s, jnp.asarray(0))
+    assert p1["a"]["w"].shape == (4, 4)
+    assert float(jnp.max(p1["a"]["w"])) < 1.0
+
+
+def test_unknown_names_raise():
+    with pytest.raises(ValueError, match="unknown optimizer"):
+        optim.make_optimizer("lion", 0.1)
+    with pytest.raises(ValueError, match="unknown schedule"):
+        optim.make_schedule({"kind": "sawtooth", "lr": 1.0})
