@@ -1,0 +1,198 @@
+"""ConvNet base class: the reference's public API over the JAX core.
+
+BASELINE north_star: "preserve the ConvNet base-class public API
+(build/train/predict, checkpoint save/restore) while replacing the TF
+low-level graph with jitted JAX functions."  The reference's ConvNet
+(SURVEY.md §2#1) builds a TF graph at construction, trains via an
+Optimizer driver, predicts via Session.run, and saves/restores with
+tf.train.Saver.  Here:
+
+* ``build()``  — initializes params/state (the graph-build analogue; done
+  lazily on first use, or explicitly).
+* ``train()``  — wires DataSet + Evaluator + Trainer and runs the fitted
+  loop (jitted step, on-device augmentation, best-ckpt retention).
+* ``predict()`` — batched jitted inference.
+* ``save()/restore()`` — full-train-state checkpoints.
+
+Subclasses override ``_forward`` (the ``_build_model`` analogue) or pass
+``model_fn``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from myconvnet_tpu.core import transform
+from myconvnet_tpu.core.precision import get_policy, policy_scope
+from myconvnet_tpu.data.augment import AugmentConfig, augment_eval, \
+    augment_train
+from myconvnet_tpu.data.pipeline import DataSet
+from myconvnet_tpu.eval.evaluators import AccuracyEvaluator, Evaluator
+from myconvnet_tpu.parallel import mesh as mesh_lib
+from myconvnet_tpu.train import optim as optim_lib
+from myconvnet_tpu.train.losses import softmax_cross_entropy
+from myconvnet_tpu.train.trainer import Trainer, TrainState, \
+    init_train_state
+from myconvnet_tpu.utils.logging import MetricLogger
+
+
+class ConvNet:
+    """Reference-compatible model wrapper.
+
+    Example::
+
+        net = ConvNet(models.resnet50, input_shape=(224, 224, 3),
+                      num_classes=1000, precision="bf16")
+        net.build()
+        net.train(train_set, val_set, batch_size=256, total_steps=1000)
+        logits = net.predict(images)
+        net.save("ckpts/")
+    """
+
+    def __init__(self, model_fn: Callable | None = None, *,
+                 input_shape: tuple[int, ...] = (32, 32, 3),
+                 num_classes: int = 10, precision: str = "f32",
+                 loss_fn: Callable | None = None,
+                 augment: AugmentConfig | None = None,
+                 mesh=None, use_mesh: bool = False,
+                 seed: int = 0, ckpt_dir: str | None = None,
+                 log_dir: str | None = None, **model_kwargs):
+        if model_fn is None and type(self)._forward is ConvNet._forward:
+            raise ValueError("pass model_fn or subclass and override "
+                             "_forward")
+        self._model_fn = model_fn
+        self.input_shape = tuple(input_shape)
+        self.num_classes = num_classes
+        self.policy = get_policy(precision)
+        self.loss_fn = loss_fn or (
+            lambda logits, y: softmax_cross_entropy(logits, y))
+        self.augment = augment
+        self.mesh = mesh if mesh is not None else (
+            mesh_lib.make_mesh() if use_mesh else None)
+        self.seed = seed
+        self.ckpt_dir = ckpt_dir
+        self.model_kwargs = model_kwargs
+        self.logger = MetricLogger(log_dir=log_dir)
+        self._transformed = transform(self._wrapped_forward)
+        self.state: TrainState | None = None
+        self._trainer: Trainer | None = None
+
+    # -------------------------------------------------------------- model
+
+    def _forward(self, x: jax.Array, train: bool) -> jax.Array:
+        """Subclass hook (the reference's abstract _build_model)."""
+        return self._model_fn(x, self.num_classes, train=train,
+                              **self.model_kwargs)
+
+    def _wrapped_forward(self, x, train=False):
+        with policy_scope(self.policy):
+            x = self.policy.cast_to_compute(x)
+            out = self._forward(x, train)
+            return self.policy.cast_to_output(out)
+
+    # -------------------------------------------------------------- build
+
+    def build(self, optimizer: optim_lib.Optimizer | None = None,
+              batch_size: int = 2) -> "ConvNet":
+        """Initialize params/state (+optimizer state) — the graph-build
+        analogue.  Idempotent."""
+        if self.state is not None:
+            return self
+        opt = optimizer or optim_lib.momentum(0.01, 0.9)
+        self._optimizer = opt
+        rng = jax.random.key(self.seed)
+        sample = jnp.zeros((batch_size, *self.input_shape),
+                           self.policy.compute_dtype)
+        self.state = init_train_state(self._transformed, opt, rng, sample)
+        return self
+
+    def _make_trainer(self, evaluator: Evaluator | None) -> Trainer:
+        aug_fn = None
+        eval_aug_fn = None
+        if self.augment is not None:
+            cfg = self.augment
+            aug_fn = lambda k, x: augment_train(k, x, cfg)  # noqa: E731
+            eval_aug_fn = lambda x: augment_eval(x, cfg)    # noqa: E731
+        return Trainer(
+            model=self._transformed, optimizer=self._optimizer,
+            loss_fn=self.loss_fn, mesh=self.mesh, augment_fn=aug_fn,
+            eval_augment_fn=eval_aug_fn, evaluator=evaluator,
+            ckpt_dir=self.ckpt_dir, logger=self.logger)
+
+    # -------------------------------------------------------------- train
+
+    def train(self, train_set: DataSet, val_set: DataSet | None = None, *,
+              batch_size: int = 128, total_steps: int = 1000,
+              optimizer: optim_lib.Optimizer | None = None,
+              evaluator: Evaluator | None = None, val_every: int = 0,
+              early_stop_patience: int = 0) -> TrainState:
+        if optimizer is not None:
+            self._optimizer = optimizer
+            self.state = None  # rebuild with new opt state
+        self.build(getattr(self, "_optimizer", None))
+        evaluator = evaluator or AccuracyEvaluator()
+        trainer = self._make_trainer(evaluator)
+        self._trainer = trainer
+        val_iter_fn = (lambda: val_set.eval_iter(batch_size)) \
+            if val_set is not None else None
+        self.state = trainer.fit(
+            self.state, train_set.train_iter(batch_size),
+            total_steps=total_steps, val_iter_fn=val_iter_fn,
+            val_every=val_every, early_stop_patience=early_stop_patience)
+        return self.state
+
+    # ------------------------------------------------------------ predict
+
+    def predict(self, images, batch_size: int = 256) -> np.ndarray:
+        """Batched inference -> logits ndarray (reference
+        ConvNet.predict)."""
+        self.build()
+        trainer = self._trainer or self._make_trainer(None)
+        self._trainer = trainer
+        images = np.asarray(images)
+        outs = []
+        n = len(images)
+        # pad the tail batch to keep shapes static (single compile)
+        for i in range(0, n, batch_size):
+            chunk = images[i:i + batch_size]
+            pad = batch_size - len(chunk)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad, *chunk.shape[1:]),
+                                     chunk.dtype)])
+            logits = next(iter(trainer.predict(self.state, [(chunk,)])))
+            outs.append(logits[:len(images[i:i + batch_size])])
+        return np.concatenate(outs)
+
+    def evaluate(self, data_set: DataSet, evaluator: Evaluator | None = None,
+                 batch_size: int = 256) -> float:
+        self.build()
+        trainer = self._make_trainer(evaluator or AccuracyEvaluator())
+        return trainer.evaluate(self.state, data_set.eval_iter(batch_size))
+
+    # --------------------------------------------------------------- ckpt
+
+    def save(self, path: str | None = None) -> str:
+        from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
+        assert self.state is not None, "nothing to save; call build/train"
+        directory = path or self.ckpt_dir
+        assert directory, "no checkpoint directory given"
+        return ckpt_lib.save_checkpoint(directory, int(self.state.step),
+                                        self.state._asdict())
+
+    def restore(self, path: str | None = None) -> "ConvNet":
+        from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
+        self.build()
+        directory = path or self.ckpt_dir
+        restored = ckpt_lib.restore_checkpoint(directory,
+                                               self.state._asdict())
+        self.state = TrainState(**restored)
+        return self
+
+    def close(self):  # reference-API parity (Session.close analogue)
+        self.state = None
+        self._trainer = None

@@ -1,0 +1,3 @@
+from myconvnet_tpu.subsets import cifar10, imagenet, voc
+
+__all__ = ["cifar10", "imagenet", "voc"]

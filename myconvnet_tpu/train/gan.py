@@ -1,0 +1,160 @@
+"""GAN training: single jitted dual-optimizer step (BASELINE config #5).
+
+The reference alternates two ``Session.run`` calls per step — one for the
+D train op, one for G (SURVEY.md §3.5).  The TPU rebuild fuses both:
+ONE XLA program computes D's gradients (G frozen via stop_gradient on the
+fake images), G's gradients (through the discriminator apply, whose
+*parameters* receive no update from G's optimizer), and applies both
+optimizers.  XLA shares the generator forward between the two losses and
+overlaps everything; per-step Python returns to 1 dispatch instead of 2.
+
+Update semantics match the reference's alternating scheme: D updates
+against the *current* G; G then updates against the *updated* D — the
+same sequence as two Session.run calls, with the D-update's BN state
+threading into G's discriminator pass.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from myconvnet_tpu.core.module import Transformed
+from myconvnet_tpu.train import losses
+from myconvnet_tpu.train.optim import Optimizer
+
+
+class GANState(NamedTuple):
+    g_params: Any
+    g_state: Any
+    d_params: Any
+    d_state: Any
+    g_opt: Any
+    d_opt: Any
+    step: jax.Array
+    rng: jax.Array  # key data
+
+
+def init_gan_state(generator: Transformed, discriminator: Transformed,
+                   g_opt: Optimizer, d_opt: Optimizer, rng: jax.Array,
+                   sample_g_input: jax.Array,
+                   sample_d_args: tuple) -> GANState:
+    kg, kd = jax.random.split(rng)
+    g_params, g_state = generator.init(kg, sample_g_input, True)
+    d_params, d_state = discriminator.init(kd, *sample_d_args, True)
+    return GANState(g_params, g_state, d_params, d_state,
+                    g_opt.init(g_params), d_opt.init(d_params),
+                    jnp.zeros((), jnp.int32), jax.random.key_data(rng))
+
+
+def make_dcgan_step(generator: Transformed, discriminator: Transformed,
+                    g_opt: Optimizer, d_opt: Optimizer,
+                    latent_dim: int) -> Callable:
+    """One fused DCGAN step: (state, real_images) -> (state, metrics).
+
+    real_images: [N,H,W,C] float in [-1, 1].
+    """
+
+    def step(state: GANState, real: jax.Array):
+        base = jax.random.wrap_key_data(state.rng)
+        key = jax.random.fold_in(base, state.step)
+        kz, kg, kd1, kd2, kd3 = jax.random.split(key, 5)
+        z = jax.random.normal(kz, (real.shape[0], latent_dim), real.dtype)
+
+        # ---- D update (G frozen: grads flow only into d_params)
+        fake, g_state_after = generator.apply(
+            state.g_params, state.g_state, kg, z, True)
+        fake_sg = jax.lax.stop_gradient(fake)
+
+        def d_loss_fn(d_params):
+            real_logits, d_state1 = discriminator.apply(
+                d_params, state.d_state, kd1, real, True)
+            fake_logits, d_state2 = discriminator.apply(
+                d_params, d_state1, kd2, fake_sg, True)
+            loss = losses.gan_discriminator_loss(real_logits, fake_logits)
+            return loss, (d_state2, real_logits, fake_logits)
+
+        (d_loss, (d_state_new, real_logits, fake_logits)), d_grads = \
+            jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params)
+        d_params_new, d_opt_new = d_opt.update(
+            d_grads, state.d_opt, state.d_params, state.step)
+
+        # ---- G update against the UPDATED D (alternating semantics)
+        def g_loss_fn(g_params):
+            fake2, g_state2 = generator.apply(
+                g_params, state.g_state, kg, z, True)
+            fake2_logits, _ = discriminator.apply(
+                d_params_new, d_state_new, kd3, fake2, True)
+            return losses.gan_generator_loss(fake2_logits), g_state2
+
+        (g_loss, g_state_new), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.g_params)
+        g_params_new, g_opt_new = g_opt.update(
+            g_grads, state.g_opt, state.g_params, state.step)
+
+        metrics = {
+            "d_loss": d_loss, "g_loss": g_loss,
+            "d_real_acc": jnp.mean((real_logits > 0).astype(jnp.float32)),
+            "d_fake_acc": jnp.mean((fake_logits < 0).astype(jnp.float32)),
+        }
+        new_state = GANState(g_params_new, g_state_new, d_params_new,
+                             d_state_new, g_opt_new, d_opt_new,
+                             state.step + 1, state.rng)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_pix2pix_step(generator: Transformed, discriminator: Transformed,
+                      g_opt: Optimizer, d_opt: Optimizer,
+                      l1_weight: float = 100.0) -> Callable:
+    """One fused pix2pix step: (state, (input_img, target_img)) ->
+    (state, metrics).  Conditional GAN: D sees (input, output) pairs;
+    G loss = adversarial + l1_weight * L1(target)."""
+
+    def step(state: GANState, batch):
+        x, target = batch
+        base = jax.random.wrap_key_data(state.rng)
+        key = jax.random.fold_in(base, state.step)
+        kg, kd1, kd2, kd3, kg2 = jax.random.split(key, 5)
+
+        fake, _ = generator.apply(state.g_params, state.g_state, kg, x, True)
+        fake_sg = jax.lax.stop_gradient(fake)
+
+        def d_loss_fn(d_params):
+            real_logits, d_state1 = discriminator.apply(
+                d_params, state.d_state, kd1, x, target, True)
+            fake_logits, d_state2 = discriminator.apply(
+                d_params, d_state1, kd2, x, fake_sg, True)
+            loss = losses.gan_discriminator_loss(real_logits, fake_logits)
+            return loss, d_state2
+
+        (d_loss, d_state_new), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state.d_params)
+        d_params_new, d_opt_new = d_opt.update(
+            d_grads, state.d_opt, state.d_params, state.step)
+
+        def g_loss_fn(g_params):
+            fake2, g_state2 = generator.apply(
+                g_params, state.g_state, kg2, x, True)
+            fake2_logits, _ = discriminator.apply(
+                d_params_new, d_state_new, kd3, x, fake2, True)
+            adv = losses.gan_generator_loss(fake2_logits)
+            l1 = losses.l1_loss(fake2, target)
+            return adv + l1_weight * l1, (g_state2, adv, l1)
+
+        (g_total, (g_state_new, g_adv, g_l1)), g_grads = \
+            jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
+        g_params_new, g_opt_new = g_opt.update(
+            g_grads, state.g_opt, state.g_params, state.step)
+
+        metrics = {"d_loss": d_loss, "g_loss": g_total,
+                   "g_adv": g_adv, "g_l1": g_l1}
+        new_state = GANState(g_params_new, g_state_new, d_params_new,
+                             d_state_new, g_opt_new, d_opt_new,
+                             state.step + 1, state.rng)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))

@@ -1,0 +1,71 @@
+"""Loss functions: softmax-CE (cls), per-pixel CE (seg), GAN losses.
+
+Rebuild of the reference's ``_build_loss`` variants (SURVEY.md §3.2):
+softmax cross-entropy for classification, per-pixel cross-entropy with
+ignore-label for segmentation, sigmoid adversarial (+L1) for GANs.
+All reduce in f32 regardless of compute dtype.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def softmax_cross_entropy(logits: jax.Array, labels: jax.Array, *,
+                          num_classes: int | None = None,
+                          label_smoothing: float = 0.0) -> jax.Array:
+    """Mean CE. ``labels``: int [N] or one-hot [N, C]."""
+    logits = logits.astype(jnp.float32)
+    nc = num_classes or logits.shape[-1]
+    if labels.ndim == logits.ndim - 1:
+        onehot = jax.nn.one_hot(labels, nc, dtype=jnp.float32)
+    else:
+        onehot = labels.astype(jnp.float32)
+    if label_smoothing > 0.0:
+        onehot = onehot * (1.0 - label_smoothing) + label_smoothing / nc
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.sum(onehot * logp, axis=-1))
+
+
+def pixel_cross_entropy(logits: jax.Array, labels: jax.Array, *,
+                        ignore_label: int | None = 255,
+                        label_smoothing: float = 0.0) -> jax.Array:
+    """Per-pixel CE over [N,H,W,C] logits and [N,H,W] int labels,
+    masking ``ignore_label`` pixels (VOC boundary regions)."""
+    logits = logits.astype(jnp.float32)
+    nc = logits.shape[-1]
+    valid = jnp.ones(labels.shape, jnp.float32) if ignore_label is None \
+        else (labels != ignore_label).astype(jnp.float32)
+    safe = jnp.where(valid > 0, labels, 0)
+    onehot = jax.nn.one_hot(safe, nc, dtype=jnp.float32)
+    if label_smoothing > 0.0:
+        onehot = onehot * (1.0 - label_smoothing) + label_smoothing / nc
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.sum(onehot * logp, axis=-1) * valid
+    return jnp.sum(ce) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
+def sigmoid_bce(logits: jax.Array, target: float | jax.Array) -> jax.Array:
+    """Numerically-stable sigmoid binary CE against a constant or tensor
+    target (GAN real/fake labels)."""
+    logits = logits.astype(jnp.float32)
+    t = jnp.broadcast_to(jnp.asarray(target, jnp.float32), logits.shape)
+    # max(x,0) - x*t + log(1 + exp(-|x|))
+    return jnp.mean(jnp.maximum(logits, 0.0) - logits * t +
+                    jnp.log1p(jnp.exp(-jnp.abs(logits))))
+
+
+def l1_loss(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.mean(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+
+
+def gan_discriminator_loss(real_logits: jax.Array,
+                           fake_logits: jax.Array) -> jax.Array:
+    """Non-saturating GAN D loss: real->1, fake->0."""
+    return sigmoid_bce(real_logits, 1.0) + sigmoid_bce(fake_logits, 0.0)
+
+
+def gan_generator_loss(fake_logits: jax.Array) -> jax.Array:
+    """Non-saturating G loss: fool D (fake->1)."""
+    return sigmoid_bce(fake_logits, 1.0)

@@ -1,0 +1,229 @@
+"""Training driver: the rebuild of the reference's ``Optimizer`` class.
+
+The reference's driver (SURVEY.md §2#6, §3.1) owns the epoch/step loop,
+calls ``Session.run(train_op)`` per step, updates the LR schedule,
+validates periodically, keeps the best checkpoint and early-stops.
+
+TPU-native shape of the same capability:
+
+* ONE jitted ``train_step``: on-device augmentation + forward + backward +
+  optimizer update + BN-stat update in a single XLA program.  The LR
+  schedule is evaluated *inside* the program from the step counter — the
+  driver never touches device state between steps.
+* GSPMD data parallelism: the batch is sharded over the mesh's ``data``
+  axis, params replicated (or model-axis sharded when wide enough);
+  XLA inserts the gradient all-reduce over ICI.  This subsumes the
+  reference's multi-GPU towers (§2#12) and comm backend (§2#13).
+* The step loop never blocks on device results: metrics are fetched with
+  a 1-step lag so host logging overlaps device compute.
+* Validation runs a jitted eval_step over the val set; best-checkpoint
+  retention and early stopping mirror the reference's Evaluator-driven
+  policy.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
+from myconvnet_tpu.core.module import Transformed
+from myconvnet_tpu.eval.evaluators import Evaluator
+from myconvnet_tpu.parallel import mesh as mesh_lib
+from myconvnet_tpu.train.optim import Optimizer
+from myconvnet_tpu.utils import logging as log_lib
+
+
+class TrainState(NamedTuple):
+    """Full training state (one pytree — checkpoint unit, SURVEY §5)."""
+    params: Any
+    model_state: Any     # BN moving statistics etc.
+    opt_state: Any
+    step: jax.Array      # int32 scalar
+    rng: jax.Array       # PRNG key data (uint32), np-serializable
+
+
+def init_train_state(model: Transformed, optimizer: Optimizer,
+                     rng: jax.Array, sample_input: jax.Array) -> TrainState:
+    params, model_state = model.init(rng, sample_input, True)
+    return TrainState(
+        params=params,
+        model_state=model_state,
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+        rng=jax.random.key_data(rng),
+    )
+
+
+@dataclass
+class Trainer:
+    """Drives training of a transformed model (forward: fn(x, train))."""
+
+    model: Transformed
+    optimizer: Optimizer
+    loss_fn: Callable[..., jax.Array]  # (logits, labels) -> scalar
+    mesh: Any = None                   # jax.sharding.Mesh or None
+    augment_fn: Callable | None = None   # (key, raw_batch) -> model input
+    eval_augment_fn: Callable | None = None
+    evaluator: Evaluator | None = None
+    ckpt_dir: str | None = None
+    keep_checkpoints: int = 3
+    log_every: int = 50
+    logger: Any = None
+
+    _train_step: Callable = field(init=False, default=None)
+    _eval_step: Callable = field(init=False, default=None)
+
+    def __post_init__(self):
+        if self.logger is None:
+            self.logger = log_lib.MetricLogger()
+        self._build_steps()
+
+    # ------------------------------------------------------------ compile
+
+    def _build_steps(self):
+        model, optimizer = self.model, self.optimizer
+        loss_fn, augment_fn = self.loss_fn, self.augment_fn
+        eval_augment_fn = self.eval_augment_fn
+
+        def loss_and_state(params, model_state, key, x, y):
+            logits, new_state = model.apply(params, model_state, key, x,
+                                            True)
+            loss = loss_fn(logits, y)
+            return loss, (new_state, logits)
+
+        def train_step(state: TrainState, batch) -> tuple[TrainState, dict]:
+            x, y = batch
+            base = jax.random.wrap_key_data(state.rng)
+            key = jax.random.fold_in(base, state.step)
+            k_aug, k_model = jax.random.split(key)
+            if augment_fn is not None:
+                x = augment_fn(k_aug, x)
+            (loss, (new_mstate, logits)), grads = jax.value_and_grad(
+                loss_and_state, has_aux=True)(
+                    state.params, state.model_state, k_model, x, y)
+            new_params, new_opt = optimizer.update(
+                grads, state.opt_state, state.params, state.step)
+            metrics = {"loss": loss}
+            if y.ndim == 1 and logits.ndim == 2:  # classification
+                metrics["accuracy"] = jnp.mean(
+                    (jnp.argmax(logits, -1) == y).astype(jnp.float32))
+            return TrainState(new_params, new_mstate, new_opt,
+                              state.step + 1, state.rng), metrics
+
+        def eval_step(state: TrainState, batch):
+            x, y = batch
+            if eval_augment_fn is not None:
+                x = eval_augment_fn(x)
+            logits, _ = model.apply(state.params, state.model_state, None,
+                                    x, False)
+            return logits, y
+
+        donate = {"donate_argnums": (0,)}
+        if self.mesh is not None:
+            # Let GSPMD propagate from sharded inputs; pin nothing except
+            # keeping the state's sharding stable across steps.
+            self._train_step = jax.jit(train_step, **donate)
+            self._eval_step = jax.jit(eval_step)
+        else:
+            self._train_step = jax.jit(train_step, **donate)
+            self._eval_step = jax.jit(eval_step)
+
+    # ------------------------------------------------------------- running
+
+    def shard_batch(self, batch):
+        if self.mesh is None:
+            return batch
+        return mesh_lib.shard_batch(self.mesh, batch)
+
+    def fit(self, state: TrainState, train_iter: Iterable, *,
+            total_steps: int, val_iter_fn: Callable[[], Iterable]
+            | None = None, val_every: int = 0,
+            early_stop_patience: int = 0) -> TrainState:
+        """Run the step loop; returns the final state.
+
+        ``train_iter`` yields (x, y) host batches.  ``val_iter_fn`` is a
+        callable returning a fresh validation iterator (epoch-style).
+        """
+        best = self.evaluator.worst_score() if self.evaluator else None
+        bad_rounds = 0
+        pending = None  # (step_idx, metrics) fetched with 1-step lag
+        t0 = time.perf_counter()
+        window = 0
+
+        for x, y in train_iter:
+            step_idx = int(state.step)  # host-side mirror (cheap: scalar)
+            if step_idx >= total_steps:
+                break
+            batch = self.shard_batch((x, y))
+            state, metrics = self._train_step(state, batch)
+            window += x.shape[0]
+            if pending is not None and (pending[0] % self.log_every == 0):
+                self._log_train(pending[0], pending[1], window, t0)
+                window, t0 = 0, time.perf_counter()
+            pending = (step_idx + 1, metrics)
+
+            if (val_every and (step_idx + 1) % val_every == 0
+                    and val_iter_fn is not None and self.evaluator):
+                score = self.evaluate(state, val_iter_fn())
+                self.logger.log(step_idx + 1,
+                                {f"val_{self.evaluator.name}": score})
+                improved = self.evaluator.is_better(score, best)
+                if improved:
+                    best, bad_rounds = score, 0
+                else:
+                    bad_rounds += 1
+                if self.ckpt_dir:
+                    self.save(state, metric=score, is_best=improved)
+                if early_stop_patience and bad_rounds >= early_stop_patience:
+                    self.logger.log(step_idx + 1, {"early_stop": 1.0})
+                    break
+        if pending is not None:
+            self._log_train(pending[0], pending[1], window, t0)
+        if self.ckpt_dir and not val_every:
+            self.save(state)
+        return state
+
+    def _log_train(self, step, metrics, window, t0):
+        host = {k: float(v) for k, v in metrics.items()}
+        dt = time.perf_counter() - t0
+        if window and dt > 0:
+            host["images_per_sec"] = window / dt
+        self.logger.log(step, host)
+
+    def evaluate(self, state: TrainState, data_iter: Iterable) -> float:
+        assert self.evaluator is not None, "no evaluator configured"
+        self.evaluator.reset()
+        for x, y in data_iter:
+            logits, labels = self._eval_step(state, self.shard_batch((x, y)))
+            self.evaluator.update(logits, labels)
+        return self.evaluator.score()
+
+    def predict(self, state: TrainState, data_iter: Iterable):
+        """Yield per-batch predictions (reference ConvNet.predict)."""
+        for batch in data_iter:
+            x = batch[0] if isinstance(batch, tuple) else batch
+            dummy_y = jnp.zeros((x.shape[0],), jnp.int32)
+            logits, _ = self._eval_step(state,
+                                        self.shard_batch((x, dummy_y)))
+            yield jax.device_get(logits)
+
+    # -------------------------------------------------------- checkpointing
+
+    def save(self, state: TrainState, metric: float | None = None,
+             is_best: bool = False) -> str:
+        assert self.ckpt_dir
+        return ckpt_lib.save_checkpoint(
+            self.ckpt_dir, int(state.step), state._asdict(),
+            keep=self.keep_checkpoints, metric=metric, is_best=is_best)
+
+    def restore(self, state_template: TrainState,
+                path: str | None = None) -> TrainState:
+        assert self.ckpt_dir or path
+        target = state_template._asdict()
+        restored = ckpt_lib.restore_checkpoint(path or self.ckpt_dir, target)
+        return TrainState(**restored)

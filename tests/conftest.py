@@ -1,13 +1,17 @@
 """Test config: run everything on CPU with 8 virtual devices.
 
 This is the standard JAX trick for testing pjit/sharding without a TPU pod
-(SURVEY.md §4): the env vars must be set before jax initializes its
-backends, hence this module-level assignment in conftest.
+(SURVEY.md §4).  Two subtleties of this environment:
+
+* the axon sitecustomize imports jax at interpreter startup with
+  ``JAX_PLATFORMS=axon``, so the platform must be overridden via
+  ``jax.config`` (env vars are read before conftest runs);
+* ``XLA_FLAGS`` is still honored at (lazy) backend init, so setting it
+  here is early enough for the 8-device CPU fleet.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,4 +19,5 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)

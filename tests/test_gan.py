@@ -1,0 +1,103 @@
+"""Fused dual-optimizer GAN step: one jitted program updates G and D."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from myconvnet_tpu import models
+from myconvnet_tpu.core import transform
+from myconvnet_tpu.train import gan, optim
+
+
+def _tree_diff(a, b):
+    return jax.tree.reduce(
+        lambda acc, x: acc + float(jnp.sum(jnp.abs(x))),
+        jax.tree.map(lambda p, q: p - q, a, b), 0.0)
+
+
+@pytest.fixture(scope="module")
+def dcgan_factory():
+    gen = transform(lambda z, train: models.dcgan_generator(
+        z, train=train, image_size=16, base_features=32))
+    disc = transform(lambda x, train: models.dcgan_discriminator(
+        x, train=train, base_features=16))
+    g_opt = optim.adam(2e-4, b1=0.5)
+    d_opt = optim.adam(2e-4, b1=0.5)
+    step = gan.make_dcgan_step(gen, disc, g_opt, d_opt, latent_dim=32)
+
+    def make_state():
+        return gan.init_gan_state(gen, disc, g_opt, d_opt,
+                                  jax.random.key(0), jnp.zeros((4, 32)),
+                                  (jnp.zeros((4, 16, 16, 3)),))
+    return make_state, step
+
+
+@pytest.fixture
+def dcgan_setup(dcgan_factory):
+    # the jitted step donates its input state, so each test needs a fresh
+    # one (the compiled step itself is shared module-wide)
+    make_state, step = dcgan_factory
+    return make_state(), step
+
+
+def test_dcgan_step_updates_both_nets(dcgan_setup):
+    state, step = dcgan_setup
+    real = jax.random.uniform(jax.random.key(1), (4, 16, 16, 3)) * 2 - 1
+    # snapshot to host before the step: the jitted step donates `state`
+    g0 = jax.tree.map(np.asarray, state.g_params)
+    d0 = jax.tree.map(np.asarray, state.d_params)
+    step0 = int(state.step)
+    new_state, metrics = step(state, real)
+    assert int(new_state.step) == step0 + 1
+    assert _tree_diff(new_state.g_params, g0) > 0
+    assert _tree_diff(new_state.d_params, d0) > 0
+    for k in ("d_loss", "g_loss", "d_real_acc", "d_fake_acc"):
+        assert np.isfinite(float(metrics[k])), k
+
+
+def test_dcgan_losses_sane_over_steps(dcgan_setup):
+    state, step = dcgan_setup
+    key = jax.random.key(2)
+    for i in range(5):
+        real = jax.random.uniform(jax.random.fold_in(key, i),
+                                  (4, 16, 16, 3)) * 2 - 1
+        state, metrics = step(state, real)
+    # D loss = BCE(real->1)+BCE(fake->0); sane early-training range
+    assert 0.05 < float(metrics["d_loss"]) < 4.0
+    assert 0.05 < float(metrics["g_loss"]) < 10.0
+
+
+def test_pix2pix_step():
+    gen = transform(lambda x, train: models.unet_generator(
+        x, train=train, base_features=8, n_levels=3))
+    disc = transform(lambda a, b, train: models.patchgan_discriminator(
+        a, b, train=train, base_features=8, n_layers=2))
+    g_opt = optim.adam(2e-4, b1=0.5)
+    d_opt = optim.adam(2e-4, b1=0.5)
+    x = jnp.zeros((2, 16, 16, 3))
+    state = gan.init_gan_state(gen, disc, g_opt, d_opt, jax.random.key(0),
+                               x, (x, x))
+    step = gan.make_pix2pix_step(gen, disc, g_opt, d_opt, l1_weight=100.0)
+    inp = jax.random.uniform(jax.random.key(1), (2, 16, 16, 3)) * 2 - 1
+    tgt = -inp  # learn to invert
+    l1_first = None
+    for i in range(8):
+        state, metrics = step(state, (inp, tgt))
+        if l1_first is None:
+            l1_first = float(metrics["g_l1"])
+    assert float(metrics["g_l1"]) < l1_first  # L1 term must shrink
+    assert np.isfinite(float(metrics["d_loss"]))
+
+
+def test_gan_step_is_single_program(dcgan_setup):
+    """The fused step must be ONE compiled executable (not 2 dispatches)."""
+    state, step = dcgan_setup
+    real = jnp.zeros((4, 16, 16, 3))
+    lowered = step.lower(state, real)
+    compiled = lowered.compile()
+    # both optimizers' updates present in one program: output tree holds
+    # updated G and D params
+    out_state, _ = compiled(state, real)
+    assert out_state.g_params.keys() == state.g_params.keys()
+    assert out_state.d_params.keys() == state.d_params.keys()

@@ -1,0 +1,109 @@
+import numpy as np
+import pytest
+
+from myconvnet_tpu.data.pipeline import (ArraySource, DataSet, Prefetcher,
+                                         batch_indices)
+from myconvnet_tpu.subsets import cifar10, imagenet, voc
+
+
+def test_batch_indices_shuffles_per_epoch():
+    batches_e1 = list(batch_indices(10, 5, shuffle=True, seed=0, epochs=1))
+    batches_e2 = list(batch_indices(10, 5, shuffle=True, seed=0, epochs=2))
+    assert len(batches_e1) == 2 and len(batches_e2) == 4
+    # same seed -> first epoch identical; epochs differ from each other
+    np.testing.assert_array_equal(batches_e1[0], batches_e2[0])
+    order1 = np.concatenate(batches_e2[:2])
+    order2 = np.concatenate(batches_e2[2:])
+    assert sorted(order1) == sorted(order2) == list(range(10))
+    assert not np.array_equal(order1, order2)
+
+
+def test_batch_indices_drop_remainder():
+    batches = list(batch_indices(10, 4, shuffle=False, seed=0, epochs=1))
+    assert [len(b) for b in batches] == [4, 4]
+
+
+def test_prefetcher_preserves_order_and_propagates_errors():
+    src = [(np.full((2, 2), i), np.asarray([i])) for i in range(5)]
+    out = list(Prefetcher(iter(src), depth=2))
+    assert len(out) == 5
+    for i, (x, y) in enumerate(out):
+        assert int(y[0]) == i
+
+    def bad_gen():
+        yield src[0]
+        raise RuntimeError("decode failed")
+
+    it = Prefetcher(bad_gen(), depth=2)
+    next(it)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        for _ in it:
+            pass
+
+
+def test_dataset_train_iter_epochs():
+    imgs, labels = cifar10.synthetic_subset(16, 0)
+    ds = DataSet(ArraySource(imgs, labels))
+    batches = list(ds.train_iter(8, epochs=2, prefetch=0))
+    assert len(batches) == 4
+    x, y = batches[0]
+    assert x.shape == (8, 32, 32, 3) and x.dtype == np.uint8
+    assert y.shape == (8,)
+
+
+def test_dataset_eval_iter_deterministic():
+    imgs, labels = cifar10.synthetic_subset(16, 0)
+    ds = DataSet(ArraySource(imgs, labels))
+    a = [np.asarray(y) for _, y in ds.eval_iter(8, prefetch=0)]
+    b = [np.asarray(y) for _, y in ds.eval_iter(8, prefetch=0)]
+    np.testing.assert_array_equal(np.concatenate(a), np.concatenate(b))
+
+
+def test_cifar10_synthetic_learnable_structure():
+    imgs, labels = cifar10.synthetic_subset(256, 0)
+    assert imgs.shape == (256, 32, 32, 3) and imgs.dtype == np.uint8
+    # per-class means must differ (classes are separable)
+    m0 = imgs[labels == 0].mean(axis=(0, 1, 2))
+    m1 = imgs[labels == 1].mean(axis=(0, 1, 2))
+    assert np.abs(m0 - m1).max() > 5.0
+
+
+def test_imagenet_synthetic():
+    imgs, labels = imagenet.synthetic_subset(4, raw_hw=(64, 64))
+    assert imgs.shape == (4, 64, 64, 3)
+    assert labels.max() < imagenet.NUM_CLASSES
+
+
+def test_voc_synthetic_pairs():
+    imgs, masks = voc.synthetic_subset(4, (48, 48))
+    assert imgs.shape == (4, 48, 48, 3)
+    assert masks.shape == (4, 48, 48)
+    assert masks.max() < voc.NUM_CLASSES and masks.min() >= 0
+
+
+def test_imagenet_read_subset_layout(tmp_path):
+    import PIL.Image
+    for split in ("train",):
+        for cname in ("class_a", "class_b"):
+            d = tmp_path / split / cname
+            d.mkdir(parents=True)
+            for i in range(2):
+                PIL.Image.new("RGB", (8, 8)).save(d / f"img{i}.jpeg")
+    paths, labels, classes = imagenet.read_subset(str(tmp_path), "train")
+    assert len(paths) == 4
+    assert classes == ["class_a", "class_b"]
+    np.testing.assert_array_equal(labels, [0, 0, 1, 1])
+
+
+def test_file_source_decodes(tmp_path):
+    import PIL.Image
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"img{i}.png"
+        PIL.Image.new("RGB", (20, 10), color=(i * 10, 0, 0)).save(p)
+        paths.append(str(p))
+    from myconvnet_tpu.data.pipeline import FileSource
+    src = FileSource(paths, [0, 1, 2], raw_hw=(8, 8), workers=2)
+    x, y = src.get_batch(np.asarray([0, 2]))
+    assert x.shape == (2, 8, 8, 3) and x.dtype == np.uint8
+    np.testing.assert_array_equal(y, [0, 2])

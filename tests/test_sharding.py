@@ -1,0 +1,148 @@
+"""GSPMD data/model parallelism on the 8-virtual-device CPU mesh
+(SURVEY.md §4 'distributed without a real cluster')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from myconvnet_tpu import models
+from myconvnet_tpu.core import transform
+from myconvnet_tpu.data.pipeline import ArraySource, DataSet
+from myconvnet_tpu.parallel import (DATA_AXIS, MODEL_AXIS, batch_sharding,
+                                    local_batch_size, make_mesh,
+                                    param_sharding, shard_batch)
+from myconvnet_tpu.subsets import cifar10
+from myconvnet_tpu.train import optim
+from myconvnet_tpu.train.trainer import Trainer, init_train_state
+from myconvnet_tpu.train.losses import softmax_cross_entropy
+
+
+def test_eight_virtual_devices():
+    assert jax.device_count() == 8
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape == {DATA_AXIS: 8, MODEL_AXIS: 1}
+    mesh2 = make_mesh(n_model=2)
+    assert mesh2.shape == {DATA_AXIS: 4, MODEL_AXIS: 2}
+    with pytest.raises(ValueError):
+        make_mesh(n_data=3, n_model=2)
+    assert local_batch_size(mesh2, 64) == 16
+    with pytest.raises(ValueError):
+        local_batch_size(mesh2, 63)
+
+
+def test_shard_batch_places_on_data_axis():
+    mesh = make_mesh()
+    x = np.zeros((16, 4, 4, 3), np.float32)
+    sx = shard_batch(mesh, (x,))[0]
+    assert sx.sharding.spec == P(DATA_AXIS)
+    assert len(sx.addressable_shards) == 8
+    assert sx.addressable_shards[0].data.shape == (2, 4, 4, 3)
+
+
+def test_param_sharding_rules():
+    mesh = make_mesh(n_model=2)
+    params = {
+        "big": {"w": jnp.zeros((512, 1024))},     # shardable
+        "tiny": {"w": jnp.zeros((3, 3, 4, 8))},   # too small -> replicated
+        "odd": {"w": jnp.zeros((2048, 1001))},    # 1001 % 2 -> replicated
+    }
+    sh = param_sharding(mesh, params)
+    assert sh["big"]["w"].spec == P(None, MODEL_AXIS)
+    assert sh["tiny"]["w"].spec == P()
+    assert sh["odd"]["w"].spec == P()
+
+
+def test_dp_train_step_matches_single_device():
+    """The GSPMD-sharded step must compute the same update as unsharded."""
+    mesh = make_mesh()
+
+    def fwd(x, train=False):
+        return models.smallnet(x, 4, train=train, width=8, dropout_rate=0.0)
+
+    model = transform(fwd)
+    opt = optim.sgd(0.1)
+    rng = jax.random.key(0)
+    imgs, labels = cifar10.synthetic_subset(16, 0)
+    x = imgs.astype(np.float32) / 255.0
+    y = labels % 4
+
+    def make_state():
+        return init_train_state(model, opt, rng,
+                                jnp.zeros((16, 32, 32, 3)))
+
+    def loss_fn(p, s, key, x, y):
+        logits, s2 = model.apply(p, s, key, x, True)
+        return softmax_cross_entropy(logits, y), s2
+
+    @jax.jit
+    def step(state, x, y):
+        (l, s2), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.model_state, None, x, y)
+        new_p, new_o = opt.update(g, state.opt_state, state.params,
+                                  state.step)
+        return new_p, l
+
+    # single-device reference
+    p_ref, loss_ref = step(make_state(), jnp.asarray(x), jnp.asarray(y))
+
+    # sharded: batch over 8 devices, params replicated
+    xs, ys = shard_batch(mesh, (jnp.asarray(x), jnp.asarray(y)))
+    state = make_state()
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    p_sh, loss_sh = step(state, xs, ys)
+
+    np.testing.assert_allclose(float(loss_ref), float(loss_sh), rtol=1e-5)
+    for scope in p_ref:
+        for name in p_ref[scope]:
+            np.testing.assert_allclose(
+                p_sh[scope][name], p_ref[scope][name], rtol=1e-4,
+                atol=1e-5)
+
+
+def test_trainer_with_mesh_runs():
+    mesh = make_mesh()
+
+    def fwd(x, train=False):
+        return models.smallnet(x, 10, train=train, width=8,
+                               dropout_rate=0.0)
+
+    model = transform(fwd)
+    opt = optim.momentum(0.05, 0.9)
+    trainer = Trainer(model=model, optimizer=opt,
+                      loss_fn=softmax_cross_entropy, mesh=mesh)
+    trainer.logger.stdout = False
+    state = init_train_state(model, opt, jax.random.key(0),
+                             jnp.zeros((16, 32, 32, 3)))
+    state = jax.device_put(
+        state, jax.sharding.NamedSharding(mesh, P()))
+    ds = DataSet(ArraySource(*cifar10.synthetic_subset(64, 0)))
+    losses = []
+    orig = trainer.logger.log
+    trainer.logger.log = lambda s, m: losses.append(m.get("loss"))
+    state = trainer.fit(state, ds.train_iter(16, prefetch=0),
+                        total_steps=12)
+    assert int(state.step) == 12
+    assert losses and losses[-1] is not None
+
+
+def test_model_axis_sharded_dense_matches():
+    """2-D mesh: model-axis-sharded wide dense layer == replicated math."""
+    mesh = make_mesh(n_model=2)
+    w = jax.random.normal(jax.random.key(0), (512, 1024))
+    x = jax.random.normal(jax.random.key(1), (16, 512))
+
+    @jax.jit
+    def f(x, w):
+        return jnp.dot(x, w, precision="highest")
+
+    ref = f(x, w)
+    xs = jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS, None)))
+    ws = jax.device_put(w, NamedSharding(mesh, P(None, MODEL_AXIS)))
+    out = f(xs, ws)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4,
+                               atol=2e-4)
