@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""Benchmark: ResNet-50 training images/sec/chip with on-device
+augmentation (BASELINE.json primary metric).
+
+Measures the full fused train step — uint8 batch already in HBM ->
+augmentation -> fwd -> bwd -> SGD update — exactly the hot loop of the
+imagenet_resnet50 recipe.  Prints ONE JSON line:
+
+    {"metric": ..., "value": images_per_sec_per_chip, "unit": ...,
+     "vs_baseline": MFU / 0.45}
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the
+comparison target is the north-star requirement of >=45% MFU; 1.0 means
+exactly 45% MFU on this chip.
+
+Env knobs: BENCH_SMOKE=1 (tiny shapes, CPU-OK), BENCH_BATCH, BENCH_STEPS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_step(batch, hw, num_classes, smoke=False):
+    import jax
+    import jax.numpy as jnp
+
+    from myconvnet_tpu import models
+    from myconvnet_tpu.core import transform
+    from myconvnet_tpu.core.precision import BF16, policy_scope
+    from myconvnet_tpu.data.augment import AugmentConfig, augment_train
+    from myconvnet_tpu.train import optim
+    from myconvnet_tpu.train.losses import softmax_cross_entropy
+    from myconvnet_tpu.train.trainer import init_train_state
+
+    def fwd(x, train=False):
+        with policy_scope(BF16):
+            x = x.astype(jnp.bfloat16)
+            if smoke:
+                out = models.smallnet(x, num_classes, train=train, width=8,
+                                      dropout_rate=0.0)
+            else:
+                out = models.resnet50(x, num_classes, train=train)
+            return out.astype(jnp.float32)
+
+    model = transform(fwd)
+    opt = optim.momentum(0.1, 0.9, weight_decay=1e-4)
+    cfg = AugmentConfig(out_hw=hw, area_range=(0.08, 1.0), flip=True,
+                        brightness=0.4, contrast=0.4, saturation=0.4)
+    raw_hw = (int(hw[0] * 8 / 7), int(hw[1] * 8 / 7))
+
+    state = init_train_state(model, opt, jax.random.key(0),
+                             jnp.zeros((batch, *hw, 3), jnp.bfloat16))
+
+    def train_step(state, raw, labels):
+        key = jax.random.wrap_key_data(state.rng)
+        key = jax.random.fold_in(key, state.step)
+
+        def loss_fn(params, mstate):
+            x = augment_train(key, raw, cfg).astype(jnp.bfloat16)
+            logits, new_mstate = model.apply(params, mstate, None, x, True)
+            return softmax_cross_entropy(logits, labels,
+                                         label_smoothing=0.1), new_mstate
+
+        (loss, new_mstate), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.model_state)
+        new_params, new_opt = opt.update(grads, state.opt_state,
+                                         state.params, state.step)
+        return state._replace(params=new_params, model_state=new_mstate,
+                              opt_state=new_opt,
+                              step=state.step + 1), loss
+
+    rng = np.random.RandomState(0)
+    raw = jax.device_put(rng.randint(0, 256, (batch, *raw_hw, 3),
+                                     dtype=np.uint8))
+    labels = jax.device_put(
+        rng.randint(0, num_classes, batch).astype(np.int32))
+    step = jax.jit(train_step, donate_argnums=(0,))
+    return step, state, raw, labels
+
+
+def run_bench():
+    import jax
+
+    smoke = os.environ.get("BENCH_SMOKE") == "1"
+    if smoke:
+        batch = int(os.environ.get("BENCH_BATCH", 16))
+        hw, classes, steps = (32, 32), 10, 3
+    else:
+        batch = int(os.environ.get("BENCH_BATCH", 256))
+        hw, classes = (224, 224), 1000
+        steps = int(os.environ.get("BENCH_STEPS", 10))
+
+    last_err = None
+    for try_batch in (batch, batch // 2, batch // 4):
+        if try_batch < 1:
+            break
+        try:
+            step, state, raw, labels = build_step(try_batch, hw, classes,
+                                                  smoke)
+            # warmup (compile + 2 steps); NOTE: sync via a scalar fetch of
+            # the chained loss, not block_until_ready — some transports
+            # (axon relay) ack block_until_ready before execution finishes,
+            # while a value fetch cannot lie.
+            for _ in range(2):
+                state, loss = step(state, raw, labels)
+            float(loss)
+
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                state, loss = step(state, raw, labels)
+            float(loss)  # waits for the whole chain (state-dependent)
+            dt = time.perf_counter() - t0
+
+            ips = try_batch * steps / dt
+            step_time = dt / steps
+            flops = _step_flops(step, state, raw, labels)
+            return try_batch, ips, step_time, flops, float(loss)
+        except Exception as e:  # OOM etc. -> halve the batch
+            last_err = e
+            continue
+    raise SystemExit(f"bench failed at all batch sizes: {last_err}")
+
+
+def _step_flops(step, state, raw, labels):
+    try:
+        compiled = step.lower(state, raw, labels).compile()
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        return float(analysis.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def main():
+    import jax
+
+    batch, ips, step_time, flops, loss = run_bench()
+    from myconvnet_tpu.utils.mfu import device_peak_flops
+
+    n_dev = 1  # single-chip benchmark
+    if flops is None:
+        # analytic fallback: ResNet-50 fwd ~4.09 GFLOP @224; train ~3x
+        flops = 3.0 * 4.09e9 * batch
+    peak = device_peak_flops()
+    mfu = flops / (step_time * peak * n_dev)
+    result = {
+        "metric": "resnet50_train_images_per_sec_per_chip",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(mfu / 0.45, 4),
+        "detail": {
+            "batch": batch,
+            "step_time_ms": round(step_time * 1e3, 2),
+            "mfu": round(mfu, 4),
+            "step_flops": flops,
+            "device": str(jax.devices()[0]),
+            "final_loss": round(loss, 4),
+            "includes_on_device_augmentation": True,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,19 @@
+"""BASELINE config #5b: pix2pix image-to-image translation (fused step)."""
+
+config = dict(
+    task="gan",
+    gan_kind="pix2pix",
+    dataset="pairs",          # directory of (A, B) image pairs, or synthetic
+    data_dir=None,
+    image_size=256,
+    generator_kwargs=dict(base_features=64, n_levels=8),
+    discriminator_kwargs=dict(base_features=64, n_layers=3),
+    l1_weight=100.0,
+    batch_size=16,
+    total_steps=80000,
+    log_every=200,
+    g_optimizer=dict(name="adam", b1=0.5, lr=2e-4),
+    d_optimizer=dict(name="adam", b1=0.5, lr=2e-4),
+    precision="f32",
+    seed=0,
+)

@@ -152,6 +152,40 @@ def center_crop_boxes(n: int, in_hw: tuple[int, int],
     return jnp.broadcast_to(box[None, :], (n, 4))
 
 
+def _nearest_axis_matrix(start: jax.Array, extent: jax.Array, in_size: int,
+                         out_size: int,
+                         flip: jax.Array | None = None) -> jax.Array:
+    """One-hot (nearest-neighbor) sampling matrix [N, out, in] — used for
+    segmentation masks, where label values must be preserved exactly."""
+    n = start.shape[0]
+    i = jnp.arange(out_size, dtype=jnp.float32)
+    frac = (i + 0.5) / out_size
+    if flip is not None:
+        frac = jnp.where(flip[:, None], 1.0 - frac[None, :], frac[None, :])
+    else:
+        frac = jnp.broadcast_to(frac[None, :], (n, out_size))
+    src = start[:, None] + frac * extent[:, None] - 0.5
+    src = jnp.clip(jnp.round(src), 0.0, in_size - 1.0)
+    j = jnp.arange(in_size, dtype=jnp.float32)
+    return (src[:, :, None] == j[None, None, :]).astype(jnp.float32)
+
+
+def batched_crop_nearest(masks: jax.Array, boxes: jax.Array,
+                         out_hw: tuple[int, int],
+                         flip: jax.Array | None = None) -> jax.Array:
+    """Nearest crop+resize for int label masks [N,H,W] with the same boxes
+    as the paired image transform.  One-hot matrices keep values exact
+    (ignore_label 255 survives untouched)."""
+    n, h, w = masks.shape
+    oh, ow = out_hw
+    mh = _nearest_axis_matrix(boxes[:, 0], boxes[:, 2], h, oh)
+    mw = _nearest_axis_matrix(boxes[:, 1], boxes[:, 3], w, ow, flip)
+    mf = masks.astype(jnp.float32)
+    y = jnp.einsum("nih,nhw->niw", mh, mf, precision="highest")
+    y = jnp.einsum("njw,niw->nij", mw, y, precision="highest")
+    return jnp.round(y).astype(masks.dtype)
+
+
 # ------------------------------------------------------------- photometric
 
 def _rgb_to_gray(x: jax.Array) -> jax.Array:
@@ -253,3 +287,46 @@ def augment_eval(images_u8: jax.Array, cfg: AugmentConfig,
         boxes = center_crop_boxes(n, (h, w), crop_fraction)
         x = batched_crop_resize(images_u8, boxes, cfg.out_hw)
     return normalize(x * (1.0 / 255.0), cfg.mean, cfg.std)
+
+
+# -------------------------------------------------- paired (segmentation)
+
+def augment_train_pair(key: jax.Array, images_u8: jax.Array,
+                       masks: jax.Array, cfg: AugmentConfig
+                       ) -> tuple[jax.Array, jax.Array]:
+    """Segmentation training chain: identical random geometry applied to
+    image (bilinear) and mask (nearest, exact labels); photometric jitter
+    on the image only.  ``cfg.area_range`` here means scale range of the
+    crop relative to the image (DeepLab-style 0.5-2.0 random scaling is
+    expressed as area 0.25-4 clamped to the frame)."""
+    n, h, w, _ = images_u8.shape
+    k_box, k_flip, k_color = jax.random.split(key, 3)
+    if cfg.area_range is not None:
+        boxes = random_resized_crop_boxes(k_box, n, (h, w), cfg.area_range,
+                                          cfg.aspect_range)
+    elif cfg.pad > 0:
+        boxes = pad_crop_boxes(k_box, n, (h, w), cfg.pad)
+    else:
+        boxes = jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, float(h), float(w)])[None], (n, 4))
+    flip = jax.random.bernoulli(k_flip, 0.5, (n,)) if cfg.flip else None
+    x = batched_crop_resize(images_u8, boxes, cfg.out_hw, flip)
+    x = x * (1.0 / 255.0)
+    if cfg.brightness or cfg.contrast or cfg.saturation or cfg.hue:
+        x = color_jitter(k_color, x, brightness=cfg.brightness,
+                         contrast=cfg.contrast, saturation=cfg.saturation,
+                         hue=cfg.hue)
+    y = batched_crop_nearest(masks, boxes, cfg.out_hw, flip)
+    return normalize(x, cfg.mean, cfg.std), y
+
+
+def augment_eval_pair(images_u8: jax.Array, masks: jax.Array,
+                      cfg: AugmentConfig) -> tuple[jax.Array, jax.Array]:
+    """Eval chain for segmentation: full-frame resize (no crop — mIoU is
+    computed against the full mask)."""
+    n, h, w, _ = images_u8.shape
+    boxes = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, float(h), float(w)])[None], (n, 4))
+    x = batched_crop_resize(images_u8, boxes, cfg.out_hw)
+    y = batched_crop_nearest(masks, boxes, cfg.out_hw)
+    return normalize(x * (1.0 / 255.0), cfg.mean, cfg.std), y

@@ -115,8 +115,8 @@ class ConvNet:
         eval_aug_fn = None
         if self.augment is not None:
             cfg = self.augment
-            aug_fn = lambda k, x: augment_train(k, x, cfg)  # noqa: E731
-            eval_aug_fn = lambda x: augment_eval(x, cfg)    # noqa: E731
+            aug_fn = lambda k, x, y: (augment_train(k, x, cfg), y)  # noqa: E731
+            eval_aug_fn = lambda x, y: (augment_eval(x, cfg), y)    # noqa: E731
         return Trainer(
             model=self._transformed, optimizer=self._optimizer,
             loss_fn=self.loss_fn, mesh=self.mesh, augment_fn=aug_fn,

@@ -109,9 +109,10 @@ def dense(x: jax.Array, features: int, *, use_bias: bool = True,
     with scope(auto_name(name)):
         w = param("w", (cin, features), pol.param_dtype,
                   w_init or init.glorot_uniform())
+        # no preferred_element_type: breaks dot/conv transpose rules
+        # under bf16; TPU accumulates bf16 matmuls in f32 regardless
         y = jnp.dot(pol.cast_to_compute(x), pol.cast_to_compute(w),
-                    preferred_element_type=jnp.float32,
-                    precision=pol.lax_precision).astype(pol.compute_dtype)
+                    precision=pol.lax_precision)
         if use_bias:
             b = param("b", (features,), pol.param_dtype, init.zeros)
             y = y + pol.cast_to_compute(b)

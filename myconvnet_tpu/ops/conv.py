@@ -8,7 +8,11 @@ SURVEY.md §0/§2#1) with ``lax.conv_general_dilated``:
   without inserting transposes.
 * ``dilation`` exposes atrous convolution for DeepLabv3+ (SURVEY §2#3).
 * ``feature_group_count`` exposes depthwise/grouped conv.
-* bf16 inputs accumulate in f32 on the MXU via ``preferred_element_type``.
+* bf16 inputs accumulate in f32 *inside the MXU* automatically on TPU;
+  ``accum_dtype`` is deliberately None on the training path because an
+  explicit ``preferred_element_type`` breaks JAX's conv transpose rule
+  under mixed dtypes (cotangent f32 vs primal bf16) — and adds nothing
+  on TPU, where bf16 convs already use f32 accumulators.
 
 Backward passes are left to XLA's autodiff of ``conv_general_dilated``,
 which lowers to the same MXU conv kernels (transposed/dilated variants) a
@@ -39,7 +43,7 @@ def _pair(v: _IntOrPair) -> tuple[int, int]:
 def conv2d(x: jax.Array, w: jax.Array, *, stride: _IntOrPair = 1,
            padding: str | Sequence[tuple[int, int]] = "SAME",
            dilation: _IntOrPair = 1, groups: int = 1,
-           accum_dtype=jnp.float32, precision=None) -> jax.Array:
+           accum_dtype=None, precision=None) -> jax.Array:
     """NHWC conv. x: [N,H,W,Cin], w: [kh,kw,Cin//groups,Cout]."""
     out = lax.conv_general_dilated(
         x, w,
@@ -56,7 +60,7 @@ def conv2d(x: jax.Array, w: jax.Array, *, stride: _IntOrPair = 1,
 
 def conv2d_transpose(x: jax.Array, w: jax.Array, *, stride: _IntOrPair = 2,
                      padding: str = "SAME",
-                     accum_dtype=jnp.float32, precision=None) -> jax.Array:
+                     accum_dtype=None, precision=None) -> jax.Array:
     """Fractionally-strided conv (GAN generators). w: [kh,kw,Cin,Cout]."""
     out = lax.conv_transpose(
         x, w,
@@ -71,7 +75,7 @@ def conv2d_transpose(x: jax.Array, w: jax.Array, *, stride: _IntOrPair = 2,
 
 def depthwise_conv2d(x: jax.Array, w: jax.Array, *, stride: _IntOrPair = 1,
                      padding: str = "SAME", dilation: _IntOrPair = 1,
-                     accum_dtype=jnp.float32, precision=None) -> jax.Array:
+                     accum_dtype=None, precision=None) -> jax.Array:
     """Depthwise conv. w: [kh,kw,C,multiplier] reshaped to grouped form."""
     kh, kw, c, m = w.shape
     w = w.reshape(kh, kw, 1, c * m)

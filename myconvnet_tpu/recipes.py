@@ -1,0 +1,217 @@
+"""Recipe builder: turn a config dict into runnable training components.
+
+Rebuild of the reference's entry-script wiring (SURVEY.md §2#9/#10,
+§3.1): config -> read_subset -> DataSet -> model -> Evaluator ->
+Optimizer.train().  Shared by train.py / test.py / bench.py.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+from myconvnet_tpu import models
+from myconvnet_tpu.core import transform
+from myconvnet_tpu.core.precision import get_policy, policy_scope
+from myconvnet_tpu.data.augment import (AugmentConfig, augment_eval_pair,
+                                        augment_train_pair)
+from myconvnet_tpu.data.pipeline import DataSet
+from myconvnet_tpu.eval.evaluators import (AccuracyEvaluator,
+                                           MeanIoUEvaluator)
+from myconvnet_tpu.models.base import ConvNet
+from myconvnet_tpu.subsets import cifar10, imagenet, voc
+from myconvnet_tpu.train import gan as gan_lib
+from myconvnet_tpu.train import optim as optim_lib
+from myconvnet_tpu.train.losses import (pixel_cross_entropy,
+                                        softmax_cross_entropy)
+
+
+def load_config(path: str, **overrides) -> dict:
+    spec = importlib.util.spec_from_file_location("_cfg", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    cfg = dict(mod.config)
+    for k, v in overrides.items():
+        if v is not None:
+            cfg[k] = v
+    return cfg
+
+
+def make_optimizer(opt_cfg: dict) -> optim_lib.Optimizer:
+    opt_cfg = dict(opt_cfg)
+    name = opt_cfg.pop("name")
+    lr = opt_cfg.pop("lr")
+    if isinstance(lr, dict):
+        lr = optim_lib.make_schedule(lr)
+    return optim_lib.make_optimizer(name, lr, **opt_cfg)
+
+
+def make_augment(aug_cfg: dict | None) -> AugmentConfig | None:
+    if aug_cfg is None:
+        return None
+    return AugmentConfig(**{k: tuple(v) if isinstance(v, list) else v
+                            for k, v in aug_cfg.items()})
+
+
+def make_sources(cfg: dict, synthetic: bool, splits=("train", "val")):
+    name = cfg["dataset"]
+    data_dir = cfg.get("data_dir")
+    table = {"cifar10": cifar10, "imagenet": imagenet, "voc": voc}
+    if name not in table:
+        raise ValueError(f"unknown dataset {name!r}; valid: "
+                         f"{sorted(table)} (or 'pairs' for pix2pix)")
+    mod = table[name]
+    out = []
+    for split in splits:
+        real_split = {"val": "test" if name == "cifar10" else "val"}.get(
+            split, split)
+        out.append(mod.make_source(data_dir, real_split,
+                                   synthetic=synthetic or data_dir is None))
+    return out
+
+
+def build_classifier(cfg: dict, synthetic: bool = False,
+                     ckpt_dir: str | None = None,
+                     log_dir: str | None = None,
+                     mesh=None) -> tuple[ConvNet, DataSet, DataSet]:
+    model_fn = models.get_model(cfg["model"])
+    kwargs = dict(cfg.get("model_kwargs", {}))
+    smoothing = cfg.get("label_smoothing", 0.0)
+    loss = lambda logits, y: softmax_cross_entropy(  # noqa: E731
+        logits, y, label_smoothing=smoothing)
+    augment = make_augment(cfg.get("augment"))
+    net = ConvNet(model_fn, input_shape=(*cfg["input_hw"], 3),
+                  num_classes=cfg["num_classes"],
+                  precision=cfg.get("precision", "f32"), loss_fn=loss,
+                  augment=augment, mesh=mesh, seed=cfg.get("seed", 0),
+                  ckpt_dir=ckpt_dir, log_dir=log_dir, **kwargs)
+    train_src, val_src = make_sources(cfg, synthetic)
+    return net, DataSet(train_src, augment), DataSet(val_src, augment)
+
+
+def build_segmenter(cfg: dict, synthetic: bool = False,
+                    ckpt_dir: str | None = None, log_dir: str | None = None,
+                    mesh=None):
+    model_fn = models.get_model(cfg["model"])
+    kwargs = dict(cfg.get("model_kwargs", {}))
+    ignore = cfg.get("ignore_label", 255)
+    loss = lambda logits, y: pixel_cross_entropy(  # noqa: E731
+        logits, y, ignore_label=ignore)
+    aug = make_augment(cfg.get("augment"))
+    if synthetic or cfg.get("data_dir") is None:
+        # synthetic masks are small; shrink the recipe resolution so the
+        # smoke path stays cheap
+        aug = aug._replace(out_hw=(96, 96)) if aug else None
+    net = ConvNet(model_fn, input_shape=(*aug.out_hw, 3),
+                  num_classes=cfg["num_classes"],
+                  precision=cfg.get("precision", "f32"), loss_fn=loss,
+                  augment=None,  # paired transforms wired below
+                  mesh=mesh, seed=cfg.get("seed", 0), ckpt_dir=ckpt_dir,
+                  log_dir=log_dir, **kwargs)
+    # paired augmentation hooks (image bilinear + mask nearest)
+    net._seg_augment = aug
+
+    def _make_trainer(evaluator, _orig=net._make_trainer):
+        t = _orig(evaluator)
+        if aug is not None:
+            t.augment_fn = lambda k, x, y: augment_train_pair(k, x, y, aug)
+            t.eval_augment_fn = lambda x, y: augment_eval_pair(x, y, aug)
+            t._build_steps()
+        return t
+
+    net._make_trainer = _make_trainer
+    train_src, val_src = make_sources(cfg, synthetic)
+    return net, DataSet(train_src), DataSet(val_src)
+
+
+def build_evaluator(cfg: dict):
+    if cfg["task"] == "segmentation":
+        return MeanIoUEvaluator(cfg["num_classes"],
+                                cfg.get("ignore_label", 255))
+    return AccuracyEvaluator()
+
+
+def build_gan(cfg: dict, synthetic: bool = False):
+    """Returns (state, step_fn, data_iter_fn, kind)."""
+    kind = cfg.get("gan_kind", "dcgan")
+    policy = get_policy(cfg.get("precision", "f32"))
+    size = cfg.get("image_size", 32)
+    batch = cfg["batch_size"]
+
+    if kind == "dcgan":
+        gkw = cfg.get("generator_kwargs", {})
+        dkw = cfg.get("discriminator_kwargs", {})
+
+        def g_fwd(z, train=False):
+            with policy_scope(policy):
+                return models.dcgan_generator(z, train=train,
+                                              image_size=size, **gkw)
+
+        def d_fwd(x, train=False):
+            with policy_scope(policy):
+                return models.dcgan_discriminator(x, train=train, **dkw)
+
+        gen, disc = transform(g_fwd), transform(d_fwd)
+        g_opt = make_optimizer(cfg["g_optimizer"])
+        d_opt = make_optimizer(cfg["d_optimizer"])
+        latent = cfg.get("latent_dim", 100)
+        import jax.numpy as jnp
+        state = gan_lib.init_gan_state(
+            gen, disc, g_opt, d_opt, jax.random.key(cfg.get("seed", 0)),
+            jnp.zeros((batch, latent)), (jnp.zeros((batch, size, size, 3)),))
+        step = gan_lib.make_dcgan_step(gen, disc, g_opt, d_opt, latent)
+
+        def data_iter():
+            if cfg["dataset"] == "cifar10":
+                src = cifar10.make_source(cfg.get("data_dir"), "train",
+                                          synthetic=synthetic or
+                                          cfg.get("data_dir") is None)
+            else:
+                raise ValueError(f"dcgan dataset {cfg['dataset']!r}")
+            ds = DataSet(src)
+            for x, _ in ds.train_iter(batch):
+                yield (np.float32(x) / 127.5 - 1.0
+                       if isinstance(x, np.ndarray)
+                       else x.astype("float32") / 127.5 - 1.0)
+
+        return state, step, data_iter, kind
+
+    if kind == "pix2pix":
+        gkw = cfg.get("generator_kwargs", {})
+        dkw = cfg.get("discriminator_kwargs", {})
+
+        def g_fwd(x, train=False):
+            with policy_scope(policy):
+                return models.unet_generator(x, train=train, **gkw)
+
+        def d_fwd(a, b, train=False):
+            with policy_scope(policy):
+                return models.patchgan_discriminator(a, b, train=train,
+                                                     **dkw)
+
+        gen, disc = transform(g_fwd), transform(d_fwd)
+        g_opt = make_optimizer(cfg["g_optimizer"])
+        d_opt = make_optimizer(cfg["d_optimizer"])
+        import jax.numpy as jnp
+        x0 = jnp.zeros((batch, size, size, 3))
+        state = gan_lib.init_gan_state(
+            gen, disc, g_opt, d_opt, jax.random.key(cfg.get("seed", 0)),
+            x0, (x0, x0))
+        step = gan_lib.make_pix2pix_step(gen, disc, g_opt, d_opt,
+                                         cfg.get("l1_weight", 100.0))
+
+        def data_iter():
+            # synthetic pairs: target = color-inverted input
+            rng = np.random.RandomState(cfg.get("seed", 0))
+            while True:
+                a = rng.rand(batch, size, size, 3).astype(np.float32)
+                a = a * 2.0 - 1.0
+                yield (a, -a)
+
+        return state, step, data_iter, kind
+
+    raise ValueError(f"unknown gan kind {kind!r}")

@@ -67,8 +67,10 @@ class Trainer:
     optimizer: Optimizer
     loss_fn: Callable[..., jax.Array]  # (logits, labels) -> scalar
     mesh: Any = None                   # jax.sharding.Mesh or None
-    augment_fn: Callable | None = None   # (key, raw_batch) -> model input
-    eval_augment_fn: Callable | None = None
+    # batch-level augmentation hooks: (key, x, y) -> (x, y) so paired
+    # transforms (segmentation masks) share the random geometry
+    augment_fn: Callable | None = None
+    eval_augment_fn: Callable | None = None   # (x, y) -> (x, y)
     evaluator: Evaluator | None = None
     ckpt_dir: str | None = None
     keep_checkpoints: int = 3
@@ -102,14 +104,14 @@ class Trainer:
             key = jax.random.fold_in(base, state.step)
             k_aug, k_model = jax.random.split(key)
             if augment_fn is not None:
-                x = augment_fn(k_aug, x)
+                x, y = augment_fn(k_aug, x, y)
             (loss, (new_mstate, logits)), grads = jax.value_and_grad(
                 loss_and_state, has_aux=True)(
                     state.params, state.model_state, k_model, x, y)
             new_params, new_opt = optimizer.update(
                 grads, state.opt_state, state.params, state.step)
             metrics = {"loss": loss}
-            if y.ndim == 1 and logits.ndim == 2:  # classification
+            if logits.ndim == y.ndim + 1:  # per-example/pixel class labels
                 metrics["accuracy"] = jnp.mean(
                     (jnp.argmax(logits, -1) == y).astype(jnp.float32))
             return TrainState(new_params, new_mstate, new_opt,
@@ -118,7 +120,7 @@ class Trainer:
         def eval_step(state: TrainState, batch):
             x, y = batch
             if eval_augment_fn is not None:
-                x = eval_augment_fn(x)
+                x, y = eval_augment_fn(x, y)
             logits, _ = model.apply(state.params, state.model_state, None,
                                     x, False)
             return logits, y

@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Evaluation entry point (reference: test.py at repo root — SURVEY.md
+§2#9, §3.3): restore a checkpoint and score the test split.
+
+    python test.py --config configs/cifar10_smallnet.py --ckpt runs/x
+        [--synthetic] [--best]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--ckpt", required=True, help="checkpoint dir or file")
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--best", action="store_true",
+                    help="restore best.npz instead of latest")
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--data_dir", default=None)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    from myconvnet_tpu import recipes
+    from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
+
+    cfg = recipes.load_config(args.config, batch_size=args.batch,
+                              data_dir=args.data_dir)
+    if cfg["task"] == "gan":
+        raise SystemExit("GAN checkpoints: use sample generation scripts "
+                         "(eval is FID-style, out of reference scope)")
+    builder = (recipes.build_segmenter if cfg["task"] == "segmentation"
+               else recipes.build_classifier)
+    net, _train_set, val_set = builder(cfg, synthetic=args.synthetic,
+                                       ckpt_dir=args.ckpt)
+    evaluator = recipes.build_evaluator(cfg)
+    net.build(recipes.make_optimizer(cfg["optimizer"]))
+    path = args.ckpt
+    if args.best:
+        best = ckpt_lib.best_checkpoint(args.ckpt)
+        if best is None:
+            raise SystemExit(f"no best.npz under {args.ckpt!r}")
+        path = best
+    net.restore(path)
+    score = net.evaluate(val_set, evaluator, batch_size=cfg["batch_size"])
+    print(f"{evaluator.name}: {score:.4f}")
+
+
+if __name__ == "__main__":
+    main()

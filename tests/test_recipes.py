@@ -1,0 +1,73 @@
+"""Config loading + recipe builders for the five BASELINE recipes."""
+
+import numpy as np
+import pytest
+
+from myconvnet_tpu import recipes
+
+CONFIGS = [
+    "configs/cifar10_smallnet.py",
+    "configs/imagenet_resnet50.py",
+    "configs/imagenet_vgg16.py",
+    "configs/imagenet_densenet121.py",
+    "configs/voc_deeplabv3plus.py",
+    "configs/dcgan_cifar10.py",
+    "configs/pix2pix.py",
+]
+
+
+@pytest.mark.parametrize("path", CONFIGS)
+def test_configs_load(path):
+    cfg = recipes.load_config(path)
+    assert cfg["task"] in ("classification", "segmentation", "gan")
+    assert cfg["batch_size"] > 0 and cfg["total_steps"] > 0
+
+
+def test_load_config_overrides():
+    cfg = recipes.load_config("configs/cifar10_smallnet.py",
+                              total_steps=5, batch_size=4)
+    assert cfg["total_steps"] == 5 and cfg["batch_size"] == 4
+    # None overrides are ignored
+    cfg2 = recipes.load_config("configs/cifar10_smallnet.py",
+                               total_steps=None)
+    assert cfg2["total_steps"] == 20000
+
+
+def test_make_optimizer_from_config():
+    cfg = recipes.load_config("configs/imagenet_resnet50.py")
+    opt = recipes.make_optimizer(cfg["optimizer"])
+    params = {"a": {"w": np.ones(3, np.float32)}}
+    state = opt.init(params)
+    assert state is not None
+
+
+def test_build_classifier_synthetic():
+    cfg = recipes.load_config("configs/cifar10_smallnet.py", total_steps=2,
+                              batch_size=4)
+    net, train_set, val_set = recipes.build_classifier(cfg, synthetic=True)
+    assert len(train_set) > 0 and len(val_set) > 0
+    x, y = train_set.source.get_batch(np.arange(4))
+    assert x.shape == (4, 32, 32, 3)
+
+
+def test_build_gan_dcgan():
+    cfg = recipes.load_config("configs/dcgan_cifar10.py", batch_size=4,
+                              total_steps=1)
+    cfg["generator_kwargs"] = dict(base_features=32)
+    cfg["discriminator_kwargs"] = dict(base_features=16)
+    cfg["latent_dim"] = 16
+    state, step, data_iter_fn, kind = recipes.build_gan(cfg,
+                                                        synthetic=True)
+    assert kind == "dcgan"
+    batch = next(data_iter_fn())
+    assert batch.shape == (4, 32, 32, 3)
+    assert float(batch.min()) >= -1.0 and float(batch.max()) <= 1.0
+    new_state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["d_loss"]))
+
+
+def test_unknown_dataset_raises():
+    cfg = recipes.load_config("configs/cifar10_smallnet.py")
+    cfg["dataset"] = "mnist"
+    with pytest.raises(ValueError, match="unknown dataset"):
+        recipes.make_sources(cfg, synthetic=True)

@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Training entry point (reference: train.py at repo root — SURVEY.md
+§2#9).
+
+    python train.py --config configs/cifar10_smallnet.py [--synthetic]
+        [--steps N] [--batch N] [--data_dir D] [--out runs/name]
+
+Wires config -> DataSet -> model -> Evaluator -> trainer and runs the
+jitted step loop with periodic validation and best-checkpoint retention.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--synthetic", action="store_true",
+                    help="use generated data (no corpus required)")
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--data_dir", default=None)
+    ap.add_argument("--out", default=None, help="run dir (ckpts + logs)")
+    ap.add_argument("--val_every", type=int, default=None)
+    ap.add_argument("--mesh", action="store_true",
+                    help="train data-parallel over all visible devices")
+    ap.add_argument("--platform", default=None,
+                    help="force jax platform (e.g. cpu)")
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    from myconvnet_tpu import recipes
+    from myconvnet_tpu.parallel import make_mesh
+    from myconvnet_tpu.utils.logging import MetricLogger
+
+    cfg = recipes.load_config(args.config, total_steps=args.steps,
+                              batch_size=args.batch,
+                              data_dir=args.data_dir,
+                              val_every=args.val_every)
+    out = args.out or os.path.join(
+        "runs", os.path.splitext(os.path.basename(args.config))[0])
+    os.makedirs(out, exist_ok=True)
+    mesh = make_mesh() if args.mesh else None
+
+    if cfg["task"] == "gan":
+        run_gan(cfg, args, out)
+        return
+
+    builder = (recipes.build_segmenter if cfg["task"] == "segmentation"
+               else recipes.build_classifier)
+    net, train_set, val_set = builder(cfg, synthetic=args.synthetic,
+                                      ckpt_dir=out, log_dir=out, mesh=mesh)
+    evaluator = recipes.build_evaluator(cfg)
+    optimizer = recipes.make_optimizer(cfg["optimizer"])
+    net.train(train_set, val_set, batch_size=cfg["batch_size"],
+              total_steps=cfg["total_steps"], optimizer=optimizer,
+              evaluator=evaluator, val_every=cfg.get("val_every", 0),
+              early_stop_patience=cfg.get("early_stop_patience", 0))
+    score = net.evaluate(val_set, evaluator,
+                         batch_size=cfg["batch_size"])
+    print(f"final val {evaluator.name}: {score:.4f}")
+    net.save()
+
+
+def run_gan(cfg, args, out):
+    from myconvnet_tpu import recipes
+    from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
+    from myconvnet_tpu.utils.logging import MetricLogger
+
+    state, step, data_iter_fn, kind = recipes.build_gan(
+        cfg, synthetic=args.synthetic)
+    logger = MetricLogger(log_dir=out, name=f"gan_{kind}")
+    log_every = cfg.get("log_every", 100)
+    total = cfg["total_steps"]
+    it = data_iter_fn()
+    for i, batch in enumerate(it):
+        if i >= total:
+            break
+        state, metrics = step(state, batch)
+        if (i + 1) % log_every == 0:
+            logger.log(i + 1, {k: float(v) for k, v in metrics.items()})
+            ckpt_lib.save_checkpoint(out, i + 1, state._asdict(), keep=2)
+    ckpt_lib.save_checkpoint(out, int(state.step), state._asdict(), keep=2)
+    print(f"gan training done at step {int(state.step)}")
+
+
+if __name__ == "__main__":
+    main()
