@@ -1,0 +1,115 @@
+"""Pretrained-weight loading with cross-framework name mapping
+(SURVEY.md §2#11: the reference restores pretrained backbones, e.g.
+ImageNet-pretrained for DeepLab, with variable-name mapping).
+
+Two import paths:
+
+* ``load_npz_weights`` — our own checkpoint format (exact names).
+* ``import_torch_resnet`` — a torch(vision)-style ResNet ``state_dict``
+  (from a ``.pt``/``.pth`` file or an in-memory dict) mapped onto our
+  parameter tree: OIHW -> HWIO conv transposition, running stats -> BN
+  moving statistics, fc -> logits dense.  Used to warm-start DeepLab's
+  backbone or serve torch-trained classifiers.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+from myconvnet_tpu.core.module import Params, State
+
+
+def load_npz_weights(path: str, params: Params) -> Params:
+    """Load a flat ``scope::name`` npz into an existing param tree
+    (subset restore allowed: only matching keys are replaced)."""
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files}
+    out = {k: dict(v) for k, v in params.items()}
+    for key, arr in flat.items():
+        scope_name, _, pname = key.rpartition("::")
+        if scope_name in out and pname in out[scope_name]:
+            want = out[scope_name][pname].shape
+            if tuple(arr.shape) != tuple(want):
+                raise ValueError(f"{key}: shape {arr.shape} != {want}")
+            out[scope_name][pname] = arr
+    return out
+
+
+# ---------------------------------------------------- torch resnet mapping
+
+def _torch_block_names(depth: int):
+    from myconvnet_tpu.models.resnet import STAGE_BLOCKS
+    return STAGE_BLOCKS[depth]
+
+
+def import_torch_resnet(state_dict: Mapping[str, Any], params: Params,
+                        state: State, depth: int = 50,
+                        load_head: bool = True
+                        ) -> tuple[Params, State]:
+    """Map a torchvision-style ResNet state_dict onto our tree.
+
+    Accepts numpy arrays or anything with ``.numpy()`` (torch tensors).
+    Returns new (params, state); raises on any shape mismatch.
+    """
+
+    def arr(key):
+        v = state_dict[key]
+        return v if isinstance(v, np.ndarray) else v.detach().numpy()
+
+    def conv_w(key):
+        return np.transpose(arr(key), (2, 3, 1, 0))  # OIHW -> HWIO
+
+    new_p = {k: dict(v) for k, v in params.items()}
+    new_s = {k: dict(v) for k, v in state.items()}
+
+    def put_conv(scope, key):
+        w = conv_w(key)
+        want = new_p[scope]["w"].shape
+        if tuple(w.shape) != tuple(want):
+            raise ValueError(f"{scope}: {w.shape} != {want}")
+        new_p[scope]["w"] = w.astype(np.float32)
+
+    def put_bn(scope, prefix):
+        new_p[scope]["gamma"] = arr(f"{prefix}.weight").astype(np.float32)
+        new_p[scope]["beta"] = arr(f"{prefix}.bias").astype(np.float32)
+        new_s[scope]["moving_mean"] = arr(
+            f"{prefix}.running_mean").astype(np.float32)
+        new_s[scope]["moving_var"] = arr(
+            f"{prefix}.running_var").astype(np.float32)
+
+    put_conv("stem/conv", "conv1.weight")
+    put_bn("stem/bn", "bn1")
+
+    blocks = _torch_block_names(depth)
+    bottleneck = depth >= 50
+    letters = ("a", "b", "c") if bottleneck else ("a", "b")
+    for stage_i, n_blocks in enumerate(blocks):
+        for b in range(n_blocks):
+            t_pre = f"layer{stage_i + 1}.{b}"
+            scope_pre = f"stage{stage_i + 1}/block{b + 1}"
+            for li, letter in enumerate(letters):
+                put_conv(f"{scope_pre}/conv_{letter}",
+                         f"{t_pre}.conv{li + 1}.weight")
+                put_bn(f"{scope_pre}/bn_{letter}", f"{t_pre}.bn{li + 1}")
+            if f"{t_pre}.downsample.0.weight" in state_dict:
+                put_conv(f"{scope_pre}/conv_proj",
+                         f"{t_pre}.downsample.0.weight")
+                put_bn(f"{scope_pre}/bn_proj", f"{t_pre}.downsample.1")
+
+    if load_head and "fc.weight" in state_dict and "logits" in new_p:
+        w = np.transpose(arr("fc.weight"), (1, 0))
+        if tuple(w.shape) == tuple(new_p["logits"]["w"].shape):
+            new_p["logits"]["w"] = w.astype(np.float32)
+            new_p["logits"]["b"] = arr("fc.bias").astype(np.float32)
+    return new_p, new_s
+
+
+def import_torch_resnet_file(path: str, params: Params, state: State,
+                             depth: int = 50, load_head: bool = True):
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return import_torch_resnet(sd, params, state, depth, load_head)

@@ -1,0 +1,5 @@
+from myconvnet_tpu.ops.pallas.bn_act import (bn_inference_fused,
+                                             fused_scale_shift_act)
+from myconvnet_tpu.ops.pallas.normalize_u8 import normalize_u8
+
+__all__ = ["bn_inference_fused", "fused_scale_shift_act", "normalize_u8"]
