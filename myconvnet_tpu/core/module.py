@@ -143,6 +143,23 @@ def in_init() -> bool:
     return frame is not None and frame.creating
 
 
+def current_scope_in_params() -> bool:
+    """True when the current scope path exists in the param tree (or we
+    are creating).  Lets layers detect graph-optimization removals, e.g.
+    BN scopes deleted by inference-time folding."""
+    f = _frame()
+    return f.creating or f.scope_path() in f.params
+
+
+def param_exists(name: str) -> bool:
+    """True when ``name`` exists in the current scope's params at apply
+    time (e.g. a bias injected by BN folding).  False during init."""
+    f = _frame()
+    if f.creating:
+        return False
+    return name in f.params.get(f.scope_path(), {})
+
+
 class Transformed(NamedTuple):
     init: Callable[..., tuple[Params, State]]
     apply: Callable[..., tuple[Any, State]]

@@ -52,7 +52,12 @@ def decode_image(path: str, raw_hw: tuple[int, int]) -> np.ndarray:
 
 
 class ArraySource:
-    """In-memory images+labels (CIFAR-scale corpora)."""
+    """In-memory images+labels (CIFAR-scale corpora).
+
+    uint8 pools use the native threaded gather (native/dataloader.cc) to
+    assemble contiguous batches; other dtypes fall back to numpy fancy
+    indexing.
+    """
 
     def __init__(self, images: np.ndarray, labels: np.ndarray):
         assert len(images) == len(labels)
@@ -63,7 +68,10 @@ class ArraySource:
         return len(self.images)
 
     def get_batch(self, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        return self.images[idx], self.labels[idx]
+        from myconvnet_tpu.data import native_loader
+        idx = np.asarray(idx, np.int64)
+        return (native_loader.gather_batch(self.images, idx),
+                self.labels[idx])
 
 
 class FileSource:

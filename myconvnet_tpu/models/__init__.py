@@ -8,6 +8,12 @@ API lives in ``models.base``.
 from myconvnet_tpu.models.deeplab import aspp, deeplab_v3_plus
 from myconvnet_tpu.models.densenet import (densenet, densenet121,
                                            densenet169, densenet201)
+from myconvnet_tpu.models.efficientnet import (efficientnet,
+                                               efficientnet_b0,
+                                               efficientnet_b1,
+                                               efficientnet_b2,
+                                               efficientnet_b3)
+from myconvnet_tpu.models.mobilenet import mobilenet_v2
 from myconvnet_tpu.models.gan import (dcgan_discriminator, dcgan_generator,
                                       patchgan_discriminator, unet_generator)
 from myconvnet_tpu.models.resnet import (resnet, resnet18, resnet34,
@@ -25,6 +31,9 @@ CLASSIFIERS = {
     "vgg11": vgg11, "vgg16": vgg16, "vgg19": vgg19,
     "densenet121": densenet121, "densenet169": densenet169,
     "densenet201": densenet201,
+    "mobilenet_v2": mobilenet_v2,
+    "efficientnet_b0": efficientnet_b0, "efficientnet_b1": efficientnet_b1,
+    "efficientnet_b2": efficientnet_b2, "efficientnet_b3": efficientnet_b3,
 }
 
 SEGMENTERS = {

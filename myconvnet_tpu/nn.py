@@ -20,8 +20,9 @@ import jax
 import jax.numpy as jnp
 
 from myconvnet_tpu.core import initializers as init
-from myconvnet_tpu.core.module import (auto_name, get_state, next_rng_key,
-                                       param, scope, set_state)
+from myconvnet_tpu.core.module import (auto_name, current_scope_in_params,
+                                       get_state, next_rng_key, param,
+                                       param_exists, scope, set_state)
 from myconvnet_tpu.core.precision import current_policy
 from myconvnet_tpu.ops.batch_norm import (batch_norm_inference,
                                           batch_norm_train)
@@ -54,7 +55,9 @@ def conv(x: jax.Array, features: int, kernel_size: _IntOrPair, *,
         y = conv2d(pol.cast_to_compute(x), pol.cast_to_compute(w),
                    stride=stride, padding=padding, dilation=dilation,
                    groups=groups, precision=pol.lax_precision)
-        if use_bias:
+        # pick up a bias injected by BN folding even when the model was
+        # written with use_bias=False (models/folding.py)
+        if use_bias or param_exists("b"):
             b = param("b", (features,), pol.param_dtype, init.zeros)
             y = y + pol.cast_to_compute(b)
     return y
@@ -128,6 +131,10 @@ def batch_norm(x: jax.Array, *, train: bool, momentum: float = 0.99,
     pol = current_policy()
     c = x.shape[-1]
     with scope(auto_name(name)):
+        if not train and not current_scope_in_params():
+            # BN folded into the preceding conv (models/folding.py):
+            # the scope was deliberately removed -> identity
+            return x
         gamma = param("gamma", (c,), jnp.float32,
                       gamma_init or init.ones) if scale else jnp.ones(
                           c, jnp.float32)
