@@ -138,6 +138,34 @@ def _step_flops(step, state, raw, labels):
         return None
 
 
+def measure_augmentation(batch=256, hw=(224, 224)):
+    """Secondary BASELINE metric: on-device augmentation images/sec."""
+    import jax
+    import jax.numpy as jnp
+
+    from myconvnet_tpu.data.augment import AugmentConfig, augment_train
+
+    cfg = AugmentConfig(out_hw=hw, area_range=(0.08, 1.0), flip=True,
+                        brightness=0.4, contrast=0.4, saturation=0.4)
+    raw_hw = (int(hw[0] * 8 / 7), int(hw[1] * 8 / 7))
+    rng = np.random.RandomState(0)
+    raw = jax.device_put(rng.randint(0, 256, (batch, *raw_hw, 3),
+                                     dtype=np.uint8))
+
+    @jax.jit
+    def f(key, raw):
+        return augment_train(key, raw, cfg)
+
+    out = f(jax.random.key(0), raw)
+    float(jnp.sum(out))
+    t0 = time.perf_counter()
+    for i in range(10):
+        out = f(jax.random.key(i + 1), raw)
+    float(jnp.sum(out))
+    dt = (time.perf_counter() - t0) / 10
+    return batch / dt
+
+
 def main():
     import jax
 
@@ -165,6 +193,12 @@ def main():
             "includes_on_device_augmentation": True,
         },
     }
+    if os.environ.get("BENCH_SMOKE") != "1":
+        try:
+            result["detail"]["augmentation_images_per_sec"] = round(
+                measure_augmentation(batch), 1)
+        except Exception:
+            pass
     print(json.dumps(result))
 
 

@@ -13,6 +13,7 @@ from myconvnet_tpu.models.efficientnet import (efficientnet,
                                                efficientnet_b1,
                                                efficientnet_b2,
                                                efficientnet_b3)
+from myconvnet_tpu.models.inception import inception_v3
 from myconvnet_tpu.models.mobilenet import mobilenet_v2
 from myconvnet_tpu.models.gan import (dcgan_discriminator, dcgan_generator,
                                       patchgan_discriminator, unet_generator)
@@ -31,6 +32,7 @@ CLASSIFIERS = {
     "vgg11": vgg11, "vgg16": vgg16, "vgg19": vgg19,
     "densenet121": densenet121, "densenet169": densenet169,
     "densenet201": densenet201,
+    "inception_v3": inception_v3,
     "mobilenet_v2": mobilenet_v2,
     "efficientnet_b0": efficientnet_b0, "efficientnet_b1": efficientnet_b1,
     "efficientnet_b2": efficientnet_b2, "efficientnet_b3": efficientnet_b3,
