@@ -76,7 +76,12 @@ def resnet_backbone(x: jax.Array, depth: int = 50, *, train: bool = False,
                     output_stride: int = 32, width: int = 64,
                     return_low_level: bool = False):
     """Feature extractor. Returns final feature map (and the end-of-stage-1
-    low-level features when ``return_low_level`` — DeepLab decoder input)."""
+    low-level features when ``return_low_level`` — DeepLab decoder input).
+
+    Memory note: for big batches / 513x513 segmentation use the trainer's
+    ``remat=True`` (full-forward rematerialization via jax.checkpoint) —
+    HBM is the scarce resource on TPU, recompute FLOPs are not.
+    """
     if depth not in STAGE_BLOCKS:
         raise ValueError(f"unsupported ResNet depth {depth}; "
                          f"valid: {sorted(STAGE_BLOCKS)}")

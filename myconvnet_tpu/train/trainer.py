@@ -76,6 +76,10 @@ class Trainer:
     keep_checkpoints: int = 3
     log_every: int = 50
     logger: Any = None
+    # rematerialize the forward in backward (jax.checkpoint): cuts stored
+    # activations to ~inputs-only at ~1.3x FLOPs — the TPU lever for big
+    # batches and 513x513 segmentation where HBM, not MXU, is scarce
+    remat: bool = False
 
     _train_step: Callable = field(init=False, default=None)
     _eval_step: Callable = field(init=False, default=None)
@@ -93,8 +97,14 @@ class Trainer:
         eval_augment_fn = self.eval_augment_fn
 
         def loss_and_state(params, model_state, key, x, y):
-            logits, new_state = model.apply(params, model_state, key, x,
-                                            True)
+            apply = model.apply
+            if self.remat:
+                apply = jax.checkpoint(
+                    lambda p, s, k, x: model.apply(p, s, k, x, True))
+                logits, new_state = apply(params, model_state, key, x)
+            else:
+                logits, new_state = apply(params, model_state, key, x,
+                                          True)
             loss = loss_fn(logits, y)
             return loss, (new_state, logits)
 
@@ -195,7 +205,33 @@ class Trainer:
         dt = time.perf_counter() - t0
         if window and dt > 0:
             host["images_per_sec"] = window / dt
+            if self._step_flops:
+                from myconvnet_tpu.utils.mfu import device_peak_flops
+                n_dev = (self.mesh.size if self.mesh is not None
+                         else 1)
+                host["mfu"] = (self._step_flops * (window / dt) /
+                               self._flops_batch /
+                               (device_peak_flops() * n_dev))
         self.logger.log(step, host)
+
+    _step_flops: float | None = None
+    _flops_batch: int = 1
+
+    def measure_flops(self, state: TrainState, sample_batch) -> float | None:
+        """Record the compiled step's FLOPs (XLA cost analysis) so
+        subsequent logs include an MFU column (north-star observability).
+        """
+        from myconvnet_tpu.utils.mfu import compiled_flops
+        try:
+            batch = self.shard_batch(sample_batch)
+            compiled = self._train_step.lower(state, batch).compile()
+            flops = compiled_flops(compiled)
+        except Exception:
+            return None
+        if flops:
+            self._step_flops = flops
+            self._flops_batch = int(sample_batch[0].shape[0])
+        return flops
 
     def evaluate(self, state: TrainState, data_iter: Iterable) -> float:
         assert self.evaluator is not None, "no evaluator configured"

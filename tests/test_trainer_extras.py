@@ -1,0 +1,64 @@
+"""Trainer extras: remat equivalence, MFU counter, stall detector."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from myconvnet_tpu import models
+from myconvnet_tpu.core import transform
+from myconvnet_tpu.train import optim
+from myconvnet_tpu.train.losses import softmax_cross_entropy
+from myconvnet_tpu.train.trainer import Trainer, init_train_state
+from myconvnet_tpu.utils.profiling import StallDetector
+
+
+def _setup(remat):
+    model = transform(lambda x, train=False: models.smallnet(
+        x, 10, train=train, width=8, dropout_rate=0.0))
+    opt = optim.sgd(0.1)
+    t = Trainer(model=model, optimizer=opt,
+                loss_fn=softmax_cross_entropy, remat=remat)
+    t.logger.stdout = False
+    state = init_train_state(model, opt, jax.random.key(0),
+                             jnp.zeros((8, 32, 32, 3)))
+    return t, state
+
+
+def test_remat_matches_plain():
+    """jax.checkpoint must not change the math, only the memory plan."""
+    x = np.random.RandomState(0).rand(8, 32, 32, 3).astype(np.float32)
+    y = np.arange(8) % 10
+    t1, s1 = _setup(False)
+    t2, s2 = _setup(True)
+    s1b, m1 = t1._train_step(s1, (jnp.asarray(x), jnp.asarray(y)))
+    s2b, m2 = t2._train_step(s2, (jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-6)
+    for scope in s1b.params:
+        for name in s1b.params[scope]:
+            np.testing.assert_allclose(s1b.params[scope][name],
+                                       s2b.params[scope][name], rtol=1e-5,
+                                       atol=1e-6)
+
+
+def test_measure_flops_enables_mfu_logging():
+    t, state = _setup(False)
+    x = jnp.zeros((8, 32, 32, 3))
+    y = jnp.zeros((8,), jnp.int32)
+    flops = t.measure_flops(state, (x, y))
+    assert flops is None or flops > 1e6  # cost analysis may be absent
+    if flops:
+        assert t._step_flops == flops and t._flops_batch == 8
+
+
+def test_stall_detector():
+    det = StallDetector(device_step_time=0.1)
+    import time
+    for i in range(3):
+        det.host_wait_begin()
+        if i == 1:
+            time.sleep(0.02)  # 20% of a step -> stall
+        det.host_wait_end()
+    rep = det.report()
+    assert det.stalled_steps == 1
+    assert 0 < rep["stall_fraction"] < 1
