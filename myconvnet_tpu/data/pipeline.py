@@ -122,8 +122,6 @@ def batch_indices(n: int, batch_size: int, *, shuffle: bool, seed: int,
         end = n - (n % batch_size) if drop_remainder else n
         for i in range(0, end, batch_size):
             yield order[i:i + batch_size]
-        if not drop_remainder and n % batch_size:
-            pass  # already yielded above
         epoch += 1
 
 
@@ -203,9 +201,13 @@ class DataSet:
                           device_put_fn=device_put_fn)
 
     def eval_iter(self, batch_size: int, *, prefetch: int = 2,
+                  drop_remainder: bool = False,
                   device_put_fn: Callable | None = None) -> Iterator:
+        """Deterministic full-epoch batches; the tail batch is SHORT when
+        the split doesn't divide (the trainer pads it to keep shapes
+        static and slices the outputs back — no example is dropped)."""
         host = self._host_batches(batch_size, shuffle=False, epochs=1,
-                                  drop_remainder=True)
+                                  drop_remainder=drop_remainder)
         if prefetch <= 0:
             return host
         return Prefetcher(host, depth=prefetch,

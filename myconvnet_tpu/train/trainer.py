@@ -236,9 +236,24 @@ class Trainer:
     def evaluate(self, state: TrainState, data_iter: Iterable) -> float:
         assert self.evaluator is not None, "no evaluator configured"
         self.evaluator.reset()
+        full_batch = None
         for x, y in data_iter:
-            logits, labels = self._eval_step(state, self.shard_batch((x, y)))
-            self.evaluator.update(logits, labels)
+            x = jnp.asarray(x)
+            y = jnp.asarray(y)
+            n = x.shape[0]
+            if full_batch is None:
+                full_batch = n
+            if n < full_batch:
+                # pad the tail batch to the compiled shape, slice after —
+                # keeps one compile AND counts every example
+                pad = full_batch - n
+                x = jnp.concatenate(
+                    [x, jnp.zeros((pad, *x.shape[1:]), x.dtype)])
+                y = jnp.concatenate(
+                    [y, jnp.zeros((pad, *y.shape[1:]), y.dtype)])
+            logits, labels = self._eval_step(state,
+                                             self.shard_batch((x, y)))
+            self.evaluator.update(logits[:n], labels[:n])
         return self.evaluator.score()
 
     def predict(self, state: TrainState, data_iter: Iterable):

@@ -62,3 +62,33 @@ def test_stall_detector():
     rep = det.report()
     assert det.stalled_steps == 1
     assert 0 < rep["stall_fraction"] < 1
+
+
+def test_evaluate_counts_tail_batch():
+    """70 examples at batch 32 -> all 70 evaluated (tail padded+sliced)."""
+    from myconvnet_tpu.data.pipeline import ArraySource, DataSet
+    from myconvnet_tpu.eval.evaluators import AccuracyEvaluator
+    t, state = _setup(False)
+    t.evaluator = AccuracyEvaluator()
+    rng = np.random.RandomState(0)
+    imgs = rng.rand(70, 32, 32, 3).astype(np.float32)
+    labels = rng.randint(0, 10, 70).astype(np.int32)
+    ds = DataSet(ArraySource(imgs, labels))
+    t.evaluate(state, ds.eval_iter(32, prefetch=0))
+    assert t.evaluator._total == 70
+
+
+def test_plot_curves(tmp_path):
+    import json
+    from myconvnet_tpu.utils.plots import plot_curves, read_metrics
+    p = str(tmp_path / "train.jsonl")
+    with open(p, "w") as f:
+        for s in range(5):
+            f.write(json.dumps({"step": s, "time": 0.0,
+                                "loss": 2.0 - 0.3 * s,
+                                "accuracy": 0.1 * s}) + "\n")
+    series = read_metrics(p)
+    assert len(series["loss"]) == 5
+    out = plot_curves(p)
+    import os
+    assert os.path.exists(out) and os.path.getsize(out) > 1000
