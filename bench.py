@@ -51,7 +51,8 @@ def build_step(batch, hw, num_classes, smoke=False):
     model = transform(fwd)
     opt = optim.momentum(0.1, 0.9, weight_decay=1e-4)
     cfg = AugmentConfig(out_hw=hw, area_range=(0.08, 1.0), flip=True,
-                        brightness=0.4, contrast=0.4, saturation=0.4)
+                        brightness=0.4, contrast=0.4, saturation=0.4,
+                        out_dtype="bfloat16")
     raw_hw = (int(hw[0] * 8 / 7), int(hw[1] * 8 / 7))
 
     state = init_train_state(model, opt, jax.random.key(0),
@@ -62,7 +63,7 @@ def build_step(batch, hw, num_classes, smoke=False):
         key = jax.random.fold_in(key, state.step)
 
         def loss_fn(params, mstate):
-            x = augment_train(key, raw, cfg).astype(jnp.bfloat16)
+            x = augment_train(key, raw, cfg)
             logits, new_mstate = model.apply(params, mstate, None, x, True)
             return softmax_cross_entropy(logits, labels,
                                          label_smoothing=0.1), new_mstate

@@ -13,7 +13,7 @@ config = dict(
     val_every=500,
     early_stop_patience=0,
     optimizer=dict(
-        name="momentum", momentum_coef=0.9, weight_decay=5e-4,
+        name="momentum", momentum_coef=0.9, wd_exclude_norms=True, weight_decay=5e-4,
         lr=dict(kind="cosine", lr=0.1, total_steps=20000,
                 warmup_steps=500)),
     augment=dict(out_hw=(32, 32), area_range=None, pad=4, flip=True,

@@ -16,7 +16,7 @@ config = dict(
     val_every=1251,
     early_stop_patience=0,
     optimizer=dict(
-        name="momentum", momentum_coef=0.9, weight_decay=1e-4,
+        name="momentum", momentum_coef=0.9, wd_exclude_norms=True, weight_decay=1e-4,
         nesterov=True,
         lr=dict(kind="cosine", lr=0.4, total_steps=TOTAL_STEPS,
                 warmup_steps=3128)),

@@ -20,7 +20,7 @@ config = dict(
     val_every=1251,                # ~1 epoch
     early_stop_patience=0,
     optimizer=dict(
-        name="momentum", momentum_coef=0.9, weight_decay=1e-4,
+        name="momentum", momentum_coef=0.9, wd_exclude_norms=True, weight_decay=1e-4,
         nesterov=True,
         lr=dict(kind="cosine", lr=0.4, total_steps=TOTAL_STEPS,
                 warmup_steps=3128)),   # 2.5 epochs warmup, lr=0.4 @ 1024

@@ -16,7 +16,7 @@ config = dict(
     val_every=2502,
     early_stop_patience=0,
     optimizer=dict(
-        name="momentum", momentum_coef=0.9, weight_decay=1e-4,
+        name="momentum", momentum_coef=0.9, wd_exclude_norms=True, weight_decay=1e-4,
         lr=dict(kind="cosine", lr=0.1, total_steps=TOTAL_STEPS,
                 warmup_steps=3128)),
     augment=dict(out_hw=(224, 224), area_range=(0.08, 1.0), flip=True,

@@ -17,7 +17,7 @@ config = dict(
     val_every=1000,
     early_stop_patience=0,
     optimizer=dict(
-        name="momentum", momentum_coef=0.9, weight_decay=4e-5,
+        name="momentum", momentum_coef=0.9, wd_exclude_norms=True, weight_decay=4e-5,
         lr=dict(kind="poly", lr=0.007, total_steps=TOTAL_STEPS,
                 power=0.9)),
     augment=dict(out_hw=(513, 513), area_range=(0.5, 2.0),

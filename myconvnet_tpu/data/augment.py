@@ -35,6 +35,9 @@ IMAGENET_STD = (0.229, 0.224, 0.225)
 
 class AugmentConfig(NamedTuple):
     out_hw: tuple[int, int] = (224, 224)
+    # output dtype: float32 default (parity-grade); 'bfloat16' halves the
+    # HBM write+read traffic of the augmented batch on TPU
+    out_dtype: str = "float32"
     # random-resized-crop parameters (None area_range -> plain random crop)
     area_range: tuple[float, float] | None = (0.08, 1.0)
     aspect_range: tuple[float, float] = (3 / 4, 4 / 3)
@@ -274,7 +277,7 @@ def augment_train(key: jax.Array, images_u8: jax.Array,
         x = color_jitter(k_color, x, brightness=cfg.brightness,
                          contrast=cfg.contrast, saturation=cfg.saturation,
                          hue=cfg.hue)
-    return normalize(x, cfg.mean, cfg.std)
+    return normalize(x, cfg.mean, cfg.std).astype(cfg.out_dtype)
 
 
 def augment_eval(images_u8: jax.Array, cfg: AugmentConfig,
@@ -286,7 +289,8 @@ def augment_eval(images_u8: jax.Array, cfg: AugmentConfig,
     else:
         boxes = center_crop_boxes(n, (h, w), crop_fraction)
         x = batched_crop_resize(images_u8, boxes, cfg.out_hw)
-    return normalize(x * (1.0 / 255.0), cfg.mean, cfg.std)
+    return normalize(x * (1.0 / 255.0), cfg.mean,
+                     cfg.std).astype(cfg.out_dtype)
 
 
 # -------------------------------------------------- paired (segmentation)
@@ -317,7 +321,7 @@ def augment_train_pair(key: jax.Array, images_u8: jax.Array,
                          contrast=cfg.contrast, saturation=cfg.saturation,
                          hue=cfg.hue)
     y = batched_crop_nearest(masks, boxes, cfg.out_hw, flip)
-    return normalize(x, cfg.mean, cfg.std), y
+    return normalize(x, cfg.mean, cfg.std).astype(cfg.out_dtype), y
 
 
 def augment_eval_pair(images_u8: jax.Array, masks: jax.Array,
@@ -329,4 +333,5 @@ def augment_eval_pair(images_u8: jax.Array, masks: jax.Array,
         jnp.asarray([0.0, 0.0, float(h), float(w)])[None], (n, 4))
     x = batched_crop_resize(images_u8, boxes, cfg.out_hw)
     y = batched_crop_nearest(masks, boxes, cfg.out_hw)
-    return normalize(x * (1.0 / 255.0), cfg.mean, cfg.std), y
+    return (normalize(x * (1.0 / 255.0), cfg.mean,
+                      cfg.std).astype(cfg.out_dtype), y)

@@ -5,6 +5,7 @@ meant to be wrapped with ``core.transform``; the ConvNet-compatible class
 API lives in ``models.base``.
 """
 
+from myconvnet_tpu.models.alexnet import alexnet
 from myconvnet_tpu.models.deeplab import aspp, deeplab_v3_plus
 from myconvnet_tpu.models.densenet import (densenet, densenet121,
                                            densenet169, densenet201)
@@ -27,6 +28,7 @@ from myconvnet_tpu.models.vgg import vgg, vgg11, vgg16, vgg19
 # parameters.py — SURVEY.md §2#10).
 CLASSIFIERS = {
     "smallnet": smallnet,
+    "alexnet": alexnet,
     "resnet18": resnet18, "resnet34": resnet34, "resnet50": resnet50,
     "resnet101": resnet101, "resnet152": resnet152,
     "vgg11": vgg11, "vgg16": vgg16, "vgg19": vgg19,

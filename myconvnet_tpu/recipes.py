@@ -47,6 +47,8 @@ def make_optimizer(opt_cfg: dict) -> optim_lib.Optimizer:
     lr = opt_cfg.pop("lr")
     if isinstance(lr, dict):
         lr = optim_lib.make_schedule(lr)
+    if opt_cfg.pop("wd_exclude_norms", False):
+        opt_cfg["weight_decay_exclude"] = optim_lib.norm_and_bias_exclusion
     return optim_lib.make_optimizer(name, lr, **opt_cfg)
 
 

@@ -98,14 +98,34 @@ def _tree_zeros(params):
     return jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), params)
 
 
-def _decayed(g, p, weight_decay):
-    if weight_decay <= 0.0:
+def _decayed(g, p, weight_decay, decay_on=True):
+    if weight_decay <= 0.0 or not decay_on:
         return g.astype(jnp.float32)
     return g.astype(jnp.float32) + weight_decay * p.astype(jnp.float32)
 
 
+def norm_and_bias_exclusion(path: str, p) -> bool:
+    """Standard recipe: exclude biases and norm scales/offsets from
+    weight decay (any rank-<=1 parameter, plus b/beta/gamma by name)."""
+    name = path.rsplit("/", 1)[-1]
+    return name in ("b", "beta", "gamma") or getattr(p, "ndim", 2) <= 1
+
+
+def _decay_mask(params, exclude) -> Any:
+    """Pytree of bools: True where weight decay applies."""
+    if exclude is None:
+        return jax.tree.map(lambda p: True, params)
+
+    def rule(keypath, p):
+        path = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                        for k in keypath)
+        return not exclude(path, p)
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
 def sgd(lr, *, momentum: float = 0.0, nesterov: bool = False,
-        weight_decay: float = 0.0) -> Optimizer:
+        weight_decay: float = 0.0, weight_decay_exclude=None) -> Optimizer:
     sched = as_schedule(lr)
 
     def init(params):
@@ -115,20 +135,21 @@ def sgd(lr, *, momentum: float = 0.0, nesterov: bool = False,
 
     def update(grads, opt_state, params, step):
         lr_t = sched(step)
+        mask = _decay_mask(params, weight_decay_exclude)
 
         if momentum == 0.0:
-            def upd(p, g):
-                gd = _decayed(g, p, weight_decay)
+            def upd(p, g, dm):
+                gd = _decayed(g, p, weight_decay, dm)
                 return (p.astype(jnp.float32) - lr_t * gd).astype(p.dtype)
-            return jax.tree.map(upd, params, grads), ()
+            return jax.tree.map(upd, params, grads, mask), ()
 
-        def upd(p, g, m):
-            gd = _decayed(g, p, weight_decay)
+        def upd(p, g, m, dm):
+            gd = _decayed(g, p, weight_decay, dm)
             m_new = momentum * m + gd
             d = gd + momentum * m_new if nesterov else m_new
             return ((p.astype(jnp.float32) - lr_t * d).astype(p.dtype),
                     m_new)
-        out = jax.tree.map(upd, params, grads, opt_state)
+        out = jax.tree.map(upd, params, grads, opt_state, mask)
         new_params = jax.tree.map(lambda o: o[0], out,
                                   is_leaf=lambda x: isinstance(x, tuple))
         new_m = jax.tree.map(lambda o: o[1], out,
@@ -139,9 +160,11 @@ def sgd(lr, *, momentum: float = 0.0, nesterov: bool = False,
 
 
 def momentum(lr, momentum_coef: float = 0.9, *, nesterov: bool = False,
-             weight_decay: float = 0.0) -> Optimizer:
+             weight_decay: float = 0.0,
+             weight_decay_exclude=None) -> Optimizer:
     return sgd(lr, momentum=momentum_coef, nesterov=nesterov,
-               weight_decay=weight_decay)
+               weight_decay=weight_decay,
+               weight_decay_exclude=weight_decay_exclude)
 
 
 class AdamState(NamedTuple):
@@ -150,7 +173,8 @@ class AdamState(NamedTuple):
 
 
 def adam(lr, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8, *,
-         weight_decay: float = 0.0, decoupled: bool = False) -> Optimizer:
+         weight_decay: float = 0.0, decoupled: bool = False,
+         weight_decay_exclude=None) -> Optimizer:
     sched = as_schedule(lr)
 
     def init(params):
@@ -161,20 +185,22 @@ def adam(lr, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8, *,
         count = step.astype(jnp.float32) + 1.0
         bc1 = 1.0 - b1 ** count
         bc2 = 1.0 - b2 ** count
+        mask = _decay_mask(params, weight_decay_exclude)
 
-        def upd(p, g, mu, nu):
+        def upd(p, g, mu, nu, dm):
             gf = g.astype(jnp.float32)
-            if weight_decay > 0.0 and not decoupled:
+            if weight_decay > 0.0 and not decoupled and dm:
                 gf = gf + weight_decay * p.astype(jnp.float32)
             mu_new = b1 * mu + (1 - b1) * gf
             nu_new = b2 * nu + (1 - b2) * jnp.square(gf)
             d = (mu_new / bc1) / (jnp.sqrt(nu_new / bc2) + eps)
-            if weight_decay > 0.0 and decoupled:
+            if weight_decay > 0.0 and decoupled and dm:
                 d = d + weight_decay * p.astype(jnp.float32)
             return ((p.astype(jnp.float32) - lr_t * d).astype(p.dtype),
                     mu_new, nu_new)
 
-        out = jax.tree.map(upd, params, grads, opt_state.mu, opt_state.nu)
+        out = jax.tree.map(upd, params, grads, opt_state.mu, opt_state.nu,
+                           mask)
         is_triple = lambda x: isinstance(x, tuple) and len(x) == 3  # noqa: E731
         new_params = jax.tree.map(lambda o: o[0], out, is_leaf=is_triple)
         new_mu = jax.tree.map(lambda o: o[1], out, is_leaf=is_triple)
@@ -185,8 +211,10 @@ def adam(lr, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8, *,
 
 
 def adamw(lr, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
-          weight_decay: float = 1e-4) -> Optimizer:
-    return adam(lr, b1, b2, eps, weight_decay=weight_decay, decoupled=True)
+          weight_decay: float = 1e-4,
+          weight_decay_exclude=None) -> Optimizer:
+    return adam(lr, b1, b2, eps, weight_decay=weight_decay, decoupled=True,
+                weight_decay_exclude=weight_decay_exclude)
 
 
 class RMSPropState(NamedTuple):
@@ -196,7 +224,8 @@ class RMSPropState(NamedTuple):
 
 def rmsprop(lr, decay: float = 0.9, eps: float = 1e-8,
             momentum_coef: float = 0.0, *,
-            weight_decay: float = 0.0) -> Optimizer:
+            weight_decay: float = 0.0,
+            weight_decay_exclude=None) -> Optimizer:
     sched = as_schedule(lr)
 
     def init(params):
@@ -204,9 +233,10 @@ def rmsprop(lr, decay: float = 0.9, eps: float = 1e-8,
 
     def update(grads, opt_state, params, step):
         lr_t = sched(step)
+        mask = _decay_mask(params, weight_decay_exclude)
 
-        def upd(p, g, nu, m):
-            gf = _decayed(g, p, weight_decay)
+        def upd(p, g, nu, m, dm):
+            gf = _decayed(g, p, weight_decay, dm)
             nu_new = decay * nu + (1 - decay) * jnp.square(gf)
             d = gf / (jnp.sqrt(nu_new) + eps)
             m_new = momentum_coef * m + d
@@ -214,7 +244,8 @@ def rmsprop(lr, decay: float = 0.9, eps: float = 1e-8,
             return ((p.astype(jnp.float32) - lr_t * d).astype(p.dtype),
                     nu_new, m_new)
 
-        out = jax.tree.map(upd, params, grads, opt_state.nu, opt_state.mom)
+        out = jax.tree.map(upd, params, grads, opt_state.nu, opt_state.mom,
+                           mask)
         is_triple = lambda x: isinstance(x, tuple) and len(x) == 3  # noqa: E731
         new_params = jax.tree.map(lambda o: o[0], out, is_leaf=is_triple)
         new_nu = jax.tree.map(lambda o: o[1], out, is_leaf=is_triple)

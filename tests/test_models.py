@@ -161,3 +161,14 @@ def test_registry():
     assert models.get_model("resnet50") is models.resnet50
     with pytest.raises(ValueError, match="unknown model"):
         models.get_model("resnet13")
+
+
+@pytest.mark.slow
+def test_alexnet_param_count():
+    """torchvision alexnet = 61.10M params (classic head, no BN)."""
+    def f(x):
+        return models.alexnet(x, 1000, use_bn=False)
+    x = jnp.zeros((1, 224, 224, 3))
+    _, params, _ = _build(f, x)
+    n = _n_params(params) / 1e6
+    assert abs(n - 61.10) < 0.2, n

@@ -111,3 +111,15 @@ def test_unknown_names_raise():
         optim.make_optimizer("lion", 0.1)
     with pytest.raises(ValueError, match="unknown schedule"):
         optim.make_schedule({"kind": "sawtooth", "lr": 1.0})
+
+
+def test_weight_decay_exclusion_mask():
+    opt = optim.momentum(1.0, 0.0, weight_decay=0.1,
+                         weight_decay_exclude=optim.norm_and_bias_exclusion)
+    p = {"conv": {"w": jnp.ones((3, 3, 4, 8)), "b": jnp.ones(8)},
+         "bn": {"gamma": jnp.ones(8), "beta": jnp.ones(8)}}
+    g = jax.tree.map(jnp.zeros_like, p)
+    p2, _ = opt.update(g, opt.init(p), p, jnp.asarray(0))
+    np.testing.assert_allclose(p2["conv"]["w"], 0.9, rtol=1e-6)
+    for scope, name in (("conv", "b"), ("bn", "gamma"), ("bn", "beta")):
+        np.testing.assert_allclose(p2[scope][name], 1.0)
