@@ -49,7 +49,11 @@ def make_optimizer(opt_cfg: dict) -> optim_lib.Optimizer:
         lr = optim_lib.make_schedule(lr)
     if opt_cfg.pop("wd_exclude_norms", False):
         opt_cfg["weight_decay_exclude"] = optim_lib.norm_and_bias_exclusion
-    return optim_lib.make_optimizer(name, lr, **opt_cfg)
+    clip = opt_cfg.pop("clip_norm", None)
+    opt = optim_lib.make_optimizer(name, lr, **opt_cfg)
+    if clip:
+        opt = optim_lib.with_gradient_clipping(opt, float(clip))
+    return opt
 
 
 def make_augment(aug_cfg: dict | None) -> AugmentConfig | None:

@@ -287,3 +287,43 @@ def make_schedule(cfg: dict) -> Schedule:
         raise ValueError(
             f"unknown schedule {kind!r}; valid: {sorted(table)}") from e
     return warmup(sched, warmup_steps)
+
+
+# ------------------------------------------------------------- gradient ops
+
+def global_norm(tree) -> jax.Array:
+    leaves = [jnp.sum(jnp.square(x.astype(jnp.float32)))
+              for x in jax.tree.leaves(tree)]
+    return jnp.sqrt(jnp.sum(jnp.stack(leaves)))
+
+
+def clip_by_global_norm(grads, max_norm: float):
+    """Scale the whole gradient tree so its global L2 norm <= max_norm."""
+    norm = global_norm(grads)
+    scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
+    return jax.tree.map(lambda g: (g.astype(jnp.float32) * scale
+                                   ).astype(g.dtype), grads), norm
+
+
+def with_gradient_clipping(opt: Optimizer, max_norm: float) -> Optimizer:
+    """Wrap an optimizer so updates see globally-clipped gradients."""
+
+    def update(grads, opt_state, params, step):
+        clipped, _ = clip_by_global_norm(grads, max_norm)
+        return opt.update(clipped, opt_state, params, step)
+
+    return Optimizer(opt.init, update)
+
+
+# ------------------------------------------------- parameter EMA (eval-time)
+
+def ema_init(params):
+    return jax.tree.map(lambda p: p.astype(jnp.float32), params)
+
+
+def ema_update(ema_params, params, decay: float = 0.999):
+    """Polyak averaging of parameters (evaluate/serve with the EMA copy —
+    the tf.train.ExponentialMovingAverage pattern of the reference era)."""
+    return jax.tree.map(
+        lambda e, p: decay * e + (1.0 - decay) * p.astype(jnp.float32),
+        ema_params, params)

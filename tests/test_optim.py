@@ -123,3 +123,31 @@ def test_weight_decay_exclusion_mask():
     np.testing.assert_allclose(p2["conv"]["w"], 0.9, rtol=1e-6)
     for scope, name in (("conv", "b"), ("bn", "gamma"), ("bn", "beta")):
         np.testing.assert_allclose(p2[scope][name], 1.0)
+
+
+def test_clip_by_global_norm():
+    g = {"a": {"w": jnp.asarray([3.0, 4.0])}}  # norm 5
+    clipped, norm = optim.clip_by_global_norm(g, 1.0)
+    np.testing.assert_allclose(float(norm), 5.0, rtol=1e-6)
+    np.testing.assert_allclose(clipped["a"]["w"], [0.6, 0.8], rtol=1e-6)
+    # under the limit -> unchanged
+    same, _ = optim.clip_by_global_norm(g, 10.0)
+    np.testing.assert_allclose(same["a"]["w"], [3.0, 4.0])
+
+
+def test_with_gradient_clipping_descends():
+    opt = optim.with_gradient_clipping(optim.sgd(0.5), max_norm=1.0)
+    p = {"a": {"w": jnp.asarray([30.0, 40.0])}}
+    s = opt.init(p)
+    p2, _ = opt.update(p, s, p, jnp.asarray(0))  # grad = p, norm 50 -> clip
+    # step = 0.5 * unit vector
+    np.testing.assert_allclose(p2["a"]["w"], [30.0 - 0.5 * 0.6,
+                                              40.0 - 0.5 * 0.8], rtol=1e-5)
+
+
+def test_ema():
+    p = {"a": {"w": jnp.asarray(1.0)}}
+    e = optim.ema_init(p)
+    p2 = {"a": {"w": jnp.asarray(2.0)}}
+    e2 = optim.ema_update(e, p2, decay=0.9)
+    np.testing.assert_allclose(float(e2["a"]["w"]), 1.1, rtol=1e-6)
