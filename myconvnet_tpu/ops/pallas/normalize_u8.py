@@ -23,7 +23,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(x_ref, scale_ref, shift_ref, o_ref):
-    x = x_ref[:].astype(jnp.float32)
+    # Mosaic has no direct uint8->f32 cast; widen through int32 (values
+    # 0..255 are exactly representable either way)
+    x = x_ref[:].astype(jnp.int32).astype(jnp.float32)
     o_ref[:] = (x * scale_ref[:] + shift_ref[:]).astype(o_ref.dtype)
 
 
