@@ -1,0 +1,49 @@
+"""Entry-script CLI smoke tests (subprocess, CPU)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, timeout=600):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = ""  # train.py --platform cpu does the switch
+    return subprocess.run([sys.executable] + args, cwd=REPO,
+                          capture_output=True, text=True, timeout=timeout,
+                          env=env)
+
+
+@pytest.mark.slow
+def test_train_test_cli_roundtrip(tmp_path):
+    out = str(tmp_path / "run")
+    r = _run(["train.py", "--config", "configs/cifar10_smallnet.py",
+              "--synthetic", "--steps", "30", "--batch", "32",
+              "--val_every", "0", "--platform", "cpu", "--out", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "final val accuracy" in r.stdout
+    r2 = _run(["test.py", "--config", "configs/cifar10_smallnet.py",
+               "--ckpt", out, "--synthetic", "--batch", "32",
+               "--platform", "cpu"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "accuracy:" in r2.stdout
+
+
+@pytest.mark.slow
+def test_bench_smoke_cli():
+    env = dict(os.environ)
+    env["BENCH_SMOKE"] = "1"
+    env["JAX_PLATFORMS"] = ""
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "import bench; bench.main()")
+    r = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = r.stdout.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["metric"] == "resnet50_train_images_per_sec_per_chip"
+    assert rec["value"] > 0 and "vs_baseline" in rec
