@@ -172,3 +172,18 @@ def test_alexnet_param_count():
     _, params, _ = _build(f, x)
     n = _n_params(params) / 1e6
     assert abs(n - 61.10) < 0.2, n
+
+
+def test_resnet_s2d_stem():
+    x = jax.random.normal(jax.random.key(0), (2, 64, 64, 3))
+
+    def f(x, train):
+        return models.resnet(x, 10, 18, train=train, stem="s2d")
+
+    net, params, state = _build(f, x, True)
+    assert params["stem/conv"]["w"].shape == (4, 4, 12, 64)
+    y, _ = net.apply(params, state, None, x, True)
+    assert y.shape == (2, 10)
+    g = jax.grad(lambda p: float(0) + jnp.sum(
+        net.apply(p, state, None, x, True)[0] ** 2))(params)
+    assert np.isfinite(np.asarray(g["stem/conv"]["w"])).all()
