@@ -26,6 +26,19 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache():
+    """First compile of the step via this environment's remote-compile
+    relay takes 5-15 min; the persistent cache makes repeats instant."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         "/root/.jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def build_step(batch, hw, num_classes, smoke=False):
     import jax
     import jax.numpy as jnp
@@ -170,6 +183,7 @@ def measure_augmentation(batch=256, hw=(224, 224)):
 def main():
     import jax
 
+    _enable_compile_cache()
     batch, ips, step_time, flops, loss = run_bench()
     from myconvnet_tpu.utils.mfu import device_peak_flops
 
