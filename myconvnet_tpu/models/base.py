@@ -130,9 +130,13 @@ class ConvNet:
               optimizer: optim_lib.Optimizer | None = None,
               evaluator: Evaluator | None = None, val_every: int = 0,
               early_stop_patience: int = 0) -> TrainState:
-        if optimizer is not None:
+        if optimizer is not None and optimizer is not getattr(
+                self, "_optimizer", None):
+            # a genuinely different optimizer invalidates opt state; the
+            # same object (e.g. the resume flow: build(opt) -> restore ->
+            # train(opt)) keeps the restored state
             self._optimizer = optimizer
-            self.state = None  # rebuild with new opt state
+            self.state = None
         self.build(getattr(self, "_optimizer", None))
         evaluator = evaluator or AccuracyEvaluator()
         trainer = self._make_trainer(evaluator)

@@ -47,3 +47,20 @@ def test_bench_smoke_cli():
     rec = json.loads(line)
     assert rec["metric"] == "resnet50_train_images_per_sec_per_chip"
     assert rec["value"] > 0 and "vs_baseline" in rec
+
+
+@pytest.mark.slow
+def test_train_resume_continues_step_counter(tmp_path):
+    out = str(tmp_path / "run")
+    base = ["train.py", "--config", "configs/cifar10_smallnet.py",
+            "--synthetic", "--batch", "16", "--val_every", "0",
+            "--platform", "cpu", "--out", out]
+    r1 = _run(base + ["--steps", "10"])
+    assert r1.returncode == 0, r1.stderr[-1500:]
+    r2 = _run(base + ["--steps", "20", "--resume"])
+    assert r2.returncode == 0, r2.stderr[-1500:]
+    assert "resumed from step 10" in r2.stdout
+    # the resumed run's training log starts past step 10
+    import re
+    steps = [int(m) for m in re.findall(r"\[step (\d+)\]", r2.stdout)]
+    assert steps and min(steps) > 10

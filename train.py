@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--val_every", type=int, default=None)
     ap.add_argument("--mesh", action="store_true",
                     help="train data-parallel over all visible devices")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the latest checkpoint in --out")
     ap.add_argument("--platform", default=None,
                     help="force jax platform (e.g. cpu)")
     args = ap.parse_args()
@@ -58,6 +60,12 @@ def main():
                                       ckpt_dir=out, log_dir=out, mesh=mesh)
     evaluator = recipes.build_evaluator(cfg)
     optimizer = recipes.make_optimizer(cfg["optimizer"])
+    if args.resume:
+        from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
+        if ckpt_lib.latest_checkpoint(out):
+            net.build(optimizer)
+            net.restore(out)
+            print(f"resumed from step {int(net.state.step)}")
     net.train(train_set, val_set, batch_size=cfg["batch_size"],
               total_steps=cfg["total_steps"], optimizer=optimizer,
               evaluator=evaluator, val_every=cfg.get("val_every", 0),
@@ -68,6 +76,11 @@ def main():
     net.save()
 
 
+def ckpt_lib_latest(out):
+    from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
+    return ckpt_lib.latest_checkpoint(out)
+
+
 def run_gan(cfg, args, out):
     from myconvnet_tpu import recipes
     from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
@@ -75,14 +88,23 @@ def run_gan(cfg, args, out):
 
     state, step, data_iter_fn, kind = recipes.build_gan(
         cfg, synthetic=args.synthetic)
+    if args.resume and ckpt_lib_latest(out):
+        restored = __import__(
+            "myconvnet_tpu.ckpt.checkpoint",
+            fromlist=["restore_checkpoint"]).restore_checkpoint(
+                out, state._asdict())
+        state = type(state)(**restored)
+        print(f"resumed GAN from step {int(state.step)}")
     logger = MetricLogger(log_dir=out, name=f"gan_{kind}")
     log_every = cfg.get("log_every", 100)
     total = cfg["total_steps"]
     it = data_iter_fn()
+    start = int(state.step)
     for i, batch in enumerate(it):
-        if i >= total:
+        if start + i >= total:
             break
         state, metrics = step(state, batch)
+        i = start + i
         if (i + 1) % log_every == 0:
             logger.log(i + 1, {k: float(v) for k, v in metrics.items()})
             ckpt_lib.save_checkpoint(out, i + 1, state._asdict(), keep=2)
