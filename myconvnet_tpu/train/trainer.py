@@ -166,8 +166,16 @@ class Trainer:
         pending = None  # (step_idx, metrics) fetched with 1-step lag
         t0 = time.perf_counter()
         window = 0
+        input_wait = 0.0  # host time blocked on the data iterator
 
-        for x, y in train_iter:
+        it = iter(train_iter)
+        while True:
+            t_in = time.perf_counter()
+            try:
+                x, y = next(it)
+            except StopIteration:
+                break
+            input_wait += time.perf_counter() - t_in
             step_idx = int(state.step)  # host-side mirror (cheap: scalar)
             if step_idx >= total_steps:
                 break
@@ -175,8 +183,9 @@ class Trainer:
             state, metrics = self._train_step(state, batch)
             window += x.shape[0]
             if pending is not None and (pending[0] % self.log_every == 0):
-                self._log_train(pending[0], pending[1], window, t0)
-                window, t0 = 0, time.perf_counter()
+                self._log_train(pending[0], pending[1], window, t0,
+                                input_wait)
+                window, t0, input_wait = 0, time.perf_counter(), 0.0
             pending = (step_idx + 1, metrics)
 
             if (val_every and (step_idx + 1) % val_every == 0
@@ -195,16 +204,19 @@ class Trainer:
                     self.logger.log(step_idx + 1, {"early_stop": 1.0})
                     break
         if pending is not None:
-            self._log_train(pending[0], pending[1], window, t0)
+            self._log_train(pending[0], pending[1], window, t0, input_wait)
         if self.ckpt_dir and not val_every:
             self.save(state)
         return state
 
-    def _log_train(self, step, metrics, window, t0):
+    def _log_train(self, step, metrics, window, t0, input_wait=0.0):
         host = {k: float(v) for k, v in metrics.items()}
         dt = time.perf_counter() - t0
         if window and dt > 0:
             host["images_per_sec"] = window / dt
+            # fraction of wall time the host sat waiting on input — the
+            # north-star "input-bound stall" indicator (target ~0)
+            host["input_wait_frac"] = input_wait / dt
             if self._step_flops:
                 from myconvnet_tpu.utils.mfu import device_peak_flops
                 n_dev = (self.mesh.size if self.mesh is not None

@@ -146,3 +146,40 @@ def test_model_axis_sharded_dense_matches():
     out = f(xs, ws)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4,
                                atol=2e-4)
+
+
+def test_gan_step_sharded_matches_single_device():
+    """The fused dual-optimizer GAN step under batch sharding must match
+    the unsharded update (GSPMD covers the GAN path too)."""
+    from myconvnet_tpu import models
+    from myconvnet_tpu.train import gan
+
+    mesh = make_mesh()
+    gen = transform(lambda z, train: models.dcgan_generator(
+        z, train=train, image_size=16, base_features=32))
+    disc = transform(lambda x, train: models.dcgan_discriminator(
+        x, train=train, base_features=16))
+    g_opt = optim.adam(2e-4, b1=0.5)
+    d_opt = optim.adam(2e-4, b1=0.5)
+
+    def make_state():
+        return gan.init_gan_state(gen, disc, g_opt, d_opt,
+                                  jax.random.key(0), jnp.zeros((8, 32)),
+                                  (jnp.zeros((8, 16, 16, 3)),))
+
+    step = gan.make_dcgan_step(gen, disc, g_opt, d_opt, latent_dim=32)
+    real = jax.random.uniform(jax.random.key(1), (8, 16, 16, 3)) * 2 - 1
+
+    ref_state, ref_m = step(make_state(), real)
+    ref_g = jax.tree.map(np.asarray, ref_state.g_params)
+
+    sh_state = jax.device_put(make_state(), NamedSharding(mesh, P()))
+    real_sh = shard_batch(mesh, (real,))[0]
+    out_state, out_m = step(sh_state, real_sh)
+    np.testing.assert_allclose(float(out_m["d_loss"]),
+                               float(ref_m["d_loss"]), rtol=1e-4)
+    for scope in ref_g:
+        for name in ref_g[scope]:
+            np.testing.assert_allclose(
+                np.asarray(out_state.g_params[scope][name]),
+                ref_g[scope][name], rtol=2e-4, atol=2e-5)
