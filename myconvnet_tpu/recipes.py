@@ -124,8 +124,12 @@ def build_segmenter(cfg: dict, synthetic: bool = False,
     def _make_trainer(evaluator, _orig=net._make_trainer):
         t = _orig(evaluator)
         if aug is not None:
+            from myconvnet_tpu.data.augment import augment_eval
             t.augment_fn = lambda k, x, y: augment_train_pair(k, x, y, aug)
             t.eval_augment_fn = lambda x, y: augment_eval_pair(x, y, aug)
+            # predict takes images only (no mask to pair-transform)
+            t.predict_augment_fn = lambda x: augment_eval(
+                x, aug, crop_fraction=1.0)
             t._build_steps()
         return t
 

@@ -71,6 +71,7 @@ class Trainer:
     # transforms (segmentation masks) share the random geometry
     augment_fn: Callable | None = None
     eval_augment_fn: Callable | None = None   # (x, y) -> (x, y)
+    predict_augment_fn: Callable | None = None  # (x) -> x (inference)
     evaluator: Evaluator | None = None
     ckpt_dir: str | None = None
     keep_checkpoints: int = 3
@@ -135,15 +136,27 @@ class Trainer:
                                     x, False)
             return logits, y
 
-        donate = {"donate_argnums": (0,)}
-        if self.mesh is not None:
-            # Let GSPMD propagate from sharded inputs; pin nothing except
-            # keeping the state's sharding stable across steps.
-            self._train_step = jax.jit(train_step, **donate)
-            self._eval_step = jax.jit(eval_step)
-        else:
-            self._train_step = jax.jit(train_step, **donate)
-            self._eval_step = jax.jit(eval_step)
+        predict_augment_fn = self.predict_augment_fn
+        if predict_augment_fn is None and eval_augment_fn is not None:
+            # default: run the eval transform with dummy int labels and
+            # keep only x (correct for label-independent transforms;
+            # paired/segmentation recipes set predict_augment_fn
+            # explicitly to an image-only transform)
+            def predict_augment_fn(x, _fn=eval_augment_fn):
+                dummy = jnp.zeros((x.shape[0],), jnp.int32)
+                return _fn(x, dummy)[0]
+
+        def predict_step(state: TrainState, x):
+            if predict_augment_fn is not None:
+                x = predict_augment_fn(x)
+            logits, _ = model.apply(state.params, state.model_state, None,
+                                    x, False)
+            return logits
+
+        # GSPMD propagates from sharded inputs in both layouts.
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._eval_step = jax.jit(eval_step)
+        self._predict_step = jax.jit(predict_step)
 
     # ------------------------------------------------------------- running
 
@@ -167,6 +180,10 @@ class Trainer:
         t0 = time.perf_counter()
         window = 0
         input_wait = 0.0  # host time blocked on the data iterator
+        # host-side step mirror: int(state.step) per iteration would sync
+        # the host to every device step and kill async dispatch; read the
+        # device counter once (resume support) and count locally after.
+        step_idx = int(state.step)
 
         it = iter(train_iter)
         while True:
@@ -176,22 +193,22 @@ class Trainer:
             except StopIteration:
                 break
             input_wait += time.perf_counter() - t_in
-            step_idx = int(state.step)  # host-side mirror (cheap: scalar)
             if step_idx >= total_steps:
                 break
             batch = self.shard_batch((x, y))
             state, metrics = self._train_step(state, batch)
+            step_idx += 1
             window += x.shape[0]
             if pending is not None and (pending[0] % self.log_every == 0):
                 self._log_train(pending[0], pending[1], window, t0,
                                 input_wait)
                 window, t0, input_wait = 0, time.perf_counter(), 0.0
-            pending = (step_idx + 1, metrics)
+            pending = (step_idx, metrics)
 
-            if (val_every and (step_idx + 1) % val_every == 0
+            if (val_every and step_idx % val_every == 0
                     and val_iter_fn is not None and self.evaluator):
                 score = self.evaluate(state, val_iter_fn())
-                self.logger.log(step_idx + 1,
+                self.logger.log(step_idx,
                                 {f"val_{self.evaluator.name}": score})
                 improved = self.evaluator.is_better(score, best)
                 if improved:
@@ -201,7 +218,7 @@ class Trainer:
                 if self.ckpt_dir:
                     self.save(state, metric=score, is_best=improved)
                 if early_stop_patience and bad_rounds >= early_stop_patience:
-                    self.logger.log(step_idx + 1, {"early_stop": 1.0})
+                    self.logger.log(step_idx, {"early_stop": 1.0})
                     break
         if pending is not None:
             self._log_train(pending[0], pending[1], window, t0, input_wait)
@@ -272,10 +289,9 @@ class Trainer:
         """Yield per-batch predictions (reference ConvNet.predict)."""
         for batch in data_iter:
             x = batch[0] if isinstance(batch, tuple) else batch
-            dummy_y = jnp.zeros((x.shape[0],), jnp.int32)
-            logits, _ = self._eval_step(state,
-                                        self.shard_batch((x, dummy_y)))
-            yield jax.device_get(logits)
+            if self.mesh is not None:
+                x = mesh_lib.shard_batch(self.mesh, (x,))[0]
+            yield jax.device_get(self._predict_step(state, x))
 
     # -------------------------------------------------------- checkpointing
 

@@ -74,3 +74,18 @@ def test_segmentation_recipe_trains():
     assert int(state.step) == 3
     miou = net.evaluate(val_set, evaluator, batch_size=2)
     assert 0.0 <= miou <= 1.0
+
+
+def test_segmenter_predict_images_only():
+    """ConvNet.predict on a segmentation net takes raw images (no masks)."""
+    from myconvnet_tpu import recipes
+    import numpy as np
+    cfg = recipes.load_config("configs/voc_deeplabv3plus.py",
+                              total_steps=1, batch_size=2)
+    cfg["model_kwargs"] = dict(backbone_depth=18, output_stride=16)
+    cfg["precision"] = "f32"
+    net, train_set, _ = recipes.build_segmenter(cfg, synthetic=True)
+    net.build(recipes.make_optimizer(cfg["optimizer"]))
+    imgs = train_set.source.images[:3]
+    out = net.predict(imgs, batch_size=2)
+    assert out.shape == (3, 96, 96, 21)
