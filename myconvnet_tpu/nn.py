@@ -26,8 +26,10 @@ from myconvnet_tpu.core.module import (auto_name, current_scope_in_params,
 from myconvnet_tpu.core.precision import current_policy
 from myconvnet_tpu.ops.batch_norm import (batch_norm_inference,
                                           batch_norm_train)
+from myconvnet_tpu.core.quantize import int8_active
 from myconvnet_tpu.ops.conv import (conv2d, conv2d_transpose,
                                     depthwise_conv2d)
+from myconvnet_tpu.ops.quantized import qconv2d, qdense
 from myconvnet_tpu.ops.pool import avg_pool2d, global_avg_pool, max_pool2d
 
 _IntOrPair = Union[int, Sequence[int]]
@@ -52,9 +54,13 @@ def conv(x: jax.Array, features: int, kernel_size: _IntOrPair, *,
     with scope(auto_name(name)):
         w = param("w", (kh, kw, cin // groups, features), pol.param_dtype,
                   w_init or init.he_normal())
-        y = conv2d(pol.cast_to_compute(x), pol.cast_to_compute(w),
-                   stride=stride, padding=padding, dilation=dilation,
-                   groups=groups, precision=pol.lax_precision)
+        if int8_active():
+            y = qconv2d(x, w, stride=stride, padding=padding,
+                        dilation=dilation, groups=groups)
+        else:
+            y = conv2d(pol.cast_to_compute(x), pol.cast_to_compute(w),
+                       stride=stride, padding=padding, dilation=dilation,
+                       groups=groups, precision=pol.lax_precision)
         # pick up a bias injected by BN folding even when the model was
         # written with use_bias=False (models/folding.py)
         if use_bias or param_exists("b"):
@@ -112,10 +118,13 @@ def dense(x: jax.Array, features: int, *, use_bias: bool = True,
     with scope(auto_name(name)):
         w = param("w", (cin, features), pol.param_dtype,
                   w_init or init.glorot_uniform())
-        # no preferred_element_type: breaks dot/conv transpose rules
-        # under bf16; TPU accumulates bf16 matmuls in f32 regardless
-        y = jnp.dot(pol.cast_to_compute(x), pol.cast_to_compute(w),
-                    precision=pol.lax_precision)
+        if int8_active():
+            y = qdense(x, w)
+        else:
+            # no preferred_element_type: breaks dot/conv transpose rules
+            # under bf16; TPU accumulates bf16 matmuls in f32 regardless
+            y = jnp.dot(pol.cast_to_compute(x), pol.cast_to_compute(w),
+                        precision=pol.lax_precision)
         if use_bias:
             b = param("b", (features,), pol.param_dtype, init.zeros)
             y = y + pol.cast_to_compute(b)

@@ -1,0 +1,83 @@
+"""Int8 inference ops: quantized conv/dense on the MXU.
+
+A serving-path extension beyond the reference's scope: TPU MXUs run
+int8 x int8 -> int32 at 2x the bf16 rate, and int8 weights halve the
+weight-memory footprint vs bf16.  Scheme: symmetric per-output-channel
+weight quantization + dynamic per-tensor activation quantization, all
+expressed in-graph so XLA constant-folds the weight quantization when
+the weights are closed over (serving.make_inference_fn).
+
+    y = conv_int8(q(x), q(w)) * (sx * sw[c])      (int32 accumulation)
+
+Accuracy: symmetric int8 with per-channel weight scales typically costs
+<1% top-1 on ImageNet classifiers; validate per-model with
+``quantization_error`` before serving.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from myconvnet_tpu.ops.conv import DIMENSION_NUMBERS, _pair
+
+
+def quantize_tensor(x: jax.Array, axis=None) -> tuple[jax.Array, jax.Array]:
+    """Symmetric int8 quantization. axis=None -> per-tensor scale;
+    axis=int -> per-slice scales along that axis (weights: last axis)."""
+    xf = x.astype(jnp.float32)
+    if axis is None:
+        absmax = jnp.max(jnp.abs(xf))
+        scale = jnp.maximum(absmax, 1e-8) / 127.0
+        q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+        return q, scale
+    reduce_axes = tuple(i for i in range(x.ndim) if i != (axis % x.ndim))
+    absmax = jnp.max(jnp.abs(xf), axis=reduce_axes, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale.reshape(-1)  # [size of axis]
+
+
+def qconv2d(x: jax.Array, w: jax.Array, *, stride=1, padding="SAME",
+            dilation=1, groups: int = 1) -> jax.Array:
+    """f32/bf16 in -> int8 MXU conv -> f32 out.
+
+    x: [N,H,W,Cin]; w: [kh,kw,Cin//groups,Cout] float.  Activation scale
+    is dynamic per-tensor; weight scales are per-output-channel.
+    """
+    qx, sx = quantize_tensor(x)
+    qw, sw = quantize_tensor(w, axis=-1)
+    acc = lax.conv_general_dilated(
+        qx, qw,
+        window_strides=_pair(stride),
+        padding=padding,
+        rhs_dilation=_pair(dilation),
+        dimension_numbers=DIMENSION_NUMBERS,
+        feature_group_count=groups,
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * (sx * sw)
+
+
+def qdense(x: jax.Array, w: jax.Array) -> jax.Array:
+    """f32/bf16 in -> int8 MXU matmul -> f32 out. w: [Cin, Cout]."""
+    qx, sx = quantize_tensor(x)
+    qw, sw = quantize_tensor(w, axis=-1)
+    acc = lax.dot_general(qx, qw, (((qx.ndim - 1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (sx * sw)
+
+
+def quantization_error(model, params, state, sample_x,
+                       make_int8_fn) -> dict:
+    """Compare f32 vs int8 inference outputs: returns max-abs logit delta
+    and top-1 agreement fraction (the pre-serving validation gate)."""
+    y_ref, _ = model.apply(params, state, None, sample_x, False)
+    y_q = make_int8_fn(sample_x)
+    y_ref = jnp.asarray(y_ref, jnp.float32)
+    y_q = jnp.asarray(y_q, jnp.float32)
+    agree = jnp.mean((jnp.argmax(y_ref, -1) ==
+                      jnp.argmax(y_q, -1)).astype(jnp.float32))
+    return {"max_abs_delta": float(jnp.max(jnp.abs(y_ref - y_q))),
+            "top1_agreement": float(agree)}

@@ -1,0 +1,88 @@
+"""Int8 inference path: quantized ops numerics + whole-model agreement."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from myconvnet_tpu import models
+from myconvnet_tpu.core import transform
+from myconvnet_tpu.core.quantize import int8_scope
+from myconvnet_tpu.ops.quantized import (qconv2d, qdense, quantize_tensor,
+                                         quantization_error)
+
+
+def test_quantize_tensor_roundtrip():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(8, 16).astype(np.float32) * 3)
+    q, s = quantize_tensor(x)
+    deq = q.astype(jnp.float32) * s
+    assert q.dtype == jnp.int8
+    # worst-case error is half a quantization step
+    assert float(jnp.max(jnp.abs(deq - x))) <= float(s) * 0.5 + 1e-6
+
+
+def test_quantize_per_channel():
+    rng = np.random.RandomState(1)
+    w = rng.randn(3, 3, 4, 8).astype(np.float32)
+    w[..., 0] *= 100.0  # wildly different channel scales
+    q, s = quantize_tensor(jnp.asarray(w), axis=-1)
+    assert s.shape == (8,)
+    deq = q.astype(jnp.float32) * s.reshape(1, 1, 1, 8)
+    rel = np.abs(np.asarray(deq) - w).max(axis=(0, 1, 2)) / \
+        np.abs(w).max(axis=(0, 1, 2))
+    assert rel.max() < 0.005  # per-channel keeps relative error tiny
+
+
+def test_qconv_close_to_f32():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(2, 8, 8, 16).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 16, 32).astype(np.float32) * 0.1)
+    from myconvnet_tpu.ops import conv2d
+    ref = conv2d(x, w, precision="highest")
+    q = qconv2d(x, w)
+    rel = float(jnp.max(jnp.abs(q - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel < 0.03, rel
+
+
+def test_qdense_close_to_f32():
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(4, 64).astype(np.float32))
+    w = jnp.asarray(rng.randn(64, 32).astype(np.float32))
+    ref = jnp.dot(x, w, precision="highest")
+    q = qdense(x, w)
+    rel = float(jnp.max(jnp.abs(q - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel < 0.03, rel
+
+
+def test_int8_model_top1_agreement():
+    """Whole smallnet through int8_scope: top-1 must agree with f32 on
+    clearly-classified inputs (trained net on separable synthetic data)."""
+    from myconvnet_tpu.subsets import cifar10
+    from myconvnet_tpu.train import optim
+    from myconvnet_tpu.train.losses import softmax_cross_entropy
+    from myconvnet_tpu.train.trainer import Trainer, init_train_state
+    from myconvnet_tpu.data.pipeline import ArraySource, DataSet
+
+    model = transform(lambda x, train=False: models.smallnet(
+        x, 10, train=train, width=8, dropout_rate=0.0))
+    opt = optim.momentum(0.05, 0.9)
+    t = Trainer(model=model, optimizer=opt,
+                loss_fn=softmax_cross_entropy)
+    t.logger.stdout = False
+    state = init_train_state(model, opt, jax.random.key(0),
+                             jnp.zeros((16, 32, 32, 3)))
+    imgs, labels = cifar10.synthetic_subset(64, 0)
+    ds = DataSet(ArraySource(imgs.astype(np.float32) / 255.0, labels))
+    state = t.fit(state, ds.train_iter(16, prefetch=0), total_steps=40)
+
+    x = jnp.asarray(imgs[:32].astype(np.float32) / 255.0)
+
+    def int8_fn(x):
+        with int8_scope():
+            y, _ = model.apply(state.params, state.model_state, None, x,
+                               False)
+        return y
+
+    report = quantization_error(model, state.params, state.model_state,
+                                x, int8_fn)
+    assert report["top1_agreement"] >= 0.9, report
