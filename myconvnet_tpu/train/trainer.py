@@ -81,6 +81,10 @@ class Trainer:
     # activations to ~inputs-only at ~1.3x FLOPs — the TPU lever for big
     # batches and 513x513 segmentation where HBM, not MXU, is scarce
     remat: bool = False
+    # write checkpoints on a background thread (device->host readback of
+    # the full state can take seconds on slow links; jax arrays are
+    # immutable, so a snapshot taken while training continues is safe)
+    async_checkpoints: bool = True
 
     _train_step: Callable = field(init=False, default=None)
     _eval_step: Callable = field(init=False, default=None)
@@ -224,6 +228,7 @@ class Trainer:
             self._log_train(pending[0], pending[1], window, t0, input_wait)
         if self.ckpt_dir and not val_every:
             self.save(state)
+        self.wait_for_saves()
         return state
 
     def _log_train(self, step, metrics, window, t0, input_wait=0.0):
@@ -295,15 +300,39 @@ class Trainer:
 
     # -------------------------------------------------------- checkpointing
 
+    _save_thread: Any = None
+
     def save(self, state: TrainState, metric: float | None = None,
              is_best: bool = False) -> str:
         assert self.ckpt_dir
-        return ckpt_lib.save_checkpoint(
-            self.ckpt_dir, int(state.step), state._asdict(),
-            keep=self.keep_checkpoints, metric=metric, is_best=is_best)
+        step = int(state.step)
+        if not self.async_checkpoints:
+            return ckpt_lib.save_checkpoint(
+                self.ckpt_dir, step, state._asdict(),
+                keep=self.keep_checkpoints, metric=metric, is_best=is_best)
+        # at most one save in flight; join the previous before snapshotting
+        self.wait_for_saves()
+        import threading
+
+        def _write(snapshot=state._asdict(), step=step, metric=metric,
+                   is_best=is_best):
+            ckpt_lib.save_checkpoint(self.ckpt_dir, step, snapshot,
+                                     keep=self.keep_checkpoints,
+                                     metric=metric, is_best=is_best)
+
+        self._save_thread = threading.Thread(target=_write, daemon=True)
+        self._save_thread.start()
+        import os
+        return os.path.join(self.ckpt_dir, f"ckpt-{step}.npz")
+
+    def wait_for_saves(self) -> None:
+        if self._save_thread is not None:
+            self._save_thread.join()
+            self._save_thread = None
 
     def restore(self, state_template: TrainState,
                 path: str | None = None) -> TrainState:
+        self.wait_for_saves()
         assert self.ckpt_dir or path
         target = state_template._asdict()
         restored = ckpt_lib.restore_checkpoint(path or self.ckpt_dir, target)

@@ -92,3 +92,16 @@ def test_plot_curves(tmp_path):
     out = plot_curves(p)
     import os
     assert os.path.exists(out) and os.path.getsize(out) > 1000
+
+
+def test_async_checkpoint_save(tmp_path):
+    from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
+    t, state = _setup(False)
+    t.ckpt_dir = str(tmp_path)
+    t.async_checkpoints = True
+    t.save(state, metric=0.5, is_best=True)
+    t.wait_for_saves()
+    assert ckpt_lib.latest_checkpoint(str(tmp_path))
+    assert ckpt_lib.best_checkpoint(str(tmp_path))
+    restored = t.restore(state)
+    assert int(restored.step) == int(state.step)
