@@ -215,12 +215,16 @@ def build_gan(cfg: dict, synthetic: bool = False):
                                          cfg.get("l1_weight", 100.0))
 
         def data_iter():
-            # synthetic pairs: target = color-inverted input
-            rng = np.random.RandomState(cfg.get("seed", 0))
-            while True:
-                a = rng.rand(batch, size, size, 3).astype(np.float32)
-                a = a * 2.0 - 1.0
-                yield (a, -a)
+            from myconvnet_tpu.subsets import pairs
+            src = pairs.make_source(
+                cfg.get("data_dir"), "train",
+                synthetic=synthetic or cfg.get("data_dir") is None,
+                raw_hw=(size, size))
+            ds = DataSet(src, seed=cfg.get("seed", 0))
+            for a, b in ds.train_iter(batch):
+                a = np.asarray(a, np.float32) / 127.5 - 1.0
+                b = np.asarray(b, np.float32) / 127.5 - 1.0
+                yield (a, b)
 
         return state, step, data_iter, kind
 

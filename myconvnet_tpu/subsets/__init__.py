@@ -1,3 +1,3 @@
-from myconvnet_tpu.subsets import cifar10, imagenet, voc
+from myconvnet_tpu.subsets import cifar10, imagenet, pairs, voc
 
-__all__ = ["cifar10", "imagenet", "voc"]
+__all__ = ["cifar10", "imagenet", "pairs", "voc"]

@@ -107,3 +107,48 @@ def test_file_source_decodes(tmp_path):
     x, y = src.get_batch(np.asarray([0, 2]))
     assert x.shape == (2, 8, 8, 3) and x.dtype == np.uint8
     np.testing.assert_array_equal(y, [0, 2])
+
+
+def test_pairs_synthetic_and_file_layouts(tmp_path):
+    from myconvnet_tpu.subsets import pairs
+    import PIL.Image
+    # synthetic: inverted targets
+    a, b = pairs.synthetic_subset(4, (16, 16))
+    np.testing.assert_array_equal(b, 255 - a)
+    # combined layout: one 2W-wide image per example
+    d = tmp_path / "train"
+    d.mkdir()
+    for i in range(3):
+        arr = np.zeros((10, 20, 3), np.uint8)
+        arr[:, :10] = i * 10       # A half
+        arr[:, 10:] = 255 - i * 10  # B half
+        PIL.Image.fromarray(arr).save(d / f"p{i}.png")
+    src = pairs.make_source(str(tmp_path), "train", raw_hw=(10, 10))
+    xa, xb = src.get_batch(np.asarray([0, 2]))
+    assert xa.shape == (2, 10, 10, 3) and xb.shape == (2, 10, 10, 3)
+    np.testing.assert_array_equal(xa[0], 0)
+    np.testing.assert_array_equal(xb[0], 255)
+    # two-dir layout
+    for side in ("A", "B"):
+        (tmp_path / side / "train").mkdir(parents=True)
+        for i in range(2):
+            PIL.Image.new("RGB", (8, 8), (i, 0, 0)).save(
+                tmp_path / side / "train" / f"x{i}.png")
+    src2 = pairs.make_source(str(tmp_path), "train", raw_hw=(8, 8))
+    ya, yb = src2.get_batch(np.asarray([1]))
+    assert ya.shape == (1, 8, 8, 3)
+
+
+def test_pix2pix_recipe_data_iter():
+    from myconvnet_tpu import recipes
+    cfg = recipes.load_config("configs/pix2pix.py", batch_size=2)
+    cfg["image_size"] = 32
+    cfg["generator_kwargs"] = dict(base_features=8, n_levels=3)
+    cfg["discriminator_kwargs"] = dict(base_features=8, n_layers=2)
+    state, step, data_iter_fn, kind = recipes.build_gan(cfg,
+                                                        synthetic=True)
+    a, b = next(data_iter_fn())
+    assert a.shape == (2, 32, 32, 3) and b.shape == (2, 32, 32, 3)
+    assert a.min() >= -1.0 and a.max() <= 1.0
+    new_state, m = step(state, (a, b))
+    assert np.isfinite(float(m["g_l1"]))
