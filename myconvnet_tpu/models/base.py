@@ -58,6 +58,7 @@ class ConvNet:
                  num_classes: int = 10, precision: str = "f32",
                  loss_fn: Callable | None = None,
                  augment: AugmentConfig | None = None,
+                 paired_targets: bool = False,
                  mesh=None, use_mesh: bool = False,
                  seed: int = 0, ckpt_dir: str | None = None,
                  log_dir: str | None = None, **model_kwargs):
@@ -71,6 +72,9 @@ class ConvNet:
         self.loss_fn = loss_fn or (
             lambda logits, y: softmax_cross_entropy(logits, y))
         self.augment = augment
+        # paired_targets: labels are spatial masks sharing the random
+        # geometry (segmentation) — image gets bilinear, mask nearest
+        self.paired_targets = paired_targets
         self.mesh = mesh if mesh is not None else (
             mesh_lib.make_mesh() if use_mesh else None)
         self.seed = seed
@@ -113,15 +117,29 @@ class ConvNet:
     def _make_trainer(self, evaluator: Evaluator | None) -> Trainer:
         aug_fn = None
         eval_aug_fn = None
+        predict_fn = None
         if self.augment is not None:
             cfg = self.augment
-            aug_fn = lambda k, x, y: (augment_train(k, x, cfg), y)  # noqa: E731
-            eval_aug_fn = lambda x, y: (augment_eval(x, cfg), y)    # noqa: E731
+            if self.paired_targets:
+                from myconvnet_tpu.data.augment import (augment_eval_pair,
+                                                        augment_train_pair)
+                aug_fn = lambda k, x, y: augment_train_pair(  # noqa: E731
+                    k, x, y, cfg)
+                eval_aug_fn = lambda x, y: augment_eval_pair(  # noqa: E731
+                    x, y, cfg)
+                predict_fn = lambda x: augment_eval(  # noqa: E731
+                    x, cfg, crop_fraction=1.0)
+            else:
+                aug_fn = lambda k, x, y: (  # noqa: E731
+                    augment_train(k, x, cfg), y)
+                eval_aug_fn = lambda x, y: (  # noqa: E731
+                    augment_eval(x, cfg), y)
         return Trainer(
             model=self._transformed, optimizer=self._optimizer,
             loss_fn=self.loss_fn, mesh=self.mesh, augment_fn=aug_fn,
-            eval_augment_fn=eval_aug_fn, evaluator=evaluator,
-            ckpt_dir=self.ckpt_dir, logger=self.logger)
+            eval_augment_fn=eval_aug_fn, predict_augment_fn=predict_fn,
+            evaluator=evaluator, ckpt_dir=self.ckpt_dir,
+            logger=self.logger)
 
     # -------------------------------------------------------------- train
 

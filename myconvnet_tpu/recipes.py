@@ -17,8 +17,7 @@ import numpy as np
 from myconvnet_tpu import models
 from myconvnet_tpu.core import transform
 from myconvnet_tpu.core.precision import get_policy, policy_scope
-from myconvnet_tpu.data.augment import (AugmentConfig, augment_eval_pair,
-                                        augment_train_pair)
+from myconvnet_tpu.data.augment import AugmentConfig
 from myconvnet_tpu.data.pipeline import DataSet
 from myconvnet_tpu.eval.evaluators import (AccuracyEvaluator,
                                            MeanIoUEvaluator)
@@ -115,25 +114,9 @@ def build_segmenter(cfg: dict, synthetic: bool = False,
     net = ConvNet(model_fn, input_shape=(*aug.out_hw, 3),
                   num_classes=cfg["num_classes"],
                   precision=cfg.get("precision", "f32"), loss_fn=loss,
-                  augment=None,  # paired transforms wired below
+                  augment=aug, paired_targets=True,
                   mesh=mesh, seed=cfg.get("seed", 0), ckpt_dir=ckpt_dir,
                   log_dir=log_dir, **kwargs)
-    # paired augmentation hooks (image bilinear + mask nearest)
-    net._seg_augment = aug
-
-    def _make_trainer(evaluator, _orig=net._make_trainer):
-        t = _orig(evaluator)
-        if aug is not None:
-            from myconvnet_tpu.data.augment import augment_eval
-            t.augment_fn = lambda k, x, y: augment_train_pair(k, x, y, aug)
-            t.eval_augment_fn = lambda x, y: augment_eval_pair(x, y, aug)
-            # predict takes images only (no mask to pair-transform)
-            t.predict_augment_fn = lambda x: augment_eval(
-                x, aug, crop_fraction=1.0)
-            t._build_steps()
-        return t
-
-    net._make_trainer = _make_trainer
     train_src, val_src = make_sources(cfg, synthetic)
     return net, DataSet(train_src), DataSet(val_src)
 
