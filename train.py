@@ -74,6 +74,12 @@ def main():
                          batch_size=cfg["batch_size"])
     print(f"final val {evaluator.name}: {score:.4f}")
     net.save()
+    try:
+        from myconvnet_tpu.utils.plots import plot_curves
+        curves = plot_curves(os.path.join(out, "train.jsonl"))
+        print(f"curves: {curves}")
+    except Exception:
+        pass
 
 
 def ckpt_lib_latest(out):
