@@ -145,25 +145,56 @@ class Prefetcher:
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
+    _stop = False
+
     def _worker(self):
         try:
             for batch in self._iter:
-                self._q.put(self._put(batch))
+                if self._stop:
+                    return
+                staged = self._put(batch)
+                while not self._stop:
+                    try:
+                        self._q.put(staged, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop:
+                    return
         except BaseException as e:  # surfaced on the consumer side
             self._err = e
         finally:
-            self._q.put(self._done)
+            if not self._stop:
+                self._q.put(self._done)
 
     def __iter__(self):
         return self
 
     def __next__(self):
+        if self._closed:
+            raise StopIteration
         item = self._q.get()
         if item is self._done:
             if self._err is not None:
                 raise self._err
             raise StopIteration
         return item
+
+    _closed = False
+
+    def close(self) -> None:
+        """Release the worker thread (it may be blocked on a full queue
+        behind an infinite iterator).  Safe to call multiple times."""
+        if self._closed:
+            return
+        self._closed = True
+        self._stop = True
+        # drain so a put()-blocked worker can observe the stop flag
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
 
 
 class DataSet:

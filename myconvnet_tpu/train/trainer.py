@@ -229,6 +229,8 @@ class Trainer:
         if self.ckpt_dir and not val_every:
             self.save(state)
         self.wait_for_saves()
+        if hasattr(train_iter, "close"):
+            train_iter.close()  # release a prefetcher worker thread
         return state
 
     def _log_train(self, step, metrics, window, t0, input_wait=0.0):
@@ -310,12 +312,16 @@ class Trainer:
             return ckpt_lib.save_checkpoint(
                 self.ckpt_dir, step, state._asdict(),
                 keep=self.keep_checkpoints, metric=metric, is_best=is_best)
-        # at most one save in flight; join the previous before snapshotting
+        # at most one save in flight; join the previous first
         self.wait_for_saves()
+        # The device->host readback MUST be synchronous: the caller's next
+        # train_step donates the state's buffers, so a background thread
+        # reading them later would hit freed memory.  Only the file write
+        # (npz compress + fsync + prune) goes to the thread.
+        snapshot = jax.device_get(state._asdict())
         import threading
 
-        def _write(snapshot=state._asdict(), step=step, metric=metric,
-                   is_best=is_best):
+        def _write():
             ckpt_lib.save_checkpoint(self.ckpt_dir, step, snapshot,
                                      keep=self.keep_checkpoints,
                                      metric=metric, is_best=is_best)

@@ -152,3 +152,23 @@ def test_pix2pix_recipe_data_iter():
     assert a.min() >= -1.0 and a.max() <= 1.0
     new_state, m = step(state, (a, b))
     assert np.isfinite(float(m["g_l1"]))
+
+
+def test_prefetcher_close_releases_worker():
+    import itertools
+    import threading
+    before = threading.active_count()
+
+    def infinite():
+        for i in itertools.count():
+            yield (np.zeros(2), np.asarray([i]))
+
+    p = Prefetcher(infinite(), depth=2)
+    next(p)
+    p.close()
+    p._thread.join(timeout=5)
+    assert not p._thread.is_alive()
+    # closed iterator terminates cleanly
+    import pytest as _pytest
+    with _pytest.raises(StopIteration):
+        next(p)

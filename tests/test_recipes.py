@@ -11,6 +11,8 @@ CONFIGS = [
     "configs/imagenet_vgg16.py",
     "configs/imagenet_densenet121.py",
     "configs/voc_deeplabv3plus.py",
+    "configs/imagenet_efficientnet_b0.py",
+    "configs/imagenet_mobilenet_v2.py",
     "configs/dcgan_cifar10.py",
     "configs/pix2pix.py",
 ]

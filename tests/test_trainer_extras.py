@@ -105,3 +105,20 @@ def test_async_checkpoint_save(tmp_path):
     assert ckpt_lib.best_checkpoint(str(tmp_path))
     restored = t.restore(state)
     assert int(restored.step) == int(state.step)
+
+
+def test_async_save_safe_with_donated_state(tmp_path):
+    """Save then immediately train (donating the saved state's buffers):
+    the checkpoint must still be complete and correct."""
+    from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
+    t, state = _setup(False)
+    t.ckpt_dir = str(tmp_path)
+    x = np.random.RandomState(0).rand(8, 32, 32, 3).astype(np.float32)
+    y = (np.arange(8) % 10).astype(np.int32)
+    snap_w = np.asarray(state.params["conv"]["w"])
+    t.save(state)                      # async write begins
+    state2, _ = t._train_step(state, (jnp.asarray(x), jnp.asarray(y)))
+    t.wait_for_saves()
+    restored = t.restore(state2)
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["conv"]["w"]), snap_w)
