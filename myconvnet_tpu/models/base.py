@@ -193,8 +193,14 @@ class ConvNet:
     def evaluate(self, data_set: DataSet, evaluator: Evaluator | None = None,
                  batch_size: int = 256) -> float:
         self.build()
-        trainer = self._make_trainer(evaluator or AccuracyEvaluator())
-        return trainer.evaluate(self.state, data_set.eval_iter(batch_size))
+        evaluator = evaluator or AccuracyEvaluator()
+        if self._trainer is None:
+            self._trainer = self._make_trainer(evaluator)
+        # the jitted eval step is evaluator-independent: swap in place to
+        # reuse the compiled program across evaluate() calls
+        self._trainer.evaluator = evaluator
+        return self._trainer.evaluate(self.state,
+                                      data_set.eval_iter(batch_size))
 
     # --------------------------------------------------------------- ckpt
 
