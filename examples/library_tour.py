@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Library tour: every public surface in one runnable script (CPU-OK).
+
+    python examples/library_tour.py
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+if not os.environ.get("KEEP_PLATFORM"):
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from myconvnet_tpu import models, serving
+from myconvnet_tpu.core import transform
+from myconvnet_tpu.core.quantize import int8_scope
+from myconvnet_tpu.data.augment import AugmentConfig
+from myconvnet_tpu.data.pipeline import ArraySource, DataSet
+from myconvnet_tpu.eval.evaluators import AccuracyEvaluator
+from myconvnet_tpu.models.base import ConvNet
+from myconvnet_tpu.models.folding import verify_folding
+from myconvnet_tpu.subsets import cifar10
+from myconvnet_tpu.train import optim
+
+
+def main():
+    out = tempfile.mkdtemp()
+    aug = AugmentConfig(out_hw=(32, 32), area_range=None, pad=2, flip=True,
+                        mean=cifar10.MEAN, std=cifar10.STD)
+    train_set = DataSet(ArraySource(*cifar10.synthetic_subset(256, 0)),
+                        augment=aug)
+    val_set = DataSet(ArraySource(*cifar10.synthetic_subset(128, 1)),
+                      augment=aug)
+
+    # 1. the reference-compatible ConvNet API
+    net = ConvNet(lambda x, n, train=False: models.smallnet(
+        x, n, train=train, width=16, dropout_rate=0.0),
+        input_shape=(32, 32, 3), num_classes=10, augment=aug,
+        ckpt_dir=out, seed=0)
+    net.logger.stdout = False
+    net.train(train_set, val_set, batch_size=64, total_steps=300,
+              optimizer=optim.momentum(optim.cosine_decay(0.05, 300), 0.9,
+                                       weight_decay=1e-4),
+              val_every=100)
+    acc = net.evaluate(val_set, AccuracyEvaluator(), batch_size=64)
+    print(f"[train] val accuracy after 300 steps: {acc:.3f}")
+
+    # 2. checkpoint roundtrip
+    net.save()
+    net2 = ConvNet(lambda x, n, train=False: models.smallnet(
+        x, n, train=train, width=16, dropout_rate=0.0),
+        input_shape=(32, 32, 3), num_classes=10, augment=aug, ckpt_dir=out)
+    net2.build(optim.momentum(0.05, 0.9))
+    net2.restore()
+    print(f"[ckpt] restored step {int(net2.state.step)}")
+
+    # 3. BN folding + serving export
+    model = net2._transformed
+    err = verify_folding(model, net2.state.params, net2.state.model_state,
+                         jnp.zeros((2, 32, 32, 3)), atol=1e-3, eps=1e-3)
+    path = os.path.join(out, "frozen.stablehlo")
+    size = serving.export_inference(model, net2.state.params,
+                                    net2.state.model_state,
+                                    jnp.zeros((2, 32, 32, 3)), path,
+                                    bn_eps=1e-3)
+    fn = serving.load_inference(path)
+    print(f"[serve] folded (err {err:.1e}), exported {size} bytes, "
+          f"reloaded -> {fn(jnp.zeros((2, 32, 32, 3))).shape}")
+
+    # 4. int8 quantized inference
+    x = jnp.asarray(val_set.source.images[:16].astype(np.float32) / 255.0)
+    with int8_scope():
+        y_q, _ = model.apply(net2.state.params, net2.state.model_state,
+                             None, x, False)
+    print(f"[int8] quantized logits: {y_q.shape}")
+
+    # 5. fused GAN step
+    from myconvnet_tpu.train import gan
+    gen = transform(lambda z, train: models.dcgan_generator(
+        z, train=train, image_size=32, base_features=64))
+    disc = transform(lambda i, train: models.dcgan_discriminator(
+        i, train=train, base_features=32))
+    go, do = optim.adam(2e-4, b1=0.5), optim.adam(2e-4, b1=0.5)
+    gstate = gan.init_gan_state(gen, disc, go, do, jax.random.key(0),
+                                jnp.zeros((8, 64)),
+                                (jnp.zeros((8, 32, 32, 3)),))
+    step = gan.make_dcgan_step(gen, disc, go, do, latent_dim=64)
+    real = jnp.asarray(
+        train_set.source.images[:8].astype(np.float32) / 127.5 - 1.0)
+    for _ in range(3):
+        gstate, m = step(gstate, real)
+    print(f"[gan] fused dual-opt step x3: d_loss={float(m['d_loss']):.3f} "
+          f"g_loss={float(m['g_loss']):.3f}")
+    print("tour complete")
+
+
+if __name__ == "__main__":
+    main()
