@@ -29,6 +29,8 @@ def main():
                     help="train data-parallel over all visible devices")
     ap.add_argument("--resume", action="store_true",
                     help="resume from the latest checkpoint in --out")
+    ap.add_argument("--tensorboard", action="store_true",
+                    help="also write TensorBoard event files under --out")
     ap.add_argument("--platform", default=None,
                     help="force jax platform (e.g. cpu)")
     args = ap.parse_args()
@@ -58,6 +60,8 @@ def main():
                else recipes.build_classifier)
     net, train_set, val_set = builder(cfg, synthetic=args.synthetic,
                                       ckpt_dir=out, log_dir=out, mesh=mesh)
+    if args.tensorboard:
+        net.logger = MetricLogger(log_dir=out, tensorboard=True)
     evaluator = recipes.build_evaluator(cfg)
     optimizer = recipes.make_optimizer(cfg["optimizer"])
     if args.resume:
