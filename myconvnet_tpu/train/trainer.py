@@ -226,7 +226,9 @@ class Trainer:
                     break
         if pending is not None:
             self._log_train(pending[0], pending[1], window, t0, input_wait)
-        if self.ckpt_dir and not val_every:
+        if self.ckpt_dir:
+            # always persist the final state (validation-cadence saves may
+            # predate the last steps)
             self.save(state)
         self.wait_for_saves()
         if hasattr(train_iter, "close"):
