@@ -37,3 +37,13 @@ def test_make_inference_fn_no_fold_matches():
     y_ref, _ = net.apply(params, state, None, x, False)
     np.testing.assert_allclose(np.asarray(jax.jit(fn)(x)),
                                np.asarray(y_ref), rtol=1e-6)
+
+
+def test_load_inference_bad_file(tmp_path):
+    p = str(tmp_path / "junk.bin")
+    with open(p, "wb") as f:
+        f.write(b"not a stablehlo artifact")
+    import pytest
+    from myconvnet_tpu import serving as sv
+    with pytest.raises(Exception):
+        sv.load_inference(p)("x")

@@ -122,3 +122,35 @@ def test_async_save_safe_with_donated_state(tmp_path):
     restored = t.restore(state2)
     np.testing.assert_array_equal(
         np.asarray(restored.params["conv"]["w"]), snap_w)
+
+
+def test_distributed_helpers_single_process():
+    from myconvnet_tpu.parallel import distributed as dist
+    dist.initialize()  # no-op single process
+    info = dist.process_info()
+    assert info["process_index"] == 0 and info["process_count"] == 1
+    assert dist.is_primary()
+
+
+def test_profiling_trace_writes_files(tmp_path):
+    import glob
+    from myconvnet_tpu.utils import profiling
+    with profiling.trace(str(tmp_path)):
+        _ = jnp.sum(jnp.ones((64, 64)) @ jnp.ones((64, 64)))
+    files = glob.glob(str(tmp_path / "**" / "*"), recursive=True)
+    assert files, "profiler trace produced no files"
+
+
+def test_plot_curves_selected_keys(tmp_path):
+    import json
+    from myconvnet_tpu.utils.plots import plot_curves
+    p = str(tmp_path / "m.jsonl")
+    with open(p, "w") as f:
+        for s in range(3):
+            f.write(json.dumps({"step": s, "loss": 1.0, "lr": 0.1}) + "\n")
+    out = plot_curves(p, keys=["loss"])
+    import os
+    assert os.path.exists(out)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no plottable"):
+        plot_curves(p, keys=["nonexistent"])
