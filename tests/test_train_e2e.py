@@ -86,3 +86,11 @@ def test_predict_pads_tail_batch(tiny_sets):
     out = net.predict(train_set.source.images[:10].astype(np.float32),
                       batch_size=8)
     assert out.shape == (10, 10)
+
+
+def test_reference_api_surface():
+    """The reference ConvNet public contract (BASELINE north star):
+    build / train / predict / save / restore (+evaluate, close)."""
+    for method in ("build", "train", "predict", "evaluate", "save",
+                   "restore", "close"):
+        assert callable(getattr(ConvNet, method)), method
