@@ -21,3 +21,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+# Persistent compilation cache: the suite is compile-dominated on a
+# 1-core host; warm runs skip recompiling unchanged programs.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_TEST_CACHE_DIR",
+                                     "/tmp/jax_test_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass

@@ -80,3 +80,32 @@ def test_odd_row_count_remainder_blocks():
     b = jnp.asarray([-1.0, 1.0])
     y = fused_scale_shift_act(x, a, b, act="none", interpret=True)
     np.testing.assert_allclose(y, x * a + b, rtol=1e-6, atol=1e-6)
+
+
+def test_pad_crop_flip_normalize_matches_reference():
+    from myconvnet_tpu.ops.pallas.pad_crop_u8 import (
+        pad_crop_flip_normalize, reference_pad_crop_flip_normalize)
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 256, (6, 16, 16, 3), dtype=np.uint8)
+    offsets = rng.randint(-3, 4, (6, 2)).astype(np.int32)
+    flip = np.asarray([0, 1, 0, 1, 1, 0], np.int32)
+    mean, std = (0.49, 0.48, 0.44), (0.25, 0.24, 0.26)
+    out = pad_crop_flip_normalize(jnp.asarray(imgs), jnp.asarray(offsets),
+                                  jnp.asarray(flip), mean, std, pad=3,
+                                  interpret=True)
+    ref = reference_pad_crop_flip_normalize(imgs, offsets, flip, mean, std,
+                                            pad=3)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_pad_crop_zero_offsets_no_flip_is_normalize_only():
+    from myconvnet_tpu.ops.pallas.pad_crop_u8 import pad_crop_flip_normalize
+    rng = np.random.RandomState(1)
+    imgs = rng.randint(0, 256, (2, 8, 8, 3), dtype=np.uint8)
+    out = pad_crop_flip_normalize(
+        jnp.asarray(imgs), jnp.zeros((2, 2), jnp.int32),
+        jnp.zeros((2,), jnp.int32), (0.0,) * 3, (1.0,) * 3, pad=2,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               imgs.astype(np.float32) / 255.0, rtol=1e-6,
+                               atol=1e-6)
