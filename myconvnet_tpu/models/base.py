@@ -30,6 +30,7 @@ from myconvnet_tpu.core import transform
 from myconvnet_tpu.core.precision import get_policy, policy_scope
 from myconvnet_tpu.data.augment import AugmentConfig, augment_eval, \
     augment_train
+from myconvnet_tpu.data.mix import MixConfig
 from myconvnet_tpu.data.pipeline import DataSet
 from myconvnet_tpu.eval.evaluators import AccuracyEvaluator, Evaluator
 from myconvnet_tpu.parallel import mesh as mesh_lib
@@ -58,6 +59,8 @@ class ConvNet:
                  num_classes: int = 10, precision: str = "f32",
                  loss_fn: Callable | None = None,
                  augment: AugmentConfig | None = None,
+                 mix: "MixConfig | None" = None,
+                 erase_prob: float = 0.0,
                  paired_targets: bool = False,
                  mesh=None, use_mesh: bool = False,
                  seed: int = 0, ckpt_dir: str | None = None,
@@ -72,6 +75,10 @@ class ConvNet:
         self.loss_fn = loss_fn or (
             lambda logits, y: softmax_cross_entropy(logits, y))
         self.augment = augment
+        # batch-level label-mixing regularizers (MixUp/CutMix) + random
+        # erasing — run inside the same jitted step as the per-image chain
+        self.mix = mix
+        self.erase_prob = erase_prob
         # paired_targets: labels are spatial masks sharing the random
         # geometry (segmentation) — image gets bilinear, mask nearest
         self.paired_targets = paired_targets
@@ -134,6 +141,21 @@ class ConvNet:
                     augment_train(k, x, cfg), y)
                 eval_aug_fn = lambda x, y: (  # noqa: E731
                     augment_eval(x, cfg), y)
+        if (self.mix is not None or self.erase_prob > 0.0) \
+                and not self.paired_targets:
+            from myconvnet_tpu.data.mix import mixup_cutmix, random_erasing
+            base_aug, mix_cfg = aug_fn, self.mix
+            erase_prob, num_classes = self.erase_prob, self.num_classes
+
+            def aug_fn(k, x, y):  # noqa: F811 — composed chain
+                k_img, k_mix, k_erase = jax.random.split(k, 3)
+                if base_aug is not None:
+                    x, y = base_aug(k_img, x, y)
+                if mix_cfg is not None:
+                    x, y = mixup_cutmix(k_mix, x, y, num_classes, mix_cfg)
+                if erase_prob > 0.0:
+                    x = random_erasing(k_erase, x, prob=erase_prob)
+                return x, y
         return Trainer(
             model=self._transformed, optimizer=self._optimizer,
             loss_fn=self.loss_fn, mesh=self.mesh, augment_fn=aug_fn,
@@ -169,13 +191,23 @@ class ConvNet:
 
     # ------------------------------------------------------------ predict
 
-    def predict(self, images, batch_size: int = 256) -> np.ndarray:
+    def predict(self, images, batch_size: int = 256,
+                tta: str | None = None) -> np.ndarray:
         """Batched inference -> logits ndarray (reference
-        ConvNet.predict)."""
+        ConvNet.predict).
+
+        tta: None (plain), 'flip' (average over horizontal mirror) or
+        'ten_crop' (4 corners + center, each mirrored — the classic
+        AlexNet/VGG eval protocol).  Under TTA the returned array holds
+        log of the view-averaged softmax (same argmax semantics).
+        """
         self.build()
         trainer = self._trainer or self._make_trainer(None)
         self._trainer = trainer
         images = np.asarray(images)
+        step = None
+        if tta is not None:
+            step = self._tta_step(tta)
         outs = []
         n = len(images)
         # pad the tail batch to keep shapes static (single compile)
@@ -186,9 +218,67 @@ class ConvNet:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad, *chunk.shape[1:]),
                                      chunk.dtype)])
-            logits = next(iter(trainer.predict(self.state, [(chunk,)])))
+            if step is not None:
+                logits = np.asarray(step(self.state, jnp.asarray(chunk)))
+            else:
+                logits = next(iter(trainer.predict(self.state,
+                                                   [(chunk,)])))
             outs.append(logits[:len(images[i:i + batch_size])])
         return np.concatenate(outs)
+
+    def _tta_step(self, mode: str):
+        """Jitted TTA inference step (cached per mode): build all views
+        on-device, run the forward over them with lax.map (one compile,
+        batch-sized working set), average the probabilities."""
+        cache = getattr(self, "_tta_cache", None)
+        if cache is None:
+            cache = self._tta_cache = {}
+        if mode in cache:
+            return cache[mode]
+        if mode not in ("flip", "ten_crop"):
+            raise ValueError(f"unknown tta mode {mode!r}")
+        if mode == "ten_crop" and self.augment is None:
+            raise ValueError("ten_crop TTA needs an augment config "
+                             "(raw-image inputs)")
+        model, cfg = self._transformed, self.augment
+        from myconvnet_tpu.data.augment import batched_crop_resize, \
+            normalize
+
+        def views_fn(x):
+            if cfg is None:  # pre-processed float inputs: mirror only
+                return jnp.stack([x, x[:, :, ::-1, :]])
+            if mode == "flip":
+                v = augment_eval(x, cfg)
+                return jnp.stack([v, v[:, :, ::-1, :]])
+            n, h, w, _ = x.shape
+            side = 0.875 * min(h, w)
+            ys = (0.0, h - side, (h - side) / 2.0)
+            xs = (0.0, w - side, (w - side) / 2.0)
+            views = []
+            for by, bx in ((0, 0), (0, 1), (1, 0), (1, 1), (2, 2)):
+                box = jnp.asarray([ys[by], xs[bx], side, side],
+                                  jnp.float32)
+                v = batched_crop_resize(
+                    x, jnp.broadcast_to(box[None], (n, 4)), cfg.out_hw)
+                v = normalize(v * (1.0 / 255.0), cfg.mean,
+                              cfg.std).astype(cfg.out_dtype)
+                views.append(v)
+                views.append(v[:, :, ::-1, :])
+            return jnp.stack(views)
+
+        def step(state, x):
+            views = views_fn(x)
+
+            def fwd(v):
+                logits, _ = model.apply(state.params, state.model_state,
+                                        None, v, False)
+                return jax.nn.softmax(logits.astype(jnp.float32))
+
+            probs = jax.lax.map(fwd, views)
+            return jnp.log(jnp.mean(probs, axis=0) + 1e-12)
+
+        cache[mode] = jax.jit(step)
+        return cache[mode]
 
     def evaluate(self, data_set: DataSet, evaluator: Evaluator | None = None,
                  batch_size: int = 256) -> float:

@@ -129,6 +129,13 @@ class Trainer:
             if logits.ndim == y.ndim + 1:  # per-example/pixel class labels
                 metrics["accuracy"] = jnp.mean(
                     (jnp.argmax(logits, -1) == y).astype(jnp.float32))
+            elif logits.ndim == y.ndim and y.dtype in (jnp.float32,
+                                                       jnp.bfloat16):
+                # soft labels (MixUp/CutMix): agreement with the dominant
+                # mix component
+                metrics["accuracy"] = jnp.mean(
+                    (jnp.argmax(logits, -1) == jnp.argmax(y, -1))
+                    .astype(jnp.float32))
             return TrainState(new_params, new_mstate, new_opt,
                               state.step + 1, state.rng), metrics
 
