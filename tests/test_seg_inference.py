@@ -1,0 +1,100 @@
+"""Segmentation inference protocols (eval/seg_inference.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from myconvnet_tpu.eval.seg_inference import (_tile_starts,
+                                              multiscale_logits,
+                                              sliding_window_logits)
+
+
+def _linear_seg_forward(num_classes=3):
+    """A deterministic 'model': per-pixel logits linear in the input —
+    scale-equivariant enough for exact single-scale checks."""
+    w = jnp.asarray(np.random.RandomState(0).randn(3, num_classes)
+                    .astype(np.float32))
+
+    def forward(x):
+        return jnp.einsum("nhwc,ck->nhwk", x.astype(jnp.float32), w)
+
+    return forward
+
+
+def test_multiscale_single_scale_no_flip_is_plain_forward():
+    fwd = _linear_seg_forward()
+    x = jnp.asarray(np.random.RandomState(1).rand(2, 16, 16, 3)
+                    .astype(np.float32))
+    out = multiscale_logits(fwd, x, scales=(1.0,), flip=False)
+    expect = jnp.log(jax.nn.softmax(fwd(x), -1) + 1e-12)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_multiscale_flip_symmetric_model():
+    """The linear per-pixel model commutes with mirroring, so flip
+    averaging must be a no-op."""
+    fwd = _linear_seg_forward()
+    x = jnp.asarray(np.random.RandomState(2).rand(1, 8, 8, 3)
+                    .astype(np.float32))
+    a = multiscale_logits(fwd, x, scales=(1.0,), flip=False)
+    b = multiscale_logits(fwd, x, scales=(1.0,), flip=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_multiscale_output_shape_and_normalization():
+    fwd = _linear_seg_forward()
+    x = jnp.asarray(np.random.RandomState(3).rand(2, 12, 20, 3)
+                    .astype(np.float32))
+    out = multiscale_logits(fwd, x, scales=(0.5, 1.0, 1.5), flip=True)
+    assert out.shape == (2, 12, 20, 3)
+    np.testing.assert_allclose(np.exp(np.asarray(out)).sum(-1), 1.0,
+                               atol=1e-4)
+
+
+def test_tile_starts_cover_and_flush():
+    assert _tile_starts(10, 4, 3) == [0, 3, 6]
+    assert _tile_starts(11, 4, 3) == [0, 3, 6, 7]  # flush last tile
+    assert _tile_starts(4, 4, 3) == [0]
+    for size, tile, stride in [(37, 16, 11), (64, 16, 10), (16, 16, 5)]:
+        starts = _tile_starts(size, tile, stride)
+        covered = np.zeros(size, bool)
+        for s in starts:
+            covered[s:s + tile] = True
+        assert covered.all(), (size, tile, stride)
+        assert starts[-1] + tile <= size
+
+
+def test_sliding_window_matches_full_forward_for_linear_model():
+    """Per-pixel model: tiling+blending must reproduce full-image
+    logits exactly (overlap averaging of identical values)."""
+    fwd = _linear_seg_forward()
+    x = np.random.RandomState(4).rand(2, 20, 26, 3).astype(np.float32)
+    full = np.asarray(fwd(jnp.asarray(x)))
+    tiled = sliding_window_logits(fwd, x, (8, 8), overlap=0.25)
+    assert tiled.shape == full.shape
+    np.testing.assert_allclose(tiled, full, rtol=1e-5, atol=1e-5)
+
+
+def test_sliding_window_on_deeplab_smoke():
+    """End-to-end smoke: sliding-window over a tiny DeepLab head."""
+    from myconvnet_tpu import models
+    from myconvnet_tpu.core import transform
+
+    def f(x, train=False):
+        return models.deeplab_v3_plus(x, 4, train=train,
+                                      backbone_depth=18,
+                                      output_stride=16)
+
+    model = transform(f)
+    x0 = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    params, state = model.init(jax.random.key(0), x0, False)
+
+    def forward(x):
+        return model.apply(params, state, None, x, False)[0]
+
+    img = np.random.RandomState(5).rand(1, 48, 40, 3).astype(np.float32)
+    out = sliding_window_logits(forward, img, (32, 32), overlap=0.5)
+    assert out.shape == (1, 48, 40, 4)
+    assert np.all(np.isfinite(out))
