@@ -75,7 +75,9 @@ def sliding_window_logits(forward: Callable[[jax.Array], jax.Array],
     ys = _tile_starts(h, th, stride_h)
     xs = _tile_starts(w, tw, stride_w)
 
-    fwd = jax.jit(forward)
+    # respect an already-jitted forward (avoids re-tracing when a caller
+    # loops over batches); jit wrappers expose .lower
+    fwd = forward if hasattr(forward, "lower") else jax.jit(forward)
     out = None
     weight = np.zeros((1, h, w, 1), np.float32)
     for y0 in ys:

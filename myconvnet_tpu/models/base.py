@@ -280,6 +280,51 @@ class ConvNet:
         cache[mode] = jax.jit(step)
         return cache[mode]
 
+    def predict_segmentation(self, images, *, scales=(1.0,),
+                             flip: bool = False,
+                             tile_hw: tuple[int, int] | None = None,
+                             batch_size: int = 16) -> np.ndarray:
+        """Per-pixel class map [N, H, W] with the DeepLab eval protocol:
+        probability averaging over ``scales`` (and mirrors when
+        ``flip``), or an overlapping sliding window when ``tile_hw`` is
+        given (for frames larger than the training crop).
+
+        Input images are raw uint8/float frames; normalization uses the
+        net's augment config when present (mean/std only — geometry is
+        handled by the protocol itself).
+        """
+        from myconvnet_tpu.data.augment import normalize
+        from myconvnet_tpu.eval.seg_inference import (multiscale_logits,
+                                                      sliding_window_logits)
+        self.build()
+        images = np.asarray(images)
+        model, state, cfg = self._transformed, self.state, self.augment
+
+        @jax.jit
+        def forward(x):
+            logits, _ = model.apply(state.params, state.model_state, None,
+                                    x, False)
+            return logits
+
+        outs = []
+        for i in range(0, len(images), batch_size):
+            chunk = images[i:i + batch_size].astype(np.float32)
+            if images.dtype == np.uint8:
+                chunk = chunk * (1.0 / 255.0)
+            x = jnp.asarray(chunk)
+            if cfg is not None:
+                x = normalize(x, cfg.mean, cfg.std)
+            if tile_hw is not None:
+                logits = sliding_window_logits(forward, np.asarray(x),
+                                               tile_hw)
+                pred = np.argmax(logits, -1)
+            else:
+                lp = multiscale_logits(forward, x, scales=scales,
+                                       flip=flip)
+                pred = np.asarray(jnp.argmax(lp, -1))
+            outs.append(pred)
+        return np.concatenate(outs)
+
     def evaluate(self, data_set: DataSet, evaluator: Evaluator | None = None,
                  batch_size: int = 256) -> float:
         self.build()

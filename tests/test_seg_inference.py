@@ -77,6 +77,31 @@ def test_sliding_window_matches_full_forward_for_linear_model():
     np.testing.assert_allclose(tiled, full, rtol=1e-5, atol=1e-5)
 
 
+def test_convnet_predict_segmentation():
+    """ConvNet.predict_segmentation: multi-scale and sliding-window
+    paths both emit class maps."""
+    from myconvnet_tpu import models
+    from myconvnet_tpu.data.augment import AugmentConfig
+    from myconvnet_tpu.models.base import ConvNet
+
+    net = ConvNet(models.deeplab_v3_plus, input_shape=(32, 32, 3),
+                  num_classes=4,
+                  augment=AugmentConfig(out_hw=(32, 32), area_range=None,
+                                        flip=False),
+                  paired_targets=True, backbone_depth=18,
+                  output_stride=16)
+    net.build()
+    imgs = np.random.RandomState(6).randint(
+        0, 256, (2, 32, 32, 3), dtype=np.uint8)
+    pred = net.predict_segmentation(imgs, scales=(0.75, 1.0), flip=True)
+    assert pred.shape == (2, 32, 32)
+    assert pred.dtype.kind in "iu" and pred.min() >= 0 and pred.max() < 4
+    big = np.random.RandomState(7).randint(
+        0, 256, (1, 48, 48, 3), dtype=np.uint8)
+    pred2 = net.predict_segmentation(big, tile_hw=(32, 32))
+    assert pred2.shape == (1, 48, 48)
+
+
 def test_sliding_window_on_deeplab_smoke():
     """End-to-end smoke: sliding-window over a tiny DeepLab head."""
     from myconvnet_tpu import models
