@@ -77,6 +77,30 @@ def polynomial_decay(lr: float, total_steps: int, end_lr: float = 0.0,
     return fn
 
 
+def cosine_restarts(lr: float, first_decay_steps: int, t_mul: float = 2.0,
+                    m_mul: float = 1.0, alpha: float = 0.0) -> Schedule:
+    """SGDR (warm restarts): cosine cycles of geometrically growing
+    length (t_mul) and decaying peak (m_mul).  Branch-free closed form —
+    the cycle index comes from a log, not a loop, so it stays one jitted
+    expression of the step counter."""
+
+    def fn(step):
+        t = step.astype(jnp.float32) / first_decay_steps
+        if t_mul == 1.0:
+            i = jnp.floor(t)
+            frac = t - i
+        else:
+            # cycles completed: largest i with (t_mul^i - 1)/(t_mul-1) <= t
+            i = jnp.floor(jnp.log1p(t * (t_mul - 1.0)) / jnp.log(t_mul))
+            start = (t_mul ** i - 1.0) / (t_mul - 1.0)
+            frac = (t - start) / (t_mul ** i)
+        peak = m_mul ** i
+        cos = 0.5 * (1.0 + jnp.cos(jnp.pi * jnp.clip(frac, 0.0, 1.0)))
+        return jnp.asarray(lr * peak * ((1 - alpha) * cos + alpha),
+                           jnp.float32)
+    return fn
+
+
 def warmup(schedule: Schedule, warmup_steps: int) -> Schedule:
     """Linear warmup from 0 wrapped around any schedule."""
     if warmup_steps <= 0:
@@ -217,6 +241,53 @@ def adamw(lr, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
                 weight_decay_exclude=weight_decay_exclude)
 
 
+def lars(lr, momentum_coef: float = 0.9, *, eta: float = 0.001,
+         weight_decay: float = 0.0, eps: float = 1e-9,
+         weight_decay_exclude=None) -> Optimizer:
+    """LARS (You et al.): layer-wise trust-ratio scaling of the LR —
+    THE optimizer for large-batch ResNet on pods (32k-batch training).
+
+    Per layer: ratio = eta * ||w|| / (||g|| + wd * ||w|| + eps) when both
+    norms are positive, else 1; momentum accumulates the ratio-scaled
+    decayed gradient.  Parameters matched by ``weight_decay_exclude``
+    (biases / norm scales by default semantics of the caller) skip BOTH
+    decay and adaptation — plain momentum SGD, per the paper's practice.
+    """
+    sched = as_schedule(lr)
+
+    def init(params):
+        return _tree_zeros(params)
+
+    def update(grads, opt_state, params, step):
+        lr_t = sched(step)
+        mask = _decay_mask(params, weight_decay_exclude)
+
+        def upd(p, g, m, dm):
+            pf = p.astype(jnp.float32)
+            gf = g.astype(jnp.float32)
+            if dm:  # adaptive layer: decay + trust ratio
+                gd = gf + weight_decay * pf
+                w_norm = jnp.sqrt(jnp.sum(jnp.square(pf)))
+                g_norm = jnp.sqrt(jnp.sum(jnp.square(gd)))
+                ratio = jnp.where(
+                    (w_norm > 0.0) & (g_norm > 0.0),
+                    eta * w_norm / (g_norm + eps), 1.0)
+            else:   # excluded (bias/BN): plain momentum, no decay
+                gd = gf
+                ratio = 1.0
+            m_new = momentum_coef * m + lr_t * ratio * gd
+            return (pf - m_new).astype(p.dtype), m_new
+
+        out = jax.tree.map(upd, params, grads, opt_state, mask)
+        new_params = jax.tree.map(lambda o: o[0], out,
+                                  is_leaf=lambda x: isinstance(x, tuple))
+        new_m = jax.tree.map(lambda o: o[1], out,
+                             is_leaf=lambda x: isinstance(x, tuple))
+        return new_params, new_m
+
+    return Optimizer(init, update)
+
+
 class RMSPropState(NamedTuple):
     nu: PyTree
     mom: PyTree
@@ -261,7 +332,7 @@ def make_optimizer(name: str, lr, **kwargs) -> Optimizer:
     """Config-string optimizer factory (reference: optimizer choice in
     parameters.py)."""
     table = {"sgd": sgd, "momentum": momentum, "adam": adam,
-             "adamw": adamw, "rmsprop": rmsprop}
+             "adamw": adamw, "rmsprop": rmsprop, "lars": lars}
     try:
         return table[name.lower()](lr, **kwargs)
     except KeyError as e:
@@ -280,6 +351,7 @@ def make_schedule(cfg: dict) -> Schedule:
     warmup_steps = cfg.pop("warmup_steps", 0)
     table = {"constant": constant, "step": step_decay,
              "exponential": exponential_decay, "cosine": cosine_decay,
+             "cosine_restarts": cosine_restarts,
              "poly": polynomial_decay, "polynomial": polynomial_decay}
     try:
         sched = table[kind](**cfg)

@@ -151,3 +151,80 @@ def test_ema():
     p2 = {"a": {"w": jnp.asarray(2.0)}}
     e2 = optim.ema_update(e, p2, decay=0.9)
     np.testing.assert_allclose(float(e2["a"]["w"]), 1.1, rtol=1e-6)
+
+
+def test_lars_trust_ratio_scales_update():
+    """LARS update magnitude tracks ||w||/||g||: same gradient direction,
+    10x bigger weights -> 10x bigger step."""
+    opt = optim.lars(1.0, momentum_coef=0.0, eta=0.01)
+    g = {"w": jnp.asarray([1.0, 0.0])}
+    small = {"w": jnp.asarray([3.0, 4.0])}     # norm 5
+    big = {"w": jnp.asarray([30.0, 40.0])}     # norm 50
+    s1, _ = opt.update(g, opt.init(small), small, jnp.asarray(0))
+    s2, _ = opt.update(g, opt.init(big), big, jnp.asarray(0))
+    d1 = float(small["w"][0] - s1["w"][0])
+    d2 = float(big["w"][0] - s2["w"][0])
+    np.testing.assert_allclose(d2 / d1, 10.0, rtol=1e-4)
+    np.testing.assert_allclose(d1, 0.01 * 5.0, rtol=1e-4)  # eta*||w||*g/||g||
+
+
+def test_lars_excluded_params_get_plain_momentum():
+    opt = optim.lars(0.5, momentum_coef=0.0, eta=0.001, weight_decay=0.1,
+                     weight_decay_exclude=optim.norm_and_bias_exclusion)
+    p = {"bn": {"gamma": jnp.asarray([2.0])}}
+    g = {"bn": {"gamma": jnp.asarray([1.0])}}
+    p2, _ = opt.update(g, opt.init(p), p, jnp.asarray(0))
+    # no decay, no trust ratio: w - lr*g
+    np.testing.assert_allclose(p2["bn"]["gamma"], [2.0 - 0.5], rtol=1e-6)
+
+
+def test_lars_converges_on_quadratic():
+    opt = optim.lars(0.05, momentum_coef=0.9, eta=0.1)
+    p = {"w": jnp.asarray([5.0, -3.0, 2.0])}
+    s = opt.init(p)
+    for i in range(200):
+        g = jax.tree.map(lambda w: 2.0 * w, p)   # d/dw ||w||^2
+        p, s = opt.update(g, s, p, jnp.asarray(i))
+    assert float(jnp.sum(jnp.square(p["w"]))) < 1e-2
+
+
+def test_lars_zero_grad_keeps_params():
+    opt = optim.lars(1.0, momentum_coef=0.0, eta=0.01)
+    p = {"w": jnp.asarray([1.0, 2.0])}
+    g = {"w": jnp.zeros(2)}
+    p2, _ = opt.update(g, opt.init(p), p, jnp.asarray(0))
+    np.testing.assert_allclose(p2["w"], p["w"])
+
+
+def test_cosine_restarts_schedule():
+    sched = optim.cosine_restarts(1.0, first_decay_steps=100, t_mul=2.0,
+                                  m_mul=0.5)
+    # cycle starts: step 0 -> lr; step 100 -> restart at lr*m_mul
+    np.testing.assert_allclose(float(sched(jnp.asarray(0))), 1.0, atol=1e-6)
+    np.testing.assert_allclose(float(sched(jnp.asarray(100))), 0.5,
+                               atol=1e-5)
+    # end of first cycle decays toward 0
+    assert float(sched(jnp.asarray(99))) < 0.01
+    # second cycle is 200 steps: step 300 -> third cycle at 0.25
+    np.testing.assert_allclose(float(sched(jnp.asarray(300))), 0.25,
+                               atol=1e-5)
+    # monotone decay within a cycle
+    vals = [float(sched(jnp.asarray(s))) for s in range(100, 300, 25)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_cosine_restarts_tmul_one():
+    sched = optim.cosine_restarts(2.0, first_decay_steps=50, t_mul=1.0)
+    np.testing.assert_allclose(float(sched(jnp.asarray(0))), 2.0, atol=1e-6)
+    np.testing.assert_allclose(float(sched(jnp.asarray(50))), 2.0,
+                               atol=1e-5)
+    np.testing.assert_allclose(float(sched(jnp.asarray(125))),
+                               float(sched(jnp.asarray(25))), atol=1e-5)
+
+
+def test_lars_registry():
+    opt = optim.make_optimizer("lars", 0.1, eta=0.01)
+    assert isinstance(opt, optim.Optimizer)
+    sched = optim.make_schedule({"kind": "cosine_restarts", "lr": 0.1,
+                                 "first_decay_steps": 10})
+    assert float(sched(jnp.asarray(0))) > 0
