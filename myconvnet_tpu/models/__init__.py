@@ -20,7 +20,9 @@ from myconvnet_tpu.models.gan import (dcgan_discriminator, dcgan_generator,
                                       patchgan_discriminator, unet_generator)
 from myconvnet_tpu.models.resnet import (resnet, resnet18, resnet34,
                                          resnet50, resnet101, resnet152,
-                                         resnet_backbone)
+                                         resnet_backbone, resnext50_32x4d,
+                                         resnext101_32x8d, se_resnet50,
+                                         se_resnet101, se_resnext50_32x4d)
 from myconvnet_tpu.models.smallnet import smallnet
 from myconvnet_tpu.models.vgg import vgg, vgg11, vgg16, vgg19
 
@@ -31,6 +33,10 @@ CLASSIFIERS = {
     "alexnet": alexnet,
     "resnet18": resnet18, "resnet34": resnet34, "resnet50": resnet50,
     "resnet101": resnet101, "resnet152": resnet152,
+    "se_resnet50": se_resnet50, "se_resnet101": se_resnet101,
+    "resnext50_32x4d": resnext50_32x4d,
+    "resnext101_32x8d": resnext101_32x8d,
+    "se_resnext50_32x4d": se_resnext50_32x4d,
     "vgg11": vgg11, "vgg16": vgg16, "vgg19": vgg19,
     "densenet121": densenet121, "densenet169": densenet169,
     "densenet201": densenet201,

@@ -53,18 +53,35 @@ def basic_block(x, features, *, stride, dilation, train, projection):
     return nn.relu(y + shortcut)
 
 
-def bottleneck_block(x, features, *, stride, dilation, train, projection):
+def se_block(x, ratio: int = 16, name: str = "se"):
+    """Squeeze-and-Excitation (Hu et al.): GAP -> bottleneck MLP ->
+    per-channel sigmoid gate.  Tiny dense layers + an elementwise scale
+    — XLA fuses the gate into the surrounding block."""
+    with nn.scope_named(name):
+        c = x.shape[-1]
+        s = nn.gap(x)
+        s = nn.relu(nn.dense(s, max(c // ratio, 1), name="fc1"))
+        s = jax.nn.sigmoid(nn.dense(s, c, name="fc2").astype(x.dtype))
+        return x * s[:, None, None, :]
+
+
+def bottleneck_block(x, features, *, stride, dilation, train, projection,
+                     groups: int = 1, width_per_group: int = 64,
+                     se_ratio: int = 0):
     shortcut = x
-    y = nn.conv(x, features, 1, use_bias=False, name="conv_a")
+    inner = features * width_per_group * groups // 64
+    y = nn.conv(x, inner, 1, use_bias=False, name="conv_a")
     y = _bn(y, train, name="bn_a")
     y = nn.relu(y)
-    # stride on the 3x3 (v1.5)
-    y = nn.conv(y, features, 3, stride=stride, dilation=dilation,
-                use_bias=False, name="conv_b")
+    # stride on the 3x3 (v1.5); grouped for the ResNeXt variants
+    y = nn.conv(y, inner, 3, stride=stride, dilation=dilation,
+                groups=groups, use_bias=False, name="conv_b")
     y = _bn(y, train, name="bn_b")
     y = nn.relu(y)
     y = nn.conv(y, 4 * features, 1, use_bias=False, name="conv_c")
     y = _bn(y, train, zero_init=True, name="bn_c")
+    if se_ratio:
+        y = se_block(y, se_ratio)
     if projection:
         shortcut = nn.conv(x, 4 * features, 1, stride=stride, use_bias=False,
                            name="conv_proj")
@@ -74,7 +91,9 @@ def bottleneck_block(x, features, *, stride, dilation, train, projection):
 
 def resnet_backbone(x: jax.Array, depth: int = 50, *, train: bool = False,
                     output_stride: int = 32, width: int = 64,
-                    return_low_level: bool = False, stem: str = "conv7"):
+                    return_low_level: bool = False, stem: str = "conv7",
+                    groups: int = 1, width_per_group: int = 64,
+                    se_ratio: int = 0):
     """Feature extractor. Returns final feature map (and the end-of-stage-1
     low-level features when ``return_low_level`` — DeepLab decoder input).
 
@@ -88,7 +107,17 @@ def resnet_backbone(x: jax.Array, depth: int = 50, *, train: bool = False,
     if output_stride not in (8, 16, 32):
         raise ValueError("output_stride must be 8, 16 or 32")
     blocks = STAGE_BLOCKS[depth]
-    block_fn = bottleneck_block if depth >= 50 else basic_block
+    if depth >= 50:
+        block_fn = partial(bottleneck_block, groups=groups,
+                           width_per_group=width_per_group,
+                           se_ratio=se_ratio)
+    else:
+        if groups != 1 or width_per_group != 64:
+            raise ValueError("grouped (ResNeXt) blocks need depth >= 50")
+        block_fn = basic_block
+        if se_ratio:
+            raise ValueError("SE variants are built on bottleneck blocks "
+                             "(depth >= 50)")
 
     with nn.scope_named("stem"):
         if stem == "s2d":
@@ -136,8 +165,11 @@ def resnet_backbone(x: jax.Array, depth: int = 50, *, train: bool = False,
 
 def resnet(x: jax.Array, num_classes: int = 1000, depth: int = 50, *,
            train: bool = False, width: int = 64,
-           stem: str = "conv7") -> jax.Array:
-    x = resnet_backbone(x, depth, train=train, width=width, stem=stem)
+           stem: str = "conv7", groups: int = 1,
+           width_per_group: int = 64, se_ratio: int = 0) -> jax.Array:
+    x = resnet_backbone(x, depth, train=train, width=width, stem=stem,
+                        groups=groups, width_per_group=width_per_group,
+                        se_ratio=se_ratio)
     x = nn.gap(x)
     return nn.dense(x, num_classes, w_init=init.glorot_uniform(),
                     name="logits")
@@ -148,3 +180,11 @@ resnet34 = partial(resnet, depth=34)
 resnet50 = partial(resnet, depth=50)
 resnet101 = partial(resnet, depth=101)
 resnet152 = partial(resnet, depth=152)
+
+# squeeze-excitation and aggregated (grouped) variants
+se_resnet50 = partial(resnet, depth=50, se_ratio=16)
+se_resnet101 = partial(resnet, depth=101, se_ratio=16)
+resnext50_32x4d = partial(resnet, depth=50, groups=32, width_per_group=4)
+resnext101_32x8d = partial(resnet, depth=101, groups=32, width_per_group=8)
+se_resnext50_32x4d = partial(resnet, depth=50, groups=32,
+                             width_per_group=4, se_ratio=16)

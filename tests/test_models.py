@@ -187,3 +187,50 @@ def test_resnet_s2d_stem():
     g = jax.grad(lambda p: float(0) + jnp.sum(
         net.apply(p, state, None, x, True)[0] ** 2))(params)
     assert np.isfinite(np.asarray(g["stem/conv"]["w"])).all()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("fn,expected", [
+    (models.resnext50_32x4d, 25.03),   # torchvision: 25,028,904
+    (models.se_resnet50, 28.09),       # Hu et al.: 28.088M
+])
+def test_resnext_se_param_counts(fn, expected):
+    x = jnp.zeros((1, 32, 32, 3))
+    _, params, _ = _build(fn, x, 1000)
+    n = _n_params(params) / 1e6
+    assert abs(n - expected) < 0.15, f"{fn}: {n:.3f}M params"
+
+
+def test_se_block_gates_channels():
+    """SE gate in (0,1): output magnitude never exceeds input."""
+    from myconvnet_tpu.models.resnet import se_block
+    net = transform(lambda x: se_block(x, ratio=4))
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 16)
+                    .astype(np.float32))
+    params, state = net.init(jax.random.key(0), x)
+    y, _ = net.apply(params, state, None, x)
+    assert y.shape == x.shape
+    assert np.all(np.abs(np.asarray(y)) <= np.abs(np.asarray(x)) + 1e-6)
+
+
+@pytest.mark.slow
+def test_resnext_forward_and_grad():
+    x = jax.random.normal(jax.random.key(0), (2, 32, 32, 3))
+    net, params, state = _build(models.se_resnext50_32x4d, x, 10,
+                                train=True)
+    y, _ = net.apply(params, state, None, x, 10, train=True)
+    assert y.shape == (2, 10)
+
+    def loss(p):
+        out, _ = net.apply(p, state, None, x, 10, train=True)
+        return jnp.mean(out ** 2)
+
+    g = jax.grad(loss)(params)
+    gnorm = jax.tree.reduce(lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0)
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_grouped_blocks_require_bottleneck():
+    x = jnp.zeros((1, 32, 32, 3))
+    with pytest.raises(ValueError):
+        _build(models.resnet, x, 10, 18, groups=32, width_per_group=4)
