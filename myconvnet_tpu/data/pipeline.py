@@ -111,6 +111,30 @@ class FileSource:
                 np.asarray([self.labels[i] for i in idx], np.int32))
 
 
+class ShardedSource:
+    """Deterministic per-process shard of any source (multi-host input).
+
+    Strided split (every ``shard_count``-th example starting at
+    ``shard_index``): balanced to within one example and stable across
+    processes without coordination — each host feeds its local chips a
+    disjoint slice, the standard JAX multi-host input pattern.
+    """
+
+    def __init__(self, source, shard_index: int, shard_count: int):
+        if not (0 <= shard_index < shard_count):
+            raise ValueError(f"shard {shard_index}/{shard_count}")
+        self.source = source
+        self.shard_index = shard_index
+        self.shard_count = shard_count
+        self._map = np.arange(shard_index, len(source), shard_count)
+
+    def __len__(self):
+        return len(self._map)
+
+    def get_batch(self, idx: np.ndarray):
+        return self.source.get_batch(self._map[np.asarray(idx)])
+
+
 def batch_indices(n: int, batch_size: int, *, shuffle: bool, seed: int,
                   drop_remainder: bool = True,
                   epochs: int | None = None) -> Iterator[np.ndarray]:
@@ -208,6 +232,21 @@ class DataSet:
 
     def __len__(self):
         return len(self.source)
+
+    def shard(self, index: int | None = None,
+              count: int | None = None) -> "DataSet":
+        """Per-process view for multi-host training: this host reads only
+        its strided slice (defaults to jax.process_index/count).  The
+        shuffle seed is offset by the shard index so epoch orders
+        decorrelate across hosts."""
+        if index is None:
+            index = jax.process_index()
+        if count is None:
+            count = jax.process_count()
+        if count == 1:
+            return self
+        return DataSet(ShardedSource(self.source, index, count),
+                       augment=self.augment, seed=self.seed + index)
 
     def _host_batches(self, batch_size, *, shuffle, epochs, drop_remainder,
                       seed_offset=0):

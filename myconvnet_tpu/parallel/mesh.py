@@ -90,6 +90,22 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def process_local_put(mesh: Mesh, batch: Any) -> Any:
+    """Assemble a GLOBAL batch-sharded array from this process's local
+    slice (multi-host: each host contributes its data-shard; XLA sees one
+    global array).  Single-process it equals :func:`shard_batch`.
+
+    Pass as ``device_put_fn`` to the DataSet iterators together with
+    ``DataSet.shard()`` for the full multi-host input path.
+    """
+    sh = batch_sharding(mesh)
+
+    def put(x):
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+    return jax.tree.map(put, batch)
+
+
 def local_batch_size(mesh: Mesh, global_batch: int) -> int:
     n_data = mesh.shape[DATA_AXIS]
     if global_batch % n_data:

@@ -172,3 +172,57 @@ def test_prefetcher_close_releases_worker():
     import pytest as _pytest
     with _pytest.raises(StopIteration):
         next(p)
+
+
+def test_sharded_source_partition():
+    """Shards are disjoint, balanced, and cover the whole corpus."""
+    import numpy as np
+    from myconvnet_tpu.data.pipeline import ArraySource, ShardedSource
+
+    n = 37
+    images = np.arange(n, dtype=np.uint8).reshape(n, 1, 1, 1) * np.ones(
+        (1, 2, 2, 3), np.uint8)
+    labels = np.arange(n)
+    src = ArraySource(images, labels)
+    seen = []
+    sizes = []
+    for i in range(4):
+        sh = ShardedSource(src, i, 4)
+        sizes.append(len(sh))
+        _, y = sh.get_batch(np.arange(len(sh)))
+        seen.extend(y.tolist())
+    assert sorted(seen) == list(range(n))
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_dataset_shard_and_identity():
+    import numpy as np
+    from myconvnet_tpu.data.pipeline import ArraySource, DataSet
+
+    images = np.zeros((10, 2, 2, 3), np.uint8)
+    labels = np.arange(10)
+    ds = DataSet(ArraySource(images, labels), seed=7)
+    assert ds.shard(None, None) is ds  # single-process: no-op
+    s1 = ds.shard(1, 2)
+    assert len(s1) == 5
+    _, y = s1.source.get_batch(np.arange(5))
+    assert y.tolist() == [1, 3, 5, 7, 9]
+    import pytest
+    with pytest.raises(ValueError):
+        ds.shard(2, 2)
+
+
+def test_process_local_put_equals_shard_batch():
+    import jax
+    import numpy as np
+    from myconvnet_tpu.parallel import mesh as mesh_lib
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 virtual devices")
+    mesh = mesh_lib.make_mesh(8, 1)
+    x = np.random.RandomState(0).rand(16, 4).astype(np.float32)
+    a = mesh_lib.shard_batch(mesh, (x,))[0]
+    b = mesh_lib.process_local_put(mesh, (x,))[0]
+    assert a.sharding == b.sharding
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
