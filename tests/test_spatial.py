@@ -127,6 +127,83 @@ def test_spatial_bn_stats_match_global(mesh):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_spatial_training_matches_unsharded(mesh):
+    """Train a conv->BN->relu->strided-conv->GAP->dense block for several
+    SGD steps with H-sharded activations (halo convs + psum BN stats +
+    psum GAP): the parameter trajectory must match single-device
+    training bit-close.  This is the end-to-end proof that the spatial
+    axis is trainable, not just an inference trick."""
+    rng = np.random.RandomState(5)
+    params = {
+        "w1": jnp.asarray(rng.randn(3, 3, 3, 8).astype(np.float32) * 0.2),
+        "gamma": jnp.ones((8,), jnp.float32),
+        "beta": jnp.zeros((8,), jnp.float32),
+        "w2": jnp.asarray(rng.randn(3, 3, 8, 8).astype(np.float32) * 0.2),
+        "wd": jnp.asarray(rng.randn(8, 4).astype(np.float32) * 0.2),
+    }
+    x = jnp.asarray(rng.randn(4, 16, 8, 3).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 4, 4))
+
+    def block_ref(p, x):
+        h = lax.conv_general_dilated(
+            x, p["w1"], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        mean = jnp.mean(h, axis=(0, 1, 2))
+        var = jnp.var(h, axis=(0, 1, 2))
+        h = (h - mean) / jnp.sqrt(var + 1e-5) * p["gamma"] + p["beta"]
+        h = jax.nn.relu(h)
+        h = lax.conv_general_dilated(
+            h, p["w2"], (2, 2), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        h = jnp.mean(h, axis=(1, 2))          # GAP
+        return h @ p["wd"]
+
+    def block_sharded(p, x):
+        h = halo_conv2d(x, p["w1"], stride=1, axis_name="data")
+        mean, var = spatial_batch_norm_stats(h, "data")
+        h = (h - mean) / jnp.sqrt(var + 1e-5) * p["gamma"] + p["beta"]
+        h = jax.nn.relu(h)
+        h = halo_conv2d(h, p["w2"], stride=2, axis_name="data")
+        # GAP over the sharded H axis: local sum + psum, / global count
+        total = lax.psum(jnp.sum(h, axis=(1, 2)), "data")
+        count = lax.psum(jnp.asarray(h.shape[1] * h.shape[2],
+                                     jnp.float32), "data")
+        return (total / count) @ p["wd"]
+
+    def loss_of(block):
+        def f(p, x, y):
+            logits = block(p, x)
+            logp = jax.nn.log_softmax(logits)
+            return -jnp.mean(logp[jnp.arange(y.shape[0]), y])
+        return f
+
+    sharded_loss = shard_map(loss_of(block_sharded), mesh=mesh,
+                             in_specs=(P(), P(None, "data"), P()),
+                             out_specs=P(), check_vma=False)
+
+    def sgd_run(loss_fn, p):
+        losses = []
+        step = jax.jit(lambda p, x, y: jax.value_and_grad(loss_fn)(p, x, y))
+        for _ in range(5):
+            l, g = step(p, x, y)
+            losses.append(float(l))
+            p = jax.tree.map(lambda a, b: a - 0.1 * b, p, g)
+        return p, losses
+
+    # NOTE: the cotangent of the replicated (P()) loss w.r.t. sharded
+    # internals is handled by shard_map's transpose; params stay P().
+    def sharded_mean_loss(p, x, y):
+        return jnp.mean(sharded_loss(p, x, y))
+
+    p_ref, l_ref = sgd_run(loss_of(block_ref), params)
+    p_sh, l_sh = sgd_run(sharded_mean_loss, params)
+    np.testing.assert_allclose(l_sh, l_ref, rtol=1e-4, atol=1e-5)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(p_sh[k]),
+                                   np.asarray(p_ref[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+
+
 def test_stacked_halo_convs_compose(mesh):
     """Two halo convs back-to-back (stride 2 then dilation 2) — the
     DeepLab backbone pattern — still match the unsharded chain."""
