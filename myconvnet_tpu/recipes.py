@@ -89,10 +89,16 @@ def build_classifier(cfg: dict, synthetic: bool = False,
     loss = lambda logits, y: softmax_cross_entropy(  # noqa: E731
         logits, y, label_smoothing=smoothing)
     augment = make_augment(cfg.get("augment"))
+    mix_cfg = cfg.get("mix")
+    if mix_cfg is not None:
+        from myconvnet_tpu.data.mix import MixConfig
+        mix_cfg = MixConfig(**dict(mix_cfg))
     net = ConvNet(model_fn, input_shape=(*cfg["input_hw"], 3),
                   num_classes=cfg["num_classes"],
                   precision=cfg.get("precision", "f32"), loss_fn=loss,
-                  augment=augment, mesh=mesh, seed=cfg.get("seed", 0),
+                  augment=augment, mix=mix_cfg,
+                  erase_prob=cfg.get("erase_prob", 0.0),
+                  mesh=mesh, seed=cfg.get("seed", 0),
                   ckpt_dir=ckpt_dir, log_dir=log_dir, **kwargs)
     train_src, val_src = make_sources(cfg, synthetic)
     return net, DataSet(train_src, augment), DataSet(val_src, augment)

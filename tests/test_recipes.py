@@ -13,6 +13,8 @@ CONFIGS = [
     "configs/voc_deeplabv3plus.py",
     "configs/imagenet_efficientnet_b0.py",
     "configs/imagenet_mobilenet_v2.py",
+    "configs/imagenet_resnext50.py",
+    "configs/imagenet_resnet50_lars.py",
     "configs/dcgan_cifar10.py",
     "configs/pix2pix.py",
 ]
@@ -73,3 +75,29 @@ def test_unknown_dataset_raises():
     cfg["dataset"] = "mnist"
     with pytest.raises(ValueError, match="unknown dataset"):
         recipes.make_sources(cfg, synthetic=True)
+
+
+def test_resnext_mix_recipe_trains_synthetic():
+    """The mix/erase config keys reach the jitted step (tiny shapes)."""
+    cfg = recipes.load_config("configs/imagenet_resnext50.py",
+                              total_steps=2, batch_size=4)
+    cfg["model"] = "smallnet"          # keep the CPU smoke cheap
+    cfg["model_kwargs"] = dict(width=4, dropout_rate=0.0)
+    cfg["input_hw"] = (16, 16)
+    cfg["num_classes"] = 5
+    cfg["dataset"] = "cifar10"
+    cfg["augment"]["out_hw"] = (16, 16)
+    cfg["precision"] = "f32"
+    net, train_set, _ = recipes.build_classifier(cfg, synthetic=True)
+    assert net.mix is not None and net.erase_prob == 0.25
+    opt = recipes.make_optimizer(cfg["optimizer"])
+    state = net.train(train_set, batch_size=4, total_steps=2,
+                      optimizer=opt)
+    assert int(state.step) == 2
+
+
+def test_lars_recipe_optimizer_builds():
+    cfg = recipes.load_config("configs/imagenet_resnet50_lars.py")
+    opt = recipes.make_optimizer(cfg["optimizer"])
+    params = {"a": {"w": np.ones((3, 3, 4, 8), np.float32)}}
+    assert opt.init(params) is not None
