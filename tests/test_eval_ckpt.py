@@ -109,3 +109,42 @@ def test_checkpoint_missing_key(tmp_path):
     with pytest.raises(ValueError, match="missing keys"):
         ckpt.restore_checkpoint(d, {"w": jnp.zeros((2, 2)),
                                     "v": jnp.zeros((1,))})
+
+
+def test_orbax_backend_roundtrip(tmp_path):
+    """Optional Orbax backend: save/restore preserves values, shardings,
+    and prunes old steps."""
+    pytest.importorskip("orbax.checkpoint")
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from myconvnet_tpu.ckpt import orbax_io
+    from myconvnet_tpu.parallel.mesh import make_mesh
+
+    d = str(tmp_path / "orbax")
+    state = {"params": {"w": jnp.arange(16.0).reshape(4, 4),
+                        "b": jnp.ones(4)},
+             "step": jnp.asarray(7, jnp.int32)}
+    orbax_io.save(d, 7, state)
+    orbax_io.save(d, 8, state)
+    orbax_io.save(d, 9, state, keep=2)
+    assert orbax_io.all_steps(d) == [8, 9]
+    assert orbax_io.checkpoint_step(orbax_io.latest(d)) == 9
+
+    template = jax.tree.map(jnp.zeros_like, state)
+    restored = orbax_io.restore(d, template)
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.asarray(state["params"]["w"]))
+    assert int(restored["step"]) == 7
+
+    if len(jax.devices()) >= 8:
+        mesh = make_mesh(8, 1)
+        sh = NamedSharding(mesh, P("data"))
+        sharded = {"x": jax.device_put(jnp.arange(32.0), sh)}
+        orbax_io.save(d + "_sh", 1, sharded)
+        out = orbax_io.restore(d + "_sh",
+                               {"x": jax.device_put(jnp.zeros(32), sh)})
+        assert out["x"].sharding == sh
+        np.testing.assert_array_equal(np.asarray(out["x"]),
+                                      np.arange(32.0))
