@@ -81,6 +81,13 @@ class Trainer:
     # activations to ~inputs-only at ~1.3x FLOPs — the TPU lever for big
     # batches and 513x513 segmentation where HBM, not MXU, is scarce
     remat: bool = False
+    # gradient accumulation: split each batch into this many microbatches
+    # and lax.scan fwd+bwd over them before ONE optimizer update — the
+    # other HBM lever (activation memory scales with the microbatch, the
+    # update sees the full-batch average gradient). BN statistics update
+    # sequentially per microbatch, matching the semantics of running the
+    # microbatches as separate steps.
+    accum_steps: int = 1
     # write checkpoints on a background thread (device->host readback of
     # the full state can take seconds on slow links; jax arrays are
     # immutable, so a snapshot taken while training continues is safe)
@@ -113,6 +120,8 @@ class Trainer:
             loss = loss_fn(logits, y)
             return loss, (new_state, logits)
 
+        accum = max(int(self.accum_steps), 1)
+
         def train_step(state: TrainState, batch) -> tuple[TrainState, dict]:
             x, y = batch
             base = jax.random.wrap_key_data(state.rng)
@@ -120,9 +129,39 @@ class Trainer:
             k_aug, k_model = jax.random.split(key)
             if augment_fn is not None:
                 x, y = augment_fn(k_aug, x, y)
-            (loss, (new_mstate, logits)), grads = jax.value_and_grad(
-                loss_and_state, has_aux=True)(
-                    state.params, state.model_state, k_model, x, y)
+            if accum == 1:
+                (loss, (new_mstate, logits)), grads = jax.value_and_grad(
+                    loss_and_state, has_aux=True)(
+                        state.params, state.model_state, k_model, x, y)
+            else:
+                # microbatch scan: grads accumulate in f32, BN stats
+                # thread through the carry; activation memory is 1/accum
+                n = x.shape[0]
+                assert n % accum == 0, (n, accum)
+                xm = x.reshape(accum, n // accum, *x.shape[1:])
+                ym = y.reshape(accum, n // accum, *y.shape[1:])
+                grad_fn = jax.value_and_grad(loss_and_state, has_aux=True)
+
+                keys = jax.random.split(k_model, accum)
+
+                def micro(carry, xyk):
+                    mstate, gacc, lacc = carry
+                    xi, yi, ki = xyk
+                    (l, (mstate, logits)), g = grad_fn(
+                        state.params, mstate, ki, xi, yi)
+                    gacc = jax.tree.map(
+                        lambda a, b: a + b.astype(jnp.float32), gacc, g)
+                    return (mstate, gacc, lacc + l), logits
+
+                zeros = jax.tree.map(
+                    lambda p: jnp.zeros(p.shape, jnp.float32),
+                    state.params)
+                (new_mstate, gsum, lsum), logits_m = jax.lax.scan(
+                    micro, (state.model_state, zeros, 0.0),
+                    (xm, ym, keys))
+                grads = jax.tree.map(lambda g: g / accum, gsum)
+                loss = lsum / accum
+                logits = logits_m.reshape(n, *logits_m.shape[2:])
             new_params, new_opt = optimizer.update(
                 grads, state.opt_state, state.params, state.step)
             metrics = {"loss": loss}

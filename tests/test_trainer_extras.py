@@ -154,3 +154,61 @@ def test_plot_curves_selected_keys(tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="no plottable"):
         plot_curves(p, keys=["nonexistent"])
+
+
+def _setup_accum(accum):
+    # BN-free net: microbatch stat updates would legitimately differ;
+    # without state the accumulated step must match the full batch
+    # exactly (equal-size microbatches average to the same mean loss)
+    def fwd(x, train=False):
+        from myconvnet_tpu import nn
+        x = x.reshape(x.shape[0], -1)
+        x = nn.relu(nn.dense(x, 32, name="fc1"))
+        return nn.dense(x, 10, name="fc2")
+
+    model = transform(fwd)
+    opt = optim.momentum(0.1, 0.9)
+    t = Trainer(model=model, optimizer=opt,
+                loss_fn=softmax_cross_entropy, accum_steps=accum)
+    t.logger.stdout = False
+    state = init_train_state(model, opt, jax.random.key(0),
+                             jnp.zeros((8, 8, 8, 3)))
+    return t, state
+
+
+def test_gradient_accumulation_matches_full_batch():
+    x = np.random.RandomState(1).rand(8, 8, 8, 3).astype(np.float32)
+    y = np.arange(8) % 10
+    t1, s1 = _setup_accum(1)
+    t4, s4 = _setup_accum(4)
+    batch = (jnp.asarray(x), jnp.asarray(y))
+    s1b, m1 = t1._train_step(s1, batch)
+    s4b, m4 = t4._train_step(s4, batch)
+    np.testing.assert_allclose(float(m4["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m4["accuracy"]),
+                               float(m1["accuracy"]), atol=1e-6)
+    for scope in s1b.params:
+        for name in s1b.params[scope]:
+            np.testing.assert_allclose(
+                np.asarray(s4b.params[scope][name]),
+                np.asarray(s1b.params[scope][name]), rtol=1e-4,
+                atol=1e-6, err_msg=f"{scope}/{name}")
+
+
+def test_gradient_accumulation_with_bn_trains():
+    """With BN the semantics are sequential microbatch steps — just
+    verify it runs, updates stats, and the loss is finite."""
+    model = transform(lambda x, train=False: models.smallnet(
+        x, 10, train=train, width=8, dropout_rate=0.0))
+    opt = optim.sgd(0.1)
+    t = Trainer(model=model, optimizer=opt,
+                loss_fn=softmax_cross_entropy, accum_steps=2)
+    t.logger.stdout = False
+    state = init_train_state(model, opt, jax.random.key(0),
+                             jnp.zeros((8, 32, 32, 3)))
+    x = np.random.RandomState(2).rand(8, 32, 32, 3).astype(np.float32)
+    y = np.arange(8) % 10
+    new_state, m = t._train_step(state, (jnp.asarray(x), jnp.asarray(y)))
+    assert np.isfinite(float(m["loss"]))
+    assert int(new_state.step) == 1
