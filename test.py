@@ -21,6 +21,11 @@ def main():
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--data_dir", default=None)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--tta", default=None, choices=("flip", "ten_crop"),
+                    help="classification test-time augmentation")
+    ap.add_argument("--scales", default=None,
+                    help="segmentation multi-scale eval, e.g. "
+                         "'0.75,1.0,1.25' (implies flip averaging)")
     args = ap.parse_args()
 
     if args.platform:
@@ -48,7 +53,24 @@ def main():
             raise SystemExit(f"no best.npz under {args.ckpt!r}")
         path = best
     net.restore(path)
-    score = net.evaluate(val_set, evaluator, batch_size=cfg["batch_size"])
+    batch = cfg["batch_size"]
+    if args.tta and cfg["task"] == "classification":
+        evaluator.reset()
+        for x, y in val_set.eval_iter(batch, prefetch=0):
+            logp = net.predict(x, batch_size=len(x), tta=args.tta)
+            evaluator.update(logp, y)
+        score = evaluator.score()
+    elif args.scales and cfg["task"] == "segmentation":
+        scales = tuple(float(s) for s in args.scales.split(","))
+        evaluator.reset()
+        for x, y in val_set.eval_iter(batch, prefetch=0):
+            import numpy as np
+            pred = net.predict_segmentation(np.asarray(x), scales=scales,
+                                            flip=True, batch_size=len(x))
+            evaluator.update(pred, y)
+        score = evaluator.score()
+    else:
+        score = net.evaluate(val_set, evaluator, batch_size=batch)
     print(f"{evaluator.name}: {score:.4f}")
 
 

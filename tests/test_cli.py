@@ -64,3 +64,53 @@ def test_train_resume_continues_step_counter(tmp_path):
     import re
     steps = [int(m) for m in re.findall(r"\[step (\d+)\]", r2.stdout)]
     assert steps and min(steps) > 10
+
+
+@pytest.mark.slow
+def test_crash_restart_resumes(tmp_path):
+    """--max_restarts: an injected crash after training resumes from the
+    latest checkpoint and completes evaluation."""
+    out = str(tmp_path / "run")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = ""
+    env["MYCONVNET_FAULT_ONCE"] = "1"
+    r = subprocess.run(
+        [sys.executable, "train.py", "--config",
+         "configs/cifar10_smallnet.py", "--synthetic", "--steps", "10",
+         "--batch", "16", "--val_every", "0", "--platform", "cpu",
+         "--out", out, "--max_restarts", "1"],
+        cwd=REPO, capture_output=True, text=True, timeout=600, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "[restart 1/1]" in r.stdout
+    assert "resumed from step 10" in r.stdout
+    assert "final val accuracy" in r.stdout
+
+
+@pytest.mark.slow
+def test_crash_without_restarts_fails(tmp_path):
+    out = str(tmp_path / "run")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = ""
+    env["MYCONVNET_FAULT_ONCE"] = "1"
+    r = subprocess.run(
+        [sys.executable, "train.py", "--config",
+         "configs/cifar10_smallnet.py", "--synthetic", "--steps", "5",
+         "--batch", "16", "--val_every", "0", "--platform", "cpu",
+         "--out", out],
+        cwd=REPO, capture_output=True, text=True, timeout=600, env=env)
+    assert r.returncode != 0
+    assert "injected fault" in r.stderr
+
+
+@pytest.mark.slow
+def test_tta_cli(tmp_path):
+    out = str(tmp_path / "run")
+    r = _run(["train.py", "--config", "configs/cifar10_smallnet.py",
+              "--synthetic", "--steps", "5", "--batch", "16",
+              "--val_every", "0", "--platform", "cpu", "--out", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    r2 = _run(["test.py", "--config", "configs/cifar10_smallnet.py",
+               "--ckpt", out, "--synthetic", "--batch", "16",
+               "--platform", "cpu", "--tta", "flip"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "accuracy:" in r2.stdout

@@ -29,6 +29,10 @@ def main():
                     help="train data-parallel over all visible devices")
     ap.add_argument("--resume", action="store_true",
                     help="resume from the latest checkpoint in --out")
+    ap.add_argument("--max_restarts", type=int, default=0,
+                    help="on crash, restart from the latest checkpoint "
+                         "up to N times (single-process failure "
+                         "recovery; SURVEY.md §5)")
     ap.add_argument("--tensorboard", action="store_true",
                     help="also write TensorBoard event files under --out")
     ap.add_argument("--platform", default=None,
@@ -56,6 +60,27 @@ def main():
         run_gan(cfg, args, out)
         return
 
+    attempts = 0
+    while True:
+        try:
+            run_supervised(cfg, args, out, mesh,
+                           resume=args.resume or attempts > 0)
+            return
+        except (KeyboardInterrupt, SystemExit):
+            raise
+        except Exception as e:  # crash -> resume from latest checkpoint
+            attempts += 1
+            if attempts > args.max_restarts:
+                raise
+            print(f"[restart {attempts}/{args.max_restarts}] after "
+                  f"{type(e).__name__}: {e}; resuming from latest "
+                  f"checkpoint in {out}")
+
+
+def run_supervised(cfg, args, out, mesh, resume: bool):
+    from myconvnet_tpu import recipes
+    from myconvnet_tpu.utils.logging import MetricLogger
+
     builder = (recipes.build_segmenter if cfg["task"] == "segmentation"
                else recipes.build_classifier)
     net, train_set, val_set = builder(cfg, synthetic=args.synthetic,
@@ -64,7 +89,7 @@ def main():
         net.logger = MetricLogger(log_dir=out, tensorboard=True)
     evaluator = recipes.build_evaluator(cfg)
     optimizer = recipes.make_optimizer(cfg["optimizer"])
-    if args.resume:
+    if resume:
         from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
         if ckpt_lib.latest_checkpoint(out):
             net.build(optimizer)
@@ -74,6 +99,13 @@ def main():
               total_steps=cfg["total_steps"], optimizer=optimizer,
               evaluator=evaluator, val_every=cfg.get("val_every", 0),
               early_stop_patience=cfg.get("early_stop_patience", 0))
+    # fault injection for testing the crash-resume path: crash exactly
+    # once after training (a checkpoint exists), before evaluation
+    if os.environ.get("MYCONVNET_FAULT_ONCE"):
+        marker = os.path.join(out, ".fault_injected")
+        if not os.path.exists(marker):
+            open(marker, "w").close()
+            raise RuntimeError("injected fault (MYCONVNET_FAULT_ONCE)")
     score = net.evaluate(val_set, evaluator,
                          batch_size=cfg["batch_size"])
     print(f"final val {evaluator.name}: {score:.4f}")
