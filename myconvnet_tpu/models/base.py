@@ -63,6 +63,7 @@ class ConvNet:
                  erase_prob: float = 0.0,
                  paired_targets: bool = False,
                  mesh=None, use_mesh: bool = False,
+                 remat: bool = False, accum_steps: int = 1,
                  seed: int = 0, ckpt_dir: str | None = None,
                  log_dir: str | None = None, **model_kwargs):
         if model_fn is None and type(self)._forward is ConvNet._forward:
@@ -84,6 +85,8 @@ class ConvNet:
         self.paired_targets = paired_targets
         self.mesh = mesh if mesh is not None else (
             mesh_lib.make_mesh() if use_mesh else None)
+        self.remat = remat
+        self.accum_steps = accum_steps
         self.seed = seed
         self.ckpt_dir = ckpt_dir
         self.model_kwargs = model_kwargs
@@ -161,6 +164,7 @@ class ConvNet:
             loss_fn=self.loss_fn, mesh=self.mesh, augment_fn=aug_fn,
             eval_augment_fn=eval_aug_fn, predict_augment_fn=predict_fn,
             evaluator=evaluator, ckpt_dir=self.ckpt_dir,
+            remat=self.remat, accum_steps=self.accum_steps,
             logger=self.logger)
 
     # -------------------------------------------------------------- train

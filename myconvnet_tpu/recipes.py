@@ -49,9 +49,12 @@ def make_optimizer(opt_cfg: dict) -> optim_lib.Optimizer:
     if opt_cfg.pop("wd_exclude_norms", False):
         opt_cfg["weight_decay_exclude"] = optim_lib.norm_and_bias_exclusion
     clip = opt_cfg.pop("clip_norm", None)
+    ema_decay = opt_cfg.pop("ema_decay", None)
     opt = optim_lib.make_optimizer(name, lr, **opt_cfg)
     if clip:
         opt = optim_lib.with_gradient_clipping(opt, float(clip))
+    if ema_decay:
+        opt = optim_lib.with_ema(opt, float(ema_decay))
     return opt
 
 
@@ -99,6 +102,8 @@ def build_classifier(cfg: dict, synthetic: bool = False,
                   augment=augment, mix=mix_cfg,
                   erase_prob=cfg.get("erase_prob", 0.0),
                   mesh=mesh, seed=cfg.get("seed", 0),
+                  remat=cfg.get("remat", False),
+                  accum_steps=cfg.get("accum_steps", 1),
                   ckpt_dir=ckpt_dir, log_dir=log_dir, **kwargs)
     train_src, val_src = make_sources(cfg, synthetic)
     return net, DataSet(train_src, augment), DataSet(val_src, augment)
@@ -121,8 +126,10 @@ def build_segmenter(cfg: dict, synthetic: bool = False,
                   num_classes=cfg["num_classes"],
                   precision=cfg.get("precision", "f32"), loss_fn=loss,
                   augment=aug, paired_targets=True,
-                  mesh=mesh, seed=cfg.get("seed", 0), ckpt_dir=ckpt_dir,
-                  log_dir=log_dir, **kwargs)
+                  mesh=mesh, seed=cfg.get("seed", 0),
+                  remat=cfg.get("remat", False),
+                  accum_steps=cfg.get("accum_steps", 1),
+                  ckpt_dir=ckpt_dir, log_dir=log_dir, **kwargs)
     train_src, val_src = make_sources(cfg, synthetic)
     return net, DataSet(train_src), DataSet(val_src)
 

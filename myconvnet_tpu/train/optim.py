@@ -389,8 +389,43 @@ def with_gradient_clipping(opt: Optimizer, max_norm: float) -> Optimizer:
 
 # ------------------------------------------------- parameter EMA (eval-time)
 
+class EmaOptState(NamedTuple):
+    inner: PyTree
+    ema: PyTree
+
+
+def with_ema(opt: Optimizer, decay: float = 0.999) -> Optimizer:
+    """Wrap an optimizer so a Polyak average of the parameters rides in
+    the optimizer state (and therefore in every checkpoint).  Evaluate /
+    serve with :func:`extract_ema`."""
+
+    def init(params):
+        return EmaOptState(opt.init(params), ema_init(params))
+
+    def update(grads, opt_state, params, step):
+        new_p, new_inner = opt.update(grads, opt_state.inner, params, step)
+        new_ema = ema_update(opt_state.ema, new_p, decay)
+        return new_p, EmaOptState(new_inner, new_ema)
+
+    return Optimizer(init, update)
+
+
+def extract_ema(opt_state) -> PyTree:
+    """The EMA parameter tree from a with_ema optimizer state (cast back
+    to the live params' structure/dtype is the caller's concern — they
+    are stored f32)."""
+    if not isinstance(opt_state, EmaOptState):
+        raise ValueError("optimizer state has no EMA (wrap the optimizer "
+                         "with optim.with_ema)")
+    return opt_state.ema
+
+
 def ema_init(params):
-    return jax.tree.map(lambda p: p.astype(jnp.float32), params)
+    # copy=True: astype on an f32 param would RETURN THE SAME BUFFER,
+    # and a donated train step would then see one buffer twice
+    # (params + ema) -> runtime donation error
+    return jax.tree.map(
+        lambda p: jnp.array(p, dtype=jnp.float32, copy=True), params)
 
 
 def ema_update(ema_params, params, decay: float = 0.999):

@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--tta", default=None, choices=("flip", "ten_crop"),
                     help="classification test-time augmentation")
+    ap.add_argument("--ema", action="store_true",
+                    help="evaluate the Polyak-averaged parameters "
+                         "(requires optimizer.ema_decay in the config)")
     ap.add_argument("--scales", default=None,
                     help="segmentation multi-scale eval, e.g. "
                          "'0.75,1.0,1.25' (implies flip averaging)")
@@ -53,6 +56,13 @@ def main():
             raise SystemExit(f"no best.npz under {args.ckpt!r}")
         path = best
     net.restore(path)
+    if args.ema:
+        import jax
+        from myconvnet_tpu.train import optim as optim_lib
+        ema = optim_lib.extract_ema(net.state.opt_state)
+        net.state = net.state._replace(params=jax.tree.map(
+            lambda p, e: e.astype(p.dtype), net.state.params, ema))
+        print("evaluating EMA parameters")
     batch = cfg["batch_size"]
     if args.tta and cfg["task"] == "classification":
         evaluator.reset()

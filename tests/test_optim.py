@@ -228,3 +228,32 @@ def test_lars_registry():
     sched = optim.make_schedule({"kind": "cosine_restarts", "lr": 0.1,
                                  "first_decay_steps": 10})
     assert float(sched(jnp.asarray(0))) > 0
+
+
+def test_with_ema_combinator_tracks_params():
+    opt = optim.with_ema(optim.sgd(0.5), decay=0.5)
+    p = {"w": jnp.asarray([2.0])}
+    s = opt.init(p)
+    np.testing.assert_allclose(optim.extract_ema(s)["w"], [2.0])
+    g = {"w": jnp.asarray([1.0])}
+    p1, s1 = opt.update(g, s, p, jnp.asarray(0))   # p -> 1.5
+    np.testing.assert_allclose(p1["w"], [1.5], rtol=1e-6)
+    # ema = 0.5*2.0 + 0.5*1.5 = 1.75
+    np.testing.assert_allclose(optim.extract_ema(s1)["w"], [1.75],
+                               rtol=1e-6)
+    with np.testing.assert_raises(Exception):
+        optim.extract_ema(s1.inner)
+
+
+def test_ema_state_checkpoints(tmp_path):
+    """EmaOptState rides the normal checkpoint path (it is a pytree)."""
+    from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
+    opt = optim.with_ema(optim.momentum(0.1, 0.9), decay=0.9)
+    p = {"layer": {"w": jnp.ones((2, 2))}}
+    s = opt.init(p)
+    state = {"params": p, "opt": s}
+    ckpt_lib.save_checkpoint(str(tmp_path), 1, state)
+    restored = ckpt_lib.restore_checkpoint(str(tmp_path), state)
+    np.testing.assert_allclose(
+        np.asarray(optim.extract_ema(restored["opt"])["layer"]["w"]),
+        np.ones((2, 2)))
