@@ -22,7 +22,7 @@ from myconvnet_tpu.data.pipeline import DataSet
 from myconvnet_tpu.eval.evaluators import (AccuracyEvaluator,
                                            MeanIoUEvaluator)
 from myconvnet_tpu.models.base import ConvNet
-from myconvnet_tpu.subsets import cifar10, imagenet, voc
+from myconvnet_tpu.subsets import cifar10, cifar100, imagenet, voc
 from myconvnet_tpu.train import gan as gan_lib
 from myconvnet_tpu.train import optim as optim_lib
 from myconvnet_tpu.train.losses import (pixel_cross_entropy,
@@ -68,15 +68,16 @@ def make_augment(aug_cfg: dict | None) -> AugmentConfig | None:
 def make_sources(cfg: dict, synthetic: bool, splits=("train", "val")):
     name = cfg["dataset"]
     data_dir = cfg.get("data_dir")
-    table = {"cifar10": cifar10, "imagenet": imagenet, "voc": voc}
+    table = {"cifar10": cifar10, "cifar100": cifar100,
+             "imagenet": imagenet, "voc": voc}
     if name not in table:
         raise ValueError(f"unknown dataset {name!r}; valid: "
                          f"{sorted(table)} (or 'pairs' for pix2pix)")
     mod = table[name]
     out = []
     for split in splits:
-        real_split = {"val": "test" if name == "cifar10" else "val"}.get(
-            split, split)
+        real_split = {"val": "test" if name.startswith("cifar")
+                      else "val"}.get(split, split)
         out.append(mod.make_source(data_dir, real_split,
                                    synthetic=synthetic or data_dir is None))
     return out

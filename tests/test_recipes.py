@@ -14,6 +14,7 @@ CONFIGS = [
     "configs/imagenet_efficientnet_b0.py",
     "configs/imagenet_mobilenet_v2.py",
     "configs/imagenet_resnext50.py",
+    "configs/cifar100_resnet18.py",
     "configs/imagenet_resnet50_lars.py",
     "configs/dcgan_cifar10.py",
     "configs/pix2pix.py",
@@ -101,3 +102,31 @@ def test_lars_recipe_optimizer_builds():
     opt = recipes.make_optimizer(cfg["optimizer"])
     params = {"a": {"w": np.ones((3, 3, 4, 8), np.float32)}}
     assert opt.init(params) is not None
+
+
+def test_cifar100_synthetic_source():
+    from myconvnet_tpu.subsets import cifar100
+    src = cifar100.make_source(None, "train", synthetic=True,
+                               synthetic_n=64)
+    x, y = src.get_batch(np.arange(16))
+    assert x.shape == (16, 32, 32, 3) and x.dtype == np.uint8
+    assert y.min() >= 0 and y.max() < 100
+    coarse = cifar100.make_source(None, "val", synthetic=True,
+                                  synthetic_n=64, coarse=True)
+    _, yc = coarse.get_batch(np.arange(16))
+    assert yc.max() < 20
+
+
+def test_cifar100_recipe_builds_and_trains():
+    cfg = recipes.load_config("configs/cifar100_resnet18.py",
+                              total_steps=2, batch_size=8)
+    cfg["model"] = "smallnet"
+    cfg["model_kwargs"] = dict(width=4, dropout_rate=0.0)
+    cfg["input_hw"] = (16, 16)
+    cfg["augment"]["out_hw"] = (16, 16)
+    cfg["precision"] = "f32"
+    net, train_set, val_set = recipes.build_classifier(cfg, synthetic=True)
+    opt = recipes.make_optimizer(cfg["optimizer"])
+    state = net.train(train_set, batch_size=8, total_steps=2,
+                      optimizer=opt)
+    assert int(state.step) == 2
