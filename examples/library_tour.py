@@ -81,7 +81,47 @@ def main():
                              None, x, False)
     print(f"[int8] quantized logits: {y_q.shape}")
 
-    # 5. fused GAN step
+    # 5. batch-mixing regularizers + TTA prediction
+    from myconvnet_tpu.data.mix import MixConfig
+    net3 = ConvNet(lambda x, n, train=False: models.smallnet(
+        x, n, train=train, width=8, dropout_rate=0.0),
+        input_shape=(32, 32, 3), num_classes=10, augment=aug,
+        mix=MixConfig(mixup_alpha=0.2, cutmix_alpha=1.0), erase_prob=0.25,
+        seed=1)
+    net3.logger.stdout = False
+    net3.train(train_set, batch_size=64, total_steps=20,
+               optimizer=optim.lars(0.1, eta=0.01))
+    logp = net3.predict(val_set.source.images[:8], batch_size=8,
+                        tta="ten_crop")
+    print(f"[mix+tta] mixup/cutmix/erase trained 20 steps (LARS), "
+          f"10-crop log-probs {logp.shape}")
+
+    # 6. spatial + pipeline parallelism on the virtual mesh
+    if len(jax.devices()) >= 8:
+        import functools
+        from jax import lax, shard_map
+        from jax.sharding import PartitionSpec as P
+        from myconvnet_tpu.parallel import halo_conv2d, make_mesh
+        from myconvnet_tpu.parallel.pipeline import run_pipeline
+        mesh8 = make_mesh(4, 2)
+        xs = jnp.asarray(np.random.RandomState(0)
+                         .randn(2, 16, 8, 3).astype(np.float32))
+        w = jnp.asarray(np.random.RandomState(1)
+                        .randn(3, 3, 3, 4).astype(np.float32))
+        f = shard_map(functools.partial(halo_conv2d, axis_name="data"),
+                      mesh=mesh8, in_specs=(P(None, "data"), P()),
+                      out_specs=P(None, "data"))
+        y_sp = jax.jit(f)(xs, w)
+        ws = jnp.asarray(np.random.RandomState(2)
+                         .randn(2, 8, 8).astype(np.float32) * 0.3)
+        bs = jnp.zeros((2, 8))
+        y_pp = run_pipeline(mesh8, lambda p, x: jax.nn.relu(
+            x @ p[0] + p[1]), (ws, bs),
+            jnp.ones((4, 8)), microbatches=2)
+        print(f"[parallel] halo conv {y_sp.shape} on dp-sharded H, "
+              f"2-stage pipeline {y_pp.shape}")
+
+    # 7. fused GAN step
     from myconvnet_tpu.train import gan
     gen = transform(lambda z, train: models.dcgan_generator(
         z, train=train, image_size=32, base_features=64))
