@@ -113,3 +113,49 @@ def import_torch_resnet_file(path: str, params: Params, state: State,
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     return import_torch_resnet(sd, params, state, depth, load_head)
+
+
+def export_torch_resnet(params: Params, state: State, depth: int = 50
+                        ) -> dict[str, np.ndarray]:
+    """Inverse of :func:`import_torch_resnet`: emit a torchvision-style
+    ResNet ``state_dict`` of numpy arrays (HWIO -> OIHW, BN stats ->
+    running_*) so models trained here can serve from torch."""
+
+    def conv_w(scope):
+        return np.transpose(np.asarray(params[scope]["w"], np.float32),
+                            (3, 2, 0, 1))  # HWIO -> OIHW
+
+    sd: dict[str, np.ndarray] = {}
+
+    def put_bn(prefix, scope):
+        sd[f"{prefix}.weight"] = np.asarray(params[scope]["gamma"],
+                                            np.float32)
+        sd[f"{prefix}.bias"] = np.asarray(params[scope]["beta"], np.float32)
+        sd[f"{prefix}.running_mean"] = np.asarray(
+            state[scope]["moving_mean"], np.float32)
+        sd[f"{prefix}.running_var"] = np.asarray(
+            state[scope]["moving_var"], np.float32)
+
+    sd["conv1.weight"] = conv_w("stem/conv")
+    put_bn("bn1", "stem/bn")
+
+    blocks = _torch_block_names(depth)
+    letters = ("a", "b", "c") if depth >= 50 else ("a", "b")
+    for stage_i, n_blocks in enumerate(blocks):
+        for b in range(n_blocks):
+            t_pre = f"layer{stage_i + 1}.{b}"
+            scope_pre = f"stage{stage_i + 1}/block{b + 1}"
+            for li, letter in enumerate(letters):
+                sd[f"{t_pre}.conv{li + 1}.weight"] = conv_w(
+                    f"{scope_pre}/conv_{letter}")
+                put_bn(f"{t_pre}.bn{li + 1}", f"{scope_pre}/bn_{letter}")
+            if f"{scope_pre}/conv_proj" in params:
+                sd[f"{t_pre}.downsample.0.weight"] = conv_w(
+                    f"{scope_pre}/conv_proj")
+                put_bn(f"{t_pre}.downsample.1", f"{scope_pre}/bn_proj")
+
+    if "logits" in params:
+        sd["fc.weight"] = np.transpose(
+            np.asarray(params["logits"]["w"], np.float32), (1, 0))
+        sd["fc.bias"] = np.asarray(params["logits"]["b"], np.float32)
+    return sd

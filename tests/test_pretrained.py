@@ -103,3 +103,66 @@ def test_load_npz_shape_error(tmp_path, r18):
     np.savez(path, **{"stem/conv::w": np.zeros((1, 1, 1, 1), np.float32)})
     with pytest.raises(ValueError, match="shape"):
         load_npz_weights(path, params)
+
+
+def test_torch_export_import_roundtrip():
+    """export_torch_resnet o import_torch_resnet == identity (params,
+    BN stats, head)."""
+    import jax
+    import jax.numpy as jnp
+
+    from myconvnet_tpu import models
+    from myconvnet_tpu.core import transform
+    from myconvnet_tpu.models.pretrained import (export_torch_resnet,
+                                                 import_torch_resnet)
+
+    net = transform(lambda x, train=False: models.resnet18(
+        x, 10, train=train))
+    params, state = net.init(jax.random.key(3),
+                             jnp.zeros((1, 32, 32, 3)), False)
+    sd = export_torch_resnet(params, state, depth=18)
+    assert "conv1.weight" in sd and "fc.weight" in sd
+    assert sd["conv1.weight"].shape[1] == 3  # OIHW
+    p2, s2 = import_torch_resnet(sd, params, state, depth=18)
+    for scope in params:
+        for name in params[scope]:
+            np.testing.assert_array_equal(
+                np.asarray(p2[scope][name]),
+                np.asarray(params[scope][name]),
+                err_msg=f"{scope}/{name}")
+    for scope in state:
+        for name in state[scope]:
+            np.testing.assert_array_equal(
+                np.asarray(s2[scope][name]),
+                np.asarray(state[scope][name]),
+                err_msg=f"{scope}/{name}")
+
+
+def test_torch_export_loads_into_torchvision_like_shapes():
+    """The exported dict matches torch's expected parameter shapes for
+    the same depth (cross-check against torch's own resnet18)."""
+    torch = pytest.importorskip("torch")
+    pytest.importorskip("torchvision")
+    import jax
+    import jax.numpy as jnp
+    from torchvision.models import resnet18 as tv_resnet18
+
+    from myconvnet_tpu import models
+    from myconvnet_tpu.core import transform
+    from myconvnet_tpu.models.pretrained import export_torch_resnet
+
+    net = transform(lambda x, train=False: models.resnet18(
+        x, 1000, train=train))
+    params, state = net.init(jax.random.key(0),
+                             jnp.zeros((1, 32, 32, 3)), False)
+    sd = export_torch_resnet(params, state, depth=18)
+    model = tv_resnet18()
+    want = model.state_dict()
+    for k, v in sd.items():
+        assert k in want, k
+        assert tuple(want[k].shape) == tuple(v.shape), (
+            k, want[k].shape, v.shape)
+    # and it actually loads
+    model.load_state_dict(
+        {k: torch.from_numpy(np.array(v)) for k, v in sd.items()},
+        strict=False)
