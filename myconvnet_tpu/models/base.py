@@ -64,6 +64,7 @@ class ConvNet:
                  paired_targets: bool = False,
                  mesh=None, use_mesh: bool = False,
                  remat: bool = False, accum_steps: int = 1,
+                 debug_checks: bool = False,
                  seed: int = 0, ckpt_dir: str | None = None,
                  log_dir: str | None = None, **model_kwargs):
         if model_fn is None and type(self)._forward is ConvNet._forward:
@@ -87,6 +88,7 @@ class ConvNet:
             mesh_lib.make_mesh() if use_mesh else None)
         self.remat = remat
         self.accum_steps = accum_steps
+        self.debug_checks = debug_checks
         self.seed = seed
         self.ckpt_dir = ckpt_dir
         self.model_kwargs = model_kwargs
@@ -165,6 +167,7 @@ class ConvNet:
             eval_augment_fn=eval_aug_fn, predict_augment_fn=predict_fn,
             evaluator=evaluator, ckpt_dir=self.ckpt_dir,
             remat=self.remat, accum_steps=self.accum_steps,
+            debug_checks=self.debug_checks,
             logger=self.logger)
 
     # -------------------------------------------------------------- train

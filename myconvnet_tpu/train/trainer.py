@@ -88,6 +88,10 @@ class Trainer:
     # sequentially per microbatch, matching the semantics of running the
     # microbatches as separate steps.
     accum_steps: int = 1
+    # debug sanitizer (SURVEY §5): check the post-step state for NaN/inf
+    # on-device and raise a named NonFiniteError host-side. One fused
+    # reduction per tensor — a debug switch, not a production default.
+    debug_checks: bool = False
     # write checkpoints on a background thread (device->host readback of
     # the full state can take seconds on slow links; jax arrays are
     # immutable, so a snapshot taken while training continues is safe)
@@ -205,6 +209,9 @@ class Trainer:
 
         # GSPMD propagates from sharded inputs in both layouts.
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        if self.debug_checks:
+            from myconvnet_tpu.utils.debugging import nan_guard
+            self._train_step = nan_guard(self._train_step)
         self._eval_step = jax.jit(eval_step)
         self._predict_step = jax.jit(predict_step)
 

@@ -212,3 +212,26 @@ def test_gradient_accumulation_with_bn_trains():
     new_state, m = t._train_step(state, (jnp.asarray(x), jnp.asarray(y)))
     assert np.isfinite(float(m["loss"]))
     assert int(new_state.step) == 1
+
+
+def test_debug_checks_catch_divergence():
+    """debug_checks=True raises NonFiniteError when the step poisons the
+    state (astronomical LR -> inf/NaN params)."""
+    from myconvnet_tpu.utils.debugging import NonFiniteError
+
+    model = transform(lambda x, train=False: models.smallnet(
+        x, 10, train=train, width=8, dropout_rate=0.0))
+    opt = optim.sgd(1e30)
+    t = Trainer(model=model, optimizer=opt,
+                loss_fn=softmax_cross_entropy, debug_checks=True)
+    t.logger.stdout = False
+    state = init_train_state(model, opt, jax.random.key(0),
+                             jnp.zeros((8, 32, 32, 3)))
+    x = np.random.RandomState(3).rand(8, 32, 32, 3).astype(np.float32)
+    y = np.arange(8) % 10
+    import pytest
+    with pytest.raises(NonFiniteError) as e:
+        for _ in range(4):  # a few insane steps guarantee overflow
+            state, _ = t._train_step(state, (jnp.asarray(x),
+                                             jnp.asarray(y)))
+    assert "non-finite" in str(e.value)
