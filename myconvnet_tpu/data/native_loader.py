@@ -29,15 +29,22 @@ def _load() -> ctypes.CDLL | None:
         if _lib_tried:
             return _lib
         _lib_tried = True
-        if not os.path.exists(_SO_PATH):
-            src = os.path.join(_NATIVE_DIR, "dataloader.cc")
+        src = os.path.join(_NATIVE_DIR, "dataloader.cc")
+        stale = (os.path.exists(_SO_PATH) and os.path.exists(src) and
+                 os.path.getmtime(_SO_PATH) < os.path.getmtime(src))
+        if not os.path.exists(_SO_PATH) or stale:
             if not os.path.exists(src):
                 return None
+            cmd = ["g++", "-O3", "-shared", "-fPIC", "-pthread",
+                   "-std=c++17"]
+            if os.path.exists("/usr/include/jpeglib.h"):
+                cmd += ["-DMCN_WITH_JPEG"]
+            cmd += ["-o", _SO_PATH, src]
+            if "-DMCN_WITH_JPEG" in cmd:
+                cmd += ["-ljpeg"]
             try:
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-pthread",
-                     "-std=c++17", "-o", _SO_PATH, src],
-                    check=True, capture_output=True, timeout=120)
+                subprocess.run(cmd, check=True, capture_output=True,
+                               timeout=120)
             except Exception:
                 return None
         try:
@@ -55,6 +62,17 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int]
+        try:  # older prebuilt libraries may predate the JPEG entry points
+            lib.mcn_has_jpeg.restype = ctypes.c_int
+            if lib.mcn_has_jpeg():
+                lib.mcn_decode_jpeg_batch.argtypes = [
+                    ctypes.POINTER(ctypes.c_void_p),
+                    ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                    ctypes.c_int, ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_int), ctypes.c_int]
+        except AttributeError:
+            lib.mcn_has_jpeg = lambda: 0  # type: ignore[assignment]
         _lib = lib
         return _lib
 
@@ -98,6 +116,58 @@ def gather_batch(pool: np.ndarray, idx: np.ndarray,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.c_int(threads))
     return out
+
+
+def native_jpeg_available() -> bool:
+    lib = _load()
+    return bool(lib is not None and lib.mcn_has_jpeg())
+
+
+def decode_jpeg_batch(blobs: list[bytes], raw_hw: tuple[int, int],
+                      n_threads: int | None = None) -> np.ndarray:
+    """Decode JPEG byte strings to a [N, th, tw, 3] uint8 batch with the
+    pipeline's cover-resize + center-crop semantics — threaded native
+    libjpeg (DCT-prescaled), PIL fallback per image on failure.
+    """
+    th, tw = raw_hw
+    n = len(blobs)
+    out = np.empty((n, th, tw, 3), np.uint8)
+    lib = _load()
+    if lib is not None and lib.mcn_has_jpeg() and n:
+        bufs = [np.frombuffer(b, np.uint8) for b in blobs]
+        ptrs = (ctypes.c_void_p * n)(
+            *[b.ctypes.data_as(ctypes.c_void_p).value for b in bufs])
+        lens = np.asarray([len(b) for b in blobs], np.int64)
+        status = np.zeros(n, np.int32)
+        threads = n_threads or min(8, os.cpu_count() or 1)
+        lib.mcn_decode_jpeg_batch(
+            ptrs, lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(n), ctypes.c_int(th), ctypes.c_int(tw),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            ctypes.c_int(threads))
+        failed = np.nonzero(status)[0]
+    else:
+        failed = np.arange(n)
+    for i in failed:  # non-JPEG container / corrupt -> PIL path
+        out[i] = _decode_pil(blobs[i], raw_hw)
+    return out
+
+
+def _decode_pil(blob: bytes, raw_hw: tuple[int, int]) -> np.ndarray:
+    import io
+
+    from PIL import Image
+    img = Image.open(io.BytesIO(blob)).convert("RGB")
+    w, h = img.size
+    th, tw = raw_hw
+    scale = max(th / h, tw / w)
+    img = img.resize((max(tw, int(round(w * scale))),
+                      max(th, int(round(h * scale)))), Image.BILINEAR)
+    arr = np.asarray(img, np.uint8)
+    y0 = (arr.shape[0] - th) // 2
+    x0 = (arr.shape[1] - tw) // 2
+    return arr[y0:y0 + th, x0:x0 + tw]
 
 
 def normalize_u8_host(images: np.ndarray, mean, std,

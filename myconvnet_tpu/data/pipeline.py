@@ -101,6 +101,18 @@ class FileSource:
         return np.asarray(img, np.int32)
 
     def get_batch(self, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        paths = [self.paths[i] for i in idx]
+        if self.mask_hw is None and paths and all(
+                p.lower().endswith((".jpg", ".jpeg")) for p in paths):
+            from myconvnet_tpu.data import native_loader
+            if native_loader.native_jpeg_available():
+                # native libjpeg path: threaded DCT-prescaled decode +
+                # cover-resize in C (IO stays on the python pool)
+                blobs = list(self._pool.map(
+                    lambda p: open(p, "rb").read(), paths))
+                imgs = native_loader.decode_jpeg_batch(blobs, self.raw_hw)
+                return (imgs, np.asarray([self.labels[i] for i in idx],
+                                         np.int32))
         imgs = list(self._pool.map(
             lambda i: decode_image(self.paths[i], self.raw_hw), idx))
         if self.mask_hw is not None:

@@ -18,10 +18,16 @@
 // Built with:  g++ -O3 -march=native -shared -fPIC -pthread
 // Bound via ctypes (myconvnet_tpu/data/native_loader.py).
 
+#include <csetjmp>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <thread>
 #include <vector>
+
+#ifdef MCN_WITH_JPEG
+#include <jpeglib.h>
+#endif
 
 extern "C" {
 
@@ -123,5 +129,167 @@ void mcn_u8_to_f32_normalize(const uint8_t* src, float* dst,
   }
   for (auto& t : ts) t.join();
 }
+
+// -------------------------------------------------- JPEG decode (libjpeg)
+//
+// mcn_decode_jpeg_resize: decode one JPEG and scale-crop it to exactly
+// (th, tw) RGB — the reference pipeline's decode->resize stage, native.
+// Uses libjpeg's DCT prescaling (1/1..1/8) to land near the target
+// cheaply, then a fixed-point bilinear "cover" resize + center crop
+// (matching data/pipeline.py decode_image semantics).
+// Returns 0 on success, nonzero on decode failure.
+
+#ifdef MCN_WITH_JPEG
+
+struct McnJpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jump;
+};
+
+static void mcn_jpeg_fail(j_common_ptr cinfo) {
+  McnJpegErr* e = reinterpret_cast<McnJpegErr*>(cinfo->err);
+  longjmp(e->jump, 1);
+}
+
+static void bilinear_cover_resize(const uint8_t* src, int sh, int sw,
+                                  uint8_t* dst, int th, int tw) {
+  // scale = max(th/sh, tw/sw) ("cover"), center-crop the overhang.
+  const double scale =
+      th / static_cast<double>(sh) > tw / static_cast<double>(sw)
+          ? th / static_cast<double>(sh)
+          : tw / static_cast<double>(sw);
+  const double inv = 1.0 / scale;
+  const double y_off = (sh - th * inv) * 0.5;
+  const double x_off = (sw - tw * inv) * 0.5;
+  for (int y = 0; y < th; ++y) {
+    double fy = y_off + (y + 0.5) * inv - 0.5;
+    if (fy < 0) fy = 0;
+    if (fy > sh - 1) fy = sh - 1;
+    const int y0 = static_cast<int>(fy);
+    const int y1 = y0 + 1 < sh ? y0 + 1 : sh - 1;
+    const float wy = static_cast<float>(fy - y0);
+    for (int x = 0; x < tw; ++x) {
+      double fx = x_off + (x + 0.5) * inv - 0.5;
+      if (fx < 0) fx = 0;
+      if (fx > sw - 1) fx = sw - 1;
+      const int x0 = static_cast<int>(fx);
+      const int x1 = x0 + 1 < sw ? x0 + 1 : sw - 1;
+      const float wx = static_cast<float>(fx - x0);
+      const uint8_t* p00 = src + (y0 * sw + x0) * 3;
+      const uint8_t* p01 = src + (y0 * sw + x1) * 3;
+      const uint8_t* p10 = src + (y1 * sw + x0) * 3;
+      const uint8_t* p11 = src + (y1 * sw + x1) * 3;
+      uint8_t* d = dst + (y * tw + x) * 3;
+      for (int c = 0; c < 3; ++c) {
+        const float top = p00[c] + (p01[c] - p00[c]) * wx;
+        const float bot = p10[c] + (p11[c] - p10[c]) * wx;
+        const float v = top + (bot - top) * wy;
+        d[c] = static_cast<uint8_t>(v + 0.5f);
+      }
+    }
+  }
+}
+
+int mcn_decode_jpeg_resize(const uint8_t* data, int64_t len, int th,
+                           int tw, uint8_t* out) {
+  jpeg_decompress_struct cinfo;
+  McnJpegErr err;
+  cinfo.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = mcn_jpeg_fail;
+  std::vector<uint8_t> rgb;
+  if (setjmp(err.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, static_cast<unsigned long>(len));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  // DCT prescale: pick the smallest 1/d (d in 1,2,4,8) that still
+  // "covers" the target on both axes.
+  for (int d = 8; d >= 1; d /= 2) {
+    if (static_cast<int>(cinfo.image_height) / d >= th &&
+        static_cast<int>(cinfo.image_width) / d >= tw) {
+      cinfo.scale_num = 1;
+      cinfo.scale_denom = d;
+      break;
+    }
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = 1;
+  }
+  jpeg_start_decompress(&cinfo);
+  const int sh = static_cast<int>(cinfo.output_height);
+  const int sw = static_cast<int>(cinfo.output_width);
+  const int sc = cinfo.output_components;
+  rgb.resize(static_cast<size_t>(sh) * sw * 3);
+  std::vector<uint8_t> row(static_cast<size_t>(sw) * sc);
+  for (int y = 0; y < sh; ++y) {
+    uint8_t* rp = row.data();
+    jpeg_read_scanlines(&cinfo, &rp, 1);
+    uint8_t* dst = rgb.data() + static_cast<size_t>(y) * sw * 3;
+    if (sc == 3) {
+      std::memcpy(dst, row.data(), static_cast<size_t>(sw) * 3);
+    } else {  // grayscale -> RGB
+      for (int x = 0; x < sw; ++x) {
+        dst[x * 3] = dst[x * 3 + 1] = dst[x * 3 + 2] = row[x * sc];
+      }
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  if (sh == th && sw == tw) {
+    std::memcpy(out, rgb.data(), static_cast<size_t>(th) * tw * 3);
+  } else {
+    bilinear_cover_resize(rgb.data(), sh, sw, out, th, tw);
+  }
+  return 0;
+}
+
+struct DecodeJob {
+  const uint8_t* const* datas;
+  const int64_t* lens;
+  uint8_t* out;
+  int th, tw;
+  int64_t begin, end;
+  int* status;
+};
+
+static void decode_range(const DecodeJob j) {
+  const int64_t item = static_cast<int64_t>(j.th) * j.tw * 3;
+  for (int64_t i = j.begin; i < j.end; ++i) {
+    j.status[i] = mcn_decode_jpeg_resize(j.datas[i], j.lens[i], j.th,
+                                         j.tw, j.out + i * item);
+  }
+}
+
+void mcn_decode_jpeg_batch(const uint8_t* const* datas,
+                           const int64_t* lens, int64_t n, int th, int tw,
+                           uint8_t* out, int* status, int n_threads) {
+  if (n_threads <= 1 || n < 2) {
+    decode_range({datas, lens, out, th, tw, 0, n, status});
+    return;
+  }
+  std::vector<std::thread> ts;
+  int64_t chunk = (n + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t b = t * chunk;
+    int64_t e = b + chunk < n ? b + chunk : n;
+    if (b >= e) break;
+    ts.emplace_back(decode_range,
+                    DecodeJob{datas, lens, out, th, tw, b, e, status});
+  }
+  for (auto& t : ts) t.join();
+}
+
+int mcn_has_jpeg(void) { return 1; }
+
+#else  // !MCN_WITH_JPEG
+
+int mcn_has_jpeg(void) { return 0; }
+
+#endif
 
 }  // extern "C"

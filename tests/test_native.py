@@ -58,3 +58,69 @@ def test_array_source_uses_gather():
     x, y = src.get_batch(np.asarray([3, 1, 19]))
     np.testing.assert_array_equal(x, imgs[[3, 1, 19]])
     np.testing.assert_array_equal(y, [3, 1, 19])
+
+
+def test_native_jpeg_decode_matches_pil():
+    """Native libjpeg decode+cover-resize vs the PIL reference path on
+    synthetic JPEGs (same compressed data, both bilinear cover-resize:
+    small tolerance for IDCT/rounding differences)."""
+    import io
+
+    from PIL import Image
+
+    from myconvnet_tpu.data import native_loader as nl
+
+    if not nl.native_jpeg_available():
+        pytest.skip("native jpeg not built")
+    rng = np.random.RandomState(0)
+    blobs = []
+    for i in range(6):
+        h, w = rng.randint(40, 90), rng.randint(40, 90)
+        # smooth image: JPEG-friendly, keeps decoder outputs comparable
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack([(yy * 255 / h), (xx * 255 / w),
+                        ((yy + xx) * 255 / (h + w))], -1).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="JPEG", quality=92)
+        blobs.append(buf.getvalue())
+    out = nl.decode_jpeg_batch(blobs, (32, 32))
+    assert out.shape == (6, 32, 32, 3) and out.dtype == np.uint8
+    for i, b in enumerate(blobs):
+        ref = nl._decode_pil(b, (32, 32)).astype(np.int32)
+        got = out[i].astype(np.int32)
+        # same geometry contract; decoder/resampler rounding differs
+        assert np.mean(np.abs(got - ref)) < 6.0, i
+        assert abs(float(got.mean()) - float(ref.mean())) < 3.0
+
+
+def test_native_jpeg_corrupt_falls_back():
+    from myconvnet_tpu.data import native_loader as nl
+    if not nl.native_jpeg_available():
+        pytest.skip("native jpeg not built")
+    import io
+
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(np.zeros((20, 20, 3), np.uint8)).save(buf, "PNG")
+    # PNG bytes through the JPEG path -> native fails -> PIL decodes
+    out = nl.decode_jpeg_batch([buf.getvalue()], (16, 16))
+    assert out.shape == (1, 16, 16, 3)
+    assert np.all(out == 0)
+
+
+def test_filesource_jpeg_native_path(tmp_path):
+    from PIL import Image
+
+    from myconvnet_tpu.data.pipeline import FileSource
+
+    rng = np.random.RandomState(1)
+    paths = []
+    for i in range(4):
+        img = (rng.rand(48, 48, 3) * 255).astype(np.uint8)
+        p = str(tmp_path / f"im{i}.jpg")
+        Image.fromarray(img).save(p, quality=95)
+        paths.append(p)
+    src = FileSource(paths, [0, 1, 2, 3], raw_hw=(32, 32), workers=2)
+    x, y = src.get_batch(np.arange(4))
+    assert x.shape == (4, 32, 32, 3) and x.dtype == np.uint8
+    assert y.tolist() == [0, 1, 2, 3]
