@@ -90,6 +90,16 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def spatial_input_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard [N, H, W, C] batch over data AND image rows over the model
+    axis — GSPMD spatial partitioning.  XLA's SPMD partitioner inserts
+    the conv halo exchanges itself (the production counterpart of the
+    explicit shard_map halos in ``parallel/spatial.py``); activations
+    follow the constraint, so per-chip HBM for 513x513-class tensors
+    drops by the model-axis degree."""
+    return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS))
+
+
 def process_local_put(mesh: Mesh, batch: Any) -> Any:
     """Assemble a GLOBAL batch-sharded array from this process's local
     slice (multi-host: each host contributes its data-shard; XLA sees one

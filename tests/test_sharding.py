@@ -183,3 +183,52 @@ def test_gan_step_sharded_matches_single_device():
             np.testing.assert_allclose(
                 np.asarray(out_state.g_params[scope][name]),
                 ref_g[scope][name], rtol=2e-4, atol=2e-5)
+
+
+def test_gspmd_spatial_partitioning_matches_single_device():
+    """Input sharded (data=4, H over model=2): XLA's SPMD partitioner
+    inserts the conv halo exchanges; the full train step (ResNet block
+    stack at tiny size) must match unsharded numerics."""
+    from myconvnet_tpu.parallel.mesh import spatial_input_sharding
+
+    mesh = make_mesh(4, 2)
+
+    def fwd(x, train=False):
+        return models.smallnet(x, 10, train=train, width=8,
+                               dropout_rate=0.0)
+
+    model = transform(fwd)
+    opt = optim.momentum(0.1, 0.9)
+    x = np.random.RandomState(0).rand(8, 16, 16, 3).astype(np.float32)
+    y = (np.arange(8) % 10).astype(np.int32)
+
+    def one_step(sharding):
+        state = init_train_state(model, opt, jax.random.key(0),
+                                 jnp.zeros((8, 16, 16, 3)))
+        xb = jnp.asarray(x) if sharding is None else jax.device_put(
+            jnp.asarray(x), sharding)
+
+        def step(state, xb, yb):
+            def loss_fn(p, s):
+                logits, ns = model.apply(p, s, None, xb, True)
+                return softmax_cross_entropy(logits, yb), ns
+            (l, ns), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state.model_state)
+            new_p, new_o = opt.update(g, state.opt_state, state.params,
+                                      state.step)
+            return state._replace(params=new_p, model_state=ns,
+                                  opt_state=new_o,
+                                  step=state.step + 1), l
+
+        new_state, loss = jax.jit(step)(state, xb, jnp.asarray(y))
+        return float(loss), jax.device_get(new_state.params)
+
+    l_ref, p_ref = one_step(None)
+    l_sp, p_sp = one_step(spatial_input_sharding(mesh))
+    np.testing.assert_allclose(l_sp, l_ref, rtol=1e-5)
+    for scope in p_ref:
+        for name in p_ref[scope]:
+            np.testing.assert_allclose(p_sp[scope][name],
+                                       p_ref[scope][name], rtol=1e-4,
+                                       atol=1e-6,
+                                       err_msg=f"{scope}/{name}")
