@@ -64,7 +64,7 @@ class ConvNet:
                  paired_targets: bool = False,
                  mesh=None, use_mesh: bool = False,
                  remat: bool = False, accum_steps: int = 1,
-                 debug_checks: bool = False,
+                 debug_checks: bool = False, spatial: bool = False,
                  seed: int = 0, ckpt_dir: str | None = None,
                  log_dir: str | None = None, **model_kwargs):
         if model_fn is None and type(self)._forward is ConvNet._forward:
@@ -89,6 +89,7 @@ class ConvNet:
         self.remat = remat
         self.accum_steps = accum_steps
         self.debug_checks = debug_checks
+        self.spatial = spatial
         self.seed = seed
         self.ckpt_dir = ckpt_dir
         self.model_kwargs = model_kwargs
@@ -167,7 +168,7 @@ class ConvNet:
             eval_augment_fn=eval_aug_fn, predict_augment_fn=predict_fn,
             evaluator=evaluator, ckpt_dir=self.ckpt_dir,
             remat=self.remat, accum_steps=self.accum_steps,
-            debug_checks=self.debug_checks,
+            debug_checks=self.debug_checks, spatial=self.spatial,
             logger=self.logger)
 
     # -------------------------------------------------------------- train

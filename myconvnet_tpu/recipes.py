@@ -130,6 +130,7 @@ def build_segmenter(cfg: dict, synthetic: bool = False,
                   mesh=mesh, seed=cfg.get("seed", 0),
                   remat=cfg.get("remat", False),
                   accum_steps=cfg.get("accum_steps", 1),
+                  spatial=cfg.get("spatial", False),
                   ckpt_dir=ckpt_dir, log_dir=log_dir, **kwargs)
     train_src, val_src = make_sources(cfg, synthetic)
     return net, DataSet(train_src), DataSet(val_src)

@@ -92,6 +92,11 @@ class Trainer:
     # on-device and raise a named NonFiniteError host-side. One fused
     # reduction per tensor — a debug switch, not a production default.
     debug_checks: bool = False
+    # spatial partitioning (needs mesh): shard image rows over the model
+    # axis in addition to batch over data — XLA's SPMD partitioner
+    # inserts the conv halo exchanges (parallel/mesh.py
+    # spatial_input_sharding). The HBM lever for 513x513 segmentation.
+    spatial: bool = False
     # write checkpoints on a background thread (device->host readback of
     # the full state can take seconds on slow links; jax arrays are
     # immutable, so a snapshot taken while training continues is safe)
@@ -220,6 +225,17 @@ class Trainer:
     def shard_batch(self, batch):
         if self.mesh is None:
             return batch
+        if self.spatial:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sp = mesh_lib.spatial_input_sharding(self.mesh)
+            dp = NamedSharding(self.mesh, P(mesh_lib.DATA_AXIS))
+
+            def put(x):
+                # spatial tensors ([N,H,...]) shard rows too; vectors
+                # (labels) shard batch only
+                return jax.device_put(x, sp if jnp.ndim(x) >= 3 else dp)
+
+            return jax.tree.map(put, batch)
         return mesh_lib.shard_batch(self.mesh, batch)
 
     def fit(self, state: TrainState, train_iter: Iterable, *,

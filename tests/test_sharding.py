@@ -232,3 +232,43 @@ def test_gspmd_spatial_partitioning_matches_single_device():
                                        p_ref[scope][name], rtol=1e-4,
                                        atol=1e-6,
                                        err_msg=f"{scope}/{name}")
+
+
+def test_trainer_spatial_sharding_matches_plain():
+    """Trainer(spatial=True) on a (4,2) mesh: same losses as meshless
+    training for several steps (paired-mask batch shards rows too)."""
+    from myconvnet_tpu.data.augment import AugmentConfig
+    from myconvnet_tpu.data.augment import augment_train_pair
+
+    mesh = make_mesh(4, 2)
+    cfg = AugmentConfig(out_hw=(16, 16), area_range=None, flip=False)
+
+    def fwd(x, train=False):
+        return models.smallnet(x, 4, train=train, width=8,
+                               dropout_rate=0.0)
+
+    rng = np.random.RandomState(7)
+    x = rng.randint(0, 256, (8, 16, 16, 3), np.uint8)
+    y = (np.arange(8) % 4).astype(np.int32)
+
+    def run(mesh_arg, spatial):
+        model = transform(fwd)
+        opt = optim.momentum(0.05, 0.9)
+        t = Trainer(model=model, optimizer=opt,
+                    loss_fn=softmax_cross_entropy, mesh=mesh_arg,
+                    spatial=spatial,
+                    augment_fn=lambda k, xx, yy: (
+                        jnp.asarray(xx, jnp.float32) / 255.0, yy))
+        t.logger.stdout = False
+        state = init_train_state(model, opt, jax.random.key(0),
+                                 jnp.zeros((8, 16, 16, 3)))
+        losses = []
+        for i in range(3):
+            batch = t.shard_batch((jnp.asarray(x), jnp.asarray(y)))
+            state, m = t._train_step(state, batch)
+            losses.append(float(m["loss"]))
+        return losses
+
+    l_plain = run(None, False)
+    l_spatial = run(mesh, True)
+    np.testing.assert_allclose(l_spatial, l_plain, rtol=1e-4)
