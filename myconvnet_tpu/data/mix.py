@@ -40,15 +40,13 @@ class MixConfig(NamedTuple):
     label_smoothing: float = 0.0   # folded into the soft labels
 
 
-def _rect_mask(key: jax.Array, n: int, hw: tuple[int, int],
-               lam: jax.Array) -> jax.Array:
-    """[N,H,W,1] rectangle masks with area ~= (1-lam) * H*W, centers
-    uniform, clamped to the frame.  Pure coordinate comparisons."""
+def _rect_mask_sized(key: jax.Array, n: int, hw: tuple[int, int],
+                     cut_h: jax.Array, cut_w: jax.Array) -> jax.Array:
+    """[N,H,W,1] float rectangle masks of per-image size (cut_h, cut_w),
+    centers uniform, clamped to the frame.  Pure coordinate comparisons
+    (pixel centers at i+0.5) — no gathers, no dynamic shapes."""
     h, w = hw
     k_cy, k_cx = jax.random.split(key)
-    ratio = jnp.sqrt(jnp.clip(1.0 - lam, 0.0, 1.0))          # [N]
-    cut_h = ratio * h
-    cut_w = ratio * w
     cy = jax.random.uniform(k_cy, (n,)) * h
     cx = jax.random.uniform(k_cx, (n,)) * w
     y0 = jnp.clip(cy - cut_h / 2, 0.0, float(h))
@@ -63,6 +61,14 @@ def _rect_mask(key: jax.Array, n: int, hw: tuple[int, int],
             (cols[None, :] < x1[:, None]))                   # [N,W]
     return (in_r[:, :, None] & in_c[:, None, :]
             ).astype(jnp.float32)[..., None]                 # [N,H,W,1]
+
+
+def _rect_mask(key: jax.Array, n: int, hw: tuple[int, int],
+               lam: jax.Array) -> jax.Array:
+    """CutMix rectangles: area ~= (1-lam) * H*W (up to frame clamping)."""
+    h, w = hw
+    ratio = jnp.sqrt(jnp.clip(1.0 - lam, 0.0, 1.0))          # [N]
+    return _rect_mask_sized(key, n, hw, ratio * h, ratio * w)
 
 
 def mixup_cutmix(key: jax.Array, x: jax.Array, labels: jax.Array,
@@ -133,26 +139,13 @@ def random_erasing(key: jax.Array, x: jax.Array, *,
     k_area, k_aspect, k_rect, k_apply, k_fill = jax.random.split(key, 5)
     area = jax.random.uniform(k_area, (n,), minval=area_range[0],
                               maxval=area_range[1])
-    # reuse the CutMix rectangle builder: it cuts area (1-lam)
-    lam = 1.0 - area
-    # aspect handled by an extra squeeze of the square rect: scale rows by
-    # sqrt(aspect), cols by 1/sqrt(aspect) via two independent masks
     log_ar = jax.random.uniform(k_aspect, (n,),
                                 minval=jnp.log(aspect_range[0]),
                                 maxval=jnp.log(aspect_range[1]))
     aspect = jnp.exp(log_ar)
-    k_cy, k_cx = jax.random.split(k_rect)
     cut_h = jnp.sqrt(area * h * w * aspect)
     cut_w = jnp.sqrt(area * h * w / aspect)
-    cy = jax.random.uniform(k_cy, (n,)) * h
-    cx = jax.random.uniform(k_cx, (n,)) * w
-    rows = jnp.arange(h, dtype=jnp.float32) + 0.5
-    cols = jnp.arange(w, dtype=jnp.float32) + 0.5
-    in_r = ((rows[None, :] >= jnp.clip(cy - cut_h / 2, 0, h)[:, None]) &
-            (rows[None, :] < jnp.clip(cy + cut_h / 2, 0, h)[:, None]))
-    in_c = ((cols[None, :] >= jnp.clip(cx - cut_w / 2, 0, w)[:, None]) &
-            (cols[None, :] < jnp.clip(cx + cut_w / 2, 0, w)[:, None]))
-    mask = (in_r[:, :, None] & in_c[:, None, :])[..., None]  # [N,H,W,1]
+    mask = _rect_mask_sized(k_rect, n, (h, w), cut_h, cut_w) > 0.0
     apply = jax.random.bernoulli(k_apply, prob, (n,))
     mask = mask & apply[:, None, None, None]
     if fill == "noise":

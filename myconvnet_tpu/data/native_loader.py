@@ -46,7 +46,11 @@ def _load() -> ctypes.CDLL | None:
                 subprocess.run(cmd, check=True, capture_output=True,
                                timeout=120)
             except Exception:
-                return None
+                if not os.path.exists(_SO_PATH):
+                    return None
+                # rebuild failed but a prebuilt (stale) library exists —
+                # keep using it rather than losing the native path
+                pass
         try:
             lib = ctypes.CDLL(_SO_PATH)
         except OSError:
@@ -158,16 +162,10 @@ def _decode_pil(blob: bytes, raw_hw: tuple[int, int]) -> np.ndarray:
     import io
 
     from PIL import Image
-    img = Image.open(io.BytesIO(blob)).convert("RGB")
-    w, h = img.size
-    th, tw = raw_hw
-    scale = max(th / h, tw / w)
-    img = img.resize((max(tw, int(round(w * scale))),
-                      max(th, int(round(h * scale)))), Image.BILINEAR)
-    arr = np.asarray(img, np.uint8)
-    y0 = (arr.shape[0] - th) // 2
-    x0 = (arr.shape[1] - tw) // 2
-    return arr[y0:y0 + th, x0:x0 + tw]
+
+    from myconvnet_tpu.data.pipeline import cover_resize_center_crop
+    return cover_resize_center_crop(
+        Image.open(io.BytesIO(blob)).convert("RGB"), raw_hw)
 
 
 def normalize_u8_host(images: np.ndarray, mean, std,

@@ -31,15 +31,12 @@ import numpy as np
 from myconvnet_tpu.data.augment import AugmentConfig
 
 
-def decode_image(path: str, raw_hw: tuple[int, int]) -> np.ndarray:
-    """Decode + letterbox-resize one image file to [raw_h, raw_w, 3] uint8.
-
-    The fixed raw size keeps device-side shapes static (XLA requirement);
-    the slight pre-crop resize matches common practice (resize shorter
-    side then device-side random-resized-crop).
-    """
+def cover_resize_center_crop(img, raw_hw: tuple[int, int]) -> np.ndarray:
+    """Scale a PIL image so it covers ``raw_hw``, center-crop the
+    overhang -> [raw_h, raw_w, 3] uint8.  THE geometry contract of the
+    host decode stage (the native libjpeg path reimplements exactly
+    this in C — keep them in sync)."""
     from PIL import Image
-    img = Image.open(path).convert("RGB")
     w, h = img.size
     th, tw = raw_hw
     scale = max(th / h, tw / w)
@@ -49,6 +46,18 @@ def decode_image(path: str, raw_hw: tuple[int, int]) -> np.ndarray:
     y0 = (arr.shape[0] - th) // 2
     x0 = (arr.shape[1] - tw) // 2
     return arr[y0:y0 + th, x0:x0 + tw]
+
+
+def decode_image(path: str, raw_hw: tuple[int, int]) -> np.ndarray:
+    """Decode + cover-resize one image file to [raw_h, raw_w, 3] uint8.
+
+    The fixed raw size keeps device-side shapes static (XLA requirement);
+    the slight pre-crop resize matches common practice (resize shorter
+    side then device-side random-resized-crop).
+    """
+    from PIL import Image
+    return cover_resize_center_crop(Image.open(path).convert("RGB"),
+                                    raw_hw)
 
 
 class ArraySource:

@@ -75,9 +75,10 @@ def sliding_window_logits(forward: Callable[[jax.Array], jax.Array],
     ys = _tile_starts(h, th, stride_h)
     xs = _tile_starts(w, tw, stride_w)
 
-    # respect an already-jitted forward (avoids re-tracing when a caller
-    # loops over batches); jit wrappers expose .lower
-    fwd = forward if hasattr(forward, "lower") else jax.jit(forward)
+    # ``forward`` is called as-is: pass a jitted function (or one that
+    # closes over a jitted apply) — wrapping here would build a fresh
+    # jit cache per call and recompile on every batch of an eval loop
+    fwd = forward
     out = None
     weight = np.zeros((1, h, w, 1), np.float32)
     for y0 in ys:

@@ -308,11 +308,19 @@ class ConvNet:
         images = np.asarray(images)
         model, state, cfg = self._transformed, self.state, self.augment
 
-        @jax.jit
+        # cache the jitted forward across calls (per-batch closures would
+        # re-trace the whole model each predict_segmentation call); pass
+        # params/state as arguments so later restores don't stale it
+        if getattr(self, "_seg_forward", None) is None:
+            @jax.jit
+            def _seg_fwd(params, mstate, x):
+                logits, _ = model.apply(params, mstate, None, x, False)
+                return logits
+
+            self._seg_forward = _seg_fwd
+
         def forward(x):
-            logits, _ = model.apply(state.params, state.model_state, None,
-                                    x, False)
-            return logits
+            return self._seg_forward(state.params, state.model_state, x)
 
         outs = []
         for i in range(0, len(images), batch_size):
@@ -367,3 +375,5 @@ class ConvNet:
     def close(self):  # reference-API parity (Session.close analogue)
         self.state = None
         self._trainer = None
+        self._seg_forward = None
+        self._tta_cache = {}

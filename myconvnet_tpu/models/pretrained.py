@@ -158,4 +158,20 @@ def export_torch_resnet(params: Params, state: State, depth: int = 50
         sd["fc.weight"] = np.transpose(
             np.asarray(params["logits"]["w"], np.float32), (1, 0))
         sd["fc.bias"] = np.asarray(params["logits"]["b"], np.float32)
+
+    # refuse silent information loss: every param scope must have been
+    # exported (SE gates / ResNeXt extras have no torchvision slot)
+    exported = {"stem/conv", "stem/bn", "logits"}
+    for stage_i, n_blocks in enumerate(blocks):
+        for b in range(n_blocks):
+            pre = f"stage{stage_i + 1}/block{b + 1}"
+            exported |= {f"{pre}/conv_{x}" for x in letters}
+            exported |= {f"{pre}/bn_{x}" for x in letters}
+            exported |= {f"{pre}/conv_proj", f"{pre}/bn_proj"}
+    extra = sorted(set(params) - exported)
+    if extra:
+        raise ValueError(
+            "params contain scopes with no torchvision ResNet slot "
+            f"(e.g. SE blocks): {extra[:4]}{'...' if len(extra) > 4 else ''}"
+            "; export supports plain ResNet/ResNeXt trees only")
     return sd

@@ -196,7 +196,10 @@ int mcn_decode_jpeg_resize(const uint8_t* data, int64_t len, int th,
   McnJpegErr err;
   cinfo.err = jpeg_std_error(&err.mgr);
   err.mgr.error_exit = mcn_jpeg_fail;
+  // both buffers live BEFORE setjmp: a longjmp out of a scope declared
+  // after it would skip the destructor and leak on every corrupt image
   std::vector<uint8_t> rgb;
+  std::vector<uint8_t> row;
   if (setjmp(err.jump)) {
     jpeg_destroy_decompress(&cinfo);
     return 1;
@@ -225,7 +228,7 @@ int mcn_decode_jpeg_resize(const uint8_t* data, int64_t len, int th,
   const int sw = static_cast<int>(cinfo.output_width);
   const int sc = cinfo.output_components;
   rgb.resize(static_cast<size_t>(sh) * sw * 3);
-  std::vector<uint8_t> row(static_cast<size_t>(sw) * sc);
+  row.resize(static_cast<size_t>(sw) * sc);
   for (int y = 0; y < sh; ++y) {
     uint8_t* rp = row.data();
     jpeg_read_scanlines(&cinfo, &rp, 1);

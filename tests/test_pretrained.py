@@ -166,3 +166,21 @@ def test_torch_export_loads_into_torchvision_like_shapes():
     model.load_state_dict(
         {k: torch.from_numpy(np.array(v)) for k, v in sd.items()},
         strict=False)
+
+
+def test_torch_export_rejects_se_params():
+    """SE gates have no torchvision slot: export must refuse rather
+    than silently dropping them."""
+    import jax
+    import jax.numpy as jnp
+
+    from myconvnet_tpu import models
+    from myconvnet_tpu.core import transform
+    from myconvnet_tpu.models.pretrained import export_torch_resnet
+
+    net = transform(lambda x, train=False: models.se_resnet50(
+        x, 10, train=train))
+    params, state = net.init(jax.random.key(0),
+                             jnp.zeros((1, 32, 32, 3)), False)
+    with pytest.raises(ValueError, match="no torchvision"):
+        export_torch_resnet(params, state, depth=50)
