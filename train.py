@@ -35,6 +35,9 @@ def main():
                          "recovery; SURVEY.md §5)")
     ap.add_argument("--tensorboard", action="store_true",
                     help="also write TensorBoard event files under --out")
+    ap.add_argument("--trace", action="store_true",
+                    help="capture a jax.profiler trace of the run under "
+                         "--out/trace (open in TensorBoard/Perfetto)")
     ap.add_argument("--platform", default=None,
                     help="force jax platform (e.g. cpu)")
     args = ap.parse_args()
@@ -95,10 +98,21 @@ def run_supervised(cfg, args, out, mesh, resume: bool):
             net.build(optimizer)
             net.restore(out)
             print(f"resumed from step {int(net.state.step)}")
-    net.train(train_set, val_set, batch_size=cfg["batch_size"],
-              total_steps=cfg["total_steps"], optimizer=optimizer,
-              evaluator=evaluator, val_every=cfg.get("val_every", 0),
-              early_stop_patience=cfg.get("early_stop_patience", 0))
+    if getattr(args, "trace", False):
+        from myconvnet_tpu.utils.profiling import trace
+        with trace(os.path.join(out, "trace")):
+            net.train(train_set, val_set, batch_size=cfg["batch_size"],
+                      total_steps=cfg["total_steps"], optimizer=optimizer,
+                      evaluator=evaluator,
+                      val_every=cfg.get("val_every", 0),
+                      early_stop_patience=cfg.get("early_stop_patience",
+                                                  0))
+        print(f"trace: {os.path.join(out, 'trace')}")
+    else:
+        net.train(train_set, val_set, batch_size=cfg["batch_size"],
+                  total_steps=cfg["total_steps"], optimizer=optimizer,
+                  evaluator=evaluator, val_every=cfg.get("val_every", 0),
+                  early_stop_patience=cfg.get("early_stop_patience", 0))
     # fault injection for testing the crash-resume path: crash exactly
     # once after training (a checkpoint exists), before evaluation
     if os.environ.get("MYCONVNET_FAULT_ONCE"):
