@@ -61,3 +61,44 @@ def load_inference(path: str):
     with open(path, "rb") as f:
         exported = jexport.deserialize(f.read())
     return lambda x: exported.call(x)
+
+
+def make_batched_server(fn, batch_sizes=(1, 8, 32, 128)):
+    """Serve arbitrary request sizes on fixed-shape compiled programs.
+
+    XLA compiles per shape, so a server must quantize request sizes: the
+    request routes to the smallest bucket >= n (padded with zeros,
+    outputs sliced back); requests larger than the biggest bucket are
+    chunked through it.  Each bucket compiles once, lazily.
+
+    ``fn``: [B, ...] -> [B, ...] (a make_inference_fn / load_inference
+    product).  Returns ``serve(x) -> outputs`` accepting any leading
+    dimension >= 1.
+    """
+    buckets = sorted(set(int(b) for b in batch_sizes))
+    if not buckets or buckets[0] < 1:
+        raise ValueError(f"bad batch_sizes {batch_sizes!r}")
+    jitted = jax.jit(fn)
+
+    def _run_padded(x, bucket):
+        n = x.shape[0]
+        if n < bucket:
+            pad = jnp.zeros((bucket - n, *x.shape[1:]), x.dtype)
+            out = jitted(jnp.concatenate([x, pad]))
+            return out[:n]
+        return jitted(x)
+
+    def serve(x):
+        x = jnp.asarray(x)
+        n = x.shape[0]
+        if n == 0:
+            raise ValueError("empty batch")
+        for b in buckets:
+            if n <= b:
+                return _run_padded(x, b)
+        big = buckets[-1]
+        outs = [_run_padded(x[i:i + big], big)
+                for i in range(0, n, big)]
+        return jnp.concatenate(outs)
+
+    return serve

@@ -47,3 +47,45 @@ def test_load_inference_bad_file(tmp_path):
     from myconvnet_tpu import serving as sv
     with pytest.raises(Exception):
         sv.load_inference(p)("x")
+
+
+def test_batched_server_buckets_and_chunks():
+    from myconvnet_tpu.serving import make_batched_server
+
+    calls = []
+
+    def fn(x):
+        calls.append(x.shape[0])
+        return x * 2.0
+
+    serve = make_batched_server(fn, batch_sizes=(2, 4))
+    for n in (1, 2, 3, 4, 5, 9):
+        x = jnp.arange(n * 3, dtype=jnp.float32).reshape(n, 3)
+        out = serve(x)
+        assert out.shape == (n, 3)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2.0)
+    # only bucket shapes ever reach the compiled fn (trace-time shapes)
+    assert set(calls) <= {2, 4}
+    import pytest
+    with pytest.raises(ValueError):
+        serve(jnp.zeros((0, 3)))
+
+
+def test_batched_server_on_real_model():
+    from myconvnet_tpu import models
+    from myconvnet_tpu.core import transform
+    from myconvnet_tpu.serving import make_batched_server, \
+        make_inference_fn
+
+    net = transform(lambda x, train=False: models.smallnet(
+        x, 4, train=train, width=4, dropout_rate=0.0))
+    x0 = jnp.zeros((2, 16, 16, 3))
+    params, state = net.init(jax.random.key(0), x0, False)
+    fn = make_inference_fn(net, params, state, fold_bn=True, bn_eps=1e-3)
+    serve = make_batched_server(fn, batch_sizes=(4,))
+    x = jnp.asarray(np.random.RandomState(0).rand(6, 16, 16, 3)
+                    .astype(np.float32))
+    out = serve(x)
+    ref = fn(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=5e-5)
