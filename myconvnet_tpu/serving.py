@@ -22,14 +22,23 @@ from myconvnet_tpu.models.folding import fold_batch_norms
 
 
 def make_inference_fn(model: Transformed, params: Params, state: State, *,
-                      fold_bn: bool = True, bn_eps: float = 1e-5):
+                      fold_bn: bool = True, bn_eps: float = 1e-5,
+                      int8: bool = False):
     """Return a pure ``fn(x) -> logits`` closed over (optionally folded)
-    weights, ready to jit or export."""
+    weights, ready to jit or export.  ``int8=True`` traces conv/dense
+    through the int8 MXU path (core.quantize) — the quantized program is
+    what gets jitted/exported."""
+
     if fold_bn:
         params, state = fold_batch_norms(params, state, bn_eps)
 
     def fn(x):
-        out, _ = model.apply(params, state, None, x, False)
+        if int8:
+            from myconvnet_tpu.core.quantize import int8_scope
+            with int8_scope():
+                out, _ = model.apply(params, state, None, x, False)
+        else:
+            out, _ = model.apply(params, state, None, x, False)
         return out
 
     return fn
@@ -37,14 +46,15 @@ def make_inference_fn(model: Transformed, params: Params, state: State, *,
 
 def export_inference(model: Transformed, params: Params, state: State,
                      sample_input, path: str, *, fold_bn: bool = True,
-                     bn_eps: float = 1e-5) -> int:
+                     bn_eps: float = 1e-5, int8: bool = False) -> int:
     """Serialize the frozen inference function to ``path``; returns the
     artifact size in bytes.  The batch dimension is exported symbolically
-    when jax.export supports it on this version, else fixed."""
+    when jax.export supports it on this version, else fixed.
+    ``int8=True`` exports the quantized (int8 MXU) program."""
     from jax import export as jexport
 
     fn = make_inference_fn(model, params, state, fold_bn=fold_bn,
-                           bn_eps=bn_eps)
+                           bn_eps=bn_eps, int8=int8)
     exported = jexport.export(jax.jit(fn))(
         jax.ShapeDtypeStruct(np.shape(sample_input),
                              jnp.asarray(sample_input).dtype))

@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--ema", action="store_true",
                     help="evaluate the Polyak-averaged parameters "
                          "(requires optimizer.ema_decay in the config)")
+    ap.add_argument("--topk", type=int, default=1,
+                    help="score top-k accuracy (classification)")
     ap.add_argument("--scales", default=None,
                     help="segmentation multi-scale eval, e.g. "
                          "'0.75,1.0,1.25' (implies flip averaging)")
@@ -48,6 +50,9 @@ def main():
     net, _train_set, val_set = builder(cfg, synthetic=args.synthetic,
                                        ckpt_dir=args.ckpt)
     evaluator = recipes.build_evaluator(cfg)
+    if args.topk > 1 and cfg["task"] == "classification":
+        from myconvnet_tpu.eval.evaluators import AccuracyEvaluator
+        evaluator = AccuracyEvaluator(k=args.topk)
     net.build(recipes.make_optimizer(cfg["optimizer"]))
     path = args.ckpt
     if args.best:

@@ -89,3 +89,26 @@ def test_batched_server_on_real_model():
     ref = fn(x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=5e-5)
+
+
+def test_int8_export_reload(tmp_path):
+    """The quantized inference program exports/reloads as StableHLO and
+    agrees with the live int8 path."""
+    from myconvnet_tpu import models, serving
+    from myconvnet_tpu.core import transform
+
+    net = transform(lambda x, train=False: models.smallnet(
+        x, 4, train=train, width=4, dropout_rate=0.0))
+    x0 = jnp.zeros((2, 16, 16, 3))
+    params, state = net.init(jax.random.key(1), x0, False)
+    x = jnp.asarray(np.random.RandomState(3).rand(2, 16, 16, 3)
+                    .astype(np.float32))
+    live = serving.make_inference_fn(net, params, state, bn_eps=1e-3,
+                                     int8=True)(x)
+    path = str(tmp_path / "int8.stablehlo")
+    size = serving.export_inference(net, params, state, x0, path,
+                                    bn_eps=1e-3, int8=True)
+    assert size > 0
+    out = serving.load_inference(path)(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(live),
+                               rtol=1e-4, atol=1e-5)
