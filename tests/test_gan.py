@@ -101,3 +101,39 @@ def test_gan_step_is_single_program(dcgan_setup):
     out_state, _ = compiled(state, real)
     assert out_state.g_params.keys() == state.g_params.keys()
     assert out_state.d_params.keys() == state.d_params.keys()
+
+
+def test_gan_generator_ema_via_combinator():
+    """with_ema-wrapped G optimizer: the fused dual-opt step maintains a
+    Polyak copy of the generator inside g_opt state (sample with
+    optim.extract_ema for the standard EMA-G inference trick)."""
+    from myconvnet_tpu import models
+    from myconvnet_tpu.core import transform
+    from myconvnet_tpu.train import gan, optim
+
+    gen = transform(lambda z, train: models.dcgan_generator(
+        z, train=train, image_size=16, base_features=16))
+    disc = transform(lambda i, train: models.dcgan_discriminator(
+        i, train=train, base_features=8))
+    g_opt = optim.with_ema(optim.adam(2e-4, b1=0.5), decay=0.5)
+    d_opt = optim.adam(2e-4, b1=0.5)
+    state = gan.init_gan_state(gen, disc, g_opt, d_opt, jax.random.key(0),
+                               jnp.zeros((4, 16)),
+                               (jnp.zeros((4, 16, 16, 3)),))
+    step = gan.make_dcgan_step(gen, disc, g_opt, d_opt, latent_dim=16)
+    real = jnp.asarray(np.random.RandomState(0)
+                       .rand(4, 16, 16, 3).astype(np.float32) * 2 - 1)
+    for _ in range(2):
+        state, m = step(state, real)
+    ema = optim.extract_ema(state.g_opt)
+    # EMA tree mirrors generator params and has moved off the init value
+    moved = 0.0
+    for scope in state.g_params:
+        for name in state.g_params[scope]:
+            e = np.asarray(ema[scope][name])
+            p = np.asarray(state.g_params[scope][name])
+            assert e.shape == p.shape
+            moved += float(np.abs(e - p).sum())
+    assert np.isfinite(moved)
+    # EMA lags the live params after updates (decay < 1, params moved)
+    assert moved > 0
