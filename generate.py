@@ -18,6 +18,9 @@ def main():
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--out", default="samples.png")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--ema", action="store_true",
+                    help="sample with the Polyak-averaged generator "
+                         "(g_optimizer.ema_decay in the config)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -41,6 +44,12 @@ def main():
     state, _step, _iter, kind = recipes.build_gan(cfg, synthetic=True)
     restored = ckpt_lib.restore_checkpoint(args.ckpt, state._asdict())
     state = type(state)(**restored)
+    if args.ema:
+        from myconvnet_tpu.train import optim as optim_lib
+        ema = optim_lib.extract_ema(state.g_opt)
+        state = state._replace(g_params=jax.tree.map(
+            lambda p, e: e.astype(p.dtype), state.g_params, ema))
+        print("sampling with EMA generator")
 
     # rebuild the generator transform to sample with restored params
     from myconvnet_tpu import models
