@@ -24,6 +24,8 @@ from myconvnet_tpu.models.resnet import (resnet, resnet18, resnet34,
                                          resnext101_32x8d, se_resnet50,
                                          se_resnet101, se_resnext50_32x4d)
 from myconvnet_tpu.models.smallnet import smallnet
+from myconvnet_tpu.models.wideresnet import (wide_resnet, wrn_16_8,
+                                             wrn_28_10)
 from myconvnet_tpu.models.vgg import vgg, vgg11, vgg16, vgg19
 
 # Registry keyed by the config-file model names (reference: model choice in
@@ -44,6 +46,7 @@ CLASSIFIERS = {
     "mobilenet_v2": mobilenet_v2,
     "efficientnet_b0": efficientnet_b0, "efficientnet_b1": efficientnet_b1,
     "efficientnet_b2": efficientnet_b2, "efficientnet_b3": efficientnet_b3,
+    "wrn_28_10": wrn_28_10, "wrn_16_8": wrn_16_8,
 }
 
 SEGMENTERS = {

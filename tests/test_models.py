@@ -234,3 +234,25 @@ def test_grouped_blocks_require_bottleneck():
     x = jnp.zeros((1, 32, 32, 3))
     with pytest.raises(ValueError):
         _build(models.resnet, x, 10, 18, groups=32, width_per_group=4)
+
+
+@pytest.mark.slow
+def test_wrn_28_10_param_count():
+    """Canonical WRN-28-10 CIFAR-10 count: 36.48M (Zagoruyko tab. 1)."""
+    x = jnp.zeros((1, 32, 32, 3))
+    _, params, _ = _build(models.wrn_28_10, x, 10)
+    n = _n_params(params) / 1e6
+    assert abs(n - 36.48) < 0.1, f"wrn_28_10: {n:.3f}M params"
+
+
+def test_wide_resnet_forward_and_grad():
+    x = jax.random.normal(jax.random.key(0), (2, 32, 32, 3))
+    net, params, state = _build(models.wide_resnet, x, 10, depth=10,
+                                width_mult=1, dropout_rate=0.1,
+                                train=True)
+    y, _ = net.apply(params, state, jax.random.key(1), x, 10, depth=10,
+                     width_mult=1, dropout_rate=0.1, train=True)
+    assert y.shape == (2, 10)
+    # spatial reduction: 32 -> 8 through the two stride-2 groups
+    with pytest.raises(ValueError):
+        _build(models.wide_resnet, x, 10, depth=11)
