@@ -51,3 +51,65 @@ def test_different_seed_differs():
     diff = sum(float(np.abs(a[s][n] - c[s][n]).sum())
                for s in a for n in a[s])
     assert diff > 0
+
+
+def test_resume_reproduces_uninterrupted_trajectory(tmp_path):
+    """Train 8 straight == train 4, checkpoint, restore, train 4 more —
+    bit-identical params (the crash-recovery correctness invariant:
+    the in-jit RNG folds from the restored step counter, and the data
+    order is a pure function of the dataset seed/epoch)."""
+    from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
+    from myconvnet_tpu.data.augment import augment_train
+
+    cfg = AugmentConfig(out_hw=(32, 32), area_range=None, pad=2, flip=True,
+                        mean=(0.5,) * 3, std=(0.25,) * 3)
+
+    def make():
+        model = transform(lambda x, train=False: models.smallnet(
+            x, 10, train=train, width=8))
+        opt = optim.momentum(0.05, 0.9)
+        t = Trainer(model=model, optimizer=opt,
+                    loss_fn=softmax_cross_entropy,
+                    augment_fn=lambda k, x, y: (augment_train(k, x, cfg),
+                                                y))
+        t.logger.stdout = False
+        return model, opt, t
+
+    def data():
+        return DataSet(ArraySource(*cifar10.synthetic_subset(64, 0)),
+                       seed=7)
+
+    # straight 8 steps
+    model, opt, t = make()
+    s = init_train_state(model, opt, jax.random.key(1),
+                         jnp.zeros((16, 32, 32, 3)))
+    s = t.fit(s, data().train_iter(16, prefetch=0), total_steps=8)
+    straight = jax.tree.map(np.asarray, s.params)
+
+    # 4 steps -> checkpoint -> fresh objects -> restore -> 4 more.
+    # NOTE the data iterator must resume at batch index 4: replaying the
+    # epoch stream and skipping consumed batches is exactly what
+    # trainer.fit's step-counter guard does on resume.
+    model, opt, t = make()
+    s = init_train_state(model, opt, jax.random.key(1),
+                         jnp.zeros((16, 32, 32, 3)))
+    s = t.fit(s, data().train_iter(16, prefetch=0), total_steps=4)
+    ckpt_lib.save_checkpoint(str(tmp_path), 4, s._asdict())
+
+    model, opt, t2 = make()
+    template = init_train_state(model, opt, jax.random.key(99),
+                                jnp.zeros((16, 32, 32, 3)))
+    restored = ckpt_lib.restore_checkpoint(str(tmp_path),
+                                           template._asdict())
+    s2 = type(template)(**restored)
+    it = data().train_iter(16, prefetch=0)
+    for _ in range(4):  # skip the batches the first run consumed
+        next(it)
+    s2 = t2.fit(s2, it, total_steps=8)
+    resumed = jax.tree.map(np.asarray, s2.params)
+
+    for scope in straight:
+        for name in straight[scope]:
+            np.testing.assert_array_equal(resumed[scope][name],
+                                          straight[scope][name],
+                                          err_msg=f"{scope}/{name}")

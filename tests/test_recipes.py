@@ -15,6 +15,7 @@ CONFIGS = [
     "configs/imagenet_mobilenet_v2.py",
     "configs/imagenet_resnext50.py",
     "configs/cifar100_resnet18.py",
+    "configs/cifar10_wrn28_10.py",
     "configs/imagenet_resnet50_lars.py",
     "configs/dcgan_cifar10.py",
     "configs/pix2pix.py",
