@@ -160,6 +160,67 @@ def param_exists(name: str) -> bool:
     return name in f.params.get(f.scope_path(), {})
 
 
+# ------------------------------------------------------------ intermediates
+
+def tag_intermediate(name: str, value: jax.Array) -> jax.Array:
+    """Mark a named activation. Under :func:`collecting` the value is
+    recorded; under :func:`overriding` it is REPLACED (the intervention
+    hook Grad-CAM uses to differentiate w.r.t. an internal tensor).
+    A no-op with zero overhead otherwise — safe to leave in model code.
+    """
+    frame = getattr(_local, "frame", None)
+    if frame is None:
+        return value
+    key = f"{frame.scope_path()}/{name}"
+    overrides = getattr(_local, "overrides", None)
+    if overrides:
+        for d in reversed(overrides):
+            if key in d:
+                value = d[key]
+                break
+    collectors = getattr(_local, "collectors", None)
+    if collectors:
+        collectors[-1][key] = value
+    return value
+
+
+class collecting:
+    """``with collecting() as c:`` — tagged activations inside this block
+    land in ``c`` keyed by ``scope_path/name`` (tracers under jit: return
+    them from the traced function to materialize)."""
+
+    def __enter__(self) -> dict[str, jax.Array]:
+        stack = getattr(_local, "collectors", None)
+        if stack is None:
+            stack = _local.collectors = []
+        self._d: dict[str, jax.Array] = {}
+        stack.append(self._d)
+        return self._d
+
+    def __exit__(self, *exc):
+        _local.collectors.pop()
+        return False
+
+
+class overriding:
+    """``with overriding({key: value}):`` — tagged activations matching
+    ``key`` are substituted during apply (gradient flows into value)."""
+
+    def __init__(self, values: dict[str, jax.Array]):
+        self._values = values
+
+    def __enter__(self):
+        stack = getattr(_local, "overrides", None)
+        if stack is None:
+            stack = _local.overrides = []
+        stack.append(self._values)
+        return self
+
+    def __exit__(self, *exc):
+        _local.overrides.pop()
+        return False
+
+
 class Transformed(NamedTuple):
     init: Callable[..., tuple[Params, State]]
     apply: Callable[..., tuple[Any, State]]

@@ -341,6 +341,42 @@ class ConvNet:
             outs.append(pred)
         return np.concatenate(outs)
 
+    def features(self, images, batch_size: int = 256,
+                 tag: str = "features") -> np.ndarray:
+        """Tagged backbone feature maps (transfer learning / retrieval).
+
+        Zoo backbones tag their pre-pooling map as 'features'; models
+        can tag more via ``nn.tag_intermediate``.
+        """
+        from myconvnet_tpu.core.module import collecting
+        self.build()
+        model, state = self._transformed, self.state
+        images = np.asarray(images)
+
+        @jax.jit
+        def feats_fn(params, mstate, x):
+            with collecting() as c:
+                model.apply(params, mstate, None, x, False)
+            matches = [k for k in c
+                       if k.endswith("/" + tag) or k == tag]
+            if not matches:
+                raise ValueError(f"no intermediate tagged {tag!r}; "
+                                 f"found {sorted(c)}")
+            return c[matches[-1]]
+
+        outs = []
+        for i in range(0, len(images), batch_size):
+            chunk = images[i:i + batch_size]
+            pad = batch_size - len(chunk)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad, *chunk.shape[1:]),
+                                     chunk.dtype)])
+            f = np.asarray(feats_fn(state.params, state.model_state,
+                                    jnp.asarray(chunk)))
+            outs.append(f[:len(images[i:i + batch_size])])
+        return np.concatenate(outs)
+
     def evaluate(self, data_set: DataSet, evaluator: Evaluator | None = None,
                  batch_size: int = 256) -> float:
         self.build()

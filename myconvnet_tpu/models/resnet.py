@@ -158,6 +158,7 @@ def resnet_backbone(x: jax.Array, depth: int = 50, *, train: bool = False,
         current_stride *= stage_stride
         if stage == 0:
             low_level = x
+    x = nn.tag_intermediate("features", x)
     if return_low_level:
         return x, low_level
     return x

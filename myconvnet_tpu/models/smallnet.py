@@ -21,6 +21,7 @@ def smallnet(x: jax.Array, num_classes: int = 10, *, train: bool = False,
             x = nn.batch_norm(x, train=train)
             x = nn.relu(x)
         x = nn.max_pool(x, 2, 2)
+    x = nn.tag_intermediate("features", x)
     x = nn.gap(x)
     x = nn.dropout(x, dropout_rate, train=train)
     x = nn.dense(x, width * 8, name="fc1")

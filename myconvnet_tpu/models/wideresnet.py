@@ -64,6 +64,7 @@ def wide_resnet(x: jax.Array, num_classes: int = 10, *,
                         train=train, dropout_rate=dropout_rate,
                         first=(b == 0))
     x = _bn_relu(x, train, "bn_final")
+    x = nn.tag_intermediate("features", x)
     x = nn.gap(x)
     return nn.dense(x, num_classes, w_init=init.glorot_uniform(),
                     name="logits")

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from myconvnet_tpu.core import initializers as init
 from myconvnet_tpu.core.module import (auto_name, current_scope_in_params,
                                        get_state, next_rng_key, param,
-                                       param_exists, scope, set_state)
+                                       param_exists, scope, set_state,
+                                       tag_intermediate)
 from myconvnet_tpu.core.precision import current_policy
 from myconvnet_tpu.ops.batch_norm import (batch_norm_inference,
                                           batch_norm_train)

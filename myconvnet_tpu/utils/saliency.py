@@ -78,6 +78,48 @@ def integrated_gradients(forward: Callable, x: jax.Array, *,
     return (xf - base) * total / steps
 
 
+def grad_cam(model, params, state, x: jax.Array, *,
+             tag: str = "features", class_idx: int | None = None
+             ) -> jax.Array:
+    """Grad-CAM (Selvaraju et al.) on any model that tags its feature map
+    with ``core.tag_intermediate`` (the zoo backbones tag 'features').
+
+    Mechanism: one apply under ``collecting`` captures the tagged map;
+    a second under ``overriding`` substitutes it as a differentiable
+    input, so ``jax.grad`` yields d(score)/d(features) with no hooks.
+    Returns [N, H, W] maps upsampled to the input size.
+    """
+    from myconvnet_tpu.core.module import collecting, overriding
+    from myconvnet_tpu.ops.resize import resize_bilinear
+
+    with collecting() as captured:
+        logits, _ = model.apply(params, state, None, x, False)
+    matches = [k for k in captured if k.endswith("/" + tag) or k == tag]
+    if not matches:
+        raise ValueError(
+            f"no intermediate tagged {tag!r}; found {sorted(captured)}")
+    key = matches[-1]
+    feats = captured[key]
+    if class_idx is None:
+        idx = jnp.argmax(logits.astype(jnp.float32), axis=-1)
+    else:
+        idx = jnp.full((logits.shape[0],), class_idx)
+
+    def score(f):
+        with overriding({key: f}):
+            out, _ = model.apply(params, state, None, x, False)
+        out = out.astype(jnp.float32)
+        return jnp.sum(jnp.take_along_axis(out, idx[:, None], axis=-1))
+
+    g = jax.grad(score)(feats).astype(jnp.float32)       # [N,h,w,C]
+    weights = jnp.mean(g, axis=(1, 2), keepdims=True)    # GAP of grads
+    cam = jax.nn.relu(jnp.sum(weights * feats.astype(jnp.float32),
+                              axis=-1))                  # [N,h,w]
+    if cam.shape[1:] != x.shape[1:3]:
+        cam = resize_bilinear(cam[..., None], x.shape[1:3])[..., 0]
+    return cam
+
+
 def normalize_map(sal: jax.Array, eps: float = 1e-9) -> jax.Array:
     """Per-image [0, 1] normalization for visualization."""
     lo = jnp.min(sal, axis=tuple(range(1, sal.ndim)), keepdims=True)

@@ -82,3 +82,55 @@ def test_saliency_on_real_model():
     assert sal.shape == (2, 16, 16)
     assert np.all(np.isfinite(np.asarray(sal)))
     assert float(jnp.max(sal)) > 0
+
+
+def test_collect_and_override_intermediates():
+    from myconvnet_tpu.core.module import (collecting, overriding,
+                                           tag_intermediate)
+    from myconvnet_tpu.core import transform
+
+    def fwd(x):
+        h = x * 2.0
+        h = tag_intermediate("mid", h)
+        return h + 1.0
+
+    net = transform(fwd)
+    params, state = net.init(jax.random.key(0), jnp.ones(3))
+    with collecting() as c:
+        out, _ = net.apply(params, state, None, jnp.ones(3))
+    np.testing.assert_allclose(np.asarray(c["~/mid"]), 2.0)
+    with overriding({"~/mid": jnp.zeros(3)}):
+        out2, _ = net.apply(params, state, None, jnp.ones(3))
+    np.testing.assert_allclose(np.asarray(out2), 1.0)
+
+
+def test_grad_cam_shapes_and_nonnegative():
+    from myconvnet_tpu import models
+    from myconvnet_tpu.core import transform
+    from myconvnet_tpu.utils.saliency import grad_cam
+
+    net = transform(lambda x, train=False: models.smallnet(
+        x, 5, train=train, width=4, dropout_rate=0.0))
+    x = jnp.asarray(np.random.RandomState(3).rand(2, 16, 16, 3)
+                    .astype(np.float32))
+    params, state = net.init(jax.random.key(0), x, False)
+    cam = grad_cam(net, params, state, x)
+    assert cam.shape == (2, 16, 16)
+    assert float(jnp.min(cam)) >= 0.0
+    assert np.all(np.isfinite(np.asarray(cam)))
+    import pytest
+    with pytest.raises(ValueError):
+        grad_cam(net, params, state, x, tag="nonexistent")
+
+
+def test_convnet_features_api():
+    from myconvnet_tpu import models
+    from myconvnet_tpu.models.base import ConvNet
+
+    net = ConvNet(models.smallnet, input_shape=(16, 16, 3), num_classes=5,
+                  width=4, dropout_rate=0.0)
+    net.build()
+    x = np.random.RandomState(4).rand(3, 16, 16, 3).astype(np.float32)
+    f = net.features(x, batch_size=2)
+    assert f.shape[0] == 3 and f.ndim == 4
+    assert np.all(np.isfinite(f))
