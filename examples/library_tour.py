@@ -121,7 +121,37 @@ def main():
         print(f"[parallel] halo conv {y_sp.shape} on dp-sharded H, "
               f"2-stage pipeline {y_pp.shape}")
 
-    # 7. fused GAN step
+    # 7. model inspection: Grad-CAM + features + saliency
+    from myconvnet_tpu.utils.saliency import grad_cam, input_gradient
+    x8 = jnp.asarray(val_set.source.images[:4].astype(np.float32) / 255.0)
+    cam = grad_cam(net2._transformed, net2.state.params,
+                   net2.state.model_state, x8)
+    feats = net2.features(val_set.source.images[:4], batch_size=4)
+    print(f"[inspect] grad-cam {cam.shape}, features {feats.shape}")
+    del input_gradient
+
+    # 8. knowledge distillation (teacher: the trained net2)
+    from myconvnet_tpu.train.distill import DistillState, \
+        make_distill_step
+    from myconvnet_tpu.train.trainer import init_train_state
+    student = transform(lambda x, train=False: models.smallnet(
+        x, 10, train=train, width=8, dropout_rate=0.0))
+    s_opt = optim.momentum(0.1, 0.9)
+    s_state = init_train_state(student, s_opt, jax.random.key(5),
+                               jnp.zeros((16, 32, 32, 3)))
+    dstate = DistillState(s_state, net2.state.params,
+                          net2.state.model_state)
+    dstep = make_distill_step(student, net2._transformed, s_opt,
+                              temperature=4.0, alpha=0.9)
+    xb = jnp.asarray(
+        train_set.source.images[:16].astype(np.float32) / 255.0)
+    yb = jnp.asarray(train_set.source.labels[:16])
+    for _ in range(5):
+        dstate, dm = dstep(dstate, (xb, yb))
+    print(f"[distill] 5 fused KD steps: loss={float(dm['loss']):.3f} "
+          f"agreement={float(dm['teacher_agreement']):.2f}")
+
+    # 9. fused GAN step
     from myconvnet_tpu.train import gan
     gen = transform(lambda z, train: models.dcgan_generator(
         z, train=train, image_size=32, base_features=64))
