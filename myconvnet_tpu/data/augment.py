@@ -56,7 +56,8 @@ class AugmentConfig(NamedTuple):
 # ------------------------------------------------------- geometric sampling
 
 def _axis_matrix(start: jax.Array, extent: jax.Array, in_size: int,
-                 out_size: int, flip: jax.Array | None = None) -> jax.Array:
+                 out_size: int, flip: jax.Array | None = None,
+                 clamp: bool = True) -> jax.Array:
     """Per-image bilinear sampling matrix [N, out_size, in_size].
 
     Maps output index i to source coordinate
@@ -64,6 +65,10 @@ def _axis_matrix(start: jax.Array, extent: jax.Array, in_size: int,
     reversed when ``flip``.  Weights are the bilinear hat function — each
     row has <=2 nonzeros, but we materialize it densely: [out, in] is tiny
     and the application is a batched MXU matmul instead of a gather.
+
+    ``clamp=False`` leaves out-of-frame coordinates unclipped: their rows
+    are all-zero, i.e. the sample reads ZERO padding (the reference's
+    pad-then-crop semantics) instead of replicating the border.
     """
     n = start.shape[0]
     i = jnp.arange(out_size, dtype=jnp.float32)
@@ -74,7 +79,8 @@ def _axis_matrix(start: jax.Array, extent: jax.Array, in_size: int,
     else:
         frac = jnp.broadcast_to(frac[None, :], (n, out_size))
     src = start[:, None] + frac * extent[:, None] - 0.5  # [N, out]
-    src = jnp.clip(src, 0.0, in_size - 1.0)
+    if clamp:
+        src = jnp.clip(src, 0.0, in_size - 1.0)
     j = jnp.arange(in_size, dtype=jnp.float32)  # [in]
     w = jnp.maximum(0.0, 1.0 - jnp.abs(src[:, :, None] - j[None, None, :]))
     # rows at exact-integer src have a single 1; interior rows sum to 1.
@@ -84,11 +90,13 @@ def _axis_matrix(start: jax.Array, extent: jax.Array, in_size: int,
 def batched_crop_resize(images: jax.Array, boxes: jax.Array,
                         out_hw: tuple[int, int],
                         flip: jax.Array | None = None,
-                        precision="highest") -> jax.Array:
+                        precision="highest",
+                        clamp: bool = True) -> jax.Array:
     """Crop+resize (+horizontal flip) every image with its own box.
 
     images: [N,H,W,C] (any dtype; promoted to f32), boxes: [N,4] float
-    (y0, x0, h, w) in pixels, flip: [N] bool or None.
+    (y0, x0, h, w) in pixels, flip: [N] bool or None.  ``clamp=False``
+    reads zeros outside the frame (pad-then-crop semantics).
     Returns [N, out_h, out_w, C] float32.  Pure matmuls — no gathers.
     True-f32 precision by default: even at ImageNet batch sizes these
     contractions are <1ms on the MXU, and exact interpolation keeps the
@@ -96,8 +104,10 @@ def batched_crop_resize(images: jax.Array, boxes: jax.Array,
     """
     n, h, w, c = images.shape
     oh, ow = out_hw
-    mh = _axis_matrix(boxes[:, 0], boxes[:, 2], h, oh)          # [N,OH,H]
-    mw = _axis_matrix(boxes[:, 1], boxes[:, 3], w, ow, flip)    # [N,OW,W]
+    mh = _axis_matrix(boxes[:, 0], boxes[:, 2], h, oh,
+                      clamp=clamp)                              # [N,OH,H]
+    mw = _axis_matrix(boxes[:, 1], boxes[:, 3], w, ow, flip,
+                      clamp=clamp)                              # [N,OW,W]
     xf = images.astype(jnp.float32)
     y = jnp.einsum("nih,nhwc->niwc", mh, xf,
                    preferred_element_type=jnp.float32, precision=precision)
@@ -136,11 +146,14 @@ def random_resized_crop_boxes(key: jax.Array, n: int, in_hw: tuple[int, int],
 
 def pad_crop_boxes(key: jax.Array, n: int, in_hw: tuple[int, int],
                    pad: int) -> jax.Array:
-    """CIFAR-style pad-by-p-then-random-crop, expressed as a fractional box
-    over the *unpadded* image: offsets in [-pad, +pad]."""
+    """CIFAR-style pad-by-p-then-random-crop as a box over the *unpadded*
+    image: INTEGER offsets in [-pad, +pad] (the reference shifts by whole
+    pixels; fractional offsets would bilinearly blur every image).  Use
+    with ``clamp=False`` so out-of-frame samples read the zero padding —
+    matching the fused Pallas kernel (ops/pallas/pad_crop_u8.py)."""
     h, w = in_hw
-    off = jax.random.uniform(key, (n, 2), minval=-float(pad),
-                             maxval=float(pad))
+    off = jax.random.randint(key, (n, 2), minval=-pad,
+                             maxval=pad + 1).astype(jnp.float32)
     hw = jnp.broadcast_to(jnp.asarray([[float(h), float(w)]]), (n, 2))
     return jnp.concatenate([off, hw], axis=1)
 
@@ -156,10 +169,11 @@ def center_crop_boxes(n: int, in_hw: tuple[int, int],
 
 
 def _nearest_axis_matrix(start: jax.Array, extent: jax.Array, in_size: int,
-                         out_size: int,
-                         flip: jax.Array | None = None) -> jax.Array:
+                         out_size: int, flip: jax.Array | None = None,
+                         clamp: bool = True) -> jax.Array:
     """One-hot (nearest-neighbor) sampling matrix [N, out, in] — used for
-    segmentation masks, where label values must be preserved exactly."""
+    segmentation masks, where label values must be preserved exactly.
+    ``clamp=False`` leaves out-of-frame rows all-zero."""
     n = start.shape[0]
     i = jnp.arange(out_size, dtype=jnp.float32)
     frac = (i + 0.5) / out_size
@@ -168,25 +182,40 @@ def _nearest_axis_matrix(start: jax.Array, extent: jax.Array, in_size: int,
     else:
         frac = jnp.broadcast_to(frac[None, :], (n, out_size))
     src = start[:, None] + frac * extent[:, None] - 0.5
-    src = jnp.clip(jnp.round(src), 0.0, in_size - 1.0)
+    src = jnp.round(src)
+    if clamp:
+        src = jnp.clip(src, 0.0, in_size - 1.0)
     j = jnp.arange(in_size, dtype=jnp.float32)
     return (src[:, :, None] == j[None, None, :]).astype(jnp.float32)
 
 
 def batched_crop_nearest(masks: jax.Array, boxes: jax.Array,
                          out_hw: tuple[int, int],
-                         flip: jax.Array | None = None) -> jax.Array:
+                         flip: jax.Array | None = None,
+                         clamp: bool = True,
+                         fill_label: int = 255) -> jax.Array:
     """Nearest crop+resize for int label masks [N,H,W] with the same boxes
     as the paired image transform.  One-hot matrices keep values exact
-    (ignore_label 255 survives untouched)."""
+    (ignore_label 255 survives untouched).  With ``clamp=False``
+    (pad-crop geometry) out-of-frame pixels become ``fill_label`` — the
+    padded border carries no ground truth, so it must be ignored, not
+    trained as class 0 or an edge-replicated label."""
     n, h, w = masks.shape
     oh, ow = out_hw
-    mh = _nearest_axis_matrix(boxes[:, 0], boxes[:, 2], h, oh)
-    mw = _nearest_axis_matrix(boxes[:, 1], boxes[:, 3], w, ow, flip)
+    mh = _nearest_axis_matrix(boxes[:, 0], boxes[:, 2], h, oh, clamp=clamp)
+    mw = _nearest_axis_matrix(boxes[:, 1], boxes[:, 3], w, ow, flip,
+                              clamp=clamp)
     mf = masks.astype(jnp.float32)
     y = jnp.einsum("nih,nhw->niw", mh, mf, precision="highest")
     y = jnp.einsum("njw,niw->nij", mw, y, precision="highest")
-    return jnp.round(y).astype(masks.dtype)
+    out = jnp.round(y).astype(masks.dtype)
+    if not clamp:
+        # per-pixel coverage = (row has a source) x (col has a source)
+        cover = (jnp.sum(mh, -1)[:, :, None] *
+                 jnp.sum(mw, -1)[:, None, :])          # [N,OH,OW]
+        out = jnp.where(cover > 0.5, out,
+                        jnp.asarray(fill_label, masks.dtype))
+    return out
 
 
 # ------------------------------------------------------------- photometric
@@ -253,6 +282,27 @@ def normalize(x: jax.Array, mean=IMAGENET_MEAN, std=IMAGENET_STD
 
 # ------------------------------------------------------------ fused driver
 
+def _sample_geometry(key: jax.Array, n: int, hw: tuple[int, int],
+                     cfg: AugmentConfig):
+    """Shared random-geometry draw: (boxes [N,4], flip [N] | None,
+    clamp) for the configured crop mode.  The pad-crop mode returns
+    clamp=False (zero padding outside the frame)."""
+    h, w = hw
+    k_box, k_flip = jax.random.split(key)
+    clamp = True
+    if cfg.area_range is not None:
+        boxes = random_resized_crop_boxes(k_box, n, (h, w), cfg.area_range,
+                                          cfg.aspect_range)
+    elif cfg.pad > 0:
+        boxes = pad_crop_boxes(k_box, n, (h, w), cfg.pad)
+        clamp = False
+    else:
+        boxes = jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, float(h), float(w)])[None], (n, 4))
+    flip = jax.random.bernoulli(k_flip, 0.5, (n,)) if cfg.flip else None
+    return boxes, flip, clamp
+
+
 def augment_train(key: jax.Array, images_u8: jax.Array,
                   cfg: AugmentConfig) -> jax.Array:
     """Full training augmentation chain, one jitted program.
@@ -261,17 +311,10 @@ def augment_train(key: jax.Array, images_u8: jax.Array,
     [N,OH,OW,C] float32, normalized.
     """
     n, h, w, _ = images_u8.shape
-    k_box, k_flip, k_color = jax.random.split(key, 3)
-    if cfg.area_range is not None:
-        boxes = random_resized_crop_boxes(k_box, n, (h, w), cfg.area_range,
-                                          cfg.aspect_range)
-    elif cfg.pad > 0:
-        boxes = pad_crop_boxes(k_box, n, (h, w), cfg.pad)
-    else:
-        boxes = jnp.broadcast_to(
-            jnp.asarray([0.0, 0.0, float(h), float(w)])[None], (n, 4))
-    flip = jax.random.bernoulli(k_flip, 0.5, (n,)) if cfg.flip else None
-    x = batched_crop_resize(images_u8, boxes, cfg.out_hw, flip)
+    k_geom, k_color = jax.random.split(key)
+    boxes, flip, clamp = _sample_geometry(k_geom, n, (h, w), cfg)
+    x = batched_crop_resize(images_u8, boxes, cfg.out_hw, flip,
+                            clamp=clamp)
     x = x * (1.0 / 255.0)
     if cfg.brightness or cfg.contrast or cfg.saturation or cfg.hue:
         x = color_jitter(k_color, x, brightness=cfg.brightness,
@@ -302,25 +345,19 @@ def augment_train_pair(key: jax.Array, images_u8: jax.Array,
     image (bilinear) and mask (nearest, exact labels); photometric jitter
     on the image only.  ``cfg.area_range`` here means scale range of the
     crop relative to the image (DeepLab-style 0.5-2.0 random scaling is
-    expressed as area 0.25-4 clamped to the frame)."""
+    expressed as area 0.25-4 clamped to the frame).  Under the pad-crop
+    mode the image reads zero padding and the mask reads ignore-label."""
     n, h, w, _ = images_u8.shape
-    k_box, k_flip, k_color = jax.random.split(key, 3)
-    if cfg.area_range is not None:
-        boxes = random_resized_crop_boxes(k_box, n, (h, w), cfg.area_range,
-                                          cfg.aspect_range)
-    elif cfg.pad > 0:
-        boxes = pad_crop_boxes(k_box, n, (h, w), cfg.pad)
-    else:
-        boxes = jnp.broadcast_to(
-            jnp.asarray([0.0, 0.0, float(h), float(w)])[None], (n, 4))
-    flip = jax.random.bernoulli(k_flip, 0.5, (n,)) if cfg.flip else None
-    x = batched_crop_resize(images_u8, boxes, cfg.out_hw, flip)
+    k_geom, k_color = jax.random.split(key)
+    boxes, flip, clamp = _sample_geometry(k_geom, n, (h, w), cfg)
+    x = batched_crop_resize(images_u8, boxes, cfg.out_hw, flip,
+                            clamp=clamp)
     x = x * (1.0 / 255.0)
     if cfg.brightness or cfg.contrast or cfg.saturation or cfg.hue:
         x = color_jitter(k_color, x, brightness=cfg.brightness,
                          contrast=cfg.contrast, saturation=cfg.saturation,
                          hue=cfg.hue)
-    y = batched_crop_nearest(masks, boxes, cfg.out_hw, flip)
+    y = batched_crop_nearest(masks, boxes, cfg.out_hw, flip, clamp=clamp)
     return normalize(x, cfg.mean, cfg.std).astype(cfg.out_dtype), y
 
 

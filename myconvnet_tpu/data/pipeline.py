@@ -103,11 +103,21 @@ class FileSource:
         return len(self.paths)
 
     def _decode_mask(self, path: str) -> np.ndarray:
+        """Decode a label mask with the SAME cover-resize + center-crop
+        geometry as the paired image (nearest sampling keeps labels
+        exact) — an anisotropic resize here would misalign every pixel
+        of a non-square pair against its image."""
         from PIL import Image
         img = Image.open(path)
+        w, h = img.size
         th, tw = self.mask_hw
-        img = img.resize((tw, th), Image.NEAREST)
-        return np.asarray(img, np.int32)
+        scale = max(th / h, tw / w)
+        img = img.resize((max(tw, int(round(w * scale))),
+                          max(th, int(round(h * scale)))), Image.NEAREST)
+        arr = np.asarray(img, np.int32)
+        y0 = (arr.shape[0] - th) // 2
+        x0 = (arr.shape[1] - tw) // 2
+        return arr[y0:y0 + th, x0:x0 + tw]
 
     def get_batch(self, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         paths = [self.paths[i] for i in idx]
@@ -160,6 +170,10 @@ def batch_indices(n: int, batch_size: int, *, shuffle: bool, seed: int,
                   drop_remainder: bool = True,
                   epochs: int | None = None) -> Iterator[np.ndarray]:
     """Yield index batches; reshuffles every epoch (tf.data .shuffle)."""
+    if drop_remainder and n < batch_size:
+        raise ValueError(
+            f"batch_size {batch_size} exceeds dataset size {n} with "
+            "drop_remainder: no batch would ever be yielded")
     rng = np.random.RandomState(seed)
     epoch = 0
     while epochs is None or epoch < epochs:

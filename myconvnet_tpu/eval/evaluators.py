@@ -20,12 +20,16 @@ import numpy as np
 
 def top_k_correct(logits: jax.Array, labels: jax.Array, k: int = 1
                   ) -> jax.Array:
-    """Number of top-k-correct predictions in the batch (int32 scalar)."""
+    """Number of top-k-correct predictions (int32 scalar).  Spatial
+    logits/labels ([N,H,W,C]/[N,H,W]) count per-element — callers must
+    normalize by element count, not batch size."""
     if k == 1:
         pred = jnp.argmax(logits, axis=-1)
         return jnp.sum((pred == labels).astype(jnp.int32))
-    topk = jax.lax.top_k(logits, k)[1]
-    hit = jnp.any(topk == labels[:, None], axis=-1)
+    flat_logits = logits.reshape(-1, logits.shape[-1])
+    flat_labels = labels.reshape(-1)
+    topk = jax.lax.top_k(flat_logits, k)[1]
+    hit = jnp.any(topk == flat_labels[:, None], axis=-1)
     return jnp.sum(hit.astype(jnp.int32))
 
 
@@ -95,7 +99,9 @@ class AccuracyEvaluator(Evaluator):
     def update(self, logits, labels):
         self._correct += int(top_k_correct(jnp.asarray(logits),
                                            jnp.asarray(labels), self.k))
-        self._total += int(np.shape(labels)[0])
+        # element count, not batch size: spatial labels ([N,H,W]) score
+        # per pixel, keeping accuracy in [0, 1] for every logits rank
+        self._total += int(np.size(labels))
 
     def score(self) -> float:
         return self._correct / max(self._total, 1)

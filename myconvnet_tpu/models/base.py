@@ -186,7 +186,12 @@ class ConvNet:
             self._optimizer = optimizer
             self.state = None
         self.build(getattr(self, "_optimizer", None))
-        evaluator = evaluator or AccuracyEvaluator()
+        if evaluator is None:
+            if self.paired_targets:  # segmentation default: mIoU
+                from myconvnet_tpu.eval.evaluators import MeanIoUEvaluator
+                evaluator = MeanIoUEvaluator(self.num_classes)
+            else:
+                evaluator = AccuracyEvaluator()
         trainer = self._make_trainer(evaluator)
         self._trainer = trainer
         val_iter_fn = (lambda: val_set.eval_iter(batch_size)) \

@@ -26,8 +26,14 @@ def _bn_relu(x, train, name):
 
 
 def _wide_block(x, features, *, stride, train, dropout_rate, first):
-    """Pre-activation basic block; projection shortcut on width change."""
-    pre = _bn_relu(x, train, "bn_a")
+    """Pre-activation basic block; projection shortcut on width change.
+
+    NOTE the BN scopes are named ``preact_*``, NOT ``bn_*``: in this
+    ordering BN normalizes a conv's INPUT (through a ReLU), so it must
+    never be folded into the preceding conv — the distinct name keeps
+    models/folding.py's conv_X/bn_X pairing from matching it.
+    """
+    pre = _bn_relu(x, train, "preact_a")
     # pre-activation: the projection branches from the PRE-activated
     # tensor on the first block of a group (the paper's arrangement)
     shortcut = x
@@ -36,7 +42,7 @@ def _wide_block(x, features, *, stride, train, dropout_rate, first):
                            name="conv_proj")
     y = nn.conv(pre, features, 3, stride=stride, use_bias=False,
                 name="conv_a")
-    y = _bn_relu(y, train, "bn_b")
+    y = _bn_relu(y, train, "preact_b")
     if dropout_rate > 0.0:
         y = nn.dropout(y, dropout_rate, train=train)
     y = nn.conv(y, features, 3, use_bias=False, name="conv_b")

@@ -119,10 +119,14 @@ def build_segmenter(cfg: dict, synthetic: bool = False,
     loss = lambda logits, y: pixel_cross_entropy(  # noqa: E731
         logits, y, ignore_label=ignore)
     aug = make_augment(cfg.get("augment"))
+    if aug is None:
+        raise ValueError(
+            "segmentation configs need an 'augment' entry (out_hw sets "
+            "the training crop/input resolution)")
     if synthetic or cfg.get("data_dir") is None:
         # synthetic masks are small; shrink the recipe resolution so the
         # smoke path stays cheap
-        aug = aug._replace(out_hw=(96, 96)) if aug else None
+        aug = aug._replace(out_hw=(96, 96))
     net = ConvNet(model_fn, input_shape=(*aug.out_hw, 3),
                   num_classes=cfg["num_classes"],
                   precision=cfg.get("precision", "f32"), loss_fn=loss,
@@ -220,8 +224,10 @@ def build_gan(cfg: dict, synthetic: bool = False):
                 raw_hw=(size, size))
             ds = DataSet(src, seed=cfg.get("seed", 0))
             for a, b in ds.train_iter(batch):
-                a = np.asarray(a, np.float32) / 127.5 - 1.0
-                b = np.asarray(b, np.float32) / 127.5 - 1.0
+                # rescale WITHOUT leaving the device: np.asarray here
+                # would round-trip every prefetched batch back to host
+                a = a.astype("float32") / 127.5 - 1.0
+                b = b.astype("float32") / 127.5 - 1.0
                 yield (a, b)
 
         return state, step, data_iter, kind

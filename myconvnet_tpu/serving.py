@@ -53,6 +53,19 @@ def export_inference(model: Transformed, params: Params, state: State,
     ``int8=True`` exports the quantized (int8 MXU) program."""
     from jax import export as jexport
 
+    if fold_bn:
+        # verify-gated folding: a pre-activation (or otherwise non-
+        # conv->BN) architecture must export UNFOLDED rather than wrong
+        from myconvnet_tpu.models.folding import verify_folding
+        sample0 = jnp.asarray(
+            np.random.RandomState(0).standard_normal(
+                np.shape(sample_input)),
+            jnp.asarray(sample_input).dtype)
+        try:
+            verify_folding(model, params, state, sample0, atol=1e-2,
+                           eps=bn_eps)
+        except ValueError:
+            fold_bn = False
     fn = make_inference_fn(model, params, state, fold_bn=fold_bn,
                            bn_eps=bn_eps, int8=int8)
     exported = jexport.export(jax.jit(fn))(

@@ -63,8 +63,10 @@ def make_dcgan_step(generator: Transformed, discriminator: Transformed,
         kz, kg, kd1, kd2, kd3 = jax.random.split(key, 5)
         z = jax.random.normal(kz, (real.shape[0], latent_dim), real.dtype)
 
-        # ---- D update (G frozen: grads flow only into d_params)
-        fake, g_state_after = generator.apply(
+        # ---- D update (G frozen: grads flow only into d_params; this
+        # pass's G state is discarded — the G-loss pass below produces
+        # the state that threads forward)
+        fake, _ = generator.apply(
             state.g_params, state.g_state, kg, z, True)
         fake_sg = jax.lax.stop_gradient(fake)
 

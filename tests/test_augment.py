@@ -125,3 +125,52 @@ def test_cifar_style_pad_crop_chain():
     out = aug.augment_train(jax.random.key(0), imgs, cfg)
     assert out.shape == (4, 32, 32, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pad_crop_matches_numpy_zero_pad_reference():
+    """The einsum pad-crop path (integer offsets, clamp=False) must equal
+    literal zero-pad-then-crop — the reference's (and the Pallas
+    kernel's) semantics."""
+    rng = np.random.RandomState(11)
+    imgs = rng.randint(0, 256, (6, 16, 16, 3), dtype=np.uint8)
+    pad = 3
+    boxes = aug.pad_crop_boxes(jax.random.key(5), 6, (16, 16), pad=pad)
+    out = np.asarray(aug.batched_crop_resize(
+        jnp.asarray(imgs), boxes, (16, 16), clamp=False))
+    b = np.asarray(boxes).astype(int)
+    padded = np.pad(imgs, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    for i in range(6):
+        y0, x0 = b[i, 0] + pad, b[i, 1] + pad
+        expect = padded[i, y0:y0 + 16, x0:x0 + 16].astype(np.float32)
+        np.testing.assert_allclose(out[i], expect, atol=1e-4, err_msg=i)
+
+
+def test_pad_crop_offsets_are_integers():
+    boxes = aug.pad_crop_boxes(jax.random.key(1), 64, (32, 32), pad=4)
+    b = np.asarray(boxes)
+    np.testing.assert_array_equal(b[:, :2], np.round(b[:, :2]))
+
+
+def test_pair_pad_crop_masks_get_ignore_label():
+    """Padded border pixels of the mask are ignore-label (255), never a
+    trainable class."""
+    rng = np.random.RandomState(12)
+    imgs = jnp.asarray(rng.randint(0, 256, (8, 16, 16, 3), dtype=np.uint8))
+    masks = jnp.asarray(rng.randint(1, 5, (8, 16, 16)).astype(np.int32))
+    cfg = aug.AugmentConfig(out_hw=(16, 16), area_range=None, pad=4,
+                            flip=False)
+    x, y = aug.augment_train_pair(jax.random.key(3), imgs, masks, cfg)
+    y = np.asarray(y)
+    # any pixel outside the shifted frame must be 255; all others in 1..4
+    assert set(np.unique(y)).issubset(set(range(1, 5)) | {255})
+    # with pad=4 over 8 draws, at least one image has a shifted border
+    assert (y == 255).any()
+    # and the image's padded border is exactly zero pre-normalization:
+    # normalize(0) = -mean/std
+    expect_border = (0.0 - np.asarray(cfg.mean)) / np.asarray(cfg.std)
+    xi = np.asarray(x)
+    border_pix = xi[y == 255]
+    np.testing.assert_allclose(border_pix,
+                               np.broadcast_to(expect_border,
+                                               border_pix.shape),
+                               atol=1e-4)

@@ -148,3 +148,19 @@ def test_orbax_backend_roundtrip(tmp_path):
         assert out["x"].sharding == sh
         np.testing.assert_array_equal(np.asarray(out["x"]),
                                       np.arange(32.0))
+
+
+def test_accuracy_evaluator_spatial_logits_bounded():
+    """[N,H,W,C] logits / [N,H,W] labels: accuracy counts pixels and
+    stays in [0,1] (it used to divide pixel-corrects by batch size)."""
+    e = ev.AccuracyEvaluator()
+    logits = np.zeros((2, 4, 4, 3), np.float32)
+    logits[..., 1] = 1.0                       # predict class 1 everywhere
+    labels = np.ones((2, 4, 4), np.int64)
+    labels[0, 0, :] = 0                        # 4 wrong pixels of 32
+    e.update(logits, labels)
+    assert abs(e.score() - 28 / 32) < 1e-6
+    # top-k with spatial labels also stays bounded
+    e5 = ev.AccuracyEvaluator(k=2)
+    e5.update(logits, labels)
+    assert 0.0 <= e5.score() <= 1.0
