@@ -138,6 +138,15 @@ class MeanIoUEvaluator(Evaluator):
     def pixel_accuracy(self) -> float:
         return float(pixel_accuracy_from_confusion(jnp.asarray(self._cm)))
 
+    def per_class_iou(self) -> np.ndarray:
+        """[C] IoU per class (NaN for classes absent from the truth)."""
+        cm = self._cm
+        inter = np.diag(cm)
+        union = cm.sum(0) + cm.sum(1) - inter
+        present = cm.sum(1) > 0
+        iou = np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+        return np.where(present, iou, np.nan)
+
 
 class LossEvaluator(Evaluator):
     """Tracks mean loss (GAN path, where no accuracy exists)."""

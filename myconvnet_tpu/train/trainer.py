@@ -97,6 +97,9 @@ class Trainer:
     # inserts the conv halo exchanges (parallel/mesh.py
     # spatial_input_sharding). The HBM lever for 513x513 segmentation.
     spatial: bool = False
+    # evaluate/predict with the Polyak-averaged parameters when the
+    # optimizer is wrapped with optim.with_ema (no-op otherwise)
+    eval_with_ema: bool = False
     # write checkpoints on a background thread (device->host readback of
     # the full state can take seconds on slow links; jax arrays are
     # immutable, so a snapshot taken while training continues is safe)
@@ -340,8 +343,20 @@ class Trainer:
             self._flops_batch = int(sample_batch[0].shape[0])
         return flops
 
+    def _eval_state(self, state: TrainState) -> TrainState:
+        if not self.eval_with_ema:
+            return state
+        from myconvnet_tpu.train.optim import EmaOptState, extract_ema
+        if not isinstance(state.opt_state, EmaOptState):
+            return state
+        ema = extract_ema(state.opt_state)
+        params = jax.tree.map(lambda p, e: e.astype(p.dtype),
+                              state.params, ema)
+        return state._replace(params=params)
+
     def evaluate(self, state: TrainState, data_iter: Iterable) -> float:
         assert self.evaluator is not None, "no evaluator configured"
+        state = self._eval_state(state)
         self.evaluator.reset()
         full_batch = None
         for x, y in data_iter:
@@ -365,6 +380,7 @@ class Trainer:
 
     def predict(self, state: TrainState, data_iter: Iterable):
         """Yield per-batch predictions (reference ConvNet.predict)."""
+        state = self._eval_state(state)
         for batch in data_iter:
             x = batch[0] if isinstance(batch, tuple) else batch
             if self.mesh is not None:

@@ -235,3 +235,51 @@ def test_debug_checks_catch_divergence():
             state, _ = t._train_step(state, (jnp.asarray(x),
                                              jnp.asarray(y)))
     assert "non-finite" in str(e.value)
+
+
+def test_eval_with_ema_uses_averaged_params():
+    """Trainer(eval_with_ema=True): evaluation reads the Polyak copy, so
+    after a large last step the eval result tracks the average, not the
+    live params."""
+    from myconvnet_tpu.eval.evaluators import AccuracyEvaluator
+
+    def fwd(x, train=False):
+        from myconvnet_tpu import nn
+        return nn.dense(x.reshape(x.shape[0], -1), 2, name="fc")
+
+    model = transform(fwd)
+    opt = optim.with_ema(optim.sgd(100.0), decay=1.0)  # EMA frozen at init
+    t = Trainer(model=model, optimizer=opt,
+                loss_fn=softmax_cross_entropy,
+                evaluator=AccuracyEvaluator(), eval_with_ema=True)
+    t.logger.stdout = False
+    state = init_train_state(model, opt, jax.random.key(0),
+                             jnp.zeros((4, 2, 2, 1)))
+    x = jnp.asarray(np.random.RandomState(0).rand(4, 2, 2, 1)
+                    .astype(np.float32))
+    y = jnp.asarray([0, 1, 0, 1])
+    # logits with INIT params (what decay=1.0 EMA preserves)
+    init_logits, _ = model.apply(state.params, state.model_state, None, x)
+    state, _ = t._train_step(state, (x, y))  # huge step changes live params
+    ev_state = t._eval_state(state)
+    ema_logits, _ = model.apply(ev_state.params, state.model_state,
+                                None, x)
+    np.testing.assert_allclose(np.asarray(ema_logits),
+                               np.asarray(init_logits), rtol=1e-5,
+                               atol=1e-6)
+    live_logits, _ = model.apply(state.params, state.model_state, None, x)
+    assert not np.allclose(np.asarray(live_logits),
+                           np.asarray(init_logits))
+
+
+def test_per_class_iou_accessor():
+    from myconvnet_tpu.eval.evaluators import MeanIoUEvaluator
+
+    e = MeanIoUEvaluator(3, ignore_label=None)
+    pred = np.array([[0, 0, 1, 1]])
+    truth = np.array([[0, 1, 1, 1]])
+    e.update(jnp.asarray(pred), jnp.asarray(truth))
+    iou = e.per_class_iou()
+    np.testing.assert_allclose(iou[0], 0.5)       # 1 inter / 2 union
+    np.testing.assert_allclose(iou[1], 2 / 3)     # 2 inter / 3 union
+    assert np.isnan(iou[2])                       # class absent

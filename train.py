@@ -25,6 +25,11 @@ def main():
     ap.add_argument("--data_dir", default=None)
     ap.add_argument("--out", default=None, help="run dir (ckpts + logs)")
     ap.add_argument("--val_every", type=int, default=None)
+    ap.add_argument("--accum_steps", type=int, default=None,
+                    help="gradient-accumulation microbatches per step")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize the forward in backward "
+                         "(activation-memory saver)")
     ap.add_argument("--mesh", action="store_true",
                     help="train data-parallel over all visible devices")
     ap.add_argument("--resume", action="store_true",
@@ -53,7 +58,9 @@ def main():
     cfg = recipes.load_config(args.config, total_steps=args.steps,
                               batch_size=args.batch,
                               data_dir=args.data_dir,
-                              val_every=args.val_every)
+                              val_every=args.val_every,
+                              accum_steps=args.accum_steps,
+                              remat=(True if args.remat else None))
     out = args.out or os.path.join(
         "runs", os.path.splitext(os.path.basename(args.config))[0])
     os.makedirs(out, exist_ok=True)
