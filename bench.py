@@ -71,18 +71,47 @@ def build_step(batch, hw, num_classes, smoke=False):
     state = init_train_state(model, opt, jax.random.key(0),
                              jnp.zeros((batch, *hw, 3), jnp.bfloat16))
 
+    # microbatch count: accum=2 measured consistently ~4% faster than the
+    # monolithic step at the same global batch on v5e (PERF_NOTES.md) —
+    # the smaller working set schedules better on a bandwidth-bound chip
+    accum = int(os.environ.get("BENCH_ACCUM", "1" if smoke else "2"))
+    if batch % max(accum, 1):
+        accum = 1
+
     def train_step(state, raw, labels):
         key = jax.random.wrap_key_data(state.rng)
         key = jax.random.fold_in(key, state.step)
 
-        def loss_fn(params, mstate):
-            x = augment_train(key, raw, cfg)
+        def loss_fn(params, mstate, k, raw_mb, labels_mb):
+            x = augment_train(k, raw_mb, cfg)
             logits, new_mstate = model.apply(params, mstate, None, x, True)
-            return softmax_cross_entropy(logits, labels,
+            return softmax_cross_entropy(logits, labels_mb,
                                          label_smoothing=0.1), new_mstate
 
-        (loss, new_mstate), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.model_state)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        if accum == 1:
+            (loss, new_mstate), grads = grad_fn(
+                state.params, state.model_state, key, raw, labels)
+        else:
+            n = raw.shape[0]
+            rm = raw.reshape(accum, n // accum, *raw.shape[1:])
+            lm = labels.reshape(accum, n // accum)
+            keys = jax.random.split(key, accum)
+
+            def micro(carry, xs):
+                mstate, gacc, lacc = carry
+                (l, (mstate, _)), g = grad_fn(state.params, mstate,
+                                              xs[2], xs[0], xs[1])
+                gacc = jax.tree.map(
+                    lambda a, b: a + b.astype(jnp.float32), gacc, g)
+                return (mstate, gacc, lacc + l), None
+
+            zeros = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            (new_mstate, gsum, lsum), _ = jax.lax.scan(
+                micro, (state.model_state, zeros, 0.0), (rm, lm, keys))
+            grads = jax.tree.map(lambda g: g / accum, gsum)
+            loss = lsum / accum
         new_params, new_opt = opt.update(grads, state.opt_state,
                                          state.params, state.step)
         return state._replace(params=new_params, model_state=new_mstate,
@@ -95,7 +124,7 @@ def build_step(batch, hw, num_classes, smoke=False):
     labels = jax.device_put(
         rng.randint(0, num_classes, batch).astype(np.int32))
     step = jax.jit(train_step, donate_argnums=(0,))
-    return step, state, raw, labels
+    return step, state, raw, labels, accum
 
 
 def run_bench():
@@ -115,8 +144,8 @@ def run_bench():
         if try_batch < 1:
             break
         try:
-            step, state, raw, labels = build_step(try_batch, hw, classes,
-                                                  smoke)
+            step, state, raw, labels, accum = build_step(
+                try_batch, hw, classes, smoke)
             # warmup (compile + 2 steps); NOTE: sync via a scalar fetch of
             # the chained loss, not block_until_ready — some transports
             # (axon relay) ack block_until_ready before execution finishes,
@@ -134,7 +163,7 @@ def run_bench():
             ips = try_batch * steps / dt
             step_time = dt / steps
             flops = _step_flops(step, state, raw, labels)
-            return try_batch, ips, step_time, flops, float(loss)
+            return try_batch, ips, step_time, flops, float(loss), accum
         except Exception as e:  # OOM etc. -> halve the batch
             last_err = e
             continue
@@ -184,7 +213,7 @@ def main():
     import jax
 
     _enable_compile_cache()
-    batch, ips, step_time, flops, loss = run_bench()
+    batch, ips, step_time, flops, loss, accum = run_bench()
     from myconvnet_tpu.utils.mfu import device_peak_flops
 
     n_dev = 1  # single-chip benchmark
@@ -206,6 +235,7 @@ def main():
             "device": str(jax.devices()[0]),
             "final_loss": round(loss, 4),
             "includes_on_device_augmentation": True,
+            "accum_steps": accum,
         },
     }
     if os.environ.get("BENCH_SMOKE") != "1":

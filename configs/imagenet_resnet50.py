@@ -29,5 +29,9 @@ config = dict(
                  brightness=0.4, contrast=0.4, saturation=0.4, hue=0.0),
     label_smoothing=0.1,
     precision="bf16",
+    # 2 microbatches per step: measured ~4% faster than the monolithic
+    # step at equal global batch on v5e (PERF_NOTES.md); BN statistics
+    # come from 128-image microbatches (standard at this scale)
+    accum_steps=2,
     seed=0,
 )
