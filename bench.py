@@ -100,8 +100,8 @@ def build_step(batch, hw, num_classes, smoke=False):
 
             def micro(carry, xs):
                 mstate, gacc, lacc = carry
-                (l, (mstate, _)), g = grad_fn(state.params, mstate,
-                                              xs[2], xs[0], xs[1])
+                (l, mstate), g = grad_fn(state.params, mstate,
+                                         xs[2], xs[0], xs[1])
                 gacc = jax.tree.map(
                     lambda a, b: a + b.astype(jnp.float32), gacc, g)
                 return (mstate, gacc, lacc + l), None
@@ -140,9 +140,15 @@ def run_bench():
         steps = int(os.environ.get("BENCH_STEPS", 10))
 
     last_err = None
-    for try_batch in (batch, batch // 2, batch // 4):
+    # retry ladder: first drop gradient accumulation, then halve the
+    # batch — the driver must always get a number
+    attempts = [(batch, None), (batch, 1), (batch // 2, 1),
+                (batch // 4, 1)]
+    for try_batch, force_accum in attempts:
         if try_batch < 1:
             break
+        if force_accum is not None:
+            os.environ["BENCH_ACCUM"] = str(force_accum)
         try:
             step, state, raw, labels, accum = build_step(
                 try_batch, hw, classes, smoke)
