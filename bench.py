@@ -169,6 +169,11 @@ def run_bench():
             ips = try_batch * steps / dt
             step_time = dt / steps
             flops = _step_flops(step, state, raw, labels)
+            if flops is not None and accum > 1:
+                # XLA cost analysis counts a lax.scan body ONCE; the
+                # microbatch body runs `accum` times per step (the tiny
+                # out-of-scan optimizer math overcounts negligibly)
+                flops *= accum
             return try_batch, ips, step_time, flops, float(loss), accum
         except Exception as e:  # OOM etc. -> halve the batch
             last_err = e
