@@ -169,6 +169,18 @@ class LossEvaluator(Evaluator):
         return self._sum / max(self._n, 1)
 
 
+def decode_predictions(logits, class_names: list[str], top: int = 5
+                       ) -> list[list[tuple[str, float]]]:
+    """Human-readable top-k: [[(class_name, prob), ...] per image]."""
+    logits = jnp.asarray(logits)
+    probs = np.asarray(jax.nn.softmax(logits.astype(jnp.float32), -1))
+    out = []
+    for row in probs:
+        idx = np.argsort(row)[::-1][:top]
+        out.append([(class_names[i], float(row[i])) for i in idx])
+    return out
+
+
 def make_evaluator(name: str, **kwargs) -> Evaluator:
     table = {"accuracy": AccuracyEvaluator, "error_rate": ErrorRateEvaluator,
              "miou": MeanIoUEvaluator, "loss": LossEvaluator}

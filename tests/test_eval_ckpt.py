@@ -164,3 +164,11 @@ def test_accuracy_evaluator_spatial_logits_bounded():
     e5 = ev.AccuracyEvaluator(k=2)
     e5.update(logits, labels)
     assert 0.0 <= e5.score() <= 1.0
+
+
+def test_decode_predictions():
+    logits = np.array([[0.0, 2.0, 1.0], [3.0, 0.0, 0.0]], np.float32)
+    out = ev.decode_predictions(logits, ["a", "b", "c"], top=2)
+    assert out[0][0][0] == "b" and out[0][1][0] == "c"
+    assert out[1][0][0] == "a"
+    assert 0.0 < out[0][0][1] <= 1.0
