@@ -226,3 +226,17 @@ def test_process_local_put_equals_shard_batch():
     b = mesh_lib.process_local_put(mesh, (x,))[0]
     assert a.sharding == b.sharding
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_batch_indices_too_small_raises():
+    """batch_size > dataset with drop_remainder must raise, not spin."""
+    import pytest
+
+    from myconvnet_tpu.data.pipeline import batch_indices
+    with pytest.raises(ValueError, match="exceeds dataset"):
+        list(batch_indices(4, 8, shuffle=False, seed=0,
+                           drop_remainder=True, epochs=1))
+    # without drop_remainder the short batch is yielded
+    out = list(batch_indices(4, 8, shuffle=False, seed=0,
+                             drop_remainder=False, epochs=1))
+    assert len(out) == 1 and len(out[0]) == 4
