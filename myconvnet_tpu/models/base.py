@@ -177,7 +177,9 @@ class ConvNet:
               batch_size: int = 128, total_steps: int = 1000,
               optimizer: optim_lib.Optimizer | None = None,
               evaluator: Evaluator | None = None, val_every: int = 0,
-              early_stop_patience: int = 0) -> TrainState:
+              early_stop_patience: int = 0,
+              plateau_factor: float = 0.0,
+              plateau_patience: int = 0) -> TrainState:
         if optimizer is not None and optimizer is not getattr(
                 self, "_optimizer", None):
             # a genuinely different optimizer invalidates opt state; the
@@ -193,6 +195,9 @@ class ConvNet:
             else:
                 evaluator = AccuracyEvaluator()
         trainer = self._make_trainer(evaluator)
+        if plateau_factor and plateau_patience:
+            trainer.plateau_factor = plateau_factor
+            trainer.plateau_patience = plateau_patience
         self._trainer = trainer
         val_iter_fn = (lambda: val_set.eval_iter(batch_size)) \
             if val_set is not None else None

@@ -50,7 +50,12 @@ def make_optimizer(opt_cfg: dict) -> optim_lib.Optimizer:
         opt_cfg["weight_decay_exclude"] = optim_lib.norm_and_bias_exclusion
     clip = opt_cfg.pop("clip_norm", None)
     ema_decay = opt_cfg.pop("ema_decay", None)
+    plateau = opt_cfg.pop("plateau", False)
     opt = optim_lib.make_optimizer(name, lr, **opt_cfg)
+    if plateau:
+        # innermost so a surrounding EMA tracks the actually-applied
+        # (scaled) parameters; see optim.with_plateau
+        opt = optim_lib.with_plateau(opt)
     if clip:
         opt = optim_lib.with_gradient_clipping(opt, float(clip))
     if ema_decay:

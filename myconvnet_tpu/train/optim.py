@@ -387,6 +387,76 @@ def with_gradient_clipping(opt: Optimizer, max_norm: float) -> Optimizer:
     return Optimizer(opt.init, update)
 
 
+# ------------------------------------------- reduce-on-plateau LR scaling
+
+class PlateauOptState(NamedTuple):
+    inner: PyTree
+    lr_scale: jax.Array  # f32 scalar, host-adjusted on validation plateau
+
+
+def with_plateau(opt: Optimizer) -> Optimizer:
+    """Wrap an optimizer with a host-controllable LR multiplier.
+
+    The reference's driver decays the learning rate when the validation
+    score stops improving (SURVEY.md §2#6: LR schedule updates live in
+    the train loop, keyed off the Evaluator).  In-jit schedules are
+    functions of the step counter only, so a *data-dependent* decay needs
+    a runtime input: this combinator carries an ``lr_scale`` scalar in
+    the optimizer state.  Because all core optimizers produce parameter
+    deltas proportional to the current LR (momentum/Adam/RMSProp moments
+    accumulate raw gradients, never lr-scaled terms), scaling the delta
+    ``p + s*(p' - p)`` is exactly equivalent to running the step at
+    ``s * lr``.  The host rewrites the scalar leaf between steps
+    (:func:`set_plateau_scale`) — same pytree structure, no recompile.
+
+    Composition order: wrap the base optimizer FIRST (innermost), then
+    clipping, then :func:`with_ema` — so the EMA tracks the actually
+    applied parameters.  ``recipes.make_optimizer`` does this when the
+    config asks for ``plateau``.
+    """
+
+    def init(params):
+        return PlateauOptState(opt.init(params), jnp.ones((), jnp.float32))
+
+    def update(grads, opt_state, params, step):
+        new_p, new_inner = opt.update(grads, opt_state.inner, params, step)
+        s = opt_state.lr_scale
+
+        def scaled(p, np_):
+            pf = p.astype(jnp.float32)
+            return (pf + s * (np_.astype(jnp.float32) - pf)).astype(p.dtype)
+
+        return (jax.tree.map(scaled, params, new_p),
+                PlateauOptState(new_inner, s))
+
+    return Optimizer(init, update)
+
+
+def plateau_scale(opt_state) -> float:
+    """Current LR multiplier from a with_plateau state (searches through
+    known wrappers)."""
+    if isinstance(opt_state, PlateauOptState):
+        return float(opt_state.lr_scale)
+    if isinstance(opt_state, EmaOptState):
+        return plateau_scale(opt_state.inner)
+    raise ValueError("optimizer state has no plateau scale (wrap the "
+                     "optimizer with optim.with_plateau, inside with_ema)")
+
+
+def set_plateau_scale(opt_state, scale: float):
+    """Return the optimizer state with its LR multiplier replaced.  Pure
+    host-side leaf rewrite: identical structure/shape/dtype, so the next
+    jitted step reuses its compilation."""
+    if isinstance(opt_state, PlateauOptState):
+        return opt_state._replace(
+            lr_scale=jnp.asarray(scale, jnp.float32))
+    if isinstance(opt_state, EmaOptState):
+        return opt_state._replace(
+            inner=set_plateau_scale(opt_state.inner, scale))
+    raise ValueError("optimizer state has no plateau scale (wrap the "
+                     "optimizer with optim.with_plateau, inside with_ema)")
+
+
 # ------------------------------------------------- parameter EMA (eval-time)
 
 class EmaOptState(NamedTuple):

@@ -100,6 +100,13 @@ class Trainer:
     # evaluate/predict with the Polyak-averaged parameters when the
     # optimizer is wrapped with optim.with_ema (no-op otherwise)
     eval_with_ema: bool = False
+    # reduce-on-plateau LR decay (reference driver: decay LR when the
+    # validation score stops improving). Requires the optimizer to be
+    # wrapped with optim.with_plateau; the host rewrites the scale leaf
+    # between steps — no recompile. factor=0 disables.
+    plateau_factor: float = 0.0
+    plateau_patience: int = 0
+    min_lr_scale: float = 1e-4
     # write checkpoints on a background thread (device->host readback of
     # the full state can take seconds on slow links; jax arrays are
     # immutable, so a snapshot taken while training continues is safe)
@@ -252,6 +259,7 @@ class Trainer:
         """
         best = self.evaluator.worst_score() if self.evaluator else None
         bad_rounds = 0
+        plateau_bad = 0
         pending = None  # (step_idx, metrics) fetched with 1-step lag
         t0 = time.perf_counter()
         window = 0
@@ -288,9 +296,21 @@ class Trainer:
                                 {f"val_{self.evaluator.name}": score})
                 improved = self.evaluator.is_better(score, best)
                 if improved:
-                    best, bad_rounds = score, 0
+                    best, bad_rounds, plateau_bad = score, 0, 0
                 else:
                     bad_rounds += 1
+                    plateau_bad += 1
+                if (self.plateau_factor and self.plateau_patience
+                        and plateau_bad >= self.plateau_patience):
+                    from myconvnet_tpu.train.optim import (plateau_scale,
+                                                           set_plateau_scale)
+                    new_scale = max(
+                        plateau_scale(state.opt_state) * self.plateau_factor,
+                        self.min_lr_scale)
+                    state = state._replace(opt_state=set_plateau_scale(
+                        state.opt_state, new_scale))
+                    self.logger.log(step_idx, {"lr_scale": new_scale})
+                    plateau_bad = 0
                 if self.ckpt_dir:
                     self.save(state, metric=score, is_best=improved)
                 if early_stop_patience and bad_rounds >= early_stop_patience:

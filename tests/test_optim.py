@@ -257,3 +257,53 @@ def test_ema_state_checkpoints(tmp_path):
     np.testing.assert_allclose(
         np.asarray(optim.extract_ema(restored["opt"])["layer"]["w"]),
         np.ones((2, 2)))
+
+
+def test_with_plateau_identity_at_scale_one():
+    base = optim.momentum(0.1, 0.9)
+    wrapped = optim.with_plateau(base)
+    p0 = _quadratic_params()
+    sb, sw = base.init(p0), wrapped.init(p0)
+    pb, pw = p0, p0
+    for step in range(5):
+        pb, sb = base.update(_grad(pb), sb, pb, jnp.asarray(step))
+        pw, sw = wrapped.update(_grad(pw), sw, pw, jnp.asarray(step))
+    for a, b in zip(jax.tree.leaves(pb), jax.tree.leaves(pw)):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+@pytest.mark.parametrize("name", ["momentum", "adam", "rmsprop"])
+def test_with_plateau_halves_delta_exactly(name):
+    # moments accumulate raw grads, so delta-scaling == lr-scaling: one
+    # step at scale 0.5 must equal one step at lr/2 from the same state
+    opt_full = optim.make_optimizer(name, 0.1)
+    opt_half = optim.make_optimizer(name, 0.05)
+    wrapped = optim.with_plateau(opt_full)
+    p0 = _quadratic_params()
+    sw = optim.set_plateau_scale(wrapped.init(p0), 0.5)
+    assert optim.plateau_scale(sw) == 0.5
+    ph, _ = opt_half.update(_grad(p0), opt_half.init(p0), p0,
+                            jnp.asarray(0))
+    pw, _ = wrapped.update(_grad(p0), sw, p0, jnp.asarray(0))
+    for a, b in zip(jax.tree.leaves(ph), jax.tree.leaves(pw)):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_plateau_scale_nested_in_ema():
+    opt = optim.with_ema(optim.with_plateau(optim.momentum(0.1)), 0.99)
+    p0 = _quadratic_params()
+    state = opt.init(p0)
+    assert optim.plateau_scale(state) == 1.0
+    state = optim.set_plateau_scale(state, 0.25)
+    assert optim.plateau_scale(state) == 0.25
+    # still a valid EmaOptState for eval-time extraction
+    optim.extract_ema(state)
+    # and the wrapped update runs
+    p1, state = opt.update(_grad(p0), state, p0, jnp.asarray(0))
+    assert jax.tree.structure(p1) == jax.tree.structure(p0)
+
+
+def test_plateau_scale_missing_raises():
+    opt = optim.momentum(0.1)
+    with pytest.raises(ValueError, match="plateau"):
+        optim.set_plateau_scale(opt.init(_quadratic_params()), 0.5)

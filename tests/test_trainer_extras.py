@@ -283,3 +283,37 @@ def test_per_class_iou_accessor():
     np.testing.assert_allclose(iou[0], 0.5)       # 1 inter / 2 union
     np.testing.assert_allclose(iou[1], 2 / 3)     # 2 inter / 3 union
     assert np.isnan(iou[2])                       # class absent
+
+
+def test_plateau_decay_fires_in_fit():
+    """A never-improving validation score must shrink the LR scale on the
+    plateau cadence (the reference driver's decay-on-plateau policy)."""
+    from myconvnet_tpu.eval.evaluators import AccuracyEvaluator
+
+    model = transform(lambda x, train=False: models.smallnet(
+        x, 10, train=train, width=8, dropout_rate=0.0))
+    opt = optim.with_plateau(optim.sgd(0.1))
+    t = Trainer(model=model, optimizer=opt,
+                loss_fn=softmax_cross_entropy,
+                evaluator=AccuracyEvaluator(),
+                plateau_factor=0.1, plateau_patience=2)
+    t.logger.stdout = False
+    state = init_train_state(model, opt, jax.random.key(0),
+                             jnp.zeros((4, 32, 32, 3)))
+
+    rs = np.random.RandomState(0)
+    x = rs.rand(4, 32, 32, 3).astype(np.float32)
+
+    def batches(n):
+        for _ in range(n):
+            yield x, rs.randint(0, 10, size=4)
+
+    # constant-label validation: after the first round the accuracy score
+    # can't improve, so every later validation is a "bad" round
+    vx = x
+    vy = np.zeros(4, np.int64)
+    state = t.fit(state, batches(8), total_steps=8,
+                  val_iter_fn=lambda: iter([(vx, vy)]), val_every=2)
+    # 4 validations: first sets best, then 3 bad rounds -> one decay at
+    # patience=2 (counter resets after firing)
+    assert np.isclose(optim.plateau_scale(state.opt_state), 0.1)

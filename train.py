@@ -113,13 +113,17 @@ def run_supervised(cfg, args, out, mesh, resume: bool):
                       evaluator=evaluator,
                       val_every=cfg.get("val_every", 0),
                       early_stop_patience=cfg.get("early_stop_patience",
-                                                  0))
+                                                  0),
+                      plateau_factor=cfg.get("plateau_factor", 0.0),
+                      plateau_patience=cfg.get("plateau_patience", 0))
         print(f"trace: {os.path.join(out, 'trace')}")
     else:
         net.train(train_set, val_set, batch_size=cfg["batch_size"],
                   total_steps=cfg["total_steps"], optimizer=optimizer,
                   evaluator=evaluator, val_every=cfg.get("val_every", 0),
-                  early_stop_patience=cfg.get("early_stop_patience", 0))
+                  early_stop_patience=cfg.get("early_stop_patience", 0),
+                  plateau_factor=cfg.get("plateau_factor", 0.0),
+                  plateau_patience=cfg.get("plateau_patience", 0))
     # fault injection for testing the crash-resume path: crash exactly
     # once after training (a checkpoint exists), before evaluation
     if os.environ.get("MYCONVNET_FAULT_ONCE"):
