@@ -180,7 +180,9 @@ def build_gan(cfg: dict, synthetic: bool = False):
         state = gan_lib.init_gan_state(
             gen, disc, g_opt, d_opt, jax.random.key(cfg.get("seed", 0)),
             jnp.zeros((batch, latent)), (jnp.zeros((batch, size, size, 3)),))
-        step = gan_lib.make_dcgan_step(gen, disc, g_opt, d_opt, latent)
+        step = gan_lib.make_dcgan_step(gen, disc, g_opt, d_opt, latent,
+                                       gan_loss=cfg.get(
+                                           "gan_loss", "nonsaturating"))
 
         def data_iter():
             if cfg["dataset"] == "cifar10":
@@ -219,7 +221,9 @@ def build_gan(cfg: dict, synthetic: bool = False):
             gen, disc, g_opt, d_opt, jax.random.key(cfg.get("seed", 0)),
             x0, (x0, x0))
         step = gan_lib.make_pix2pix_step(gen, disc, g_opt, d_opt,
-                                         cfg.get("l1_weight", 100.0))
+                                         cfg.get("l1_weight", 100.0),
+                                         gan_loss=cfg.get(
+                                             "gan_loss", "nonsaturating"))
 
         def data_iter():
             from myconvnet_tpu.subsets import pairs

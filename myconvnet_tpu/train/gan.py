@@ -51,11 +51,18 @@ def init_gan_state(generator: Transformed, discriminator: Transformed,
 
 def make_dcgan_step(generator: Transformed, discriminator: Transformed,
                     g_opt: Optimizer, d_opt: Optimizer,
-                    latent_dim: int) -> Callable:
+                    latent_dim: int,
+                    gan_loss: str = "nonsaturating") -> Callable:
     """One fused DCGAN step: (state, real_images) -> (state, metrics).
 
-    real_images: [N,H,W,C] float in [-1, 1].
+    real_images: [N,H,W,C] float in [-1, 1].  ``gan_loss`` selects the
+    adversarial objective (losses.GAN_LOSSES: nonsaturating/lsgan/hinge);
+    all variants are elementwise, so the step stays one XLA program.
     """
+    d_loss_of, g_loss_of = losses.get_gan_losses(gan_loss)
+    # D's decision boundary: 0 for logit-based losses, 0.5 for LSGAN's
+    # regression-to-{0,1} (metrics only)
+    thr = 0.5 if gan_loss == "lsgan" else 0.0
 
     def step(state: GANState, real: jax.Array):
         base = jax.random.wrap_key_data(state.rng)
@@ -75,7 +82,7 @@ def make_dcgan_step(generator: Transformed, discriminator: Transformed,
                 d_params, state.d_state, kd1, real, True)
             fake_logits, d_state2 = discriminator.apply(
                 d_params, d_state1, kd2, fake_sg, True)
-            loss = losses.gan_discriminator_loss(real_logits, fake_logits)
+            loss = d_loss_of(real_logits, fake_logits)
             return loss, (d_state2, real_logits, fake_logits)
 
         (d_loss, (d_state_new, real_logits, fake_logits)), d_grads = \
@@ -89,7 +96,7 @@ def make_dcgan_step(generator: Transformed, discriminator: Transformed,
                 g_params, state.g_state, kg, z, True)
             fake2_logits, _ = discriminator.apply(
                 d_params_new, d_state_new, kd3, fake2, True)
-            return losses.gan_generator_loss(fake2_logits), g_state2
+            return g_loss_of(fake2_logits), g_state2
 
         (g_loss, g_state_new), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(state.g_params)
@@ -98,8 +105,10 @@ def make_dcgan_step(generator: Transformed, discriminator: Transformed,
 
         metrics = {
             "d_loss": d_loss, "g_loss": g_loss,
-            "d_real_acc": jnp.mean((real_logits > 0).astype(jnp.float32)),
-            "d_fake_acc": jnp.mean((fake_logits < 0).astype(jnp.float32)),
+            "d_real_acc": jnp.mean((real_logits > thr)
+                                   .astype(jnp.float32)),
+            "d_fake_acc": jnp.mean((fake_logits < thr)
+                                   .astype(jnp.float32)),
         }
         new_state = GANState(g_params_new, g_state_new, d_params_new,
                              d_state_new, g_opt_new, d_opt_new,
@@ -111,10 +120,13 @@ def make_dcgan_step(generator: Transformed, discriminator: Transformed,
 
 def make_pix2pix_step(generator: Transformed, discriminator: Transformed,
                       g_opt: Optimizer, d_opt: Optimizer,
-                      l1_weight: float = 100.0) -> Callable:
+                      l1_weight: float = 100.0,
+                      gan_loss: str = "nonsaturating") -> Callable:
     """One fused pix2pix step: (state, (input_img, target_img)) ->
     (state, metrics).  Conditional GAN: D sees (input, output) pairs;
-    G loss = adversarial + l1_weight * L1(target)."""
+    G loss = adversarial + l1_weight * L1(target).  ``gan_loss`` selects
+    the adversarial objective (losses.GAN_LOSSES)."""
+    d_loss_of, g_loss_of = losses.get_gan_losses(gan_loss)
 
     def step(state: GANState, batch):
         x, target = batch
@@ -130,7 +142,7 @@ def make_pix2pix_step(generator: Transformed, discriminator: Transformed,
                 d_params, state.d_state, kd1, x, target, True)
             fake_logits, d_state2 = discriminator.apply(
                 d_params, d_state1, kd2, x, fake_sg, True)
-            loss = losses.gan_discriminator_loss(real_logits, fake_logits)
+            loss = d_loss_of(real_logits, fake_logits)
             return loss, d_state2
 
         (d_loss, d_state_new), d_grads = jax.value_and_grad(
@@ -143,7 +155,7 @@ def make_pix2pix_step(generator: Transformed, discriminator: Transformed,
                 g_params, state.g_state, kg2, x, True)
             fake2_logits, _ = discriminator.apply(
                 d_params_new, d_state_new, kd3, x, fake2, True)
-            adv = losses.gan_generator_loss(fake2_logits)
+            adv = g_loss_of(fake2_logits)
             l1 = losses.l1_loss(fake2, target)
             return adv + l1_weight * l1, (g_state2, adv, l1)
 

@@ -69,3 +69,48 @@ def gan_discriminator_loss(real_logits: jax.Array,
 def gan_generator_loss(fake_logits: jax.Array) -> jax.Array:
     """Non-saturating G loss: fool D (fake->1)."""
     return sigmoid_bce(fake_logits, 1.0)
+
+
+def lsgan_discriminator_loss(real_logits: jax.Array,
+                             fake_logits: jax.Array) -> jax.Array:
+    """Least-squares GAN (Mao et al.): D regresses real->1, fake->0.
+    Penalizes samples by distance to the decision boundary instead of
+    log-likelihood — gradients stay informative for confident D."""
+    r = real_logits.astype(jnp.float32)
+    f = fake_logits.astype(jnp.float32)
+    return 0.5 * (jnp.mean(jnp.square(r - 1.0)) + jnp.mean(jnp.square(f)))
+
+
+def lsgan_generator_loss(fake_logits: jax.Array) -> jax.Array:
+    f = fake_logits.astype(jnp.float32)
+    return 0.5 * jnp.mean(jnp.square(f - 1.0))
+
+
+def hinge_discriminator_loss(real_logits: jax.Array,
+                             fake_logits: jax.Array) -> jax.Array:
+    """Hinge GAN loss (geometric-margin D; SAGAN/BigGAN standard)."""
+    r = real_logits.astype(jnp.float32)
+    f = fake_logits.astype(jnp.float32)
+    return (jnp.mean(jax.nn.relu(1.0 - r)) +
+            jnp.mean(jax.nn.relu(1.0 + f)))
+
+
+def hinge_generator_loss(fake_logits: jax.Array) -> jax.Array:
+    return -jnp.mean(fake_logits.astype(jnp.float32))
+
+
+# (d_loss(real, fake), g_loss(fake)) pairs keyed by config name; pure
+# elementwise formulas, so every variant fuses into the single GAN step
+GAN_LOSSES = {
+    "nonsaturating": (gan_discriminator_loss, gan_generator_loss),
+    "lsgan": (lsgan_discriminator_loss, lsgan_generator_loss),
+    "hinge": (hinge_discriminator_loss, hinge_generator_loss),
+}
+
+
+def get_gan_losses(name: str):
+    try:
+        return GAN_LOSSES[name]
+    except KeyError as e:
+        raise ValueError(f"unknown GAN loss {name!r}; valid: "
+                         f"{sorted(GAN_LOSSES)}") from e

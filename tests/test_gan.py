@@ -137,3 +137,52 @@ def test_gan_generator_ema_via_combinator():
     assert np.isfinite(moved)
     # EMA lags the live params after updates (decay < 1, params moved)
     assert moved > 0
+
+
+def test_gan_loss_formulas():
+    from myconvnet_tpu.train import losses
+    r = jnp.asarray([2.0, -1.0])
+    f = jnp.asarray([0.5, -3.0])
+    # LSGAN: 0.5*(mean((r-1)^2) + mean(f^2)) ; G: 0.5*mean((f-1)^2)
+    np.testing.assert_allclose(
+        losses.lsgan_discriminator_loss(r, f),
+        0.5 * (np.mean((np.array([2., -1.]) - 1) ** 2)
+               + np.mean(np.array([0.5, -3.]) ** 2)), rtol=1e-6)
+    np.testing.assert_allclose(
+        losses.lsgan_generator_loss(f),
+        0.5 * np.mean((np.array([0.5, -3.]) - 1) ** 2), rtol=1e-6)
+    # hinge: mean(relu(1-r)) + mean(relu(1+f)) ; G: -mean(f)
+    np.testing.assert_allclose(
+        losses.hinge_discriminator_loss(r, f),
+        np.mean([0.0, 2.0]) + np.mean([1.5, 0.0]), rtol=1e-6)
+    np.testing.assert_allclose(losses.hinge_generator_loss(f),
+                               -np.mean([0.5, -3.0]), rtol=1e-6)
+    with pytest.raises(ValueError, match="unknown GAN loss"):
+        losses.get_gan_losses("wasserstein_gp")
+
+
+@pytest.mark.parametrize("gan_loss", ["lsgan", "hinge"])
+def test_dcgan_step_loss_variants(gan_loss):
+    """Each objective variant must train in the same fused single-program
+    step: finite losses, both nets' params move."""
+    gen = transform(lambda z, train: models.dcgan_generator(
+        z, train=train, image_size=16, base_features=32))
+    disc = transform(lambda x, train: models.dcgan_discriminator(
+        x, train=train, base_features=16))
+    g_opt = optim.adam(2e-4, b1=0.5)
+    d_opt = optim.adam(2e-4, b1=0.5)
+    step = gan.make_dcgan_step(gen, disc, g_opt, d_opt, latent_dim=32,
+                               gan_loss=gan_loss)
+    state = gan.init_gan_state(gen, disc, g_opt, d_opt, jax.random.key(0),
+                               jnp.zeros((4, 32)),
+                               (jnp.zeros((4, 16, 16, 3)),))
+    g0 = jax.tree.map(jnp.copy, state.g_params)
+    d0 = jax.tree.map(jnp.copy, state.d_params)
+    real = jnp.asarray(np.random.RandomState(0).uniform(
+        -1, 1, (4, 16, 16, 3)).astype(np.float32))
+    for _ in range(3):
+        state, metrics = step(state, real)
+    assert np.isfinite(float(metrics["d_loss"]))
+    assert np.isfinite(float(metrics["g_loss"]))
+    assert _tree_diff(state.g_params, g0) > 0
+    assert _tree_diff(state.d_params, d0) > 0
