@@ -1,0 +1,24 @@
+"""U-Net on VOC semantic segmentation (light alternative to DeepLabv3+)."""
+
+config = dict(
+    task="segmentation",
+    model="unet",
+    model_kwargs=dict(base_features=64, depth=4),
+    dataset="voc",
+    data_dir=None,
+    num_classes=21,
+    ignore_label=255,
+    batch_size=16,
+    total_steps=30000,
+    val_every=1000,
+    optimizer=dict(
+        name="momentum", momentum_coef=0.9, weight_decay=1e-4,
+        wd_exclude_norms=True,
+        lr=dict(kind="poly", lr=0.007, total_steps=30000,
+                warmup_steps=500)),
+    augment=dict(out_hw=(512, 512), area_range=(0.5, 2.0), flip=True,
+                 mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225)),
+    precision="bf16",
+    remat=True,
+    seed=0,
+)

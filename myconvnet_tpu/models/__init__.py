@@ -23,7 +23,9 @@ from myconvnet_tpu.models.resnet import (resnet, resnet18, resnet34,
                                          resnet_backbone, resnext50_32x4d,
                                          resnext101_32x8d, se_resnet50,
                                          se_resnet101, se_resnext50_32x4d)
+from myconvnet_tpu.models.fcn import fcn
 from myconvnet_tpu.models.smallnet import smallnet
+from myconvnet_tpu.models.unet import unet
 from myconvnet_tpu.models.wideresnet import (wide_resnet, wrn_16_8,
                                              wrn_28_10)
 from myconvnet_tpu.models.vgg import vgg, vgg11, vgg16, vgg19
@@ -51,6 +53,8 @@ CLASSIFIERS = {
 
 SEGMENTERS = {
     "deeplab_v3_plus": deeplab_v3_plus,
+    "unet": unet,
+    "fcn": fcn,
 }
 
 GAN_GENERATORS = {

@@ -256,3 +256,52 @@ def test_wide_resnet_forward_and_grad():
     # spatial reduction: 32 -> 8 through the two stride-2 groups
     with pytest.raises(ValueError):
         _build(models.wide_resnet, x, 10, depth=11)
+
+
+def test_unet_output_shape_and_grads():
+    x = jnp.zeros((1, 32, 32, 3))
+
+    def f(x, train):
+        return models.unet(x, 7, train=train, base_features=8, depth=3)
+
+    net, params, state = _build(f, x, True)
+    y, _ = net.apply(params, state, None, x, True)
+    assert y.shape == (1, 32, 32, 7)
+    assert y.dtype == jnp.float32
+
+    def loss(p):
+        out, _ = net.apply(p, state, None, jnp.ones_like(x), True)
+        return jnp.mean(out ** 2)
+
+    grads = jax.grad(loss)(params)
+    # every level (down/bottleneck/up/logits) receives gradient
+    total = sum(float(jnp.sum(jnp.abs(g))) for b in grads.values()
+                for g in b.values())
+    assert np.isfinite(total) and total > 0
+
+
+def test_unet_rejects_indivisible_input():
+    x = jnp.zeros((1, 30, 30, 3))
+    with pytest.raises(AssertionError, match="not divisible"):
+        _build(lambda x, train: models.unet(x, 3, train=train,
+                                            base_features=4, depth=3),
+               x, True)
+
+
+@pytest.mark.slow
+def test_fcn_output_shape():
+    x = jnp.zeros((1, 33, 33, 3))
+
+    def f(x, train):
+        return models.fcn(x, 21, train=train, backbone_depth=18,
+                          head_features=64)
+
+    net, params, state = _build(f, x, False)
+    y, _ = net.apply(params, state, None, x, False)
+    assert y.shape == (1, 33, 33, 21)
+    assert y.dtype == jnp.float32
+
+
+def test_segmenter_registry():
+    for name in ("unet", "fcn", "deeplab_v3_plus"):
+        assert models.get_model(name) is not None
