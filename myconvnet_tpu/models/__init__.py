@@ -24,7 +24,9 @@ from myconvnet_tpu.models.resnet import (resnet, resnet18, resnet34,
                                          resnext101_32x8d, se_resnet50,
                                          se_resnet101, se_resnext50_32x4d)
 from myconvnet_tpu.models.fcn import fcn
+from myconvnet_tpu.models.shufflenet import shufflenet_v2
 from myconvnet_tpu.models.smallnet import smallnet
+from myconvnet_tpu.models.squeezenet import squeezenet
 from myconvnet_tpu.models.unet import unet
 from myconvnet_tpu.models.wideresnet import (wide_resnet, wrn_16_8,
                                              wrn_28_10)
@@ -49,6 +51,8 @@ CLASSIFIERS = {
     "efficientnet_b0": efficientnet_b0, "efficientnet_b1": efficientnet_b1,
     "efficientnet_b2": efficientnet_b2, "efficientnet_b3": efficientnet_b3,
     "wrn_28_10": wrn_28_10, "wrn_16_8": wrn_16_8,
+    "shufflenet_v2": shufflenet_v2,
+    "squeezenet": squeezenet,
 }
 
 SEGMENTERS = {

@@ -305,3 +305,38 @@ def test_fcn_output_shape():
 def test_segmenter_registry():
     for name in ("unet", "fcn", "deeplab_v3_plus"):
         assert models.get_model(name) is not None
+
+
+@pytest.mark.slow
+def test_shufflenet_v2_param_count():
+    """Canonical 1.0x ImageNet size (torchvision shufflenet_v2_x1_0:
+    2.28M params)."""
+    x = jnp.zeros((1, 32, 32, 3))
+    _, params, _ = _build(models.shufflenet_v2, x, 1000)
+    n = _n_params(params) / 1e6
+    assert abs(n - 2.28) < 0.05, f"shufflenet_v2: {n:.3f}M"
+
+
+def test_shufflenet_forward_and_shuffle():
+    from myconvnet_tpu.models.shufflenet import channel_shuffle
+    # shuffle interleaves the two groups: [a1 a2 b1 b2] -> [a1 b1 a2 b2]
+    v = jnp.arange(4, dtype=jnp.float32).reshape(1, 1, 1, 4)
+    np.testing.assert_array_equal(
+        channel_shuffle(v, 2)[0, 0, 0], [0.0, 2.0, 1.0, 3.0])
+    x = jnp.zeros((2, 32, 32, 3))
+    net, params, state = _build(
+        lambda x, train: models.shufflenet_v2(x, 10, train=train,
+                                              width_multiplier=0.5),
+        x, True)
+    y, _ = net.apply(params, state, None, x, True)
+    assert y.shape == (2, 10)
+
+
+def test_squeezenet_param_count_and_forward():
+    """SqueezeNet 1.1 canonical size (torchvision: 1.24M params)."""
+    x = jnp.zeros((2, 64, 64, 3))
+    net, params, state = _build(models.squeezenet, x, 1000, train=True)
+    n = _n_params(params) / 1e6
+    assert abs(n - 1.24) < 0.02, f"squeezenet: {n:.3f}M"
+    y, _ = net.apply(params, state, jax.random.key(1), x, 1000, train=True)
+    assert y.shape == (2, 1000) and y.dtype == jnp.float32
