@@ -148,6 +148,84 @@ class MeanIoUEvaluator(Evaluator):
         return np.where(present, iou, np.nan)
 
 
+class ConfusionMatrixEvaluator(Evaluator):
+    """Classification evaluator that keeps the full confusion matrix:
+    scores overall accuracy (best-checkpoint driver) and exposes
+    per-class precision/recall/F1 + a formatted report — the per-class
+    observability layer over the same MXU-friendly one-hot-matmul
+    accumulator the mIoU evaluator uses."""
+
+    name = "accuracy"
+
+    def __init__(self, num_classes: int):
+        self.num_classes = num_classes
+        self.reset()
+
+    def reset(self):
+        self._cm = np.zeros((self.num_classes, self.num_classes),
+                            np.float64)
+
+    def update(self, logits, labels):
+        arr = jnp.asarray(logits)
+        pred = jnp.argmax(arr, -1) if arr.ndim > labels_ndim(labels) \
+            else arr
+        self._cm += np.asarray(confusion_matrix(
+            pred, jnp.asarray(labels), self.num_classes))
+
+    def score(self) -> float:
+        return float(self._cm.trace() / max(self._cm.sum(), 1.0))
+
+    @property
+    def matrix(self) -> np.ndarray:
+        """[C, C] counts, rows = truth, cols = prediction."""
+        return self._cm.copy()
+
+    def per_class(self) -> dict[str, np.ndarray]:
+        """precision/recall/f1/support arrays ([C]); zero where a class
+        has no predictions/truth."""
+        cm = self._cm
+        tp = np.diag(cm)
+        pred_tot = cm.sum(0)
+        true_tot = cm.sum(1)
+        precision = np.where(pred_tot > 0, tp / np.maximum(pred_tot, 1e-12),
+                             0.0)
+        recall = np.where(true_tot > 0, tp / np.maximum(true_tot, 1e-12),
+                          0.0)
+        f1 = np.where(precision + recall > 0,
+                      2 * precision * recall
+                      / np.maximum(precision + recall, 1e-12), 0.0)
+        return {"precision": precision, "recall": recall, "f1": f1,
+                "support": true_tot}
+
+    def macro_f1(self) -> float:
+        pc = self.per_class()
+        present = pc["support"] > 0
+        return float(pc["f1"][present].mean()) if present.any() else 0.0
+
+    def report(self, class_names: list[str] | None = None) -> str:
+        """sklearn-style per-class text report."""
+        pc = self.per_class()
+        names = class_names or [str(i) for i in range(self.num_classes)]
+        width = max(12, max(len(n) for n in names) + 2)
+        lines = [f"{'':<{width}}{'precision':>10}{'recall':>10}"
+                 f"{'f1':>10}{'support':>10}"]
+        for i, n in enumerate(names):
+            lines.append(
+                f"{n:<{width}}{pc['precision'][i]:>10.4f}"
+                f"{pc['recall'][i]:>10.4f}{pc['f1'][i]:>10.4f}"
+                f"{int(pc['support'][i]):>10d}")
+        lines.append(f"{'accuracy':<{width}}{'':>10}{'':>10}"
+                     f"{self.score():>10.4f}"
+                     f"{int(self._cm.sum()):>10d}")
+        lines.append(f"{'macro f1':<{width}}{'':>10}{'':>10}"
+                     f"{self.macro_f1():>10.4f}{'':>10}")
+        return "\n".join(lines)
+
+
+def labels_ndim(labels) -> int:
+    return int(jnp.asarray(labels).ndim)
+
+
 class LossEvaluator(Evaluator):
     """Tracks mean loss (GAN path, where no accuracy exists)."""
 
@@ -183,7 +261,8 @@ def decode_predictions(logits, class_names: list[str], top: int = 5
 
 def make_evaluator(name: str, **kwargs) -> Evaluator:
     table = {"accuracy": AccuracyEvaluator, "error_rate": ErrorRateEvaluator,
-             "miou": MeanIoUEvaluator, "loss": LossEvaluator}
+             "miou": MeanIoUEvaluator, "loss": LossEvaluator,
+             "confusion": ConfusionMatrixEvaluator}
     try:
         return table[name](**kwargs)
     except KeyError as e:

@@ -28,6 +28,9 @@ def main():
                          "(requires optimizer.ema_decay in the config)")
     ap.add_argument("--topk", type=int, default=1,
                     help="score top-k accuracy (classification)")
+    ap.add_argument("--report", action="store_true",
+                    help="print the per-class precision/recall/F1 report "
+                         "(classification)")
     ap.add_argument("--scales", default=None,
                     help="segmentation multi-scale eval, e.g. "
                          "'0.75,1.0,1.25' (implies flip averaging)")
@@ -53,6 +56,9 @@ def main():
     if args.topk > 1 and cfg["task"] == "classification":
         from myconvnet_tpu.eval.evaluators import AccuracyEvaluator
         evaluator = AccuracyEvaluator(k=args.topk)
+    if args.report and cfg["task"] == "classification":
+        from myconvnet_tpu.eval.evaluators import ConfusionMatrixEvaluator
+        evaluator = ConfusionMatrixEvaluator(cfg["num_classes"])
     net.build(recipes.make_optimizer(cfg["optimizer"]))
     path = args.ckpt
     if args.best:
@@ -87,6 +93,9 @@ def main():
     else:
         score = net.evaluate(val_set, evaluator, batch_size=batch)
     print(f"{evaluator.name}: {score:.4f}")
+    if args.report and hasattr(evaluator, "report"):
+        names = getattr(val_set.source, "class_names", None)
+        print(evaluator.report(names))
 
 
 if __name__ == "__main__":

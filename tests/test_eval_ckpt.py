@@ -172,3 +172,29 @@ def test_decode_predictions():
     assert out[0][0][0] == "b" and out[0][1][0] == "c"
     assert out[1][0][0] == "a"
     assert 0.0 < out[0][0][1] <= 1.0
+
+
+def test_confusion_matrix_evaluator_report():
+    from myconvnet_tpu.eval.evaluators import (ConfusionMatrixEvaluator,
+                                               make_evaluator)
+    ev = make_evaluator("confusion", num_classes=3)
+    assert isinstance(ev, ConfusionMatrixEvaluator)
+    # logits whose argmax gives pred = [0, 1, 1, 2]; truth = [0, 1, 2, 2]
+    logits = np.eye(3, dtype=np.float32)[[0, 1, 1, 2]]
+    labels = np.asarray([0, 1, 2, 2])
+    ev.update(logits, labels)
+    assert np.isclose(ev.score(), 0.75)
+    pc = ev.per_class()
+    # class 1: predicted twice, one correct -> precision 0.5, recall 1.0
+    np.testing.assert_allclose(pc["precision"], [1.0, 0.5, 1.0])
+    np.testing.assert_allclose(pc["recall"], [1.0, 1.0, 0.5])
+    np.testing.assert_allclose(pc["support"], [1, 1, 2])
+    f1_c2 = 2 * 1.0 * 0.5 / 1.5
+    assert np.isclose(ev.macro_f1(), np.mean([1.0, 2 / 3, f1_c2]))
+    rep = ev.report(["cat", "dog", "bird"])
+    assert "dog" in rep and "macro f1" in rep and "0.7500" in rep
+    # matrix rows are truth: truth=2 predicted as 1 once
+    assert ev.matrix[2, 1] == 1.0
+    # accumulates across update calls
+    ev.update(logits, labels)
+    np.testing.assert_allclose(pc["support"] * 2, ev.per_class()["support"])
