@@ -28,11 +28,7 @@ def main():
         import jax
         jax.config.update("jax_platforms", args.platform)
 
-    import math
-
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
     from myconvnet_tpu import recipes
     from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
@@ -51,36 +47,13 @@ def main():
             lambda p, e: e.astype(p.dtype), state.g_params, ema))
         print("sampling with EMA generator")
 
-    # rebuild the generator transform to sample with restored params
-    from myconvnet_tpu import models
-    from myconvnet_tpu.core import transform
-    from myconvnet_tpu.core.precision import get_policy, policy_scope
-    policy = get_policy(cfg.get("precision", "f32"))
-    size = cfg.get("image_size", 32)
-    gkw = cfg.get("generator_kwargs", {})
-
-    if kind == "dcgan":
-        def g_fwd(z, train=False):
-            with policy_scope(policy):
-                return models.dcgan_generator(z, train=train,
-                                              image_size=size, **gkw)
-        gen = transform(g_fwd)
-        z = jax.random.normal(jax.random.key(args.seed),
-                              (args.n, cfg.get("latent_dim", 100)))
-        imgs, _ = gen.apply(state.g_params, state.g_state, None, z, False)
-    else:
+    if kind != "dcgan":
         raise SystemExit("pix2pix generation needs input images; use the "
-                         "library API")
-
-    imgs = np.asarray((jnp.clip(imgs, -1, 1) + 1.0) * 127.5, np.uint8)
-    side = int(math.ceil(math.sqrt(args.n)))
-    h, w, c = imgs.shape[1:]
-    grid = np.zeros((side * h, side * w, c), np.uint8)
-    for i, img in enumerate(imgs):
-        r, col = divmod(i, side)
-        grid[r * h:(r + 1) * h, col * w:(col + 1) * w] = img
-    from PIL import Image
-    Image.fromarray(grid.squeeze()).save(args.out)
+                         "library API (recipes.make_gan_sampler)")
+    from myconvnet_tpu.utils.images import make_grid, save_png
+    sampler = recipes.make_gan_sampler(cfg)
+    imgs = sampler(state, args.n, seed=args.seed)
+    save_png(args.out, make_grid(imgs, pad=0))
     print(f"wrote {args.n} samples to {args.out}")
 
 

@@ -242,3 +242,49 @@ def build_gan(cfg: dict, synthetic: bool = False):
         return state, step, data_iter, kind
 
     raise ValueError(f"unknown gan kind {kind!r}")
+
+
+def make_gan_sampler(cfg: dict):
+    """Sampling closure for in-run visualization and generate.py.
+
+    dcgan: ``sample(state, n, seed) -> uint8 [n,H,W,3]`` from fresh
+    latents.  pix2pix: ``sample(state, x) -> uint8`` translating input
+    images.  Rebuilds the generator transform exactly as build_gan does,
+    so restored states apply cleanly.
+    """
+    kind = cfg.get("gan_kind", "dcgan")
+    policy = get_policy(cfg.get("precision", "f32"))
+    size = cfg.get("image_size", 32)
+    gkw = cfg.get("generator_kwargs", {})
+    from myconvnet_tpu.utils.images import to_uint8
+
+    if kind == "dcgan":
+        def g_fwd(z, train=False):
+            with policy_scope(policy):
+                return models.dcgan_generator(z, train=train,
+                                              image_size=size, **gkw)
+        gen = transform(g_fwd)
+
+        def sample(state, n: int = 64, seed: int = 0):
+            z = jax.random.normal(jax.random.key(seed),
+                                  (n, cfg.get("latent_dim", 100)))
+            imgs, _ = gen.apply(state.g_params, state.g_state, None, z,
+                                False)
+            return to_uint8(imgs)
+
+        return sample
+
+    if kind == "pix2pix":
+        def g_fwd(x, train=False):
+            with policy_scope(policy):
+                return models.unet_generator(x, train=train, **gkw)
+        gen = transform(g_fwd)
+
+        def sample(state, x):
+            imgs, _ = gen.apply(state.g_params, state.g_state, None,
+                                jax.numpy.asarray(x), False)
+            return to_uint8(imgs)
+
+        return sample
+
+    raise ValueError(f"unknown gan kind {kind!r}")

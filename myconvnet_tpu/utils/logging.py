@@ -21,6 +21,7 @@ class MetricLogger:
         self.stdout = stdout
         self._jsonl = None
         self._tb = None
+        self._dir = log_dir
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
             self._jsonl = open(os.path.join(log_dir, f"{name}.jsonl"), "a")
@@ -43,6 +44,21 @@ class MetricLogger:
                 if isinstance(v, float):
                     self._tb.scalar(k, v, step)
             self._tb.flush()
+
+    def log_image(self, step: int, tag: str, image) -> str | None:
+        """Write an image artifact (uint8 HWC/HW) under log_dir/images/
+        and mirror to TensorBoard when a writer is attached.  Returns the
+        file path (None without a log_dir)."""
+        if self._tb is not None and hasattr(self._tb, "image"):
+            try:
+                self._tb.image(tag, image, step)
+            except Exception:
+                pass
+        if self._dir is None:
+            return None
+        from myconvnet_tpu.utils.images import save_png
+        path = os.path.join(self._dir, "images", f"{tag}_{step:08d}.png")
+        return save_png(path, image)
 
     def close(self):
         if self._jsonl:

@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--scales", default=None,
                     help="segmentation multi-scale eval, e.g. "
                          "'0.75,1.0,1.25' (implies flip averaging)")
+    ap.add_argument("--save_preds", default=None, metavar="DIR",
+                    help="segmentation: write colorized prediction masks "
+                         "and input overlays as PNGs")
     args = ap.parse_args()
 
     if args.platform:
@@ -96,6 +99,34 @@ def main():
     if args.report and hasattr(evaluator, "report"):
         names = getattr(val_set.source, "class_names", None)
         print(evaluator.report(names))
+    if args.save_preds and cfg["task"] == "segmentation":
+        import os
+
+        import numpy as np
+
+        from myconvnet_tpu.utils.images import (colorize_mask,
+                                                overlay_mask, save_png)
+        ignore = cfg.get("ignore_label", 255)
+        scales = (tuple(float(s) for s in args.scales.split(","))
+                  if args.scales else (1.0,))
+        idx = 0
+        for x, _y in val_set.eval_iter(batch, prefetch=0):
+            x = np.asarray(x)
+            pred = net.predict_segmentation(x, scales=scales,
+                                            flip=bool(args.scales),
+                                            batch_size=len(x))
+            img_u8 = (x if x.dtype == np.uint8
+                      else np.clip(x, 0, 255).astype(np.uint8))
+            for j in range(len(x)):
+                save_png(os.path.join(args.save_preds,
+                                      f"{idx:05d}_mask.png"),
+                         colorize_mask(pred[j], ignore_label=ignore))
+                save_png(os.path.join(args.save_preds,
+                                      f"{idx:05d}_overlay.png"),
+                         overlay_mask(img_u8[j], pred[j],
+                                      ignore_label=ignore))
+                idx += 1
+        print(f"wrote {idx} prediction pairs to {args.save_preds}")
 
 
 if __name__ == "__main__":

@@ -164,17 +164,28 @@ def run_gan(cfg, args, out):
         print(f"resumed GAN from step {int(state.step)}")
     logger = MetricLogger(log_dir=out, name=f"gan_{kind}")
     log_every = cfg.get("log_every", 100)
+    # periodic sample-grid artifacts under <out>/images (0 disables)
+    sample_every = cfg.get("sample_every", 0)
+    sampler = recipes.make_gan_sampler(cfg) if sample_every else None
+    vis_batch = None  # pix2pix: fixed inputs so grids are comparable
     total = cfg["total_steps"]
     it = data_iter_fn()
     start = int(state.step)
     for i, batch in enumerate(it):
         if start + i >= total:
             break
+        if sampler is not None and kind == "pix2pix" and vis_batch is None:
+            vis_batch = batch[0][:16]
         state, metrics = step(state, batch)
         i = start + i
         if (i + 1) % log_every == 0:
             logger.log(i + 1, {k: float(v) for k, v in metrics.items()})
             ckpt_lib.save_checkpoint(out, i + 1, state._asdict(), keep=2)
+        if sampler is not None and (i + 1) % sample_every == 0:
+            from myconvnet_tpu.utils.images import make_grid
+            imgs = (sampler(state, 16, seed=0) if kind == "dcgan"
+                    else sampler(state, vis_batch))
+            logger.log_image(i + 1, "samples", make_grid(imgs))
     ckpt_lib.save_checkpoint(out, int(state.step), state._asdict(), keep=2)
     print(f"gan training done at step {int(state.step)}")
 
