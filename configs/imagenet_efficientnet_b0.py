@@ -21,7 +21,7 @@ config = dict(
         lr=dict(kind="exponential", lr=0.256, decay_steps=3003,
                 decay_rate=0.97, staircase=True, warmup_steps=1251)),
     augment=dict(out_hw=(224, 224), area_range=(0.08, 1.0), flip=True,
-                 brightness=0.4, contrast=0.4, saturation=0.4),
+                 randaugment=[2, 9]),
     label_smoothing=0.1,
     precision="bf16",
     seed=0,

@@ -49,6 +49,10 @@ class AugmentConfig(NamedTuple):
     hue: float = 0.0
     # CIFAR-style pad-and-crop (pixels); used when area_range is None
     pad: int = 0
+    # RandAugment policy (num_layers, magnitude 0-30) applied after the
+    # geometric crop on [0,1] floats, before normalize; None disables.
+    # See data/randaugment.py for the TPU-native (branch-free) pool.
+    randaugment: tuple[int, float] | None = None
     mean: tuple[float, ...] = IMAGENET_MEAN
     std: tuple[float, ...] = IMAGENET_STD
 
@@ -311,7 +315,7 @@ def augment_train(key: jax.Array, images_u8: jax.Array,
     [N,OH,OW,C] float32, normalized.
     """
     n, h, w, _ = images_u8.shape
-    k_geom, k_color = jax.random.split(key)
+    k_geom, k_color, k_ra = jax.random.split(key, 3)
     boxes, flip, clamp = _sample_geometry(k_geom, n, (h, w), cfg)
     x = batched_crop_resize(images_u8, boxes, cfg.out_hw, flip,
                             clamp=clamp)
@@ -320,6 +324,11 @@ def augment_train(key: jax.Array, images_u8: jax.Array,
         x = color_jitter(k_color, x, brightness=cfg.brightness,
                          contrast=cfg.contrast, saturation=cfg.saturation,
                          hue=cfg.hue)
+    if cfg.randaugment is not None:
+        from myconvnet_tpu.data.randaugment import rand_augment
+        layers, mag = cfg.randaugment
+        x = rand_augment(k_ra, x, num_layers=int(layers),
+                         magnitude=float(mag))
     return normalize(x, cfg.mean, cfg.std).astype(cfg.out_dtype)
 
 

@@ -1,0 +1,185 @@
+"""RandAugment (Cubuk et al.) as a branch-free on-device batch transform.
+
+The reference's augmentation chain stops at crop/flip/jitter (SURVEY.md
+§2#5); RandAugment is the standard stronger policy for the zoo's
+ImageNet recipes (EfficientNet et al.).  TPU-first shape of the idea:
+
+* NO per-image Python control flow — every op in the pool is computed
+  for the whole batch and the per-image choice is a ``jnp.where`` fold.
+  XLA fuses the pool into a handful of elementwise passes; wall-clock is
+  pool-size HBM sweeps per layer, a few ms at batch 256 (augmentation is
+  <5% of a train step; see PERF_NOTES.md).
+* Ops are restricted to formulas that map to elementwise math or
+  separable one-hot matmuls (the translate ops reuse the crop machinery's
+  axis-matrix trick — zero gathers).  PIL's equalize (per-image 256-bin
+  histogram LUT) and non-separable geometry (rotate/shear) are
+  deliberately NOT in the default pool: on TPU they cost scatter/gather
+  patterns XLA lowers poorly, for marginal policy value.  The pool is a
+  config knob, so recipes can subset further.
+
+Magnitude semantics follow the paper: one global ``magnitude`` M in
+[0, 30] scaled per-op onto its natural range, with a random sign for
+signed ops, and ``num_layers`` ops applied sequentially per image.
+Input/output: [N,H,W,C] float in [0, 1] (pre-normalization).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_MAX_MAGNITUDE = 30.0
+
+
+def _blend(a: jax.Array, b: jax.Array, factor: jax.Array) -> jax.Array:
+    """PIL enhance convention: factor 0 -> a (degenerate), 1 -> b
+    (identity-side is b here); linear extrapolation allowed, clipped."""
+    return jnp.clip(a + (b - a) * factor, 0.0, 1.0)
+
+
+def _gray(x: jax.Array) -> jax.Array:
+    coef = jnp.asarray([0.299, 0.587, 0.114], x.dtype)
+    return jnp.sum(x * coef, axis=-1, keepdims=True)
+
+
+# Every op: (x [N,H,W,C] in [0,1], mag01 [N,1,1,1] signed in [-1,1]) -> x.
+
+def op_identity(x, mag01):
+    return x
+
+
+def op_brightness(x, mag01):
+    return _blend(jnp.zeros_like(x), x, 1.0 + 0.9 * mag01)
+
+
+def op_contrast(x, mag01):
+    mean = jnp.mean(_gray(x), axis=(1, 2, 3), keepdims=True)
+    return _blend(jnp.broadcast_to(mean, x.shape), x, 1.0 + 0.9 * mag01)
+
+
+def op_color(x, mag01):
+    g = jnp.broadcast_to(_gray(x), x.shape)
+    return _blend(g, x, 1.0 + 0.9 * mag01)
+
+
+def op_sharpness(x, mag01):
+    # PIL smooth kernel [[1,1,1],[1,5,1],[1,1,1]]/13, edges kept (the
+    # blur applies to the interior only) — a 3x3 depthwise conv
+    k = jnp.asarray([[1., 1., 1.], [1., 5., 1.], [1., 1., 1.]],
+                    jnp.float32) / 13.0
+    n, h, w, c = x.shape
+    xf = jnp.moveaxis(x, -1, 1).reshape(n * c, 1, h, w)
+    blur = jax.lax.conv_general_dilated(
+        xf.astype(jnp.float32), k[None, None], (1, 1), "SAME")
+    blur = jnp.moveaxis(blur.reshape(n, c, h, w), 1, -1).astype(x.dtype)
+    interior = jnp.zeros((h, w), bool).at[1:-1, 1:-1].set(True) \
+        if h > 2 and w > 2 else jnp.zeros((h, w), bool)
+    blur = jnp.where(interior[None, :, :, None], blur, x)
+    return _blend(blur, x, 1.0 + 0.9 * mag01)
+
+
+def op_posterize(x, mag01):
+    # keep 8..4 bits as |magnitude| grows (AutoAugment range)
+    bits = 8.0 - jnp.abs(mag01) * 4.0
+    levels = jnp.exp2(jnp.floor(bits))
+    q = jnp.floor(x * 255.0 / (256.0 / levels)) * (256.0 / levels) / 255.0
+    return jnp.clip(q, 0.0, 1.0)
+
+
+def op_solarize(x, mag01):
+    thresh = 1.0 - jnp.abs(mag01)
+    return jnp.where(x < thresh, x, 1.0 - x)
+
+
+def op_solarize_add(x, mag01):
+    # add up to 110/256 below the 0.5 threshold (TF AutoAugment op)
+    add = jnp.abs(mag01) * (110.0 / 255.0)
+    return jnp.where(x < 0.5, jnp.clip(x + add, 0.0, 1.0), x)
+
+
+def op_invert(x, mag01):
+    return 1.0 - x
+
+
+def op_autocontrast(x, mag01):
+    lo = jnp.min(x, axis=(1, 2), keepdims=True)
+    hi = jnp.max(x, axis=(1, 2), keepdims=True)
+    scale = 1.0 / jnp.maximum(hi - lo, 1e-5)
+    stretched = jnp.clip((x - lo) * scale, 0.0, 1.0)
+    return jnp.where(hi > lo, stretched, x)
+
+
+def _translate_matrix(shift: jax.Array, size: int) -> jax.Array:
+    """One-hot shift matrices [N, size, size]: out[i] = in[i + shift]
+    (out-of-frame rows all-zero -> fill handled by caller)."""
+    i = jnp.arange(size, dtype=jnp.float32)
+    src = i[None, :] + shift[:, None]          # [N, size]
+    j = jnp.arange(size, dtype=jnp.float32)
+    return (jnp.round(src)[:, :, None] == j[None, None, :]).astype(
+        jnp.float32)
+
+
+def _translate(x, shift_px, axis: int, fill: float = 0.5):
+    n = x.shape[0]
+    size = x.shape[axis]
+    m = _translate_matrix(shift_px, size)      # [N, out, in]
+    xf = x.astype(jnp.float32)
+    if axis == 1:
+        y = jnp.einsum("noi,nihc->nohc", m, xf, precision="highest")
+    else:
+        y = jnp.einsum("noi,nhic->nhoc", m, xf, precision="highest")
+    cover = jnp.sum(m, -1)                     # [N, out]
+    cover = cover[:, :, None, None] if axis == 1 else cover[:, None, :, None]
+    return (y + (1.0 - cover) * fill).astype(x.dtype)
+
+
+def op_translate_x(x, mag01):
+    shift = mag01[:, 0, 0, 0] * (x.shape[2] / 3.0)
+    return _translate(x, shift, axis=2)
+
+
+def op_translate_y(x, mag01):
+    shift = mag01[:, 0, 0, 0] * (x.shape[1] / 3.0)
+    return _translate(x, shift, axis=1)
+
+
+POOL = {
+    "identity": op_identity,
+    "autocontrast": op_autocontrast,
+    "invert": op_invert,
+    "posterize": op_posterize,
+    "solarize": op_solarize,
+    "solarize_add": op_solarize_add,
+    "color": op_color,
+    "contrast": op_contrast,
+    "brightness": op_brightness,
+    "sharpness": op_sharpness,
+    "translate_x": op_translate_x,
+    "translate_y": op_translate_y,
+}
+# signed ops draw a random direction per image
+SIGNED = {"color", "contrast", "brightness", "sharpness",
+          "translate_x", "translate_y"}
+DEFAULT_OPS = tuple(POOL)
+
+
+def rand_augment(key: jax.Array, x: jax.Array, *, num_layers: int = 2,
+                 magnitude: float = 9.0,
+                 ops: tuple[str, ...] = DEFAULT_OPS) -> jax.Array:
+    """Apply ``num_layers`` randomly-chosen pool ops per image at global
+    ``magnitude`` (0..30).  x: [N,H,W,C] float in [0,1]."""
+    fns = [POOL[name] for name in ops]
+    n = x.shape[0]
+    mag = jnp.float32(magnitude) / _MAX_MAGNITUDE
+    for layer in range(num_layers):
+        k_op, k_sign, key = jax.random.split(key, 3)
+        idx = jax.random.randint(k_op, (n,), 0, len(fns))
+        sign = jnp.where(jax.random.bernoulli(k_sign, 0.5, (n,)),
+                         1.0, -1.0)
+        mag01 = (mag * sign)[:, None, None, None]
+        out = x
+        for k, (name, fn) in enumerate(zip(ops, fns)):
+            m = mag01 if name in SIGNED else jnp.abs(mag01)
+            out = jnp.where((idx == k)[:, None, None, None], fn(x, m), out)
+        x = out
+    return x

@@ -1,0 +1,89 @@
+"""RandAugment: op formulas, branch-free dispatch, chain integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from myconvnet_tpu.data import randaugment as ra
+
+
+def _img(seed=0, n=4, hw=16):
+    rs = np.random.RandomState(seed)
+    return jnp.asarray(rs.rand(n, hw, hw, 3).astype(np.float32))
+
+
+def test_zero_magnitude_identity_for_signed_ops():
+    x = _img()
+    zero = jnp.zeros((x.shape[0], 1, 1, 1))
+    for name in ("color", "contrast", "brightness", "sharpness",
+                 "translate_x", "translate_y"):
+        y = ra.POOL[name](x, zero)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-5,
+                                   err_msg=name)
+
+
+def test_unsigned_op_formulas():
+    x = _img()
+    full = jnp.ones((x.shape[0], 1, 1, 1))
+    np.testing.assert_allclose(ra.op_invert(x, full), 1.0 - x, atol=1e-6)
+    # solarize at |m|=1: threshold 0 -> everything inverts
+    np.testing.assert_allclose(ra.op_solarize(x, full), 1.0 - x, atol=1e-6)
+    # posterize at |m|=1 keeps 4 bits -> at most 16 distinct levels/channel
+    q = np.asarray(ra.op_posterize(x, full))
+    assert len(np.unique(np.round(q * 255).astype(int))) <= 16
+    # autocontrast stretches each image's range to [0, 1]
+    ac = np.asarray(ra.op_autocontrast(x, full))
+    np.testing.assert_allclose(ac.min(axis=(1, 2)), 0.0, atol=1e-5)
+    np.testing.assert_allclose(ac.max(axis=(1, 2)), 1.0, atol=1e-5)
+
+
+def test_translate_shifts_and_fills():
+    # single white column at x=3; shift right by 1/3 of width (mag 1)
+    x = jnp.zeros((1, 6, 6, 1)).at[:, :, 3].set(1.0)
+    full = jnp.ones((1, 1, 1, 1))
+    y = np.asarray(ra.op_translate_x(x, -full))  # negative shift: out[i]=in[i-2]
+    assert y[0, 0, 5, 0] == 1.0  # column moved 3 -> 5
+    assert np.all(y[0, :, :2, 0] == 0.5)  # vacated edge gets gray fill
+    y2 = np.asarray(ra.op_translate_x(x, full))  # out[i] = in[i+2]
+    assert y2[0, 0, 1, 0] == 1.0
+
+
+def test_rand_augment_dispatch_matches_direct_op():
+    """With a single-op pool the fold must equal calling the op."""
+    x = _img()
+    key = jax.random.key(3)
+    y = ra.rand_augment(key, x, num_layers=1, magnitude=12.0,
+                        ops=("invert",))
+    np.testing.assert_allclose(np.asarray(y), 1.0 - np.asarray(x),
+                               atol=1e-6)
+
+
+def test_rand_augment_jits_and_is_deterministic():
+    x = _img()
+    f = jax.jit(lambda k, x: ra.rand_augment(k, x, num_layers=2,
+                                             magnitude=9.0))
+    y1 = f(jax.random.key(0), x)
+    y2 = f(jax.random.key(0), x)
+    y3 = f(jax.random.key(1), x)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    assert not np.allclose(np.asarray(y1), np.asarray(y3))
+    assert float(jnp.min(y1)) >= 0.0 and float(jnp.max(y1)) <= 1.0
+
+
+def test_chain_integration():
+    from myconvnet_tpu.data.augment import AugmentConfig, augment_train
+    cfg = AugmentConfig(out_hw=(16, 16), area_range=None, pad=2,
+                        randaugment=(2, 9), mean=(0.5, 0.5, 0.5),
+                        std=(0.25, 0.25, 0.25))
+    imgs = np.random.RandomState(0).randint(
+        0, 256, (4, 16, 16, 3), np.uint8)
+    out = jax.jit(lambda k, x: augment_train(k, x, cfg))(
+        jax.random.key(0), jnp.asarray(imgs))
+    assert out.shape == (4, 16, 16, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unknown_op_raises():
+    with pytest.raises(KeyError):
+        ra.rand_augment(jax.random.key(0), _img(), ops=("rotate",))
