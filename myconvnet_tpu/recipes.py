@@ -22,7 +22,7 @@ from myconvnet_tpu.data.pipeline import DataSet
 from myconvnet_tpu.eval.evaluators import (AccuracyEvaluator,
                                            MeanIoUEvaluator)
 from myconvnet_tpu.models.base import ConvNet
-from myconvnet_tpu.subsets import cifar10, cifar100, imagenet, voc
+from myconvnet_tpu.subsets import cifar10, cifar100, imagenet, mnist, voc
 from myconvnet_tpu.train import gan as gan_lib
 from myconvnet_tpu.train import optim as optim_lib
 from myconvnet_tpu.train.losses import (pixel_cross_entropy,
@@ -74,7 +74,8 @@ def make_sources(cfg: dict, synthetic: bool, splits=("train", "val")):
     name = cfg["dataset"]
     data_dir = cfg.get("data_dir")
     table = {"cifar10": cifar10, "cifar100": cifar100,
-             "imagenet": imagenet, "voc": voc}
+             "imagenet": imagenet, "voc": voc,
+             "mnist": mnist, "fashion_mnist": mnist}
     if name not in table:
         raise ValueError(f"unknown dataset {name!r}; valid: "
                          f"{sorted(table)} (or 'pairs' for pix2pix)")
@@ -82,7 +83,7 @@ def make_sources(cfg: dict, synthetic: bool, splits=("train", "val")):
     out = []
     for split in splits:
         real_split = {"val": "test" if name.startswith("cifar")
-                      else "val"}.get(split, split)
+                      or name.endswith("mnist") else "val"}.get(split, split)
         out.append(mod.make_source(data_dir, real_split,
                                    synthetic=synthetic or data_dir is None))
     return out

@@ -1,6 +1,7 @@
 """Dataset prep writers (subsets/prep.py) roundtrip through the readers."""
 
 import numpy as np
+import pytest
 
 from myconvnet_tpu.subsets import imagenet, prep, voc
 
@@ -42,3 +43,50 @@ def test_segmentation_pairs_roundtrip(tmp_path):
     # masks are palette-free PNGs: values roundtrip exactly
     np.testing.assert_array_equal(np.sort(np.unique(y)),
                                   np.sort(np.unique(masks)))
+
+
+def test_mnist_idx_roundtrip(tmp_path):
+    """Write canonical IDX files, read them back through the subset."""
+    import gzip
+    import struct
+
+    from myconvnet_tpu.subsets import mnist
+
+    rs = np.random.RandomState(0)
+    imgs = rs.randint(0, 256, (12, 28, 28), np.uint8)
+    labels = rs.randint(0, 10, 12).astype(np.uint8)
+
+    def write_idx(path, arr, gz=False):
+        header = struct.pack(">HBB", 0, 0x08, arr.ndim) + b"".join(
+            struct.pack(">I", d) for d in arr.shape)
+        opener = gzip.open if gz else open
+        with opener(path + (".gz" if gz else ""), "wb") as f:
+            f.write(header + arr.tobytes())
+
+    # train plain, test gzipped — both container styles must parse
+    write_idx(str(tmp_path / "train-images-idx3-ubyte"), imgs)
+    write_idx(str(tmp_path / "train-labels-idx1-ubyte"), labels)
+    write_idx(str(tmp_path / "t10k-images-idx3-ubyte"), imgs[:5], gz=True)
+    write_idx(str(tmp_path / "t10k-labels-idx1-ubyte"), labels[:5], gz=True)
+
+    x, y = mnist.read_subset(str(tmp_path), "train")
+    assert x.shape == (12, 28, 28, 3) and x.dtype == np.uint8
+    np.testing.assert_array_equal(x[..., 0], imgs)
+    np.testing.assert_array_equal(x[..., 0], x[..., 2])  # replicated RGB
+    np.testing.assert_array_equal(y, labels.astype(np.int32))
+    xt, yt = mnist.read_subset(str(tmp_path), "test")
+    assert xt.shape == (5, 28, 28, 3)
+
+    with pytest.raises(FileNotFoundError):
+        mnist.read_subset(str(tmp_path / "nope"), "train")
+
+
+def test_mnist_synthetic_source():
+    from myconvnet_tpu.subsets import mnist
+    src = mnist.make_source(None, "train", synthetic=True, synthetic_n=64)
+    x, y = src.get_batch(np.arange(8))
+    assert x.shape == (8, 28, 28, 3) and x.dtype == np.uint8
+    assert y.shape == (8,)
+    # deterministic across calls
+    src2 = mnist.make_source(None, "train", synthetic=True, synthetic_n=64)
+    np.testing.assert_array_equal(x, src2.get_batch(np.arange(8))[0])
