@@ -17,7 +17,8 @@ from myconvnet_tpu.models.efficientnet import (efficientnet,
 from myconvnet_tpu.models.inception import inception_v3
 from myconvnet_tpu.models.mobilenet import mobilenet_v2
 from myconvnet_tpu.models.gan import (dcgan_discriminator, dcgan_generator,
-                                      patchgan_discriminator, unet_generator)
+                                      patchgan_discriminator,
+                                      resnet_generator, unet_generator)
 from myconvnet_tpu.models.resnet import (resnet, resnet18, resnet34,
                                          resnet50, resnet101, resnet152,
                                          resnet_backbone, resnext50_32x4d,
@@ -64,11 +65,13 @@ SEGMENTERS = {
 GAN_GENERATORS = {
     "dcgan": dcgan_generator,
     "pix2pix": unet_generator,
+    "cyclegan": resnet_generator,
 }
 
 GAN_DISCRIMINATORS = {
     "dcgan": dcgan_discriminator,
     "pix2pix": patchgan_discriminator,
+    "cyclegan": patchgan_discriminator,
 }
 
 

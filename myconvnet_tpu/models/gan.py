@@ -139,3 +139,50 @@ def patchgan_discriminator(x: jax.Array, y: jax.Array | None = None, *,
     h = norm_layer(h)
     h = nn.leaky_relu(h, 0.2)
     return nn.conv(h, 1, 4, stride=1, w_init=_W_INIT, name="logits")
+
+
+# ---------------------------------------------------------------- cyclegan
+
+def resnet_generator(x: jax.Array, *, train: bool = False,
+                     out_channels: int = 3, base_features: int = 64,
+                     n_blocks: int = 6,
+                     norm: str = "instance") -> jax.Array:
+    """CycleGAN's Johnson-style generator: c7s1-64, d128, d256,
+    ``n_blocks`` residual blocks, u128, u64, c7s1-3 tanh.  Instance norm
+    per the paper (no running stats — every apply is pure).  SAME
+    zero-padding instead of reflect padding: XLA pads inside the conv
+    fusion, and the 1-2 px border difference is immaterial next to the
+    adversarial objective."""
+    def norm_layer(h):
+        if norm == "batch":
+            return nn.batch_norm(h, train=train, momentum=0.9)
+        return nn.instance_norm(h)
+
+    with nn.scope_named("stem"):
+        h = nn.conv(x, base_features, 7, use_bias=False, w_init=_W_INIT,
+                    name="conv")
+        h = nn.relu(norm_layer(h))
+    feats = base_features
+    for i in range(2):  # d128, d256
+        feats *= 2
+        with nn.scope_named(f"down{i + 1}"):
+            h = nn.conv(h, feats, 3, stride=2, use_bias=False,
+                        w_init=_W_INIT, name="conv")
+            h = nn.relu(norm_layer(h))
+    for i in range(n_blocks):
+        with nn.scope_named(f"res{i + 1}"):
+            r = nn.conv(h, feats, 3, use_bias=False, w_init=_W_INIT,
+                        name="conv1")
+            r = nn.relu(norm_layer(r))
+            r = nn.conv(r, feats, 3, use_bias=False, w_init=_W_INIT,
+                        name="conv2")
+            h = h + norm_layer(r)
+    for i in range(2):  # u128, u64
+        feats //= 2
+        with nn.scope_named(f"up{i + 1}"):
+            h = nn.conv_transpose(h, feats, 3, stride=2, use_bias=False,
+                                  w_init=_W_INIT, name="deconv")
+            h = nn.relu(norm_layer(h))
+    with nn.scope_named("to_rgb"):
+        h = nn.conv(h, out_channels, 7, w_init=_W_INIT, name="conv")
+    return nn.tanh(h)

@@ -242,6 +242,49 @@ def build_gan(cfg: dict, synthetic: bool = False):
 
         return state, step, data_iter, kind
 
+    if kind == "cyclegan":
+        gkw = cfg.get("generator_kwargs", {})
+        dkw = cfg.get("discriminator_kwargs", {})
+
+        def g_fwd(x, train=False):
+            with policy_scope(policy):
+                return models.resnet_generator(x, train=train, **gkw)
+
+        def d_fwd(x, train=False):
+            with policy_scope(policy):
+                return models.patchgan_discriminator(x, train=train,
+                                                     norm="instance",
+                                                     **dkw)
+
+        gen, disc = transform(g_fwd), transform(d_fwd)
+        g_opt = make_optimizer(cfg["g_optimizer"])
+        d_opt = make_optimizer(cfg["d_optimizer"])
+        import jax.numpy as jnp
+        x0 = jnp.zeros((batch, size, size, 3))
+        state = gan_lib.init_cyclegan_state(
+            gen, disc, g_opt, d_opt, jax.random.key(cfg.get("seed", 0)),
+            x0)
+        step = gan_lib.make_cyclegan_step(
+            gen, disc, g_opt, d_opt,
+            cycle_weight=cfg.get("cycle_weight", 10.0),
+            identity_weight=cfg.get("identity_weight", 0.5),
+            gan_loss=cfg.get("gan_loss", "lsgan"))
+
+        def data_iter():
+            from myconvnet_tpu.subsets import pairs
+            # unpaired domains ride the pairs source (two-dir layout or
+            # synthetic); CycleGAN never uses the alignment
+            src = pairs.make_source(
+                cfg.get("data_dir"), "train",
+                synthetic=synthetic or cfg.get("data_dir") is None,
+                raw_hw=(size, size))
+            ds = DataSet(src, seed=cfg.get("seed", 0))
+            for a, b in ds.train_iter(batch):
+                yield (a.astype("float32") / 127.5 - 1.0,
+                       b.astype("float32") / 127.5 - 1.0)
+
+        return state, step, data_iter, kind
+
     raise ValueError(f"unknown gan kind {kind!r}")
 
 
@@ -283,6 +326,20 @@ def make_gan_sampler(cfg: dict):
 
         def sample(state, x):
             imgs, _ = gen.apply(state.g_params, state.g_state, None,
+                                jax.numpy.asarray(x), False)
+            return to_uint8(imgs)
+
+        return sample
+
+    if kind == "cyclegan":
+        def g_fwd(x, train=False):
+            with policy_scope(policy):
+                return models.resnet_generator(x, train=train, **gkw)
+        gen = transform(g_fwd)
+
+        def sample(state, x, direction: str = "ab"):
+            imgs, _ = gen.apply(state.g_params[direction],
+                                state.g_state[direction], None,
                                 jax.numpy.asarray(x), False)
             return to_uint8(imgs)
 

@@ -174,7 +174,7 @@ def run_gan(cfg, args, out):
     for i, batch in enumerate(it):
         if start + i >= total:
             break
-        if sampler is not None and kind == "pix2pix" and vis_batch is None:
+        if sampler is not None and kind != "dcgan" and vis_batch is None:
             vis_batch = batch[0][:16]
         state, metrics = step(state, batch)
         i = start + i
