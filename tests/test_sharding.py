@@ -272,3 +272,47 @@ def test_trainer_spatial_sharding_matches_plain():
     l_plain = run(None, False)
     l_spatial = run(mesh, True)
     np.testing.assert_allclose(l_spatial, l_plain, rtol=1e-4)
+
+
+@pytest.mark.parametrize("seg_model", ["unet", "fcn"])
+def test_new_segmenters_spatial_sharding_matches_plain(seg_model):
+    """U-Net / FCN under Trainer(spatial=True): H-sharded training must
+    reproduce the unsharded losses (the upsample matmuls and pool
+    windows cross shard boundaries, so GSPMD has to insert the right
+    collectives)."""
+    from myconvnet_tpu.train.losses import pixel_cross_entropy
+
+    mesh = make_mesh(4, 2)
+
+    if seg_model == "unet":
+        def fwd(x, train=False):
+            return models.unet(x, 4, train=train, base_features=4,
+                               depth=2)
+    else:
+        def fwd(x, train=False):
+            return models.fcn(x, 4, train=train, backbone_depth=18,
+                              head_features=8, dropout_rate=0.0)
+
+    rng = np.random.RandomState(11)
+    x = rng.rand(8, 16, 16, 3).astype(np.float32)
+    y = rng.randint(0, 4, (8, 16, 16)).astype(np.int32)
+
+    def run(mesh_arg, spatial):
+        model = transform(fwd)
+        opt = optim.momentum(0.05, 0.9)
+        t = Trainer(model=model, optimizer=opt,
+                    loss_fn=pixel_cross_entropy, mesh=mesh_arg,
+                    spatial=spatial)
+        t.logger.stdout = False
+        state = init_train_state(model, opt, jax.random.key(0),
+                                 jnp.zeros((8, 16, 16, 3)))
+        losses = []
+        for i in range(2):
+            batch = t.shard_batch((jnp.asarray(x), jnp.asarray(y)))
+            state, m = t._train_step(state, batch)
+            losses.append(float(m["loss"]))
+        return losses
+
+    l_plain = run(None, False)
+    l_spatial = run(mesh, True)
+    np.testing.assert_allclose(l_spatial, l_plain, rtol=1e-4)
