@@ -133,6 +133,45 @@ def restore_checkpoint(path: str, target: dict[str, Any]) -> dict[str, Any]:
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
+def average_checkpoints(directory: str, target: dict[str, Any], *,
+                        n_last: int = 0,
+                        subtree: str = "params") -> dict[str, Any]:
+    """Checkpoint averaging (Polyak over saved snapshots): restore the
+    newest checkpoint, then replace its ``subtree`` leaves with the f32
+    mean over the last ``n_last`` checkpoints (0 = all available,
+    1 = plain restore of the newest).
+    A cheap eval-time ensemble when no in-training EMA was configured;
+    optimizer state/step/PRNG come from the newest snapshot untouched.
+    """
+    steps = all_steps(directory)
+    if not steps:
+        raise FileNotFoundError(f"no checkpoints in {directory!r}")
+    use = steps[-n_last:] if n_last and n_last >= 1 else steps
+    newest = restore_checkpoint(
+        os.path.join(directory, f"ckpt-{use[-1]}.npz"), target)
+    if len(use) == 1:
+        return newest
+    prefix = subtree + SEP
+    acc: dict[str, np.ndarray] = {}
+    for s in use:
+        with np.load(os.path.join(directory, f"ckpt-{s}.npz")) as data:
+            for k in data.files:
+                if k.startswith(prefix):
+                    v = data[k].astype(np.float64)
+                    acc[k] = acc.get(k, 0.0) + v
+    flat_new = _flatten(newest)
+    for k, v in acc.items():
+        flat_new[k] = (v / len(use)).astype(flat_new[k].dtype)
+    leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(
+        newest)
+    new_leaves = []
+    for keypath, leaf in leaves_with_path:
+        key = SEP.join(str(getattr(p, "key", getattr(p, "idx", p)))
+                       for p in keypath)
+        new_leaves.append(flat_new[key])
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
 def checkpoint_step(path: str) -> int:
     base = os.path.basename(path)
     if base == "best.npz":

@@ -326,13 +326,49 @@ def rmsprop(lr, decay: float = 0.9, eps: float = 1e-8,
     return Optimizer(init, update)
 
 
+def adagrad(lr, eps: float = 1e-10, *,
+            initial_accumulator: float = 0.1,
+            weight_decay: float = 0.0,
+            weight_decay_exclude=None) -> Optimizer:
+    """Adagrad (Duchi et al.) — the remaining member of the TF1-era
+    optimizer family (reference driver's optimizer choice, SURVEY.md
+    §2#6).  ``initial_accumulator`` matches tf.compat.v1.AdagradOptimizer
+    semantics (accumulators start at 0.1, not 0)."""
+    sched = as_schedule(lr)
+
+    def init(params):
+        return jax.tree.map(
+            lambda p: jnp.full(p.shape, initial_accumulator, jnp.float32),
+            params)
+
+    def update(grads, opt_state, params, step):
+        lr_t = sched(step)
+        mask = _decay_mask(params, weight_decay_exclude)
+
+        def upd(p, g, acc, dm):
+            gf = _decayed(g, p, weight_decay, dm)
+            acc_new = acc + jnp.square(gf)
+            d = gf / (jnp.sqrt(acc_new) + eps)
+            return ((p.astype(jnp.float32) - lr_t * d).astype(p.dtype),
+                    acc_new)
+
+        out = jax.tree.map(upd, params, grads, opt_state, mask)
+        is_pair = lambda x: isinstance(x, tuple) and len(x) == 2  # noqa: E731
+        new_params = jax.tree.map(lambda o: o[0], out, is_leaf=is_pair)
+        new_acc = jax.tree.map(lambda o: o[1], out, is_leaf=is_pair)
+        return new_params, new_acc
+
+    return Optimizer(init, update)
+
+
 # ---------------------------------------------------------------- registry
 
 def make_optimizer(name: str, lr, **kwargs) -> Optimizer:
     """Config-string optimizer factory (reference: optimizer choice in
     parameters.py)."""
     table = {"sgd": sgd, "momentum": momentum, "adam": adam,
-             "adamw": adamw, "rmsprop": rmsprop, "lars": lars}
+             "adamw": adamw, "rmsprop": rmsprop, "lars": lars,
+             "adagrad": adagrad}
     try:
         return table[name.lower()](lr, **kwargs)
     except KeyError as e:

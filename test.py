@@ -18,6 +18,9 @@ def main():
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--best", action="store_true",
                     help="restore best.npz instead of latest")
+    ap.add_argument("--average", type=int, default=0, metavar="N",
+                    help="average the params of the last N checkpoints "
+                         "(eval-time Polyak ensemble)")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--data_dir", default=None)
     ap.add_argument("--platform", default=None)
@@ -69,7 +72,15 @@ def main():
         if best is None:
             raise SystemExit(f"no best.npz under {args.ckpt!r}")
         path = best
-    net.restore(path)
+    if args.average > 1:
+        restored = ckpt_lib.average_checkpoints(
+            args.ckpt, net.state._asdict(), n_last=args.average)
+        net.state = type(net.state)(**restored)
+        print(f"averaged params over the last "
+              f"{min(args.average, len(ckpt_lib.all_steps(args.ckpt)))} "
+              "checkpoints")
+    else:
+        net.restore(path)
     if args.ema:
         import jax
         from myconvnet_tpu.train import optim as optim_lib

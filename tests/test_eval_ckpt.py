@@ -198,3 +198,31 @@ def test_confusion_matrix_evaluator_report():
     # accumulates across update calls
     ev.update(logits, labels)
     np.testing.assert_allclose(pc["support"] * 2, ev.per_class()["support"])
+
+
+def test_average_checkpoints(tmp_path):
+    from myconvnet_tpu.ckpt.checkpoint import (average_checkpoints,
+                                               save_checkpoint)
+    d = str(tmp_path)
+
+    def state(v, step):
+        return {"params": {"layer": {"w": np.full((2, 2), v, np.float32)}},
+                "opt": {"m": np.full((2, 2), v * 10, np.float32)},
+                "step": np.asarray(step, np.int32)}
+
+    for i, v in enumerate([1.0, 2.0, 6.0]):
+        save_checkpoint(d, i + 1, state(v, i + 1), keep=10)
+    template = state(0.0, 0)
+    # average all 3: params mean = 3.0; opt/step from the newest
+    avg = average_checkpoints(d, template)
+    np.testing.assert_allclose(avg["params"]["layer"]["w"], 3.0)
+    np.testing.assert_allclose(avg["opt"]["m"], 60.0)
+    assert int(avg["step"]) == 3
+    # last 2 only: mean = 4.0
+    avg2 = average_checkpoints(d, template, n_last=2)
+    np.testing.assert_allclose(avg2["params"]["layer"]["w"], 4.0)
+    # n_last=1 degenerates to plain restore of the newest
+    avg1 = average_checkpoints(d, template, n_last=1)
+    np.testing.assert_allclose(avg1["params"]["layer"]["w"], 6.0)
+    with pytest.raises(FileNotFoundError):
+        average_checkpoints(str(tmp_path / "none"), template)

@@ -307,3 +307,26 @@ def test_plateau_scale_missing_raises():
     opt = optim.momentum(0.1)
     with pytest.raises(ValueError, match="plateau"):
         optim.set_plateau_scale(opt.init(_quadratic_params()), 0.5)
+
+
+def test_adagrad_matches_formula_and_descends():
+    opt = optim.adagrad(0.5, initial_accumulator=0.1)
+    p = {"a": {"w": jnp.asarray(2.0)}}
+    state = opt.init(p)
+    np.testing.assert_allclose(state["a"]["w"], 0.1)
+    g = {"a": {"w": jnp.asarray(1.0)}}
+    p1, s1 = opt.update(g, state, p, jnp.asarray(0))
+    # acc = 0.1 + 1 = 1.1; w = 2 - 0.5 * 1/sqrt(1.1)
+    np.testing.assert_allclose(float(p1["a"]["w"]),
+                               2.0 - 0.5 / np.sqrt(1.1), rtol=1e-6)
+    np.testing.assert_allclose(float(s1["a"]["w"]), 1.1, rtol=1e-6)
+    # registry + convergence on the quadratic
+    opt = optim.make_optimizer("adagrad", 1.0)
+    params = _quadratic_params()
+    state = opt.init(params)
+    for step in range(200):
+        params, state = opt.update(_grad(params), state, params,
+                                   jnp.asarray(step))
+    n = float(sum(jnp.sum(x ** 2) for b in params.values()
+                  for x in b.values()))
+    assert n < 0.05
