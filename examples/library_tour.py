@@ -168,6 +168,39 @@ def main():
         gstate, m = step(gstate, real)
     print(f"[gan] fused dual-opt step x3: d_loss={float(m['d_loss']):.3f} "
           f"g_loss={float(m['g_loss']):.3f}")
+
+    # 10. today's extras: RandAugment, confusion report, plateau LR,
+    # checkpoint averaging, sample grids
+    from myconvnet_tpu.data.randaugment import rand_augment
+    xs = jnp.asarray(train_set.source.images[:8].astype(np.float32) / 255.)
+    ra = rand_augment(jax.random.key(0), xs, num_layers=2, magnitude=9.0)
+    print(f"[randaugment] 2 layers @ M=9 on 8 images -> "
+          f"range [{float(ra.min()):.2f}, {float(ra.max()):.2f}]")
+
+    from myconvnet_tpu.eval.evaluators import ConfusionMatrixEvaluator
+    ev = ConfusionMatrixEvaluator(10)
+    logits = net2.predict(train_set.source.images[:64])
+    ev.update(jnp.asarray(logits), train_set.source.labels[:64])
+    print("[confusion] macro F1 on 64 train images: "
+          f"{ev.macro_f1():.3f}")
+
+    plat = optim.with_plateau(optim.momentum(0.05, 0.9))
+    ps = plat.init(net2.state.params)
+    ps = optim.set_plateau_scale(ps, 0.1)
+    print(f"[plateau] lr scale now {optim.plateau_scale(ps):.2f} "
+          "(host-adjusted, no recompile)")
+
+    from myconvnet_tpu.ckpt.checkpoint import average_checkpoints
+    avg = average_checkpoints(out, net2.state._asdict(), n_last=2)
+    print(f"[ckpt-avg] averaged params over last 2 snapshots "
+          f"(step {int(avg['step'])})")
+
+    from myconvnet_tpu.utils.images import make_grid, to_uint8
+    fake = gen.apply(gstate.g_params, gstate.g_state, None,
+                     jax.random.normal(jax.random.key(1), (9, 64)),
+                     False)[0]
+    grid = make_grid(to_uint8(np.asarray(fake)))
+    print(f"[images] 9-sample grid: {grid.shape}")
     print("tour complete")
 
 
