@@ -94,6 +94,9 @@ class ConvNet:
         self.ckpt_dir = ckpt_dir
         self.model_kwargs = model_kwargs
         self.logger = MetricLogger(log_dir=log_dir)
+        # optional utils.preemption.PreemptionGuard threaded into the
+        # Trainer so SIGTERM checkpoints and exits cleanly
+        self.preemption_guard = None
         self._transformed = transform(self._wrapped_forward)
         self.state: TrainState | None = None
         self._trainer: Trainer | None = None
@@ -169,6 +172,7 @@ class ConvNet:
             evaluator=evaluator, ckpt_dir=self.ckpt_dir,
             remat=self.remat, accum_steps=self.accum_steps,
             debug_checks=self.debug_checks, spatial=self.spatial,
+            preemption_guard=self.preemption_guard,
             logger=self.logger)
 
     # -------------------------------------------------------------- train

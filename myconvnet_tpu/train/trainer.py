@@ -111,6 +111,10 @@ class Trainer:
     # the full state can take seconds on slow links; jax arrays are
     # immutable, so a snapshot taken while training continues is safe)
     async_checkpoints: bool = True
+    # graceful preemption (utils/preemption.py): when the guard trips,
+    # fit() stops dispatching, saves the full state and returns — pair
+    # with train.py --max_restarts for exact resume after SIGTERM
+    preemption_guard: Any = None
 
     _train_step: Callable = field(init=False, default=None)
     _eval_step: Callable = field(init=False, default=None)
@@ -278,6 +282,10 @@ class Trainer:
                 break
             input_wait += time.perf_counter() - t_in
             if step_idx >= total_steps:
+                break
+            if self.preemption_guard is not None \
+                    and self.preemption_guard.preempted:
+                self.logger.log(step_idx, {"preempted": 1.0})
                 break
             batch = self.shard_batch((x, y))
             state, metrics = self._train_step(state, batch)

@@ -317,3 +317,52 @@ def test_plateau_decay_fires_in_fit():
     # 4 validations: first sets best, then 3 bad rounds -> one decay at
     # patience=2 (counter resets after firing)
     assert np.isclose(optim.plateau_scale(state.opt_state), 0.1)
+
+
+def test_preemption_guard_checkpoints_and_stops(tmp_path):
+    """A tripped guard must stop the loop early and leave a restorable
+    checkpoint of the full state (the SIGTERM grace-window path)."""
+    from myconvnet_tpu.utils.preemption import PreemptionGuard
+
+    model = transform(lambda x, train=False: models.smallnet(
+        x, 10, train=train, width=8, dropout_rate=0.0))
+    opt = optim.sgd(0.1)
+    guard = PreemptionGuard()
+    t = Trainer(model=model, optimizer=opt,
+                loss_fn=softmax_cross_entropy, ckpt_dir=str(tmp_path),
+                preemption_guard=guard)
+    t.logger.stdout = False
+    state = init_train_state(model, opt, jax.random.key(0),
+                             jnp.zeros((4, 32, 32, 3)))
+    rs = np.random.RandomState(0)
+    x = rs.rand(4, 32, 32, 3).astype(np.float32)
+
+    def batches():
+        for i in range(100):
+            if i == 5:
+                guard.trigger()  # "SIGTERM" after 5 steps
+            yield x, rs.randint(0, 10, 4)
+
+    state = t.fit(state, batches(), total_steps=100)
+    assert int(state.step) == 5  # stopped early, not after 100
+    from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
+    path = ckpt_lib.latest_checkpoint(str(tmp_path))
+    assert path is not None
+    restored = ckpt_lib.restore_checkpoint(path, state._asdict())
+    assert int(restored["step"]) == 5
+
+
+def test_preemption_guard_signal_handler():
+    """Real signal delivery sets the flag; handlers restore on exit."""
+    import os
+    import signal
+
+    from myconvnet_tpu.utils.preemption import PreemptionGuard
+
+    prev = signal.getsignal(signal.SIGTERM)
+    with PreemptionGuard() as g:
+        assert not g.preempted
+        os.kill(os.getpid(), signal.SIGTERM)
+        # delivery is synchronous for the current thread on CPython
+        assert g.preempted
+    assert signal.getsignal(signal.SIGTERM) is prev

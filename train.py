@@ -95,6 +95,9 @@ def run_supervised(cfg, args, out, mesh, resume: bool):
                else recipes.build_classifier)
     net, train_set, val_set = builder(cfg, synthetic=args.synthetic,
                                       ckpt_dir=out, log_dir=out, mesh=mesh)
+    from myconvnet_tpu.utils.preemption import PreemptionGuard
+    guard = PreemptionGuard().__enter__()
+    net.preemption_guard = guard
     if args.tensorboard:
         net.logger = MetricLogger(log_dir=out, tensorboard=True)
     evaluator = recipes.build_evaluator(cfg)
