@@ -125,3 +125,37 @@ def make_batched_server(fn, batch_sizes=(1, 8, 32, 128)):
         return jnp.concatenate(outs)
 
     return serve
+
+
+def measure_latency(serve, sample_shape, *, dtype=jnp.float32,
+                    request_sizes=(1, 4, 16, 64), iters: int = 50,
+                    warmup: int = 5,
+                    percentiles=(50, 95, 99)) -> dict:
+    """Per-request latency percentiles for a serve fn (production SLO
+    observability).  Synchronizes on a value fetch per request — the only
+    sync that survives relayed transports (PERF_NOTES.md) — so numbers
+    are end-to-end: host -> device -> result readback.
+
+    Returns {size: {"p50": ms, ..., "mean": ms, "qps": n/s}}.
+    """
+    import time
+
+    results = {}
+    rs = np.random.RandomState(0)
+    for n in request_sizes:
+        x = rs.standard_normal((n, *sample_shape)).astype(dtype)
+        for _ in range(warmup):
+            float(jnp.sum(serve(x)))
+        times = []
+        for i in range(iters):
+            # evolve the payload so a caching transport can't replay
+            x_i = x + np.float32(i * 1e-6)
+            t0 = time.perf_counter()
+            float(jnp.sum(serve(x_i)))
+            times.append(time.perf_counter() - t0)
+        arr = np.asarray(times) * 1e3
+        row = {f"p{p}": float(np.percentile(arr, p)) for p in percentiles}
+        row["mean"] = float(arr.mean())
+        row["qps"] = float(n / (arr.mean() / 1e3))
+        results[int(n)] = row
+    return results

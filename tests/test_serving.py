@@ -112,3 +112,20 @@ def test_int8_export_reload(tmp_path):
     out = serving.load_inference(path)(x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(live),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_measure_latency_shape_and_sanity():
+    import jax.numpy as jnp
+
+    from myconvnet_tpu.serving import make_batched_server, measure_latency
+
+    def fn(x):
+        return jnp.sum(x, axis=(1, 2, 3))
+
+    serve = make_batched_server(fn, batch_sizes=(4, 16))
+    stats = measure_latency(serve, (8, 8, 3), request_sizes=(1, 4, 20),
+                            iters=5, warmup=1)
+    assert set(stats) == {1, 4, 20}
+    for n, row in stats.items():
+        assert row["p50"] <= row["p95"] <= row["p99"]
+        assert row["mean"] > 0 and row["qps"] > 0
