@@ -27,7 +27,8 @@ from myconvnet_tpu.core.module import (auto_name, current_scope_in_params,
 from myconvnet_tpu.core.precision import current_policy
 from myconvnet_tpu.ops.batch_norm import (batch_norm_inference,
                                           batch_norm_train)
-from myconvnet_tpu.core.quantize import int8_active
+from myconvnet_tpu.core.quantize import (activation_absmax, calibrating,
+                                          int8_active, observe_activation)
 from myconvnet_tpu.ops.conv import (conv2d, conv2d_transpose,
                                     depthwise_conv2d)
 from myconvnet_tpu.ops.quantized import qconv2d, qdense
@@ -55,9 +56,12 @@ def conv(x: jax.Array, features: int, kernel_size: _IntOrPair, *,
     with scope(auto_name(name)):
         w = param("w", (kh, kw, cin // groups, features), pol.param_dtype,
                   w_init or init.he_normal())
+        if calibrating():
+            observe_activation(x)
         if int8_active():
             y = qconv2d(x, w, stride=stride, padding=padding,
-                        dilation=dilation, groups=groups)
+                        dilation=dilation, groups=groups,
+                        x_absmax=activation_absmax())
         else:
             y = conv2d(pol.cast_to_compute(x), pol.cast_to_compute(w),
                        stride=stride, padding=padding, dilation=dilation,
@@ -119,8 +123,10 @@ def dense(x: jax.Array, features: int, *, use_bias: bool = True,
     with scope(auto_name(name)):
         w = param("w", (cin, features), pol.param_dtype,
                   w_init or init.glorot_uniform())
+        if calibrating():
+            observe_activation(x)
         if int8_active():
-            y = qdense(x, w)
+            y = qdense(x, w, x_absmax=activation_absmax())
         else:
             # no preferred_element_type: breaks dot/conv transpose rules
             # under bf16; TPU accumulates bf16 matmuls in f32 regardless

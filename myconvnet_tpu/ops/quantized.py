@@ -23,12 +23,16 @@ from jax import lax
 from myconvnet_tpu.ops.conv import DIMENSION_NUMBERS, _pair
 
 
-def quantize_tensor(x: jax.Array, axis=None) -> tuple[jax.Array, jax.Array]:
+def quantize_tensor(x: jax.Array, axis=None,
+                    absmax=None) -> tuple[jax.Array, jax.Array]:
     """Symmetric int8 quantization. axis=None -> per-tensor scale;
-    axis=int -> per-slice scales along that axis (weights: last axis)."""
+    axis=int -> per-slice scales along that axis (weights: last axis).
+    ``absmax``: calibrated static range (a Python float) — skips the
+    runtime reduction and clips outliers to the calibrated range."""
     xf = x.astype(jnp.float32)
     if axis is None:
-        absmax = jnp.max(jnp.abs(xf))
+        if absmax is None:
+            absmax = jnp.max(jnp.abs(xf))
         scale = jnp.maximum(absmax, 1e-8) / 127.0
         q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
         return q, scale
@@ -40,13 +44,15 @@ def quantize_tensor(x: jax.Array, axis=None) -> tuple[jax.Array, jax.Array]:
 
 
 def qconv2d(x: jax.Array, w: jax.Array, *, stride=1, padding="SAME",
-            dilation=1, groups: int = 1) -> jax.Array:
+            dilation=1, groups: int = 1,
+            x_absmax=None) -> jax.Array:
     """f32/bf16 in -> int8 MXU conv -> f32 out.
 
     x: [N,H,W,Cin]; w: [kh,kw,Cin//groups,Cout] float.  Activation scale
-    is dynamic per-tensor; weight scales are per-output-channel.
+    is dynamic per-tensor (or calibrated static via ``x_absmax``);
+    weight scales are per-output-channel.
     """
-    qx, sx = quantize_tensor(x)
+    qx, sx = quantize_tensor(x, absmax=x_absmax)
     qw, sw = quantize_tensor(w, axis=-1)
     acc = lax.conv_general_dilated(
         qx, qw,
@@ -60,9 +66,9 @@ def qconv2d(x: jax.Array, w: jax.Array, *, stride=1, padding="SAME",
     return acc.astype(jnp.float32) * (sx * sw)
 
 
-def qdense(x: jax.Array, w: jax.Array) -> jax.Array:
+def qdense(x: jax.Array, w: jax.Array, *, x_absmax=None) -> jax.Array:
     """f32/bf16 in -> int8 MXU matmul -> f32 out. w: [Cin, Cout]."""
-    qx, sx = quantize_tensor(x)
+    qx, sx = quantize_tensor(x, absmax=x_absmax)
     qw, sw = quantize_tensor(w, axis=-1)
     acc = lax.dot_general(qx, qw, (((qx.ndim - 1,), (0,)), ((), ())),
                           preferred_element_type=jnp.int32)

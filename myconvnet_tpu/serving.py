@@ -23,19 +23,30 @@ from myconvnet_tpu.models.folding import fold_batch_norms
 
 def make_inference_fn(model: Transformed, params: Params, state: State, *,
                       fold_bn: bool = True, bn_eps: float = 1e-5,
-                      int8: bool = False):
+                      int8: bool = False, calibrate_with=None):
     """Return a pure ``fn(x) -> logits`` closed over (optionally folded)
     weights, ready to jit or export.  ``int8=True`` traces conv/dense
     through the int8 MXU path (core.quantize) — the quantized program is
-    what gets jitted/exported."""
+    what gets jitted/exported.  ``calibrate_with``: an iterable of
+    representative input batches; when given (with int8), per-layer
+    activation ranges are recorded eagerly and baked in as static scales
+    — no runtime absmax reductions, deterministic latency."""
 
     if fold_bn:
         params, state = fold_batch_norms(params, state, bn_eps)
 
+    scales = None
+    if int8 and calibrate_with is not None:
+        from myconvnet_tpu.core.quantize import calibration_scope
+        scales = {}
+        with calibration_scope(scales):
+            for batch in calibrate_with:
+                model.apply(params, state, None, jnp.asarray(batch), False)
+
     def fn(x):
         if int8:
             from myconvnet_tpu.core.quantize import int8_scope
-            with int8_scope():
+            with int8_scope(scales=scales):
                 out, _ = model.apply(params, state, None, x, False)
         else:
             out, _ = model.apply(params, state, None, x, False)
@@ -46,7 +57,8 @@ def make_inference_fn(model: Transformed, params: Params, state: State, *,
 
 def export_inference(model: Transformed, params: Params, state: State,
                      sample_input, path: str, *, fold_bn: bool = True,
-                     bn_eps: float = 1e-5, int8: bool = False) -> int:
+                     bn_eps: float = 1e-5, int8: bool = False,
+                     calibrate_with=None) -> int:
     """Serialize the frozen inference function to ``path``; returns the
     artifact size in bytes.  The batch dimension is exported symbolically
     when jax.export supports it on this version, else fixed.
@@ -67,7 +79,8 @@ def export_inference(model: Transformed, params: Params, state: State,
         except ValueError:
             fold_bn = False
     fn = make_inference_fn(model, params, state, fold_bn=fold_bn,
-                           bn_eps=bn_eps, int8=int8)
+                           bn_eps=bn_eps, int8=int8,
+                           calibrate_with=calibrate_with)
     exported = jexport.export(jax.jit(fn))(
         jax.ShapeDtypeStruct(np.shape(sample_input),
                              jnp.asarray(sample_input).dtype))

@@ -86,3 +86,59 @@ def test_int8_model_top1_agreement():
     report = quantization_error(model, state.params, state.model_state,
                                 x, int8_fn)
     assert report["top1_agreement"] >= 0.9, report
+
+
+def test_calibrated_static_scales_match_dynamic_on_same_batch():
+    """Calibrating on batch X then serving X tracks the dynamic path
+    closely.  (Not bit-exact: calibration observes full-precision
+    activations while the dynamic path quantizes layer-by-layer, so
+    downstream ranges differ by the upstream rounding error.)"""
+    import numpy as np
+
+    from myconvnet_tpu import models, serving
+    from myconvnet_tpu.core import transform
+    from myconvnet_tpu.core.quantize import calibration_scope
+
+    model = transform(lambda x, train=False: models.smallnet(
+        x, 10, train=train, width=16, dropout_rate=0.0))
+    params, state = model.init(jax.random.key(0),
+                               jnp.zeros((2, 32, 32, 3)), True)
+    x = jnp.asarray(np.random.RandomState(0).rand(4, 32, 32, 3)
+                    .astype(np.float32))
+
+    records = {}
+    with calibration_scope(records):
+        model.apply(params, state, None, x, False)
+    assert records, "no activation ranges recorded"
+    assert all(v > 0 for v in records.values())
+    # conv + dense layers of smallnet all observed (scope-path keyed)
+    assert any("conv" in k for k in records)
+
+    f_dyn = serving.make_inference_fn(model, params, state, int8=True)
+    f_cal = serving.make_inference_fn(model, params, state, int8=True,
+                                      calibrate_with=[x])
+    y_dyn = np.asarray(jax.jit(f_dyn)(x))
+    y_cal = np.asarray(jax.jit(f_cal)(x))
+    np.testing.assert_allclose(y_cal, y_dyn, atol=0.05)
+
+
+def test_calibrated_fn_close_to_f32_on_new_data():
+    import numpy as np
+
+    from myconvnet_tpu import models, serving
+    from myconvnet_tpu.core import transform
+
+    model = transform(lambda x, train=False: models.smallnet(
+        x, 10, train=train, width=16, dropout_rate=0.0))
+    params, state = model.init(jax.random.key(0),
+                               jnp.zeros((2, 32, 32, 3)), True)
+    rs = np.random.RandomState(1)
+    calib = [rs.rand(4, 32, 32, 3).astype(np.float32) for _ in range(3)]
+    fresh = jnp.asarray(rs.rand(4, 32, 32, 3).astype(np.float32))
+    f32 = serving.make_inference_fn(model, params, state)
+    f_cal = serving.make_inference_fn(model, params, state, int8=True,
+                                      calibrate_with=calib)
+    y_ref = np.asarray(jax.jit(f32)(fresh))
+    y_cal = np.asarray(jax.jit(f_cal)(fresh))
+    # random-init logits are near-uniform, so compare values not argmax
+    assert np.max(np.abs(y_ref - y_cal)) < 0.1
