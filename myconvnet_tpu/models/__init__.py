@@ -32,6 +32,7 @@ from myconvnet_tpu.models.unet import unet
 from myconvnet_tpu.models.wideresnet import (wide_resnet, wrn_16_8,
                                              wrn_28_10)
 from myconvnet_tpu.models.vgg import vgg, vgg11, vgg16, vgg19
+from myconvnet_tpu.models.xception import xception65, xception_backbone
 
 # Registry keyed by the config-file model names (reference: model choice in
 # parameters.py — SURVEY.md §2#10).
@@ -54,6 +55,7 @@ CLASSIFIERS = {
     "wrn_28_10": wrn_28_10, "wrn_16_8": wrn_16_8,
     "shufflenet_v2": shufflenet_v2,
     "squeezenet": squeezenet,
+    "xception65": xception65,
 }
 
 SEGMENTERS = {

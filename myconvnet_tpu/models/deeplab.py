@@ -57,18 +57,31 @@ def aspp(x: jax.Array, *, features: int = 256,
 
 
 def deeplab_v3_plus(x: jax.Array, num_classes: int = 21, *,
-                    train: bool = False, backbone_depth: int = 50,
+                    train: bool = False, backbone: str = "resnet",
+                    backbone_depth: int = 50,
                     output_stride: int = 16,
                     aspp_features: int = 256,
                     decoder_low_features: int = 48) -> jax.Array:
-    """Returns per-pixel logits at input resolution [N,H,W,num_classes]."""
+    """Returns per-pixel logits at input resolution [N,H,W,num_classes].
+
+    ``backbone``: "resnet" (depth via ``backbone_depth``) or "xception"
+    (the paper's aligned Xception-65, models/xception.py).
+    """
     in_h, in_w = x.shape[1], x.shape[2]
     rates = (6, 12, 18) if output_stride == 16 else (12, 24, 36)
 
     with nn.scope_named("backbone"):
-        feats, low_level = resnet_backbone(
-            x, backbone_depth, train=train, output_stride=output_stride,
-            return_low_level=True)
+        if backbone == "xception":
+            from myconvnet_tpu.models.xception import xception_backbone
+            feats, low_level = xception_backbone(
+                x, train=train, output_stride=output_stride,
+                return_low_level=True)
+        elif backbone == "resnet":
+            feats, low_level = resnet_backbone(
+                x, backbone_depth, train=train,
+                output_stride=output_stride, return_low_level=True)
+        else:
+            raise ValueError(f"unknown backbone {backbone!r}")
 
     y = aspp(feats, features=aspp_features, rates=rates, train=train)
     y = nn.dropout(y, 0.1, train=train)

@@ -340,3 +340,33 @@ def test_squeezenet_param_count_and_forward():
     assert abs(n - 1.24) < 0.02, f"squeezenet: {n:.3f}M"
     y, _ = net.apply(params, state, jax.random.key(1), x, 1000, train=True)
     assert y.shape == (2, 1000) and y.dtype == jnp.float32
+
+
+def test_xception_backbone_strides():
+    from myconvnet_tpu.models.xception import xception_backbone
+    x = jnp.zeros((1, 64, 64, 3))
+    for os_, want in ((32, 2), (16, 4), (8, 8)):
+        net, params, state = _build(
+            lambda x, train, _os=os_: xception_backbone(
+                x, train=train, output_stride=_os), x, False)
+        y, _ = net.apply(params, state, None, x, False)
+        assert y.shape[1] == want, (os_, y.shape)
+        assert y.shape[-1] == 2048
+
+
+@pytest.mark.slow
+def test_xception65_classifier_and_deeplab():
+    x = jnp.zeros((1, 64, 64, 3))
+    net, params, state = _build(models.xception65, x, 1000, train=False)
+    y, _ = net.apply(params, state, None, x, 1000, train=False)
+    assert y.shape == (1, 1000)
+    n = _n_params(params) / 1e6
+    assert 35 < n < 45, f"xception65: {n:.1f}M"  # aligned-65 ballpark
+
+    def f(x, train):
+        return models.deeplab_v3_plus(x, 21, train=train,
+                                      backbone="xception")
+
+    net, params, state = _build(f, x, False)
+    y, _ = net.apply(params, state, None, x, False)
+    assert y.shape == (1, 64, 64, 21)
