@@ -189,3 +189,24 @@ def test_sigmoid_bce_matches_tf():
     golden = tf.reduce_mean(tf.nn.sigmoid_cross_entropy_with_logits(
         labels=tf.ones_like(logits), logits=logits)).numpy()
     np.testing.assert_allclose(float(ours), golden, rtol=1e-5)
+
+
+def test_ssim_close_to_tf():
+    """Uniform-window SSIM vs tf.image.ssim (Gaussian window): same
+    window size, small filter-shape difference -> agree to ~1e-3 on
+    natural-noise images (the model-ranking use case)."""
+    from myconvnet_tpu.eval.image_metrics import psnr, ssim
+
+    rs = np.random.RandomState(3)
+    a = rs.rand(2, 32, 32, 3).astype(np.float32)
+    b = np.clip(a + rs.normal(0, 0.05, a.shape).astype(np.float32), 0, 1)
+    ref = tf.image.ssim(tf.constant(a), tf.constant(b), max_val=1.0,
+                        filter_size=7).numpy()
+    mine = np.asarray(ssim(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(mine, ref, atol=5e-3)
+    # PSNR is filter-free: exact parity
+    ref_p = tf.image.psnr(tf.constant(a), tf.constant(b),
+                          max_val=1.0).numpy()
+    np.testing.assert_allclose(np.asarray(psnr(jnp.asarray(a),
+                                               jnp.asarray(b))),
+                               ref_p, rtol=1e-4)
