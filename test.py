@@ -52,8 +52,12 @@ def main():
     cfg = recipes.load_config(args.config, batch_size=args.batch,
                               data_dir=args.data_dir)
     if cfg["task"] == "gan":
-        raise SystemExit("GAN checkpoints: use sample generation scripts "
-                         "(eval is FID-style, out of reference scope)")
+        if cfg.get("gan_kind") == "pix2pix":
+            return eval_pix2pix(cfg, args)
+        raise SystemExit("unconditional GAN checkpoints: use generate.py "
+                         "(sample grids) / eval.gan_metrics (FID "
+                         "machinery); paired translation (pix2pix) is "
+                         "scored here with PSNR/SSIM")
     builder = (recipes.build_segmenter if cfg["task"] == "segmentation"
                else recipes.build_classifier)
     net, _train_set, val_set = builder(cfg, synthetic=args.synthetic,
@@ -138,6 +142,39 @@ def main():
                                       ignore_label=ignore))
                 idx += 1
         print(f"wrote {idx} prediction pairs to {args.save_preds}")
+
+
+def eval_pix2pix(cfg, args):
+    """Score a pix2pix checkpoint on the val pairs with PSNR + SSIM."""
+    import numpy as np
+
+    from myconvnet_tpu import recipes
+    from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
+    from myconvnet_tpu.data.pipeline import DataSet
+    from myconvnet_tpu.eval.image_metrics import PairedImageEvaluator
+    from myconvnet_tpu.subsets import pairs
+
+    state, _step, _it, _kind = recipes.build_gan(cfg,
+                                                 synthetic=args.synthetic)
+    restored = ckpt_lib.restore_checkpoint(args.ckpt, state._asdict())
+    state = type(state)(**restored)
+    sampler = recipes.make_gan_sampler(cfg)
+    size = cfg.get("image_size", 32)
+    src = pairs.make_source(
+        cfg.get("data_dir"), "val",
+        synthetic=args.synthetic or cfg.get("data_dir") is None,
+        raw_hw=(size, size))
+    ds = DataSet(src)
+    ev_psnr = PairedImageEvaluator("psnr")
+    ev_ssim = PairedImageEvaluator("ssim")
+    for a, b in ds.eval_iter(cfg["batch_size"], prefetch=0):
+        a = np.asarray(a).astype(np.float32) / 127.5 - 1.0
+        pred = sampler(state, a).astype(np.float32) / 255.0
+        target = np.asarray(b).astype(np.float32) / 255.0
+        ev_psnr.update(pred, target)
+        ev_ssim.update(pred, target)
+    print(f"psnr: {ev_psnr.score():.2f} dB")
+    print(f"ssim: {ev_ssim.score():.4f}")
 
 
 if __name__ == "__main__":
