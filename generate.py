@@ -1,9 +1,15 @@
 #!/usr/bin/env python
-"""GAN sample generation (reference-era workflow: restore G and write an
-image grid).
+"""GAN sample generation / image translation (reference-era workflow:
+restore G and write an image grid).
 
+    # unconditional sampling (dcgan)
     python generate.py --config configs/dcgan_cifar10.py --ckpt runs/gan \
         [--n 64] [--out samples.png]
+
+    # translation (pix2pix / cyclegan): --input is a directory of images
+    # (or omit for synthetic inputs); writes an input|output grid
+    python generate.py --config configs/cyclegan.py --ckpt runs/cyc \
+        --input photos/ [--direction ab|ba] [--out translated.png]
 """
 
 from __future__ import annotations
@@ -18,6 +24,11 @@ def main():
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--out", default="samples.png")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--input", default=None,
+                    help="directory of images to translate "
+                         "(pix2pix/cyclegan)")
+    ap.add_argument("--direction", default="ab", choices=("ab", "ba"),
+                    help="cyclegan translation direction")
     ap.add_argument("--ema", action="store_true",
                     help="sample with the Polyak-averaged generator "
                          "(g_optimizer.ema_decay in the config)")
@@ -47,14 +58,40 @@ def main():
             lambda p, e: e.astype(p.dtype), state.g_params, ema))
         print("sampling with EMA generator")
 
-    if kind != "dcgan":
-        raise SystemExit("pix2pix generation needs input images; use the "
-                         "library API (recipes.make_gan_sampler)")
     from myconvnet_tpu.utils.images import make_grid, save_png
     sampler = recipes.make_gan_sampler(cfg)
-    imgs = sampler(state, args.n, seed=args.seed)
-    save_png(args.out, make_grid(imgs, pad=0))
-    print(f"wrote {args.n} samples to {args.out}")
+    if kind == "dcgan":
+        imgs = sampler(state, args.n, seed=args.seed)
+        save_png(args.out, make_grid(imgs, pad=0))
+        print(f"wrote {args.n} samples to {args.out}")
+        return
+
+    # translation models: load inputs (or synthesize), write in|out pairs
+    import numpy as np
+    size = cfg.get("image_size", 32)
+    if args.input:
+        import os
+
+        from PIL import Image
+        paths = sorted(
+            os.path.join(args.input, f) for f in os.listdir(args.input)
+            if f.lower().endswith((".jpg", ".jpeg", ".png")))[:args.n]
+        if not paths:
+            raise SystemExit(f"no images under {args.input!r}")
+        raw = np.stack([
+            np.asarray(Image.open(p).convert("RGB").resize(
+                (size, size), Image.BILINEAR), np.uint8) for p in paths])
+    else:
+        from myconvnet_tpu.subsets import pairs
+        src = pairs.make_source(None, "val", synthetic=True,
+                                raw_hw=(size, size))
+        raw = src.get_batch(np.arange(min(args.n, len(src))))[0]
+    x = raw.astype(np.float32) / 127.5 - 1.0
+    out = (sampler(state, x, direction=args.direction)
+           if kind == "cyclegan" else sampler(state, x))
+    side_by_side = np.concatenate([raw, out], axis=2)  # input | output
+    save_png(args.out, make_grid(side_by_side))
+    print(f"wrote {len(raw)} translations to {args.out}")
 
 
 if __name__ == "__main__":
