@@ -19,6 +19,9 @@ CONFIGS = [
     "configs/imagenet_resnet50_lars.py",
     "configs/dcgan_cifar10.py",
     "configs/pix2pix.py",
+    "configs/voc_unet.py",
+    "configs/cyclegan.py",
+    "configs/fashion_mnist_smallnet.py",
 ]
 
 
@@ -74,7 +77,7 @@ def test_build_gan_dcgan():
 
 def test_unknown_dataset_raises():
     cfg = recipes.load_config("configs/cifar10_smallnet.py")
-    cfg["dataset"] = "mnist"
+    cfg["dataset"] = "svhn"
     with pytest.raises(ValueError, match="unknown dataset"):
         recipes.make_sources(cfg, synthetic=True)
 
