@@ -53,6 +53,9 @@ class AugmentConfig(NamedTuple):
     # geometric crop on [0,1] floats, before normalize; None disables.
     # See data/randaugment.py for the TPU-native (branch-free) pool.
     randaugment: tuple[int, float] | None = None
+    # "xla" (12-op where-fold) or "pallas" (8-op subset, true per-image
+    # branching in a TPU kernel — one HBM sweep per layer)
+    randaugment_backend: str = "xla"
     mean: tuple[float, ...] = IMAGENET_MEAN
     std: tuple[float, ...] = IMAGENET_STD
 
@@ -328,7 +331,8 @@ def augment_train(key: jax.Array, images_u8: jax.Array,
         from myconvnet_tpu.data.randaugment import rand_augment
         layers, mag = cfg.randaugment
         x = rand_augment(k_ra, x, num_layers=int(layers),
-                         magnitude=float(mag))
+                         magnitude=float(mag),
+                         backend=cfg.randaugment_backend)
     return normalize(x, cfg.mean, cfg.std).astype(cfg.out_dtype)
 
 

@@ -165,9 +165,44 @@ DEFAULT_OPS = tuple(POOL)
 
 def rand_augment(key: jax.Array, x: jax.Array, *, num_layers: int = 2,
                  magnitude: float = 9.0,
-                 ops: tuple[str, ...] = DEFAULT_OPS) -> jax.Array:
+                 ops: tuple[str, ...] | None = None,
+                 backend: str = "xla",
+                 interpret: bool | None = None) -> jax.Array:
     """Apply ``num_layers`` randomly-chosen pool ops per image at global
-    ``magnitude`` (0..30).  x: [N,H,W,C] float in [0,1]."""
+    ``magnitude`` (0..30).  x: [N,H,W,C] float in [0,1].
+
+    ``backend="xla"`` (default): the full 12-op pool as a where-fold —
+    every op computed, select keeps one.  ``backend="pallas"``: the
+    scalar-elementwise 8-op subset with TRUE per-image branching in a
+    TPU kernel (ops/pallas/randaugment_ew.py) — one HBM sweep per layer
+    instead of |pool|.  ``interpret`` forces the kernel's interpreter
+    mode (tests on CPU); default: interpret off on TPU backends.
+    """
+    if backend == "pallas":
+        from myconvnet_tpu.ops.pallas.randaugment_ew import (PALLAS_POOL,
+                                                             apply_layer)
+        ops = PALLAS_POOL if ops is None else ops
+        bad = set(ops) - set(PALLAS_POOL)
+        if bad:
+            raise ValueError(
+                f"ops {sorted(bad)} need lane-crossing work; use "
+                f"backend='xla' (pallas pool: {PALLAS_POOL})")
+        if interpret is None:
+            interpret = jax.default_backend() not in ("tpu", "axon")
+        n = x.shape[0]
+        mag = jnp.float32(magnitude) / _MAX_MAGNITUDE
+        index_of = {name: PALLAS_POOL.index(name) for name in ops}
+        table = jnp.asarray([index_of[name] for name in ops], jnp.int32)
+        for layer in range(num_layers):
+            k_op, k_sign, key = jax.random.split(key, 3)
+            idx = table[jax.random.randint(k_op, (n,), 0, len(ops))]
+            sign = jnp.where(jax.random.bernoulli(k_sign, 0.5, (n,)),
+                             1.0, -1.0)
+            x = apply_layer(x, idx, mag * sign, interpret=interpret)
+        return x
+    if backend != "xla":
+        raise ValueError(f"unknown backend {backend!r}")
+    ops = DEFAULT_OPS if ops is None else ops
     fns = [POOL[name] for name in ops]
     n = x.shape[0]
     mag = jnp.float32(magnitude) / _MAX_MAGNITUDE

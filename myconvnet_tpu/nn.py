@@ -200,6 +200,30 @@ def instance_norm(x: jax.Array, *, eps: float = 1e-5,
     return y.astype(pol.compute_dtype)
 
 
+def group_norm(x: jax.Array, *, groups: int = 32, eps: float = 1e-5,
+               name: str = "gn") -> jax.Array:
+    """Group norm (Wu & He) — batch-independent normalization for the
+    small-per-device-batch regimes (spatial partitioning, pipeline
+    microbatches) where BN statistics starve.  groups=1 -> layer-norm
+    over (H,W,C); groups=C -> instance norm."""
+    pol = current_policy()
+    c = x.shape[-1]
+    if c % groups != 0:
+        raise ValueError(f"channels {c} not divisible by groups {groups}")
+    with scope(auto_name(name)):
+        gamma = param("gamma", (c,), jnp.float32, init.ones)
+        beta = param("beta", (c,), jnp.float32, init.zeros)
+        xf = x.astype(jnp.float32)
+        n, h, w, _ = xf.shape
+        xg = xf.reshape(n, h, w, groups, c // groups)
+        mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True)
+        var = jnp.mean(jnp.square(xg - mean), axis=(1, 2, 4),
+                       keepdims=True)
+        y = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(n, h, w, c)
+        y = y * gamma + beta
+    return y.astype(pol.compute_dtype)
+
+
 # ----------------------------------------------------------------- dropout
 
 def dropout(x: jax.Array, rate: float, *, train: bool) -> jax.Array:

@@ -182,3 +182,41 @@ def test_resize_bilinear_grad():
     g = jax.grad(lambda x: jnp.sum(resize_bilinear(x, (8, 8))))(x)
     # total mass preserved: sum of grads == number of output pixels
     np.testing.assert_allclose(jnp.sum(g), 64.0, rtol=1e-5)
+
+
+def test_group_norm_degenerate_cases_and_stats():
+    """groups=1 == layer-norm over (H,W,C); groups=C == instance norm;
+    normalized groups have ~zero mean / unit variance."""
+    import numpy as np
+
+    from myconvnet_tpu import nn
+    from myconvnet_tpu.core import transform
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(2, 8, 8, 8).astype(np.float32) * 3 + 1)
+
+    def gn(x, groups):
+        return nn.group_norm(x, groups=groups)
+
+    for groups in (1, 2, 4, 8):
+        net = transform(lambda x, g=groups: gn(x, g))
+        params, state = net.init(jax.random.key(0), x)
+        y, _ = net.apply(params, state, None, x)
+        yg = np.asarray(y).reshape(2, 8, 8, groups, 8 // groups)
+        np.testing.assert_allclose(yg.mean(axis=(1, 2, 4)), 0.0,
+                                   atol=1e-4)
+        np.testing.assert_allclose(yg.var(axis=(1, 2, 4)), 1.0,
+                                   atol=1e-3)
+
+    # groups=C must equal instance_norm (per-channel spatial stats)
+    net_gn = transform(lambda x: nn.group_norm(x, groups=8))
+    net_in = transform(lambda x: nn.instance_norm(x))
+    p1, s1 = net_gn.init(jax.random.key(0), x)
+    p2, s2 = net_in.init(jax.random.key(0), x)
+    y1, _ = net_gn.apply(p1, s1, None, x)
+    y2, _ = net_in.apply(p2, s2, None, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+    with pytest.raises(ValueError, match="divisible"):
+        transform(lambda x: nn.group_norm(x, groups=3)).init(
+            jax.random.key(0), x)

@@ -87,3 +87,38 @@ def test_chain_integration():
 def test_unknown_op_raises():
     with pytest.raises(KeyError):
         ra.rand_augment(jax.random.key(0), _img(), ops=("rotate",))
+
+
+def test_pallas_backend_matches_xla_on_shared_pool():
+    """Same key + same op subset: the pallas kernel layer must reproduce
+    the XLA where-fold bit-for-bit (modulo fp rounding)."""
+    from myconvnet_tpu.ops.pallas.randaugment_ew import PALLAS_POOL
+
+    x = _img(n=4, hw=16)
+    key = jax.random.key(7)
+    y_xla = ra.rand_augment(key, x, num_layers=2, magnitude=11.0,
+                            ops=PALLAS_POOL, backend="xla")
+    y_pl = ra.rand_augment(key, x, num_layers=2, magnitude=11.0,
+                           backend="pallas", interpret=True)
+    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_xla),
+                               atol=1e-5)
+
+
+def test_pallas_backend_rejects_lane_crossing_ops():
+    with pytest.raises(ValueError, match="lane-crossing"):
+        ra.rand_augment(jax.random.key(0), _img(), backend="pallas",
+                        ops=("color",), interpret=True)
+
+
+def test_pallas_kernel_each_op_matches_reference():
+    from myconvnet_tpu.ops.pallas.randaugment_ew import (PALLAS_POOL,
+                                                         apply_layer)
+    x = _img(n=4, hw=16)
+    mag = jnp.asarray([0.3, -0.3, 0.9, 0.0], jnp.float32)
+    for k, name in enumerate(PALLAS_POOL):
+        idx = jnp.full((4,), k, jnp.int32)
+        y = apply_layer(x, idx, mag, interpret=True)
+        m = mag[:, None, None, None]
+        ref = ra.POOL[name](x, m if name in ra.SIGNED else jnp.abs(m))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   atol=1e-5, err_msg=name)
