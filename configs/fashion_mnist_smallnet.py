@@ -17,8 +17,8 @@ config = dict(
         lr=dict(kind="cosine", lr=0.05, total_steps=5000,
                 warmup_steps=200)),
     augment=dict(out_hw=(28, 28), area_range=None, pad=2, flip=False,
-                 mean=(0.1307, 0.1307, 0.1307),
-                 std=(0.3081, 0.3081, 0.3081)),
+                 mean=(0.2860, 0.2860, 0.2860),
+                 std=(0.3530, 0.3530, 0.3530)),
     precision="f32",
     seed=0,
 )

@@ -80,7 +80,7 @@ def all_steps(directory: str) -> list[int]:
     steps = []
     try:
         names = os.listdir(directory)
-    except FileNotFoundError:
+    except (FileNotFoundError, NotADirectoryError):
         return []
     for n in names:
         if n.startswith("ckpt-") and n.endswith(".npz"):

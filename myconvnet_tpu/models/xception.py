@@ -82,7 +82,11 @@ def xception_backbone(x: jax.Array, *, train: bool = False,
     low_level = x  # stride 4 — the DeepLab decoder tap
     current, rate = 4, 1
 
-    def block_stride(target_stride):
+    def block_stride():
+        """(stride, dilation) for the next nominally-stride-2 block:
+        stride while the physical stride is below output_stride, then
+        dilation doubling (the converted block itself keeps the
+        pre-doubling rate, DeepLab convention)."""
         nonlocal current, rate
         if current >= output_stride:
             rate *= 2  # converted: dilate instead of stride
@@ -90,11 +94,11 @@ def xception_backbone(x: jax.Array, *, train: bool = False,
         current *= 2
         return 2, 1
 
-    s, d = block_stride(8)
+    s, d = block_stride()
     x = _xception_block(x, (256, 256, 256), stride=s, dilation=max(d, 1),
                         train=train, skip_kind="conv", relu_first=True,
                         name="entry2")
-    s, d = block_stride(16)
+    s, d = block_stride()
     x = _xception_block(x, (728, 728, 728), stride=s, dilation=max(d, 1),
                         train=train, skip_kind="conv", relu_first=True,
                         name="entry3")
@@ -105,7 +109,7 @@ def xception_backbone(x: jax.Array, *, train: bool = False,
                             train=train, skip_kind="sum", relu_first=True,
                             name=f"middle{i + 1}")
     # exit flow
-    s, d = block_stride(32)
+    s, d = block_stride()
     x = _xception_block(x, (728, 1024, 1024), stride=s,
                         dilation=max(d, 1), train=train, skip_kind="conv",
                         relu_first=True, name="exit1")

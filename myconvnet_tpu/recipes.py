@@ -84,8 +84,11 @@ def make_sources(cfg: dict, synthetic: bool, splits=("train", "val")):
     for split in splits:
         real_split = {"val": "test" if name.startswith("cifar")
                       or name.endswith("mnist") else "val"}.get(split, split)
-        out.append(mod.make_source(data_dir, real_split,
-                                   synthetic=synthetic or data_dir is None))
+        src = mod.make_source(data_dir, real_split,
+                              synthetic=synthetic or data_dir is None)
+        if name == "fashion_mnist":
+            src.class_names = mnist.FASHION_CLASS_NAMES
+        out.append(src)
     return out
 
 
@@ -273,11 +276,12 @@ def build_gan(cfg: dict, synthetic: bool = False):
         def data_iter():
             from myconvnet_tpu.subsets import pairs
             # unpaired domains ride the pairs source (two-dir layout or
-            # synthetic); CycleGAN never uses the alignment
+            # synthetic); paired=False zips the pools by order, so the
+            # A/B files need not share names
             src = pairs.make_source(
                 cfg.get("data_dir"), "train",
                 synthetic=synthetic or cfg.get("data_dir") is None,
-                raw_hw=(size, size))
+                raw_hw=(size, size), paired=False)
             ds = DataSet(src, seed=cfg.get("seed", 0))
             for a, b in ds.train_iter(batch):
                 yield (a.astype("float32") / 127.5 - 1.0,

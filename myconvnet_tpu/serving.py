@@ -149,7 +149,8 @@ def measure_latency(serve, sample_shape, *, dtype=jnp.float32,
     sync that survives relayed transports (PERF_NOTES.md) — so numbers
     are end-to-end: host -> device -> result readback.
 
-    Returns {size: {"p50": ms, ..., "mean": ms, "qps": n/s}}.
+    Returns {size: {"p50": ms, ..., "mean": ms, "qps": requests/s,
+    "images_per_sec": n * qps}}.
     """
     import time
 
@@ -169,6 +170,7 @@ def measure_latency(serve, sample_shape, *, dtype=jnp.float32,
         arr = np.asarray(times) * 1e3
         row = {f"p{p}": float(np.percentile(arr, p)) for p in percentiles}
         row["mean"] = float(arr.mean())
-        row["qps"] = float(n / (arr.mean() / 1e3))
+        row["qps"] = float(1e3 / arr.mean())
+        row["images_per_sec"] = float(n * 1e3 / arr.mean())
         results[int(n)] = row
     return results

@@ -91,8 +91,7 @@ def make_source(data_dir: str | None, split: str = "train",
     if synthetic or data_dir is None:
         seed = 0 if split == "train" else 1
         return ArraySource(*synthetic_subset(synthetic_n, seed))
-    src = ArraySource(*read_subset(data_dir, split))
-    if os.path.basename(os.path.normpath(data_dir)).lower().startswith(
-            "fashion"):
-        src.class_names = FASHION_CLASS_NAMES
-    return src
+    # class_names are attached by the recipe layer (it knows whether the
+    # configured dataset is mnist or fashion_mnist; the directory name
+    # does not)
+    return ArraySource(*read_subset(data_dir, split))

@@ -62,13 +62,26 @@ class PairFileSource:
         return a, b
 
 
-def read_subset(data_dir: str, split: str = "train"):
-    """Returns (items, combined_flag)."""
+def read_subset(data_dir: str, split: str = "train",
+                paired: bool = True):
+    """Returns (items, combined_flag).  ``paired=False`` (CycleGAN):
+    the two-dir layout's A/B files need NOT share basenames — the
+    domains are zipped by sorted order, wrapping the shorter one, so any
+    two image pools work."""
     two_a = os.path.join(data_dir, "A", split)
     two_b = os.path.join(data_dir, "B", split)
     if os.path.isdir(two_a) and os.path.isdir(two_b):
         a_files = _list_images(two_a)
-        b_by_name = {os.path.basename(p): p for p in _list_images(two_b)}
+        b_files = _list_images(two_b)
+        if not paired:
+            if not a_files or not b_files:
+                raise FileNotFoundError(
+                    f"empty A/{split} or B/{split} under {data_dir!r}")
+            n = max(len(a_files), len(b_files))
+            items = [(a_files[i % len(a_files)],
+                      b_files[i % len(b_files)]) for i in range(n)]
+            return items, False
+        b_by_name = {os.path.basename(p): p for p in b_files}
         items = [(a, b_by_name[os.path.basename(a)]) for a in a_files
                  if os.path.basename(a) in b_by_name]
         if not items:
@@ -113,9 +126,9 @@ def synthetic_subset(n: int = 64, raw_hw=(64, 64), seed: int = 0):
 
 
 def make_source(data_dir, split="train", synthetic=False, synthetic_n=64,
-                raw_hw=RAW_HW, workers=8):
+                raw_hw=RAW_HW, workers=8, paired=True):
     if synthetic or data_dir is None:
         return PairArraySource(*synthetic_subset(
             synthetic_n, raw_hw, 0 if split == "train" else 1))
-    items, combined = read_subset(data_dir, split)
+    items, combined = read_subset(data_dir, split, paired=paired)
     return PairFileSource(items, raw_hw, combined, workers)

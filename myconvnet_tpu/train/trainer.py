@@ -264,6 +264,11 @@ class Trainer:
         best = self.evaluator.worst_score() if self.evaluator else None
         bad_rounds = 0
         plateau_bad = 0
+        if self.plateau_factor and self.plateau_patience:
+            # fail fast: a missing with_plateau wrapper would otherwise
+            # only surface hours in, at the first plateau
+            from myconvnet_tpu.train.optim import plateau_scale
+            plateau_scale(state.opt_state)
         pending = None  # (step_idx, metrics) fetched with 1-step lag
         t0 = time.perf_counter()
         window = 0

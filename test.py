@@ -77,11 +77,14 @@ def main():
             raise SystemExit(f"no best.npz under {args.ckpt!r}")
         path = best
     if args.average > 1:
+        import os
+        ckpt_dir = (os.path.dirname(args.ckpt)
+                    if os.path.isfile(args.ckpt) else args.ckpt)
         restored = ckpt_lib.average_checkpoints(
-            args.ckpt, net.state._asdict(), n_last=args.average)
+            ckpt_dir, net.state._asdict(), n_last=args.average)
         net.state = type(net.state)(**restored)
         print(f"averaged params over the last "
-              f"{min(args.average, len(ckpt_lib.all_steps(args.ckpt)))} "
+              f"{min(args.average, len(ckpt_lib.all_steps(ckpt_dir)))} "
               "checkpoints")
     else:
         net.restore(path)

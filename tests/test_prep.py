@@ -1,5 +1,7 @@
 """Dataset prep writers (subsets/prep.py) roundtrip through the readers."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -90,3 +92,33 @@ def test_mnist_synthetic_source():
     # deterministic across calls
     src2 = mnist.make_source(None, "train", synthetic=True, synthetic_n=64)
     np.testing.assert_array_equal(x, src2.get_batch(np.arange(8))[0])
+
+
+def test_pairs_unpaired_two_dir_layout(tmp_path):
+    """CycleGAN mode: A/B pools with disjoint filenames must load
+    (zipped by order, shorter pool wraps); paired mode still requires
+    matching basenames."""
+    from PIL import Image
+
+    from myconvnet_tpu.subsets import pairs
+
+    rs = np.random.RandomState(0)
+    for d, names in (("A", ["horse_1.png", "horse_2.png", "horse_3.png"]),
+                     ("B", ["zebra_9.png", "zebra_8.png"])):
+        os.makedirs(tmp_path / d / "train")
+        for nme in names:
+            Image.fromarray(rs.randint(0, 256, (8, 8, 3), np.uint8)).save(
+                str(tmp_path / d / "train" / nme))
+
+    items, combined = pairs.read_subset(str(tmp_path), "train",
+                                        paired=False)
+    assert not combined and len(items) == 3  # max(|A|, |B|), B wraps
+    assert items[2][1].endswith("zebra_8.png")  # sorted order, wrapped
+
+    with pytest.raises(FileNotFoundError, match="matching"):
+        pairs.read_subset(str(tmp_path), "train", paired=True)
+
+    src = pairs.make_source(str(tmp_path), "train", raw_hw=(8, 8),
+                            paired=False)
+    a, b = src.get_batch(np.arange(3))
+    assert a.shape == (3, 8, 8, 3) and b.shape == (3, 8, 8, 3)

@@ -129,3 +129,6 @@ def test_measure_latency_shape_and_sanity():
     for n, row in stats.items():
         assert row["p50"] <= row["p95"] <= row["p99"]
         assert row["mean"] > 0 and row["qps"] > 0
+        # qps counts requests; images_per_sec scales with the batch
+        np.testing.assert_allclose(row["images_per_sec"],
+                                   n * row["qps"], rtol=1e-6)

@@ -366,3 +366,24 @@ def test_preemption_guard_signal_handler():
         # delivery is synchronous for the current thread on CPython
         assert g.preempted
     assert signal.getsignal(signal.SIGTERM) is prev
+
+
+def test_plateau_without_wrapper_fails_fast():
+    """plateau_factor/patience with an unwrapped optimizer must raise at
+    fit() start, not hours in at the first plateau."""
+    import pytest
+
+    from myconvnet_tpu.eval.evaluators import AccuracyEvaluator
+
+    model = transform(lambda x, train=False: models.smallnet(
+        x, 10, train=train, width=8, dropout_rate=0.0))
+    opt = optim.sgd(0.1)  # NOT with_plateau
+    t = Trainer(model=model, optimizer=opt,
+                loss_fn=softmax_cross_entropy,
+                evaluator=AccuracyEvaluator(),
+                plateau_factor=0.1, plateau_patience=2)
+    t.logger.stdout = False
+    state = init_train_state(model, opt, jax.random.key(0),
+                             jnp.zeros((4, 32, 32, 3)))
+    with pytest.raises(ValueError, match="plateau"):
+        t.fit(state, iter([]), total_steps=1)

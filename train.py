@@ -165,6 +165,8 @@ def run_gan(cfg, args, out):
                 out, state._asdict())
         state = type(state)(**restored)
         print(f"resumed GAN from step {int(state.step)}")
+    from myconvnet_tpu.utils.preemption import PreemptionGuard
+    guard = PreemptionGuard().__enter__()
     logger = MetricLogger(log_dir=out, name=f"gan_{kind}")
     log_every = cfg.get("log_every", 100)
     # periodic sample-grid artifacts under <out>/images (0 disables)
@@ -176,6 +178,9 @@ def run_gan(cfg, args, out):
     start = int(state.step)
     for i, batch in enumerate(it):
         if start + i >= total:
+            break
+        if guard.preempted:
+            logger.log(start + i, {"preempted": 1.0})
             break
         if sampler is not None and kind != "dcgan" and vis_batch is None:
             vis_batch = batch[0][:16]
