@@ -31,25 +31,34 @@ STAGE_BLOCKS = {
 }
 
 
-def _bn(x, train, zero_init=False, name="bn"):
+def _bn(x, train, zero_init=False, name="bn", norm="batch"):
+    """Stage normalization: "batch" (reference semantics, cross-replica
+    under GSPMD) or "group" (batch-independent — the choice for tiny
+    per-device batches under pipeline/accum microbatching)."""
+    if norm == "group":
+        c = x.shape[-1]
+        return nn.group_norm(x, groups=min(32, c),
+                             gamma_init=init.zeros if zero_init else None,
+                             name=name)
     return nn.batch_norm(x, train=train, momentum=0.9, eps=1e-5,
                          gamma_init=init.zeros if zero_init else None,
                          name=name)
 
 
-def basic_block(x, features, *, stride, dilation, train, projection):
+def basic_block(x, features, *, stride, dilation, train, projection,
+                norm="batch"):
     shortcut = x
     y = nn.conv(x, features, 3, stride=stride, dilation=dilation,
                 use_bias=False, name="conv_a")
-    y = _bn(y, train, name="bn_a")
+    y = _bn(y, train, name="bn_a", norm=norm)
     y = nn.relu(y)
     y = nn.conv(y, features, 3, dilation=dilation, use_bias=False,
                 name="conv_b")
-    y = _bn(y, train, zero_init=True, name="bn_b")
+    y = _bn(y, train, zero_init=True, name="bn_b", norm=norm)
     if projection:
         shortcut = nn.conv(x, features, 1, stride=stride, use_bias=False,
                            name="conv_proj")
-        shortcut = _bn(shortcut, train, name="bn_proj")
+        shortcut = _bn(shortcut, train, name="bn_proj", norm=norm)
     return nn.relu(y + shortcut)
 
 
@@ -67,25 +76,25 @@ def se_block(x, ratio: int = 16, name: str = "se"):
 
 def bottleneck_block(x, features, *, stride, dilation, train, projection,
                      groups: int = 1, width_per_group: int = 64,
-                     se_ratio: int = 0):
+                     se_ratio: int = 0, norm: str = "batch"):
     shortcut = x
     inner = features * width_per_group * groups // 64
     y = nn.conv(x, inner, 1, use_bias=False, name="conv_a")
-    y = _bn(y, train, name="bn_a")
+    y = _bn(y, train, name="bn_a", norm=norm)
     y = nn.relu(y)
     # stride on the 3x3 (v1.5); grouped for the ResNeXt variants
     y = nn.conv(y, inner, 3, stride=stride, dilation=dilation,
                 groups=groups, use_bias=False, name="conv_b")
-    y = _bn(y, train, name="bn_b")
+    y = _bn(y, train, name="bn_b", norm=norm)
     y = nn.relu(y)
     y = nn.conv(y, 4 * features, 1, use_bias=False, name="conv_c")
-    y = _bn(y, train, zero_init=True, name="bn_c")
+    y = _bn(y, train, zero_init=True, name="bn_c", norm=norm)
     if se_ratio:
         y = se_block(y, se_ratio)
     if projection:
         shortcut = nn.conv(x, 4 * features, 1, stride=stride, use_bias=False,
                            name="conv_proj")
-        shortcut = _bn(shortcut, train, name="bn_proj")
+        shortcut = _bn(shortcut, train, name="bn_proj", norm=norm)
     return nn.relu(y + shortcut)
 
 
@@ -93,7 +102,7 @@ def resnet_backbone(x: jax.Array, depth: int = 50, *, train: bool = False,
                     output_stride: int = 32, width: int = 64,
                     return_low_level: bool = False, stem: str = "conv7",
                     groups: int = 1, width_per_group: int = 64,
-                    se_ratio: int = 0):
+                    se_ratio: int = 0, norm: str = "batch"):
     """Feature extractor. Returns final feature map (and the end-of-stage-1
     low-level features when ``return_low_level`` — DeepLab decoder input).
 
@@ -110,11 +119,11 @@ def resnet_backbone(x: jax.Array, depth: int = 50, *, train: bool = False,
     if depth >= 50:
         block_fn = partial(bottleneck_block, groups=groups,
                            width_per_group=width_per_group,
-                           se_ratio=se_ratio)
+                           se_ratio=se_ratio, norm=norm)
     else:
         if groups != 1 or width_per_group != 64:
             raise ValueError("grouped (ResNeXt) blocks need depth >= 50")
-        block_fn = basic_block
+        block_fn = partial(basic_block, norm=norm)
         if se_ratio:
             raise ValueError("SE variants are built on bottleneck blocks "
                              "(depth >= 50)")
@@ -133,7 +142,7 @@ def resnet_backbone(x: jax.Array, depth: int = 50, *, train: bool = False,
             x = nn.conv(z, width, 4, use_bias=False, name="conv")
         else:
             x = nn.conv(x, width, 7, stride=2, use_bias=False, name="conv")
-        x = _bn(x, train, name="bn")
+        x = _bn(x, train, name="bn", norm=norm)
         x = nn.relu(x)
         x = nn.max_pool(x, 3, 2, padding="SAME")
 
@@ -167,10 +176,11 @@ def resnet_backbone(x: jax.Array, depth: int = 50, *, train: bool = False,
 def resnet(x: jax.Array, num_classes: int = 1000, depth: int = 50, *,
            train: bool = False, width: int = 64,
            stem: str = "conv7", groups: int = 1,
-           width_per_group: int = 64, se_ratio: int = 0) -> jax.Array:
+           width_per_group: int = 64, se_ratio: int = 0,
+           norm: str = "batch") -> jax.Array:
     x = resnet_backbone(x, depth, train=train, width=width, stem=stem,
                         groups=groups, width_per_group=width_per_group,
-                        se_ratio=se_ratio)
+                        se_ratio=se_ratio, norm=norm)
     x = nn.gap(x)
     return nn.dense(x, num_classes, w_init=init.glorot_uniform(),
                     name="logits")

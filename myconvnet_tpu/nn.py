@@ -201,7 +201,7 @@ def instance_norm(x: jax.Array, *, eps: float = 1e-5,
 
 
 def group_norm(x: jax.Array, *, groups: int = 32, eps: float = 1e-5,
-               name: str = "gn") -> jax.Array:
+               gamma_init=None, name: str = "gn") -> jax.Array:
     """Group norm (Wu & He) — batch-independent normalization for the
     small-per-device-batch regimes (spatial partitioning, pipeline
     microbatches) where BN statistics starve.  groups=1 -> layer-norm
@@ -211,7 +211,7 @@ def group_norm(x: jax.Array, *, groups: int = 32, eps: float = 1e-5,
     if c % groups != 0:
         raise ValueError(f"channels {c} not divisible by groups {groups}")
     with scope(auto_name(name)):
-        gamma = param("gamma", (c,), jnp.float32, init.ones)
+        gamma = param("gamma", (c,), jnp.float32, gamma_init or init.ones)
         beta = param("beta", (c,), jnp.float32, init.zeros)
         xf = x.astype(jnp.float32)
         n, h, w, _ = xf.shape

@@ -370,3 +370,26 @@ def test_xception65_classifier_and_deeplab():
     net, params, state = _build(f, x, False)
     y, _ = net.apply(params, state, None, x, False)
     assert y.shape == (1, 64, 64, 21)
+
+
+def test_resnet_group_norm_variant():
+    """norm='group' swaps every BN for GroupNorm: no moving statistics
+    in the state, microbatch-size-independent outputs."""
+    x = jnp.zeros((2, 32, 32, 3))
+
+    def f(x, train):
+        return models.resnet(x, 10, 18, train=train, norm="group")
+
+    net, params, state = _build(f, x, True)
+    # no BN moving stats anywhere
+    for scope_name, entries in state.items():
+        assert "moving_mean" not in entries, scope_name
+    rs = np.random.RandomState(0)
+    xa = jnp.asarray(rs.rand(4, 32, 32, 3).astype(np.float32))
+    ya, _ = net.apply(params, state, None, xa, False)
+    # batch-independence: per-example output unchanged in a different
+    # batch composition (BN would couple them at train time; GN never)
+    yb, _ = net.apply(params, state, None, xa[:2], True)
+    ya2, _ = net.apply(params, state, None, xa, True)
+    np.testing.assert_allclose(np.asarray(ya2[:2]), np.asarray(yb),
+                               rtol=2e-4, atol=2e-5)
