@@ -46,18 +46,18 @@ def _bn(x, train, zero_init=False, name="bn", norm="batch"):
 
 
 def basic_block(x, features, *, stride, dilation, train, projection,
-                norm="batch"):
+                norm="batch", ws=False):
     shortcut = x
     y = nn.conv(x, features, 3, stride=stride, dilation=dilation,
-                use_bias=False, name="conv_a")
+                use_bias=False, weight_standardization=ws, name="conv_a")
     y = _bn(y, train, name="bn_a", norm=norm)
     y = nn.relu(y)
     y = nn.conv(y, features, 3, dilation=dilation, use_bias=False,
-                name="conv_b")
+                weight_standardization=ws, name="conv_b")
     y = _bn(y, train, zero_init=True, name="bn_b", norm=norm)
     if projection:
         shortcut = nn.conv(x, features, 1, stride=stride, use_bias=False,
-                           name="conv_proj")
+                           weight_standardization=ws, name="conv_proj")
         shortcut = _bn(shortcut, train, name="bn_proj", norm=norm)
     return nn.relu(y + shortcut)
 
@@ -76,24 +76,28 @@ def se_block(x, ratio: int = 16, name: str = "se"):
 
 def bottleneck_block(x, features, *, stride, dilation, train, projection,
                      groups: int = 1, width_per_group: int = 64,
-                     se_ratio: int = 0, norm: str = "batch"):
+                     se_ratio: int = 0, norm: str = "batch",
+                     ws: bool = False):
     shortcut = x
     inner = features * width_per_group * groups // 64
-    y = nn.conv(x, inner, 1, use_bias=False, name="conv_a")
+    y = nn.conv(x, inner, 1, use_bias=False, weight_standardization=ws,
+                name="conv_a")
     y = _bn(y, train, name="bn_a", norm=norm)
     y = nn.relu(y)
     # stride on the 3x3 (v1.5); grouped for the ResNeXt variants
     y = nn.conv(y, inner, 3, stride=stride, dilation=dilation,
-                groups=groups, use_bias=False, name="conv_b")
+                groups=groups, use_bias=False, weight_standardization=ws,
+                name="conv_b")
     y = _bn(y, train, name="bn_b", norm=norm)
     y = nn.relu(y)
-    y = nn.conv(y, 4 * features, 1, use_bias=False, name="conv_c")
+    y = nn.conv(y, 4 * features, 1, use_bias=False,
+                weight_standardization=ws, name="conv_c")
     y = _bn(y, train, zero_init=True, name="bn_c", norm=norm)
     if se_ratio:
         y = se_block(y, se_ratio)
     if projection:
         shortcut = nn.conv(x, 4 * features, 1, stride=stride, use_bias=False,
-                           name="conv_proj")
+                           weight_standardization=ws, name="conv_proj")
         shortcut = _bn(shortcut, train, name="bn_proj", norm=norm)
     return nn.relu(y + shortcut)
 
@@ -102,7 +106,8 @@ def resnet_backbone(x: jax.Array, depth: int = 50, *, train: bool = False,
                     output_stride: int = 32, width: int = 64,
                     return_low_level: bool = False, stem: str = "conv7",
                     groups: int = 1, width_per_group: int = 64,
-                    se_ratio: int = 0, norm: str = "batch"):
+                    se_ratio: int = 0, norm: str = "batch",
+                    ws: bool = False):
     """Feature extractor. Returns final feature map (and the end-of-stage-1
     low-level features when ``return_low_level`` — DeepLab decoder input).
 
@@ -119,11 +124,11 @@ def resnet_backbone(x: jax.Array, depth: int = 50, *, train: bool = False,
     if depth >= 50:
         block_fn = partial(bottleneck_block, groups=groups,
                            width_per_group=width_per_group,
-                           se_ratio=se_ratio, norm=norm)
+                           se_ratio=se_ratio, norm=norm, ws=ws)
     else:
         if groups != 1 or width_per_group != 64:
             raise ValueError("grouped (ResNeXt) blocks need depth >= 50")
-        block_fn = partial(basic_block, norm=norm)
+        block_fn = partial(basic_block, norm=norm, ws=ws)
         if se_ratio:
             raise ValueError("SE variants are built on bottleneck blocks "
                              "(depth >= 50)")
@@ -139,9 +144,11 @@ def resnet_backbone(x: jax.Array, depth: int = 50, *, train: bool = False,
             z = x.reshape(n, h // 2, 2, w // 2, 2, c)
             z = z.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2,
                                                       4 * c)
-            x = nn.conv(z, width, 4, use_bias=False, name="conv")
+            x = nn.conv(z, width, 4, use_bias=False,
+                        weight_standardization=ws, name="conv")
         else:
-            x = nn.conv(x, width, 7, stride=2, use_bias=False, name="conv")
+            x = nn.conv(x, width, 7, stride=2, use_bias=False,
+                        weight_standardization=ws, name="conv")
         x = _bn(x, train, name="bn", norm=norm)
         x = nn.relu(x)
         x = nn.max_pool(x, 3, 2, padding="SAME")
@@ -177,10 +184,12 @@ def resnet(x: jax.Array, num_classes: int = 1000, depth: int = 50, *,
            train: bool = False, width: int = 64,
            stem: str = "conv7", groups: int = 1,
            width_per_group: int = 64, se_ratio: int = 0,
-           norm: str = "batch") -> jax.Array:
+           norm: str = "batch", ws: bool = False) -> jax.Array:
+    """``norm="group"`` + ``ws=True`` is the BiT/big-transfer recipe:
+    fully batch-independent training."""
     x = resnet_backbone(x, depth, train=train, width=width, stem=stem,
                         groups=groups, width_per_group=width_per_group,
-                        se_ratio=se_ratio, norm=norm)
+                        se_ratio=se_ratio, norm=norm, ws=ws)
     x = nn.gap(x)
     return nn.dense(x, num_classes, w_init=init.glorot_uniform(),
                     name="logits")

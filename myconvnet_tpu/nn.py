@@ -47,8 +47,16 @@ def scope_named(name: str) -> scope:
 def conv(x: jax.Array, features: int, kernel_size: _IntOrPair, *,
          stride: _IntOrPair = 1, padding: str = "SAME",
          dilation: _IntOrPair = 1, groups: int = 1, use_bias: bool = True,
+         weight_standardization: bool = False,
          w_init=None, name: str = "conv") -> jax.Array:
-    """Conv layer (reference conv_layer equivalent). NHWC in/out."""
+    """Conv layer (reference conv_layer equivalent). NHWC in/out.
+
+    ``weight_standardization`` (Qiao et al.; the BiT/GroupNorm companion
+    for batch-independent training): standardize each output channel's
+    filter to zero mean / unit variance at use time.  Pure elementwise
+    work on the (tiny) weight tensor — XLA folds it into the conv's
+    weight load, costing nothing per step.
+    """
     pol = current_policy()
     kh, kw = (kernel_size, kernel_size) if isinstance(kernel_size, int) \
         else tuple(kernel_size)
@@ -56,6 +64,11 @@ def conv(x: jax.Array, features: int, kernel_size: _IntOrPair, *,
     with scope(auto_name(name)):
         w = param("w", (kh, kw, cin // groups, features), pol.param_dtype,
                   w_init or init.he_normal())
+        if weight_standardization:
+            wf = w.astype(jnp.float32)
+            mean = jnp.mean(wf, axis=(0, 1, 2), keepdims=True)
+            var = jnp.var(wf, axis=(0, 1, 2), keepdims=True)
+            w = ((wf - mean) * jax.lax.rsqrt(var + 1e-10)).astype(w.dtype)
         if calibrating():
             observe_activation(x)
         if int8_active():
