@@ -114,3 +114,48 @@ def test_tta_cli(tmp_path):
                "--platform", "cpu", "--tta", "flip"])
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "accuracy:" in r2.stdout
+
+
+@pytest.mark.slow
+def test_pix2pix_cli_train_score_translate(tmp_path):
+    """pix2pix through all three entry points: train (with sample
+    grids), test.py PSNR/SSIM scoring, generate.py translation grid."""
+    cfg = tmp_path / "cfg.py"
+    cfg.write_text(
+        "config = dict(task='gan', gan_kind='pix2pix', dataset='pairs',\n"
+        "    data_dir=None, image_size=16, batch_size=4, total_steps=4,\n"
+        "    log_every=2, sample_every=2,\n"
+        "    generator_kwargs=dict(base_features=8, n_levels=3),\n"
+        "    discriminator_kwargs=dict(base_features=8, n_layers=2),\n"
+        "    g_optimizer=dict(name='adam', b1=0.5, lr=2e-4),\n"
+        "    d_optimizer=dict(name='adam', b1=0.5, lr=2e-4),\n"
+        "    precision='f32', seed=0)\n")
+    out = str(tmp_path / "run")
+    r = _run(["train.py", "--config", str(cfg), "--synthetic",
+              "--platform", "cpu", "--out", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.isdir(os.path.join(out, "images"))  # sample grids
+    r2 = _run(["test.py", "--config", str(cfg), "--ckpt", out,
+               "--synthetic", "--platform", "cpu"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "psnr:" in r2.stdout and "ssim:" in r2.stdout
+    grid = str(tmp_path / "trans.png")
+    r3 = _run(["generate.py", "--config", str(cfg), "--ckpt", out,
+               "--n", "4", "--out", grid, "--platform", "cpu"])
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    assert os.path.exists(grid)
+
+
+@pytest.mark.slow
+def test_classifier_cli_report_and_average(tmp_path):
+    out = str(tmp_path / "run")
+    r = _run(["train.py", "--config", "configs/cifar10_smallnet.py",
+              "--synthetic", "--steps", "20", "--batch", "32",
+              "--val_every", "10", "--platform", "cpu", "--out", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    r2 = _run(["test.py", "--config", "configs/cifar10_smallnet.py",
+               "--ckpt", out, "--synthetic", "--batch", "32",
+               "--platform", "cpu", "--report", "--average", "2"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "averaged params" in r2.stdout
+    assert "macro f1" in r2.stdout  # per-class report printed
