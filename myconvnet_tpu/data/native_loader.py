@@ -39,9 +39,13 @@ def _load() -> ctypes.CDLL | None:
                    "-std=c++17"]
             if os.path.exists("/usr/include/jpeglib.h"):
                 cmd += ["-DMCN_WITH_JPEG"]
+            if os.path.exists("/usr/include/png.h"):
+                cmd += ["-DMCN_WITH_PNG"]
             cmd += ["-o", _SO_PATH, src]
             if "-DMCN_WITH_JPEG" in cmd:
                 cmd += ["-ljpeg"]
+            if "-DMCN_WITH_PNG" in cmd:
+                cmd += ["-lpng"]
             try:
                 subprocess.run(cmd, check=True, capture_output=True,
                                timeout=120)
@@ -77,6 +81,19 @@ def _load() -> ctypes.CDLL | None:
                     ctypes.POINTER(ctypes.c_int), ctypes.c_int]
         except AttributeError:
             lib.mcn_has_jpeg = lambda: 0  # type: ignore[assignment]
+        try:
+            lib.mcn_has_png.restype = ctypes.c_int
+            if lib.mcn_has_png():
+                lib.mcn_png_info.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int),
+                    ctypes.POINTER(ctypes.c_int)]
+                lib.mcn_decode_png.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                    ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int64]
+        except AttributeError:
+            lib.mcn_has_png = lambda: 0  # type: ignore[assignment]
         _lib = lib
         return _lib
 
@@ -191,3 +208,37 @@ def normalize_u8_host(images: np.ndarray, mean, std,
         shift.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ctypes.c_int64(pixels), ctypes.c_int64(c), ctypes.c_int(threads))
     return out
+
+
+def native_png_available() -> bool:
+    lib = _load()
+    return bool(lib is not None and lib.mcn_has_png())
+
+
+def decode_png(blob: bytes, mode: str = "rgb") -> np.ndarray | None:
+    """Decode one PNG natively.  mode "rgb" -> [H,W,3] uint8 (palette/
+    gray expanded); mode "raw" -> [H,W] uint8 of palette INDICES or gray
+    values (VOC-style segmentation masks: the class id is the index).
+    Returns None when the native path is unavailable or declines (e.g.
+    raw mode on a truecolor image) — callers fall back to PIL.
+    """
+    lib = _load()
+    if lib is None or not lib.mcn_has_png():
+        return None
+    buf = np.frombuffer(blob, np.uint8)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    if lib.mcn_png_info(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(len(blob)), ctypes.byref(h),
+            ctypes.byref(w)) != 0:
+        return None
+    raw = mode == "raw"
+    out = np.empty((h.value, w.value) if raw else (h.value, w.value, 3),
+                   np.uint8)
+    rc = lib.mcn_decode_png(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(len(blob)), ctypes.c_int(1 if raw else 0),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(out.nbytes))
+    return out if rc == 0 else None

@@ -108,7 +108,21 @@ class FileSource:
         exact) — an anisotropic resize here would misalign every pixel
         of a non-square pair against its image."""
         from PIL import Image
-        img = Image.open(path)
+        img = None
+        if path.lower().endswith(".png"):
+            # native libpng raw decode: palette INDICES straight from the
+            # container (PIL's path round-trips through its palette
+            # machinery); geometry reuses the identical PIL NEAREST
+            # resize below
+            from myconvnet_tpu.data import native_loader
+            if native_loader.native_png_available():
+                with open(path, "rb") as f:
+                    blob = f.read()
+                raw = native_loader.decode_png(blob, "raw")
+                if raw is not None:
+                    img = Image.fromarray(raw, mode="L")
+        if img is None:
+            img = Image.open(path)
         w, h = img.size
         th, tw = self.mask_hw
         scale = max(th / h, tw / w)

@@ -28,6 +28,9 @@
 #ifdef MCN_WITH_JPEG
 #include <jpeglib.h>
 #endif
+#ifdef MCN_WITH_PNG
+#include <png.h>
+#endif
 
 extern "C" {
 
@@ -292,6 +295,127 @@ int mcn_has_jpeg(void) { return 1; }
 #else  // !MCN_WITH_JPEG
 
 int mcn_has_jpeg(void) { return 0; }
+
+#endif
+
+// ---------------------------------------------------- PNG decode (libpng)
+//
+// mcn_decode_png: decode one PNG from memory.  mode 0 -> RGB8 [h*w*3]
+// (palette/gray/16-bit/alpha all expanded).  mode 1 -> RAW single
+// channel [h*w]: palette INDICES (not colors) or gray values — exactly
+// what VOC-style segmentation masks need (the class id IS the palette
+// index; expanding to RGB would destroy it).
+// Two-call protocol: mcn_png_info for dims, then decode into a caller
+// buffer of h*w*(mode ? 1 : 3) bytes.  Returns 0 on success.
+
+#ifdef MCN_WITH_PNG
+
+struct McnPngMem {
+  const uint8_t* data;
+  size_t len, off;
+};
+
+static void mcn_png_read(png_structp p, png_bytep out, png_size_t n) {
+  McnPngMem* m = static_cast<McnPngMem*>(png_get_io_ptr(p));
+  if (m->off + n > m->len) png_error(p, "mcn: truncated png");
+  std::memcpy(out, m->data + m->off, n);
+  m->off += n;
+}
+
+static int mcn_png_open(const uint8_t* data, int64_t len, png_structp* pp,
+                        png_infop* ip, McnPngMem* mem) {
+  if (len < 8 || png_sig_cmp(data, 0, 8)) return 2;
+  *pp = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr,
+                               nullptr);
+  if (!*pp) return 3;
+  *ip = png_create_info_struct(*pp);
+  if (!*ip) {
+    png_destroy_read_struct(pp, nullptr, nullptr);
+    return 3;
+  }
+  mem->data = data;
+  mem->len = static_cast<size_t>(len);
+  mem->off = 0;
+  png_set_read_fn(*pp, mem, mcn_png_read);
+  return 0;
+}
+
+int mcn_png_info(const uint8_t* data, int64_t len, int* h, int* w) {
+  png_structp p;
+  png_infop info;
+  McnPngMem mem;
+  int rc = mcn_png_open(data, len, &p, &info, &mem);
+  if (rc) return rc;
+  if (setjmp(png_jmpbuf(p))) {
+    png_destroy_read_struct(&p, &info, nullptr);
+    return 1;
+  }
+  png_read_info(p, info);
+  *h = static_cast<int>(png_get_image_height(p, info));
+  *w = static_cast<int>(png_get_image_width(p, info));
+  png_destroy_read_struct(&p, &info, nullptr);
+  return 0;
+}
+
+int mcn_decode_png(const uint8_t* data, int64_t len, int mode,
+                   uint8_t* out, int64_t cap) {
+  png_structp p;
+  png_infop info;
+  McnPngMem mem;
+  std::vector<png_bytep> rows;
+  int rc = mcn_png_open(data, len, &p, &info, &mem);
+  if (rc) return rc;
+  if (setjmp(png_jmpbuf(p))) {
+    png_destroy_read_struct(&p, &info, nullptr);
+    return 1;
+  }
+  png_read_info(p, info);
+  const png_uint_32 h = png_get_image_height(p, info);
+  const png_uint_32 w = png_get_image_width(p, info);
+  const int color = png_get_color_type(p, info);
+  const int depth = png_get_bit_depth(p, info);
+  if (mode == 1) {
+    // raw indices/gray: no palette expansion; sub-byte depths unpack to
+    // one byte per pixel, 16-bit gray narrows to 8
+    if (color != PNG_COLOR_TYPE_PALETTE &&
+        color != PNG_COLOR_TYPE_GRAY) {
+      png_destroy_read_struct(&p, &info, nullptr);
+      return 4;  // not an index/gray image — caller falls back to RGB
+    }
+    if (depth < 8) png_set_packing(p);
+    if (depth == 16) png_set_strip_16(p);
+  } else {
+    if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(p);
+    if (color == PNG_COLOR_TYPE_GRAY && depth < 8)
+      png_set_expand_gray_1_2_4_to_8(p);
+    if (png_get_valid(p, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(p);
+    if (depth == 16) png_set_strip_16(p);
+    if (color == PNG_COLOR_TYPE_GRAY ||
+        color == PNG_COLOR_TYPE_GRAY_ALPHA)
+      png_set_gray_to_rgb(p);
+    png_set_strip_alpha(p);
+  }
+  png_set_interlace_handling(p);
+  png_read_update_info(p, info);
+  const size_t rowbytes = png_get_rowbytes(p, info);
+  const size_t want = rowbytes * h;
+  if (cap < static_cast<int64_t>(want)) {
+    png_destroy_read_struct(&p, &info, nullptr);
+    return 5;
+  }
+  rows.resize(h);
+  for (png_uint_32 y = 0; y < h; ++y) rows[y] = out + y * rowbytes;
+  png_read_image(p, rows.data());
+  png_destroy_read_struct(&p, &info, nullptr);
+  (void)w;
+  return 0;
+}
+
+int mcn_has_png(void) { return 1; }
+
+#else  // !MCN_WITH_PNG
+
+int mcn_has_png(void) { return 0; }
 
 #endif
 

@@ -124,3 +124,48 @@ def test_filesource_jpeg_native_path(tmp_path):
     x, y = src.get_batch(np.arange(4))
     assert x.shape == (4, 32, 32, 3) and x.dtype == np.uint8
     assert y.tolist() == [0, 1, 2, 3]
+
+
+def test_native_png_decode_rgb_and_raw_palette(tmp_path):
+    """Native libpng path: RGB roundtrip vs PIL, and raw palette INDEX
+    decode (the VOC mask contract — expanding to RGB would destroy the
+    class ids)."""
+    import io
+
+    from PIL import Image
+
+    from myconvnet_tpu.data import native_loader as nl
+
+    if not nl.native_png_available():
+        pytest.skip("native png unavailable")
+    rs = np.random.RandomState(0)
+
+    # RGB png
+    rgb = rs.randint(0, 256, (11, 13, 3), np.uint8)
+    b = io.BytesIO()
+    Image.fromarray(rgb).save(b, format="PNG")
+    out = nl.decode_png(b.getvalue(), "rgb")
+    np.testing.assert_array_equal(out, rgb)
+
+    # palettized mask png (indices incl. the 255 ignore label)
+    mask = rs.randint(0, 21, (9, 7), np.uint8)
+    mask[0, 0] = 255
+    pimg = Image.fromarray(mask, mode="P")
+    from myconvnet_tpu.utils.images import voc_palette
+    pimg.putpalette(voc_palette().reshape(-1).tolist())
+    b2 = io.BytesIO()
+    pimg.save(b2, format="PNG")
+    raw = nl.decode_png(b2.getvalue(), "raw")
+    np.testing.assert_array_equal(raw, mask)
+    # raw mode on a truecolor image declines -> caller falls back
+    assert nl.decode_png(b.getvalue(), "raw") is None
+
+    # grayscale raw
+    g = rs.randint(0, 256, (5, 6), np.uint8)
+    b3 = io.BytesIO()
+    Image.fromarray(g, mode="L").save(b3, format="PNG")
+    np.testing.assert_array_equal(nl.decode_png(b3.getvalue(), "raw"), g)
+
+    # corrupt bytes -> None (no crash)
+    assert nl.decode_png(b"\x89PNG\r\n\x1a\njunk", "rgb") is None
+    assert nl.decode_png(b"notapng", "rgb") is None
