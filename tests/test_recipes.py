@@ -134,3 +134,14 @@ def test_cifar100_recipe_builds_and_trains():
     state = net.train(train_set, batch_size=8, total_steps=2,
                       optimizer=opt)
     assert int(state.step) == 2
+
+
+def test_fashion_mnist_source_and_class_names():
+    cfg = recipes.load_config("configs/fashion_mnist_smallnet.py",
+                              total_steps=2, batch_size=8)
+    train_src, val_src = recipes.make_sources(cfg, synthetic=True)
+    x, y = train_src.get_batch(np.arange(8))
+    assert x.shape == (8, 28, 28, 3)
+    # the recipe layer attaches garment names from the dataset key
+    assert train_src.class_names[0] == "t-shirt/top"
+    assert len(val_src.class_names) == 10
