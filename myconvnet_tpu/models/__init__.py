@@ -16,6 +16,7 @@ from myconvnet_tpu.models.efficientnet import (efficientnet,
                                                efficientnet_b3)
 from myconvnet_tpu.models.inception import inception_v3
 from myconvnet_tpu.models.mobilenet import mobilenet_v2
+from myconvnet_tpu.models.pspnet import pspnet, pyramid_pooling
 from myconvnet_tpu.models.gan import (dcgan_discriminator, dcgan_generator,
                                       patchgan_discriminator,
                                       resnet_generator, unet_generator)
@@ -62,6 +63,7 @@ SEGMENTERS = {
     "deeplab_v3_plus": deeplab_v3_plus,
     "unet": unet,
     "fcn": fcn,
+    "pspnet": pspnet,
 }
 
 GAN_GENERATORS = {

@@ -32,7 +32,8 @@ from myconvnet_tpu.core.quantize import (activation_absmax, calibrating,
 from myconvnet_tpu.ops.conv import (conv2d, conv2d_transpose,
                                     depthwise_conv2d)
 from myconvnet_tpu.ops.quantized import qconv2d, qdense
-from myconvnet_tpu.ops.pool import avg_pool2d, global_avg_pool, max_pool2d
+from myconvnet_tpu.ops.pool import (adaptive_avg_pool2d, avg_pool2d,
+                                    global_avg_pool, max_pool2d)
 
 _IntOrPair = Union[int, Sequence[int]]
 
@@ -288,4 +289,5 @@ def activation(x, kind: str):
 
 max_pool = max_pool2d
 avg_pool = avg_pool2d
+adaptive_avg_pool = adaptive_avg_pool2d
 gap = global_avg_pool

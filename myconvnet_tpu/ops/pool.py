@@ -60,3 +60,34 @@ def avg_pool2d(x: jax.Array, window: _IntOrPair = 2, stride: _IntOrPair = 2,
 def global_avg_pool(x: jax.Array, keepdims: bool = False) -> jax.Array:
     return jnp.mean(x.astype(jnp.float32), axis=(1, 2),
                     keepdims=keepdims).astype(x.dtype)
+
+
+def adaptive_avg_pool2d(x: jax.Array,
+                        output_hw: _IntOrPair) -> jax.Array:
+    """Average pool to an exact output grid (torch AdaptiveAvgPool2d
+    semantics: bin i spans [floor(i*S/B), ceil((i+1)*S/B))).
+
+    TPU-native shape: the per-axis bin averaging is a tiny [B, S]
+    matrix (rows = normalized bin-membership weights) applied as two
+    einsum contractions — no gathers, no dynamic shapes, fuses with
+    the surrounding convs like the matmul-form bilinear resize.
+    """
+    import numpy as np
+
+    bh, bw = _pair(output_hw)
+    n, h, w, c = x.shape
+
+    def axis_matrix(size: int, bins: int) -> jax.Array:
+        m = np.zeros((bins, size), np.float32)
+        for i in range(bins):
+            lo = (i * size) // bins
+            hi = -(-(i + 1) * size // bins)  # ceil
+            m[i, lo:hi] = 1.0 / (hi - lo)
+        return jnp.asarray(m)
+
+    mh = axis_matrix(h, bh)
+    mw = axis_matrix(w, bw)
+    xf = x.astype(jnp.float32)
+    y = jnp.einsum("bh,nhwc->nbwc", mh, xf, precision="highest")
+    y = jnp.einsum("vw,nbwc->nbvc", mw, y, precision="highest")
+    return y.astype(x.dtype)

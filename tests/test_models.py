@@ -393,3 +393,20 @@ def test_resnet_group_norm_variant():
     ya2, _ = net.apply(params, state, None, xa, True)
     np.testing.assert_allclose(np.asarray(ya2[:2]), np.asarray(yb),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_pspnet_output_shape_and_registry():
+    x = jnp.zeros((1, 32, 32, 3))
+
+    def f(x, train):
+        return models.pspnet(x, 21, train=train, backbone_depth=18,
+                             head_features=32)
+
+    net, params, state = _build(f, x, True)
+    y, _ = net.apply(params, state, jax.random.key(1), x, True)
+    assert y.shape == (1, 32, 32, 21) and y.dtype == jnp.float32
+    assert models.get_model("pspnet") is models.pspnet
+    # PPM parameter scopes exist for every bin level
+    names = set(params)
+    assert any("ppm" in n and "bin1" in n for n in names)
+    assert any("bin6" in n for n in names)

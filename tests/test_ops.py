@@ -262,3 +262,23 @@ def test_weight_standardized_conv():
     ref = conv2d(x, jnp.asarray(ws, jnp.float32))
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=2e-4,
                                atol=2e-5)
+
+
+def test_adaptive_avg_pool_matches_torch_semantics():
+    """Bin spans follow torch AdaptiveAvgPool2d: [floor(iS/B),
+    ceil((i+1)S/B)); verified against torch CPU."""
+    import numpy as np
+    import torch
+
+    from myconvnet_tpu.ops.pool import adaptive_avg_pool2d
+
+    rs = np.random.RandomState(0)
+    for (h, w), bins in (((7, 7), 3), ((12, 9), (2, 6)), ((6, 6), 1),
+                         ((5, 8), (5, 8))):
+        x = rs.rand(2, h, w, 3).astype(np.float32)
+        got = np.asarray(adaptive_avg_pool2d(jnp.asarray(x), bins))
+        bh, bw = (bins, bins) if isinstance(bins, int) else bins
+        ref = torch.nn.functional.adaptive_avg_pool2d(
+            torch.from_numpy(x).permute(0, 3, 1, 2), (bh, bw))
+        ref = ref.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
