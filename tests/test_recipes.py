@@ -20,6 +20,7 @@ CONFIGS = [
     "configs/dcgan_cifar10.py",
     "configs/pix2pix.py",
     "configs/voc_unet.py",
+    "configs/voc_pspnet.py",
     "configs/cyclegan.py",
     "configs/fashion_mnist_smallnet.py",
 ]
