@@ -51,7 +51,12 @@ def make_optimizer(opt_cfg: dict) -> optim_lib.Optimizer:
     clip = opt_cfg.pop("clip_norm", None)
     ema_decay = opt_cfg.pop("ema_decay", None)
     plateau = opt_cfg.pop("plateau", False)
+    freeze = opt_cfg.pop("freeze", None)
     opt = optim_lib.make_optimizer(name, lr, **opt_cfg)
+    if freeze:
+        # innermost: clipping sees only trainable grads, EMA tracks the
+        # applied params
+        opt = optim_lib.with_frozen(opt, freeze)
     if plateau:
         # innermost so a surrounding EMA tracks the actually-applied
         # (scaled) parameters; see optim.with_plateau

@@ -423,6 +423,43 @@ def with_gradient_clipping(opt: Optimizer, max_norm: float) -> Optimizer:
     return Optimizer(opt.init, update)
 
 
+def with_frozen(opt: Optimizer, frozen) -> Optimizer:
+    """Freeze a subset of parameters (transfer-learning/fine-tuning:
+    imported backbone frozen, new head trains).
+
+    ``frozen``: predicate ``(path, param) -> bool`` or an iterable of
+    scope-path prefixes (e.g. ``["backbone"]``).  Frozen leaves keep
+    their exact values (their gradients are also zeroed before the inner
+    update, so momentum/Adam moments stay at rest rather than
+    accumulating phantom velocity).  Wrap INNERMOST (before clip/EMA) so
+    gradient clipping sees the trainable subset's norm and EMA tracks
+    the actually-applied parameters.
+    """
+    if not callable(frozen):
+        prefixes = tuple(str(p) for p in frozen)
+
+        def frozen(path, p, _pre=prefixes):  # noqa: F811
+            return path.startswith(_pre)
+
+    def mask_of(params):
+        def rule(keypath, p):
+            path = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                            for k in keypath)
+            return frozen(path, p)
+        return jax.tree_util.tree_map_with_path(rule, params)
+
+    def update(grads, opt_state, params, step):
+        mask = mask_of(params)
+        zeroed = jax.tree.map(
+            lambda g, m: jnp.zeros_like(g) if m else g, grads, mask)
+        new_p, new_inner = opt.update(zeroed, opt_state, params, step)
+        kept = jax.tree.map(lambda p, np_, m: p if m else np_,
+                            params, new_p, mask)
+        return kept, new_inner
+
+    return Optimizer(opt.init, update)
+
+
 # ------------------------------------------- reduce-on-plateau LR scaling
 
 class PlateauOptState(NamedTuple):

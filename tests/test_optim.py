@@ -330,3 +330,30 @@ def test_adagrad_matches_formula_and_descends():
     n = float(sum(jnp.sum(x ** 2) for b in params.values()
                   for x in b.values()))
     assert n < 0.05
+
+
+def test_with_frozen_freezes_by_prefix_and_moments_stay_at_rest():
+    params = {"backbone": {"w": jnp.asarray([1.0, 2.0])},
+              "head": {"w": jnp.asarray([3.0])}}
+    grads = {"backbone": {"w": jnp.asarray([1.0, 1.0])},
+             "head": {"w": jnp.asarray([1.0])}}
+    opt = optim.with_frozen(optim.momentum(0.1, 0.9), ["backbone"])
+    state = opt.init(params)
+    p, state = opt.update(grads, state, params, jnp.asarray(0))
+    np.testing.assert_array_equal(p["backbone"]["w"], [1.0, 2.0])  # frozen
+    assert float(p["head"]["w"][0]) < 3.0                          # trains
+    # frozen momentum buffer accumulated nothing
+    np.testing.assert_array_equal(state["backbone"]["w"], [0.0, 0.0])
+    # several more steps: frozen leaves bit-identical
+    for i in range(1, 4):
+        p, state = opt.update(grads, state, p, jnp.asarray(i))
+    np.testing.assert_array_equal(p["backbone"]["w"], [1.0, 2.0])
+
+    # predicate form + jit
+    opt2 = optim.with_frozen(optim.sgd(0.1),
+                             lambda path, p: p.size > 1)
+    s2 = opt2.init(params)
+    p2, _ = jax.jit(lambda g, s, p: opt2.update(g, s, p, jnp.asarray(0))
+                    )(grads, s2, params)
+    np.testing.assert_array_equal(p2["backbone"]["w"], [1.0, 2.0])
+    assert float(p2["head"]["w"][0]) < 3.0
