@@ -211,6 +211,53 @@ class ConvNet:
             val_every=val_every, early_stop_patience=early_stop_patience)
         return self.state
 
+    # ------------------------------------------------------------ inspect
+
+    def count_params(self) -> int:
+        """Total trainable parameter count (builds if needed)."""
+        self.build()
+        return int(sum(np.prod(p.shape) for b in self.state.params.values()
+                       for p in b.values()))
+
+    def summary(self, depth: int = 1, print_fn=print) -> str:
+        """Per-scope parameter table (the era's model-summary habit).
+
+        ``depth``: how many scope-path segments to group by (1 = top
+        level: stem/stage1/.../logits).
+        """
+        self.build()
+        groups: dict[str, tuple[int, list]] = {}
+        order: list[str] = []
+        for scope_name, entries in self.state.params.items():
+            key = "/".join(scope_name.split("/")[:depth])
+            n = sum(int(np.prod(p.shape)) for p in entries.values())
+            if key not in groups:
+                groups[key] = (0, [])
+                order.append(key)
+            tot, shapes = groups[key]
+            groups[key] = (tot + n,
+                           shapes + [tuple(p.shape)
+                                     for p in entries.values()])
+        state_n = sum(int(np.prod(p.shape))
+                      for b in self.state.model_state.values()
+                      for p in b.values())
+        width = max([len(k) for k in order] + [10]) + 2
+        lines = [f"{'scope':<{width}}{'params':>12}  largest shape",
+                 "-" * (width + 30)]
+        for k in order:
+            tot, shapes = groups[k]
+            big = max(shapes, key=np.prod) if shapes else ()
+            lines.append(f"{k:<{width}}{tot:>12,}  {big}")
+        lines.append("-" * (width + 30))
+        lines.append(f"{'total':<{width}}{self.count_params():>12,}")
+        if state_n:
+            lines.append(f"{'(state: BN stats etc.)':<{width}}"
+                         f"{state_n:>12,}")
+        text = "\n".join(lines)
+        if print_fn:
+            print_fn(text)
+        return text
+
     # ------------------------------------------------------------ predict
 
     def predict(self, images, batch_size: int = 256,

@@ -94,3 +94,18 @@ def test_reference_api_surface():
     for method in ("build", "train", "predict", "evaluate", "save",
                    "restore", "close"):
         assert callable(getattr(ConvNet, method)), method
+
+
+def test_convnet_summary_and_count():
+    from myconvnet_tpu import models
+    from myconvnet_tpu.models.base import ConvNet
+
+    net = ConvNet(models.smallnet, input_shape=(32, 32, 3),
+                  num_classes=10, width=8, dropout_rate=0.0)
+    n = net.count_params()
+    assert n > 1000
+    text = net.summary(print_fn=None)
+    assert f"{n:,}" in text and "logits" in text
+    # deeper grouping produces at least as many rows
+    assert len(net.summary(depth=3, print_fn=None).splitlines()) >= \
+        len(text.splitlines())
