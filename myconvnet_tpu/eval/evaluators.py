@@ -167,10 +167,10 @@ class ConfusionMatrixEvaluator(Evaluator):
 
     def update(self, logits, labels):
         arr = jnp.asarray(logits)
-        pred = jnp.argmax(arr, -1) if arr.ndim > labels_ndim(labels) \
-            else arr
+        labels = jnp.asarray(labels)
+        pred = jnp.argmax(arr, -1) if arr.ndim > labels.ndim else arr
         self._cm += np.asarray(confusion_matrix(
-            pred, jnp.asarray(labels), self.num_classes))
+            pred, labels, self.num_classes))
 
     def score(self) -> float:
         return float(self._cm.trace() / max(self._cm.sum(), 1.0))
@@ -220,10 +220,6 @@ class ConfusionMatrixEvaluator(Evaluator):
         lines.append(f"{'macro f1':<{width}}{'':>10}{'':>10}"
                      f"{self.macro_f1():>10.4f}{'':>10}")
         return "\n".join(lines)
-
-
-def labels_ndim(labels) -> int:
-    return int(jnp.asarray(labels).ndim)
 
 
 class LossEvaluator(Evaluator):

@@ -161,6 +161,34 @@ def build_evaluator(cfg: dict):
     return AccuracyEvaluator()
 
 
+
+def _gan_generator(cfg: dict):
+    """The transformed generator for a GAN config — the single source of
+    truth shared by build_gan (training) and make_gan_sampler
+    (visualization/generate.py), so restored states always apply."""
+    kind = cfg.get("gan_kind", "dcgan")
+    policy = get_policy(cfg.get("precision", "f32"))
+    size = cfg.get("image_size", 32)
+    gkw = cfg.get("generator_kwargs", {})
+    fwd_of = {
+        "dcgan": lambda z, train=False: models.dcgan_generator(
+            z, train=train, image_size=size, **gkw),
+        "pix2pix": lambda x, train=False: models.unet_generator(
+            x, train=train, **gkw),
+        "cyclegan": lambda x, train=False: models.resnet_generator(
+            x, train=train, **gkw),
+    }
+    if kind not in fwd_of:
+        raise ValueError(f"unknown gan kind {kind!r}")
+    fwd = fwd_of[kind]
+
+    def g_fwd(x, train=False):
+        with policy_scope(policy):
+            return fwd(x, train=train)
+
+    return transform(g_fwd)
+
+
 def build_gan(cfg: dict, synthetic: bool = False):
     """Returns (state, step_fn, data_iter_fn, kind)."""
     kind = cfg.get("gan_kind", "dcgan")
@@ -169,19 +197,13 @@ def build_gan(cfg: dict, synthetic: bool = False):
     batch = cfg["batch_size"]
 
     if kind == "dcgan":
-        gkw = cfg.get("generator_kwargs", {})
         dkw = cfg.get("discriminator_kwargs", {})
-
-        def g_fwd(z, train=False):
-            with policy_scope(policy):
-                return models.dcgan_generator(z, train=train,
-                                              image_size=size, **gkw)
 
         def d_fwd(x, train=False):
             with policy_scope(policy):
                 return models.dcgan_discriminator(x, train=train, **dkw)
 
-        gen, disc = transform(g_fwd), transform(d_fwd)
+        gen, disc = _gan_generator(cfg), transform(d_fwd)
         g_opt = make_optimizer(cfg["g_optimizer"])
         d_opt = make_optimizer(cfg["d_optimizer"])
         latent = cfg.get("latent_dim", 100)
@@ -209,19 +231,14 @@ def build_gan(cfg: dict, synthetic: bool = False):
         return state, step, data_iter, kind
 
     if kind == "pix2pix":
-        gkw = cfg.get("generator_kwargs", {})
         dkw = cfg.get("discriminator_kwargs", {})
-
-        def g_fwd(x, train=False):
-            with policy_scope(policy):
-                return models.unet_generator(x, train=train, **gkw)
 
         def d_fwd(a, b, train=False):
             with policy_scope(policy):
                 return models.patchgan_discriminator(a, b, train=train,
                                                      **dkw)
 
-        gen, disc = transform(g_fwd), transform(d_fwd)
+        gen, disc = _gan_generator(cfg), transform(d_fwd)
         g_opt = make_optimizer(cfg["g_optimizer"])
         d_opt = make_optimizer(cfg["d_optimizer"])
         import jax.numpy as jnp
@@ -251,12 +268,7 @@ def build_gan(cfg: dict, synthetic: bool = False):
         return state, step, data_iter, kind
 
     if kind == "cyclegan":
-        gkw = cfg.get("generator_kwargs", {})
         dkw = cfg.get("discriminator_kwargs", {})
-
-        def g_fwd(x, train=False):
-            with policy_scope(policy):
-                return models.resnet_generator(x, train=train, **gkw)
 
         def d_fwd(x, train=False):
             with policy_scope(policy):
@@ -264,7 +276,7 @@ def build_gan(cfg: dict, synthetic: bool = False):
                                                      norm="instance",
                                                      **dkw)
 
-        gen, disc = transform(g_fwd), transform(d_fwd)
+        gen, disc = _gan_generator(cfg), transform(d_fwd)
         g_opt = make_optimizer(cfg["g_optimizer"])
         d_opt = make_optimizer(cfg["d_optimizer"])
         import jax.numpy as jnp
@@ -302,56 +314,31 @@ def make_gan_sampler(cfg: dict):
 
     dcgan: ``sample(state, n, seed) -> uint8 [n,H,W,3]`` from fresh
     latents.  pix2pix: ``sample(state, x) -> uint8`` translating input
-    images.  Rebuilds the generator transform exactly as build_gan does,
-    so restored states apply cleanly.
+    images.  cyclegan adds ``direction="ab"|"ba"``.  Shares the
+    generator transform with build_gan (_gan_generator), so restored
+    states apply cleanly.
     """
-    kind = cfg.get("gan_kind", "dcgan")
-    policy = get_policy(cfg.get("precision", "f32"))
-    size = cfg.get("image_size", 32)
-    gkw = cfg.get("generator_kwargs", {})
     from myconvnet_tpu.utils.images import to_uint8
+    kind = cfg.get("gan_kind", "dcgan")
+    gen = _gan_generator(cfg)
 
     if kind == "dcgan":
-        def g_fwd(z, train=False):
-            with policy_scope(policy):
-                return models.dcgan_generator(z, train=train,
-                                              image_size=size, **gkw)
-        gen = transform(g_fwd)
-
         def sample(state, n: int = 64, seed: int = 0):
             z = jax.random.normal(jax.random.key(seed),
                                   (n, cfg.get("latent_dim", 100)))
             imgs, _ = gen.apply(state.g_params, state.g_state, None, z,
                                 False)
             return to_uint8(imgs)
-
-        return sample
-
-    if kind == "pix2pix":
-        def g_fwd(x, train=False):
-            with policy_scope(policy):
-                return models.unet_generator(x, train=train, **gkw)
-        gen = transform(g_fwd)
-
+    elif kind == "pix2pix":
         def sample(state, x):
             imgs, _ = gen.apply(state.g_params, state.g_state, None,
                                 jax.numpy.asarray(x), False)
             return to_uint8(imgs)
-
-        return sample
-
-    if kind == "cyclegan":
-        def g_fwd(x, train=False):
-            with policy_scope(policy):
-                return models.resnet_generator(x, train=train, **gkw)
-        gen = transform(g_fwd)
-
+    else:  # cyclegan (unknown kinds rejected by _gan_generator)
         def sample(state, x, direction: str = "ab"):
             imgs, _ = gen.apply(state.g_params[direction],
                                 state.g_state[direction], None,
                                 jax.numpy.asarray(x), False)
             return to_uint8(imgs)
 
-        return sample
-
-    raise ValueError(f"unknown gan kind {kind!r}")
+    return sample

@@ -135,17 +135,22 @@ def norm_and_bias_exclusion(path: str, p) -> bool:
     return name in ("b", "beta", "gamma") or getattr(p, "ndim", 2) <= 1
 
 
+def _keypath_str(keypath) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                    for k in keypath)
+
+
+def _path_mask(params, predicate) -> Any:
+    """Pytree of bools: predicate(scope_path_string, leaf) per leaf."""
+    return jax.tree_util.tree_map_with_path(
+        lambda kp, p: predicate(_keypath_str(kp), p), params)
+
+
 def _decay_mask(params, exclude) -> Any:
     """Pytree of bools: True where weight decay applies."""
     if exclude is None:
         return jax.tree.map(lambda p: True, params)
-
-    def rule(keypath, p):
-        path = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
-                        for k in keypath)
-        return not exclude(path, p)
-
-    return jax.tree_util.tree_map_with_path(rule, params)
+    return _path_mask(params, lambda path, p: not exclude(path, p))
 
 
 def sgd(lr, *, momentum: float = 0.0, nesterov: bool = False,
@@ -441,15 +446,8 @@ def with_frozen(opt: Optimizer, frozen) -> Optimizer:
         def frozen(path, p, _pre=prefixes):  # noqa: F811
             return path.startswith(_pre)
 
-    def mask_of(params):
-        def rule(keypath, p):
-            path = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
-                            for k in keypath)
-            return frozen(path, p)
-        return jax.tree_util.tree_map_with_path(rule, params)
-
     def update(grads, opt_state, params, step):
-        mask = mask_of(params)
+        mask = _path_mask(params, frozen)
         zeroed = jax.tree.map(
             lambda g, m: jnp.zeros_like(g) if m else g, grads, mask)
         new_p, new_inner = opt.update(zeroed, opt_state, params, step)

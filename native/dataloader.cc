@@ -371,7 +371,6 @@ int mcn_decode_png(const uint8_t* data, int64_t len, int mode,
   }
   png_read_info(p, info);
   const png_uint_32 h = png_get_image_height(p, info);
-  const png_uint_32 w = png_get_image_width(p, info);
   const int color = png_get_color_type(p, info);
   const int depth = png_get_bit_depth(p, info);
   if (mode == 1) {
@@ -407,7 +406,6 @@ int mcn_decode_png(const uint8_t* data, int64_t len, int mode,
   for (png_uint_32 y = 0; y < h; ++y) rows[y] = out + y * rowbytes;
   png_read_image(p, rows.data());
   png_destroy_read_struct(&p, &info, nullptr);
-  (void)w;
   return 0;
 }
 
