@@ -95,3 +95,42 @@ def activation_absmax() -> float | None:
     if not scales:
         return None
     return scales.get(_current_path())
+
+
+def qat_active() -> bool:
+    return getattr(_local, "qat", False)
+
+
+@contextlib.contextmanager
+def qat_scope():
+    """Quantization-aware training: conv/dense weights and activations
+    pass through int8 fake-quantization (quantize -> dequantize) with a
+    straight-through gradient, so training sees serving's rounding while
+    gradients flow as if it were identity.  Compose: train under
+    ``qat_scope()``, serve the result under ``int8_scope()`` — the
+    quantization error the int8 path introduces is exactly what the
+    model was optimized against."""
+    prev = qat_active()
+    _local.qat = True
+    try:
+        yield
+    finally:
+        _local.qat = prev
+
+
+def fake_quant(x, axis=None):
+    """Straight-through int8 quantize->dequantize (symmetric; per-tensor
+    or per-``axis`` scales, matching ops.quantized.quantize_tensor)."""
+    import jax
+    import jax.numpy as jnp
+
+    from myconvnet_tpu.ops.quantized import quantize_tensor
+
+    def qdq(v):
+        q, scale = quantize_tensor(v, axis=axis)
+        s = scale if axis is None else jnp.expand_dims(
+            scale, tuple(i for i in range(v.ndim) if i != (axis % v.ndim)))
+        return q.astype(jnp.float32) * s
+
+    xf = x.astype(jnp.float32)
+    return (xf + jax.lax.stop_gradient(qdq(xf) - xf)).astype(x.dtype)

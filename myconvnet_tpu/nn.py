@@ -28,7 +28,8 @@ from myconvnet_tpu.core.precision import current_policy
 from myconvnet_tpu.ops.batch_norm import (batch_norm_inference,
                                           batch_norm_train)
 from myconvnet_tpu.core.quantize import (activation_absmax, calibrating,
-                                          int8_active, observe_activation)
+                                          fake_quant, int8_active,
+                                          observe_activation, qat_active)
 from myconvnet_tpu.ops.conv import (conv2d, conv2d_transpose,
                                     depthwise_conv2d)
 from myconvnet_tpu.ops.quantized import qconv2d, qdense
@@ -72,6 +73,11 @@ def conv(x: jax.Array, features: int, kernel_size: _IntOrPair, *,
             w = ((wf - mean) * jax.lax.rsqrt(var + 1e-10)).astype(w.dtype)
         if calibrating():
             observe_activation(x)
+        if qat_active() and not int8_active():
+            # fake-quantize weights (per-out-channel) and activations
+            # (per-tensor) with straight-through gradients
+            w = fake_quant(w, axis=-1)
+            x = fake_quant(x)
         if int8_active():
             y = qconv2d(x, w, stride=stride, padding=padding,
                         dilation=dilation, groups=groups,
@@ -139,6 +145,9 @@ def dense(x: jax.Array, features: int, *, use_bias: bool = True,
                   w_init or init.glorot_uniform())
         if calibrating():
             observe_activation(x)
+        if qat_active() and not int8_active():
+            w = fake_quant(w, axis=-1)
+            x = fake_quant(x)
         if int8_active():
             y = qdense(x, w, x_absmax=activation_absmax())
         else:

@@ -142,3 +142,66 @@ def test_calibrated_fn_close_to_f32_on_new_data():
     y_cal = np.asarray(jax.jit(f_cal)(fresh))
     # random-init logits are near-uniform, so compare values not argmax
     assert np.max(np.abs(y_ref - y_cal)) < 0.1
+
+
+def test_fake_quant_ste_and_rounding():
+    from myconvnet_tpu.core.quantize import fake_quant
+
+    x = jnp.asarray(np.random.RandomState(0).randn(8, 8).astype(np.float32))
+    y = fake_quant(x)
+    # quantization error bounded by half a step of the per-tensor scale
+    step = float(jnp.max(jnp.abs(x))) / 127.0
+    assert float(jnp.max(jnp.abs(y - x))) <= step * 0.51
+    # straight-through gradient: d(sum(fake_quant(x)))/dx == 1
+    g = jax.grad(lambda v: jnp.sum(fake_quant(v)))(x)
+    np.testing.assert_allclose(np.asarray(g), 1.0)
+    # per-axis mode matches per-channel scales
+    w = jnp.asarray(np.random.RandomState(1).randn(3, 3, 4, 8)
+                    .astype(np.float32))
+    wq = fake_quant(w, axis=-1)
+    assert wq.shape == w.shape
+    per_ch_step = np.abs(np.asarray(w)).max(axis=(0, 1, 2)) / 127.0
+    err = np.abs(np.asarray(wq - w)).max(axis=(0, 1, 2))
+    assert (err <= per_ch_step * 0.51).all()
+
+
+def test_qat_training_then_int8_serving():
+    """Train under qat_scope, then the int8 path reproduces the QAT
+    forward closely (that is the whole point of QAT)."""
+    from myconvnet_tpu import models, serving
+    from myconvnet_tpu.core import transform
+    from myconvnet_tpu.core.quantize import qat_scope
+
+    def fwd(x, train=False):
+        return models.smallnet(x, 10, train=train, width=8,
+                               dropout_rate=0.0)
+
+    def fwd_qat(x, train=False):
+        with qat_scope():
+            return fwd(x, train=train)
+
+    model_qat = transform(fwd_qat)
+    model = transform(fwd)
+    x = jnp.asarray(np.random.RandomState(0).rand(4, 32, 32, 3)
+                    .astype(np.float32))
+    params, state = model_qat.init(jax.random.key(0), x, True)
+
+    # gradients flow through the fake-quant graph
+    def loss(p):
+        out, _ = model_qat.apply(p, state, None, x, True)
+        return jnp.mean(out ** 2)
+
+    g = jax.grad(loss)(params)
+    assert all(float(jnp.sum(jnp.abs(v))) > 0
+               for b in g.values() for v in b.values())
+
+    # QAT forward differs from the plain forward (rounding is active)...
+    y_qat, _ = model_qat.apply(params, state, None, x, False)
+    y_plain, _ = model.apply(params, state, None, x, False)
+    assert float(jnp.max(jnp.abs(y_qat - y_plain))) > 0
+    # ...and the real int8 path tracks the QAT forward tightly
+    f_int8 = serving.make_inference_fn(model, params, state,
+                                       fold_bn=False, int8=True)
+    y_int8 = f_int8(x)
+    d_qat = float(jnp.max(jnp.abs(y_int8 - y_qat)))
+    assert d_qat < 0.25, d_qat
