@@ -374,6 +374,9 @@ def make_optimizer(name: str, lr, **kwargs) -> Optimizer:
     table = {"sgd": sgd, "momentum": momentum, "adam": adam,
              "adamw": adamw, "rmsprop": rmsprop, "lars": lars,
              "adagrad": adagrad}
+    if name.lower() == "shampoo":
+        from myconvnet_tpu.train.shampoo import shampoo
+        return shampoo(lr, **kwargs)
     try:
         return table[name.lower()](lr, **kwargs)
     except KeyError as e:

@@ -1,0 +1,157 @@
+"""Shampoo (Gupta et al.) — full-matrix-per-axis preconditioning, the
+canonical TPU second-order optimizer (the published large-scale runs are
+TPU jobs; the eigendecompositions batch beautifully on the MXU).
+
+Beyond the reference's optimizer family (SURVEY.md §2#6), included as
+the framework's large-batch/production option next to LARS.  Scoped
+implementation of the standard practical recipe:
+
+* each parameter reshapes to a matrix G [m, n] (convs: [kh*kw*cin,
+  cout]; vectors/scalars precondition diagonally);
+* statistics L += G Gᵀ and R += Gᵀ G accumulate every step;
+* every ``precond_every`` steps the inverse fourth roots
+  P_L = (L/τ + εI)^(-1/4), P_R = (R/τ + εI)^(-1/4) refresh via a
+  jittable symmetric eigendecomposition (f32), inside ``lax.cond`` so
+  off-cadence steps cost two matmuls, not an eigh;
+* the preconditioned gradient P_L G P_R is **grafted** to the SGD
+  gradient norm (direction from Shampoo, step size from first-order —
+  the standard stabilization), then momentum + weight decay apply;
+* axes larger than ``max_dim`` fall back to the identity preconditioner
+  (the other axis still preconditions) — the honest scalar-hardware cap
+  in place of the full blocked partitioning.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from myconvnet_tpu.train.optim import (Optimizer, _decay_mask, _decayed,
+                                       as_schedule)
+
+
+class ShampooState(NamedTuple):
+    stats_l: tuple      # per-param L (or () when axis capped)
+    stats_r: tuple
+    precond_l: tuple    # cached (L)^(-1/4)
+    precond_r: tuple
+    momentum: tuple
+
+
+def _as_matrix(p: jax.Array) -> tuple[int, int] | None:
+    """Collapse to [m, n] (last axis = n); None for rank<2 params."""
+    if p.ndim < 2:
+        return None
+    n = p.shape[-1]
+    m = int(p.size) // n
+    return m, n
+
+
+def _inv_fourth_root(s: jax.Array, eps: float) -> jax.Array:
+    """(S + eps*I)^(-1/4) via eigh — symmetric PSD by construction."""
+    d = s.shape[-1]
+    w, v = jnp.linalg.eigh(s + eps * jnp.eye(d, dtype=s.dtype))
+    return (v * jnp.maximum(w, eps) ** -0.25) @ v.T
+
+
+def shampoo(lr, momentum_coef: float = 0.9, *,
+            precond_every: int = 10, start_step: int | None = None,
+            max_dim: int = 1024,
+            eps: float = 1e-6, weight_decay: float = 0.0,
+            weight_decay_exclude=None) -> Optimizer:
+    """``start_step`` (default 2*precond_every): first-order until the
+    statistics have enough rank — refreshing (L)^(-1/4) off one or two
+    rank-1 outer products points the update into the eps-regularized
+    null space (the standard start_preconditioning_step guard)."""
+    sched = as_schedule(lr)
+    if start_step is None:
+        start_step = 2 * precond_every
+
+    def init(params):
+        leaves = jax.tree.leaves(params)
+        stats_l, stats_r, pre_l, pre_r, mom = [], [], [], [], []
+        for p in leaves:
+            mn = _as_matrix(p)
+            mom.append(jnp.zeros(p.shape, jnp.float32))
+            if mn is None:
+                stats_l.append(())
+                stats_r.append(())
+                pre_l.append(())
+                pre_r.append(())
+                continue
+            m, n = mn
+            stats_l.append(jnp.zeros((m, m), jnp.float32)
+                           if m <= max_dim else ())
+            stats_r.append(jnp.zeros((n, n), jnp.float32)
+                           if n <= max_dim else ())
+            pre_l.append(jnp.eye(m, dtype=jnp.float32)
+                         if m <= max_dim else ())
+            pre_r.append(jnp.eye(n, dtype=jnp.float32)
+                         if n <= max_dim else ())
+        return ShampooState(tuple(stats_l), tuple(stats_r),
+                            tuple(pre_l), tuple(pre_r), tuple(mom))
+
+    def update(grads, opt_state, params, step):
+        lr_t = sched(step)
+        treedef = jax.tree.structure(params)
+        p_leaves = treedef.flatten_up_to(params)
+        g_leaves = treedef.flatten_up_to(grads)
+        mask = [bool(m) for m in jax.tree.leaves(
+            _decay_mask(params, weight_decay_exclude))]
+        started = step >= start_step
+        refresh = jnp.logical_and(started, (step % precond_every) == 0)
+
+        new_sl, new_sr, new_pl, new_pr, new_mom, new_p = \
+            [], [], [], [], [], []
+        for p, g, sl, sr, pl, pr, mom, dm in zip(
+                p_leaves, g_leaves, opt_state.stats_l, opt_state.stats_r,
+                opt_state.precond_l, opt_state.precond_r,
+                opt_state.momentum, mask):
+            gf = _decayed(g, p, weight_decay, dm)
+            mn = _as_matrix(p)
+            if mn is None:
+                pg = gf  # rank<2: plain first-order
+            else:
+                m, n = mn
+                gm = gf.reshape(m, n)
+                has = lambda t: not isinstance(t, tuple)  # noqa: E731
+                if has(sl):
+                    sl = sl + gm @ gm.T
+                    pl = jax.lax.cond(
+                        refresh,
+                        lambda s: _inv_fourth_root(s, eps),
+                        lambda s, _pl=pl: _pl, sl)
+                if has(sr):
+                    sr = sr + gm.T @ gm
+                    pr = jax.lax.cond(
+                        refresh,
+                        lambda s: _inv_fourth_root(s, eps),
+                        lambda s, _pr=pr: _pr, sr)
+                pg = gm
+                if has(pl):
+                    pg = pl @ pg
+                if has(pr):
+                    pg = pg @ pr
+                # graft: Shampoo direction at the SGD step length;
+                # pure first-order until preconditioning starts
+                g_norm = jnp.linalg.norm(gm)
+                pg_norm = jnp.maximum(jnp.linalg.norm(pg), 1e-16)
+                pg = jnp.where(started, pg * (g_norm / pg_norm), gm)
+                pg = pg.reshape(p.shape)
+            m_new = momentum_coef * mom + pg
+            new_p.append((p.astype(jnp.float32) - lr_t * m_new)
+                         .astype(p.dtype))
+            new_sl.append(sl)
+            new_sr.append(sr)
+            new_pl.append(pl)
+            new_pr.append(pr)
+            new_mom.append(m_new)
+
+        return (jax.tree.unflatten(treedef, new_p),
+                ShampooState(tuple(new_sl), tuple(new_sr),
+                             tuple(new_pl), tuple(new_pr),
+                             tuple(new_mom)))
+
+    return Optimizer(init, update)
