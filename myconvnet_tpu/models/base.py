@@ -179,11 +179,16 @@ class ConvNet:
 
     def train(self, train_set: DataSet, val_set: DataSet | None = None, *,
               batch_size: int = 128, total_steps: int = 1000,
+              epochs: int | None = None,
               optimizer: optim_lib.Optimizer | None = None,
               evaluator: Evaluator | None = None, val_every: int = 0,
               early_stop_patience: int = 0,
               plateau_factor: float = 0.0,
               plateau_patience: int = 0) -> TrainState:
+        if epochs is not None:
+            # reference-era epoch arithmetic: steps per epoch from the
+            # train split size (drop-remainder batching)
+            total_steps = epochs * max(len(train_set) // batch_size, 1)
         if optimizer is not None and optimizer is not getattr(
                 self, "_optimizer", None):
             # a genuinely different optimizer invalidates opt state; the

@@ -109,3 +109,17 @@ def test_convnet_summary_and_count():
     # deeper grouping produces at least as many rows
     assert len(net.summary(depth=3, print_fn=None).splitlines()) >= \
         len(text.splitlines())
+
+
+def test_train_epochs_arithmetic():
+    from myconvnet_tpu import models
+    from myconvnet_tpu.data.pipeline import ArraySource, DataSet
+    from myconvnet_tpu.models.base import ConvNet
+    from myconvnet_tpu.subsets import cifar10
+
+    train_set = DataSet(ArraySource(*cifar10.synthetic_subset(64, 0)))
+    net = ConvNet(models.smallnet, input_shape=(32, 32, 3),
+                  num_classes=10, width=4, dropout_rate=0.0)
+    net.logger.stdout = False
+    state = net.train(train_set, batch_size=16, epochs=2)
+    assert int(state.step) == 2 * (64 // 16)

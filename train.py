@@ -21,6 +21,9 @@ def main():
     ap.add_argument("--synthetic", action="store_true",
                     help="use generated data (no corpus required)")
     ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="train for N epochs of the train split "
+                         "(overrides total_steps)")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--data_dir", default=None)
     ap.add_argument("--out", default=None, help="run dir (ckpts + logs)")
@@ -56,6 +59,7 @@ def main():
     from myconvnet_tpu.utils.logging import MetricLogger
 
     cfg = recipes.load_config(args.config, total_steps=args.steps,
+                              epochs=args.epochs,
                               batch_size=args.batch,
                               data_dir=args.data_dir,
                               val_every=args.val_every,
@@ -112,7 +116,8 @@ def run_supervised(cfg, args, out, mesh, resume: bool):
         from myconvnet_tpu.utils.profiling import trace
         with trace(os.path.join(out, "trace")):
             net.train(train_set, val_set, batch_size=cfg["batch_size"],
-                      total_steps=cfg["total_steps"], optimizer=optimizer,
+                      total_steps=cfg["total_steps"],
+                      epochs=cfg.get("epochs"), optimizer=optimizer,
                       evaluator=evaluator,
                       val_every=cfg.get("val_every", 0),
                       early_stop_patience=cfg.get("early_stop_patience",
@@ -122,7 +127,8 @@ def run_supervised(cfg, args, out, mesh, resume: bool):
         print(f"trace: {os.path.join(out, 'trace')}")
     else:
         net.train(train_set, val_set, batch_size=cfg["batch_size"],
-                  total_steps=cfg["total_steps"], optimizer=optimizer,
+                  total_steps=cfg["total_steps"],
+                  epochs=cfg.get("epochs"), optimizer=optimizer,
                   evaluator=evaluator, val_every=cfg.get("val_every", 0),
                   early_stop_patience=cfg.get("early_stop_patience", 0),
                   plateau_factor=cfg.get("plateau_factor", 0.0),
