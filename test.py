@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--report", action="store_true",
                     help="print the per-class precision/recall/F1 report "
                          "(classification)")
+    ap.add_argument("--calibrate", action="store_true",
+                    help="fit a softmax temperature on the val split and "
+                         "report ECE before/after (classification)")
     ap.add_argument("--scales", default=None,
                     help="segmentation multi-scale eval, e.g. "
                          "'0.75,1.0,1.25' (implies flip averaging)")
@@ -114,6 +117,21 @@ def main():
     else:
         score = net.evaluate(val_set, evaluator, batch_size=batch)
     print(f"{evaluator.name}: {score:.4f}")
+    if args.calibrate and cfg["task"] == "classification":
+        import numpy as np
+
+        from myconvnet_tpu.eval.calibration import (
+            expected_calibration_error, fit_temperature)
+        logits, labels = [], []
+        for x, yv in val_set.eval_iter(batch, prefetch=0):
+            logits.append(net.predict(np.asarray(x), batch_size=len(x)))
+            labels.append(np.asarray(yv))
+        logits = np.concatenate(logits)
+        labels = np.concatenate(labels)
+        temp = fit_temperature(logits, labels)
+        print(f"temperature: {temp:.3f}  "
+              f"ece: {expected_calibration_error(logits, labels):.4f} -> "
+              f"{expected_calibration_error(logits, labels, temperature=temp):.4f}")
     if args.report and hasattr(evaluator, "report"):
         names = getattr(val_set.source, "class_names", None)
         print(evaluator.report(names))
