@@ -202,6 +202,24 @@ class ConfusionMatrixEvaluator(Evaluator):
         present = pc["support"] > 0
         return float(pc["f1"][present].mean()) if present.any() else 0.0
 
+    def top_confusions(self, k: int = 10,
+                       class_names: list[str] | None = None
+                       ) -> list[tuple[str, str, int]]:
+        """The k most frequent off-diagonal (truth, predicted, count)
+        cells — the error-analysis shortlist."""
+        cm = self._cm.copy()
+        np.fill_diagonal(cm, 0)
+        names = class_names or [str(i) for i in range(self.num_classes)]
+        flat = cm.ravel()
+        order = np.argsort(flat)[::-1][:k]
+        out = []
+        for idx in order:
+            if flat[idx] <= 0:
+                break
+            t, p = divmod(int(idx), self.num_classes)
+            out.append((names[t], names[p], int(flat[idx])))
+        return out
+
     def report(self, class_names: list[str] | None = None) -> str:
         """sklearn-style per-class text report."""
         pc = self.per_class()

@@ -226,3 +226,16 @@ def test_average_checkpoints(tmp_path):
     np.testing.assert_allclose(avg1["params"]["layer"]["w"], 6.0)
     with pytest.raises(FileNotFoundError):
         average_checkpoints(str(tmp_path / "none"), template)
+
+
+def test_top_confusions():
+    from myconvnet_tpu.eval.evaluators import ConfusionMatrixEvaluator
+    ev2 = ConfusionMatrixEvaluator(3)
+    # truth 0 predicted as 2 five times; truth 1->0 twice; diagonal noise
+    logits = np.eye(3, dtype=np.float32)
+    preds = [2] * 5 + [0] * 2 + [1] * 4
+    truth = [0] * 5 + [1] * 2 + [1] * 4
+    ev2.update(logits[preds], np.asarray(truth))
+    top = ev2.top_confusions(2, ["a", "b", "c"])
+    assert top == [("a", "c", 5), ("b", "a", 2)]
+    assert ev2.top_confusions(10)[0] == ("0", "2", 5)
