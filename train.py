@@ -68,6 +68,10 @@ def main():
     out = args.out or os.path.join(
         "runs", os.path.splitext(os.path.basename(args.config))[0])
     os.makedirs(out, exist_ok=True)
+    # reproducibility: persist the RESOLVED config (file + CLI overrides)
+    import json
+    with open(os.path.join(out, "config.json"), "w") as f:
+        json.dump(cfg, f, indent=1, default=str)
     mesh = make_mesh() if args.mesh else None
 
     if cfg["task"] == "gan":
