@@ -30,10 +30,18 @@ from myconvnet_tpu.train.losses import (pixel_cross_entropy,
 
 
 def load_config(path: str, **overrides) -> dict:
-    spec = importlib.util.spec_from_file_location("_cfg", path)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    cfg = dict(mod.config)
+    """Load a recipe: a .py module exposing ``config`` or a .json dump
+    (the resolved config train.py persists to <out>/config.json — so a
+    finished run's directory is itself a rerunnable recipe)."""
+    if path.endswith(".json"):
+        import json
+        with open(path) as f:
+            cfg = json.load(f)
+    else:
+        spec = importlib.util.spec_from_file_location("_cfg", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        cfg = dict(mod.config)
     for k, v in overrides.items():
         if v is not None:
             cfg[k] = v

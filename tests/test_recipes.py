@@ -146,3 +146,16 @@ def test_fashion_mnist_source_and_class_names():
     # the recipe layer attaches garment names from the dataset key
     assert train_src.class_names[0] == "t-shirt/top"
     assert len(val_src.class_names) == 10
+
+
+def test_load_config_json_roundtrip(tmp_path):
+    """A persisted config.json reloads as a runnable recipe."""
+    import json
+
+    cfg = recipes.load_config("configs/cifar10_smallnet.py",
+                              total_steps=7)
+    p = tmp_path / "config.json"
+    p.write_text(json.dumps(cfg, default=str))
+    cfg2 = recipes.load_config(str(p), batch_size=4)
+    assert cfg2["total_steps"] == 7 and cfg2["batch_size"] == 4
+    assert cfg2["model"] == cfg["model"]
