@@ -19,6 +19,12 @@ implementation of the standard practical recipe:
 * axes larger than ``max_dim`` fall back to the identity preconditioner
   (the other axis still preconditions) — the honest scalar-hardware cap
   in place of the full blocked partitioning.
+
+``max_dim`` also bounds COMPILE weight: every preconditioned axis adds
+an eigh branch to the single train program, and ~100 parameters x
+2048-dim eighs is enough to OOM a constrained XLA compiler host
+(observed on this environment's remote-compile relay).  256-512 keeps
+the program light while preconditioning the channel axes that matter.
 """
 
 from __future__ import annotations
