@@ -6,6 +6,8 @@ API lives in ``models.base``.
 """
 
 from myconvnet_tpu.models.alexnet import alexnet
+from myconvnet_tpu.models.convnext import (convnext, convnext_small,
+                                           convnext_tiny)
 from myconvnet_tpu.models.deeplab import aspp, deeplab_v3_plus
 from myconvnet_tpu.models.densenet import (densenet, densenet121,
                                            densenet169, densenet201)
@@ -57,6 +59,8 @@ CLASSIFIERS = {
     "shufflenet_v2": shufflenet_v2,
     "squeezenet": squeezenet,
     "xception65": xception65,
+    "convnext_tiny": convnext_tiny,
+    "convnext_small": convnext_small,
 }
 
 SEGMENTERS = {

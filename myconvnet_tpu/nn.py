@@ -283,15 +283,34 @@ def swish(x):
     return jax.nn.silu(x)
 
 
+def gelu(x):
+    return jax.nn.gelu(x)
+
+
 ACTIVATIONS: dict[str, Callable] = {
     "relu": relu, "relu6": relu6, "lrelu": leaky_relu,
     "leaky_relu": leaky_relu, "sigmoid": sigmoid, "tanh": tanh,
-    "swish": swish, "silu": swish, "linear": lambda x: x, "none": lambda x: x,
+    "swish": swish, "silu": swish, "gelu": gelu,
+    "linear": lambda x: x, "none": lambda x: x,
 }
 
 
 def activation(x, kind: str):
     return ACTIVATIONS[kind](x)
+
+
+def drop_path(x: jax.Array, rate: float, *, train: bool) -> jax.Array:
+    """Stochastic depth (Huang et al.): drop the WHOLE residual branch
+    per sample with probability ``rate`` (scaled at train time so eval
+    is identity).  The standard deep-network regularizer that dropout
+    does not replace — one bernoulli per example, broadcast over the
+    feature map."""
+    if not train or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(next_rng_key(), keep, shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
 # ----------------------------------------------------------------- pooling

@@ -410,3 +410,28 @@ def test_pspnet_output_shape_and_registry():
     names = set(params)
     assert any("ppm" in n and "bin1" in n for n in names)
     assert any("bin6" in n for n in names)
+
+
+@pytest.mark.slow
+def test_convnext_tiny_param_count():
+    """ConvNeXt-T canonical size (paper/timm: 28.6M params)."""
+    x = jnp.zeros((1, 32, 32, 3))
+    _, params, _ = _build(models.convnext_tiny, x, 1000, train=False)
+    n = _n_params(params) / 1e6
+    assert abs(n - 28.6) < 0.4, f"convnext_tiny: {n:.2f}M"
+
+
+def test_convnext_forward_and_droppath():
+    x = jnp.zeros((2, 32, 32, 3))
+    net, params, state = _build(
+        lambda x, train: models.convnext(x, 10, train=train,
+                                         variant="tiny",
+                                         drop_path_rate=0.5), x, True)
+    y, _ = net.apply(params, state, jax.random.key(1), x, True)
+    assert y.shape == (2, 10)
+    # eval mode is deterministic (drop_path off) and rng-free
+    y1, _ = net.apply(params, state, None, x, False)
+    y2, _ = net.apply(params, state, None, x, False)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    # layer-scale parameters exist
+    assert any("layer_scale" in d for b in params.values() for d in b)
