@@ -187,7 +187,10 @@ class ConvNet:
               plateau_patience: int = 0) -> TrainState:
         if epochs is not None:
             # reference-era epoch arithmetic: steps per epoch from the
-            # train split size (drop-remainder batching)
+            # train split size (drop-remainder batching).  NOTE: a
+            # step-horizon LR schedule baked into `optimizer` is the
+            # caller's concern here; train.py resolves epochs before
+            # building the optimizer so recipes stay consistent.
             total_steps = epochs * max(len(train_set) // batch_size, 1)
         if optimizer is not None and optimizer is not getattr(
                 self, "_optimizer", None):

@@ -26,11 +26,8 @@ from myconvnet_tpu.ops.resize import resize_bilinear
 
 
 def _conv_bn_relu(x, features, kernel, *, dilation=1, train, name):
-    with nn.scope_named(name):
-        x = nn.conv(x, features, kernel, dilation=dilation, use_bias=False,
-                    name="conv")
-        x = nn.batch_norm(x, train=train, momentum=0.9, eps=1e-5, name="bn")
-    return nn.relu(x)
+    return nn.conv_bn_relu(x, features, kernel, dilation=dilation,
+                           train=train, name=name)
 
 
 def aspp(x: jax.Array, *, features: int = 256,

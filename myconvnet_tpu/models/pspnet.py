@@ -22,11 +22,7 @@ from myconvnet_tpu.ops.resize import resize_bilinear
 
 
 def _conv_bn_relu(x, features, kernel, *, train, name):
-    with nn.scope_named(name):
-        x = nn.conv(x, features, kernel, use_bias=False, name="conv")
-        x = nn.batch_norm(x, train=train, momentum=0.9, eps=1e-5,
-                          name="bn")
-    return nn.relu(x)
+    return nn.conv_bn_relu(x, features, kernel, train=train, name=name)
 
 
 def pyramid_pooling(x: jax.Array, *, bins=(1, 2, 3, 6), train: bool,

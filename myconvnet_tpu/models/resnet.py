@@ -37,7 +37,10 @@ def _bn(x, train, zero_init=False, name="bn", norm="batch"):
     per-device batches under pipeline/accum microbatching)."""
     if norm == "group":
         c = x.shape[-1]
-        return nn.group_norm(x, groups=min(32, c),
+        # largest group count <= 32 that divides c (width knobs can
+        # produce channel counts not divisible by 32)
+        g = next(g for g in range(min(32, c), 0, -1) if c % g == 0)
+        return nn.group_norm(x, groups=g,
                              gamma_init=init.zeros if zero_init else None,
                              name=name)
     return nn.batch_norm(x, train=train, momentum=0.9, eps=1e-5,

@@ -299,6 +299,20 @@ def activation(x, kind: str):
     return ACTIVATIONS[kind](x)
 
 
+def conv_bn_relu(x: jax.Array, features: int, kernel_size: _IntOrPair,
+                 *, train: bool, stride: _IntOrPair = 1,
+                 dilation: _IntOrPair = 1, momentum: float = 0.9,
+                 eps: float = 1e-5, name: str = "cbr") -> jax.Array:
+    """conv(use_bias=False) -> BN -> ReLU — the segmentation heads'
+    shared building block (scope layout: <name>/conv, <name>/bn)."""
+    with scope_named(name):
+        x = conv(x, features, kernel_size, stride=stride,
+                 dilation=dilation, use_bias=False, name="conv")
+        x = batch_norm(x, train=train, momentum=momentum, eps=eps,
+                       name="bn")
+    return relu(x)
+
+
 def drop_path(x: jax.Array, rate: float, *, train: bool) -> jax.Array:
     """Stochastic depth (Huang et al.): drop the WHOLE residual branch
     per sample with probability ``rate`` (scaled at train time so eval

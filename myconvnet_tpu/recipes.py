@@ -61,16 +61,16 @@ def make_optimizer(opt_cfg: dict) -> optim_lib.Optimizer:
     plateau = opt_cfg.pop("plateau", False)
     freeze = opt_cfg.pop("freeze", None)
     opt = optim_lib.make_optimizer(name, lr, **opt_cfg)
-    if freeze:
-        # innermost: clipping sees only trainable grads, EMA tracks the
-        # applied params
-        opt = optim_lib.with_frozen(opt, freeze)
     if plateau:
-        # innermost so a surrounding EMA tracks the actually-applied
-        # (scaled) parameters; see optim.with_plateau
+        # inside clipping/EMA so a surrounding EMA tracks the
+        # actually-applied (scaled) parameters; see optim.with_plateau
         opt = optim_lib.with_plateau(opt)
     if clip:
         opt = optim_lib.with_gradient_clipping(opt, float(clip))
+    if freeze:
+        # OUTSIDE clipping: frozen grads are zeroed before the global
+        # norm, so the clip threshold applies to the trainable subset
+        opt = optim_lib.with_frozen(opt, freeze)
     if ema_decay:
         opt = optim_lib.with_ema(opt, float(ema_decay))
     return opt

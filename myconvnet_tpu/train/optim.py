@@ -439,9 +439,11 @@ def with_frozen(opt: Optimizer, frozen) -> Optimizer:
     scope-path prefixes (e.g. ``["backbone"]``).  Frozen leaves keep
     their exact values (their gradients are also zeroed before the inner
     update, so momentum/Adam moments stay at rest rather than
-    accumulating phantom velocity).  Wrap INNERMOST (before clip/EMA) so
-    gradient clipping sees the trainable subset's norm and EMA tracks
-    the actually-applied parameters.
+    accumulating phantom velocity).  Wrap OUTSIDE with_gradient_clipping
+    (the zeroing must happen before the global norm so the clip
+    threshold applies to the trainable subset) and INSIDE with_ema
+    (EMA tracks the actually-applied parameters) — recipes.make_optimizer
+    composes in this order.
     """
     if not callable(frozen):
         prefixes = tuple(str(p) for p in frozen)

@@ -375,14 +375,15 @@ int mcn_decode_png(const uint8_t* data, int64_t len, int mode,
   const int depth = png_get_bit_depth(p, info);
   if (mode == 1) {
     // raw indices/gray: no palette expansion; sub-byte depths unpack to
-    // one byte per pixel, 16-bit gray narrows to 8
-    if (color != PNG_COLOR_TYPE_PALETTE &&
-        color != PNG_COLOR_TYPE_GRAY) {
+    // one byte per pixel.  16-bit gray DECLINES (stripping to the high
+    // byte would corrupt label ids > 255 — the PIL fallback preserves
+    // full values).
+    if ((color != PNG_COLOR_TYPE_PALETTE &&
+         color != PNG_COLOR_TYPE_GRAY) || depth == 16) {
       png_destroy_read_struct(&p, &info, nullptr);
-      return 4;  // not an index/gray image — caller falls back to RGB
+      return 4;  // caller falls back to PIL
     }
     if (depth < 8) png_set_packing(p);
-    if (depth == 16) png_set_strip_16(p);
   } else {
     if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(p);
     if (color == PNG_COLOR_TYPE_GRAY && depth < 8)

@@ -169,3 +169,21 @@ def test_native_png_decode_rgb_and_raw_palette(tmp_path):
     # corrupt bytes -> None (no crash)
     assert nl.decode_png(b"\x89PNG\r\n\x1a\njunk", "rgb") is None
     assert nl.decode_png(b"notapng", "rgb") is None
+
+
+def test_native_png_declines_16bit_gray_raw(tmp_path):
+    """16-bit label masks must fall back to PIL (stripping to 8 bits
+    would corrupt ids > 255)."""
+    import io
+
+    from PIL import Image
+
+    from myconvnet_tpu.data import native_loader as nl
+
+    if not nl.native_png_available():
+        pytest.skip("native png unavailable")
+    arr = (np.arange(12, dtype=np.uint16) * 100).reshape(3, 4)
+    b = io.BytesIO()
+    Image.fromarray(arr, mode="I;16").save(b, format="PNG")
+    assert nl.decode_png(b.getvalue(), "raw") is None
+    # rgb mode may still expand it (strip_16 is fine for display data)

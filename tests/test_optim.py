@@ -357,3 +357,22 @@ def test_with_frozen_freezes_by_prefix_and_moments_stay_at_rest():
                     )(grads, s2, params)
     np.testing.assert_array_equal(p2["backbone"]["w"], [1.0, 2.0])
     assert float(p2["head"]["w"][0]) < 3.0
+
+
+def test_frozen_grads_excluded_from_clip_norm():
+    """recipes composition: freeze wraps OUTSIDE clipping, so a huge
+    frozen-backbone gradient must not scale down the head's update."""
+    from myconvnet_tpu import recipes
+
+    opt = recipes.make_optimizer(dict(name="sgd", lr=0.1,
+                                      clip_norm=1.0,
+                                      freeze=["backbone"]))
+    params = {"backbone": {"w": jnp.zeros(4)}, "head": {"w": jnp.zeros(2)}}
+    grads = {"backbone": {"w": jnp.full(4, 1e6)},   # would dominate norm
+             "head": {"w": jnp.asarray([0.3, 0.4])}}  # norm 0.5 < clip
+    state = opt.init(params)
+    p, _ = opt.update(grads, state, params, jnp.asarray(0))
+    np.testing.assert_array_equal(p["backbone"]["w"], 0.0)
+    # head unclipped: delta == -lr * g exactly
+    np.testing.assert_allclose(np.asarray(p["head"]["w"]),
+                               [-0.03, -0.04], rtol=1e-5)

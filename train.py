@@ -108,6 +108,17 @@ def run_supervised(cfg, args, out, mesh, resume: bool):
     net.preemption_guard = guard
     if args.tensorboard:
         net.logger = MetricLogger(log_dir=out, tensorboard=True)
+    if cfg.get("epochs"):
+        # resolve epochs BEFORE the optimizer builds so step-horizon
+        # schedules (cosine/poly/warmup totals) match the actual run
+        spe = max(len(train_set) // cfg["batch_size"], 1)
+        cfg["total_steps"] = int(cfg["epochs"]) * spe
+        lr = cfg.get("optimizer", {}).get("lr")
+        if isinstance(lr, dict) and "total_steps" in lr:
+            lr["total_steps"] = cfg["total_steps"]
+        import json
+        with open(os.path.join(out, "config.json"), "w") as f:
+            json.dump(cfg, f, indent=1, default=str)
     evaluator = recipes.build_evaluator(cfg)
     optimizer = recipes.make_optimizer(cfg["optimizer"])
     if resume:
@@ -120,8 +131,7 @@ def run_supervised(cfg, args, out, mesh, resume: bool):
         from myconvnet_tpu.utils.profiling import trace
         with trace(os.path.join(out, "trace")):
             net.train(train_set, val_set, batch_size=cfg["batch_size"],
-                      total_steps=cfg["total_steps"],
-                      epochs=cfg.get("epochs"), optimizer=optimizer,
+                      total_steps=cfg["total_steps"], optimizer=optimizer,
                       evaluator=evaluator,
                       val_every=cfg.get("val_every", 0),
                       early_stop_patience=cfg.get("early_stop_patience",
@@ -131,8 +141,7 @@ def run_supervised(cfg, args, out, mesh, resume: bool):
         print(f"trace: {os.path.join(out, 'trace')}")
     else:
         net.train(train_set, val_set, batch_size=cfg["batch_size"],
-                  total_steps=cfg["total_steps"],
-                  epochs=cfg.get("epochs"), optimizer=optimizer,
+                  total_steps=cfg["total_steps"], optimizer=optimizer,
                   evaluator=evaluator, val_every=cfg.get("val_every", 0),
                   early_stop_patience=cfg.get("early_stop_patience", 0),
                   plateau_factor=cfg.get("plateau_factor", 0.0),
