@@ -91,12 +91,20 @@ def export_inference(model: Transformed, params: Params, state: State,
 
 
 def load_inference(path: str):
-    """Load an exported artifact; returns ``fn(x) -> logits``."""
+    """Load an exported artifact; returns ``fn(x) -> logits`` with the
+    artifact's expected input shapes attached as ``fn.input_shapes``
+    (the export is compiled for fixed shapes — callers bucket/pad to
+    them, e.g. serve.py)."""
     from jax import export as jexport
 
     with open(path, "rb") as f:
         exported = jexport.deserialize(f.read())
-    return lambda x: exported.call(x)
+
+    def fn(x):
+        return exported.call(x)
+
+    fn.input_shapes = tuple(tuple(a.shape) for a in exported.in_avals)
+    return fn
 
 
 def make_batched_server(fn, batch_sizes=(1, 8, 32, 128)):

@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Serving entry point: run or benchmark a frozen StableHLO artifact.
+
+    # export first (test-time):
+    #   from myconvnet_tpu import serving; serving.export_inference(...)
+    # then:
+    python serve.py --artifact model.stablehlo --images photos/ \
+        [--config C --topk 5]          # classify files
+    python serve.py --artifact model.stablehlo --latency \
+        [--sizes 1,8,32] [--hw 224,224]  # SLO numbers
+
+The artifact reloads WITHOUT model code or weights (serving.py); the
+bucketing wrapper serves arbitrary request sizes on fixed compiled
+shapes.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--artifact", required=True,
+                    help="StableHLO file from serving.export_inference")
+    ap.add_argument("--images", default=None,
+                    help="directory of images to classify")
+    ap.add_argument("--config", default=None,
+                    help="recipe config (class names/normalization hints)")
+    ap.add_argument("--topk", type=int, default=5)
+    ap.add_argument("--latency", action="store_true",
+                    help="measure p50/p95/p99 + throughput instead")
+    ap.add_argument("--sizes", default="1,8,32",
+                    help="request sizes for --latency")
+    ap.add_argument("--hw", default=None,
+                    help="input H,W for --latency (default: artifact's)")
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    import numpy as np
+
+    from myconvnet_tpu import serving
+
+    fn = serving.load_inference(args.artifact)
+    art_shape = fn.input_shapes[0]          # (B, H, W, C) — fixed
+    # the artifact is compiled for one shape: the only valid bucket is
+    # its batch (requests pad up / chunk through it)
+    buckets = (art_shape[0],)
+    serve = serving.make_batched_server(fn, batch_sizes=buckets)
+
+    if args.latency:
+        if args.hw:
+            h, w = (int(v) for v in args.hw.split(","))
+        else:
+            h, w = art_shape[1], art_shape[2]
+        sizes = tuple(int(s) for s in args.sizes.split(","))
+        stats = serving.measure_latency(serve, (h, w, 3),
+                                        request_sizes=sizes)
+        for n, row in stats.items():
+            print(f"n={n:<4d} p50={row['p50']:.2f}ms "
+                  f"p95={row['p95']:.2f}ms p99={row['p99']:.2f}ms "
+                  f"qps={row['qps']:.1f} "
+                  f"images/s={row['images_per_sec']:.0f}")
+        return
+
+    if not args.images:
+        raise SystemExit("pass --images DIR or --latency")
+    import os
+
+    from PIL import Image
+    paths = sorted(
+        os.path.join(args.images, f) for f in os.listdir(args.images)
+        if f.lower().endswith((".jpg", ".jpeg", ".png")))
+    if not paths:
+        raise SystemExit(f"no images under {args.images!r}")
+
+    mean = std = None
+    names = None
+    hw = (art_shape[1], art_shape[2])
+    if args.config:
+        from myconvnet_tpu import recipes
+        cfg = recipes.load_config(args.config)
+        aug = cfg.get("augment") or {}
+        hw = tuple(aug.get("out_hw", hw))
+        if "mean" in aug:
+            mean = np.asarray(aug["mean"], np.float32)
+            std = np.asarray(aug["std"], np.float32)
+
+    raw = np.stack([
+        np.asarray(Image.open(p).convert("RGB").resize(
+            (hw[1], hw[0]), Image.BILINEAR), np.float32) / 255.0
+        for p in paths])
+    x = (raw - mean) / std if mean is not None else raw
+
+    logits = np.asarray(serve(x))
+    from myconvnet_tpu.eval.evaluators import decode_predictions
+    names = names or [str(i) for i in range(logits.shape[-1])]
+    for path, row in zip(paths,
+                         decode_predictions(logits, names, args.topk)):
+        pretty = ", ".join(f"{n}:{p:.2f}" for n, p in row)
+        print(f"{os.path.basename(path)}: {pretty}")
+
+
+if __name__ == "__main__":
+    main()
