@@ -159,3 +159,33 @@ def test_classifier_cli_report_and_average(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "averaged params" in r2.stdout
     assert "macro f1" in r2.stdout  # per-class report printed
+
+
+@pytest.mark.slow
+def test_serve_cli_latency_and_classify(tmp_path):
+    export = (
+        "import jax, jax.numpy as jnp, numpy as np\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from myconvnet_tpu import models, serving\n"
+        "from myconvnet_tpu.core import transform\n"
+        "m = transform(lambda x, train=False: models.smallnet("
+        "x, 10, train=train, width=8, dropout_rate=0.0))\n"
+        "p, s = m.init(jax.random.key(0), jnp.zeros((2, 32, 32, 3)), True)\n"
+        f"serving.export_inference(m, p, s, np.zeros((4, 32, 32, 3), "
+        f"np.float32), {str(str(tmp_path / 'm.hlo'))!r})\n"
+        "from PIL import Image\n"
+        "Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save("
+        f"{str(str(tmp_path / 'a.png'))!r})\n")
+    r0 = subprocess.run([sys.executable, "-c", export], cwd=REPO,
+                        capture_output=True, text=True, timeout=300,
+                        env={**os.environ, "JAX_PLATFORMS": ""})
+    assert r0.returncode == 0, r0.stderr[-2000:]
+    r1 = _run(["serve.py", "--artifact", str(tmp_path / "m.hlo"),
+               "--latency", "--sizes", "1,4", "--platform", "cpu"])
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert "p99" in r1.stdout and "images/s" in r1.stdout
+    r2 = _run(["serve.py", "--artifact", str(tmp_path / "m.hlo"),
+               "--images", str(tmp_path), "--topk", "2",
+               "--platform", "cpu"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "a.png:" in r2.stdout
