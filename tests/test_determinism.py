@@ -113,3 +113,55 @@ def test_resume_reproduces_uninterrupted_trajectory(tmp_path):
             np.testing.assert_array_equal(resumed[scope][name],
                                           straight[scope][name],
                                           err_msg=f"{scope}/{name}")
+
+
+def test_gan_resume_reproduces_uninterrupted_trajectory(tmp_path):
+    """Checkpoint a fused GAN run mid-way, restore into a fresh state,
+    continue: metrics must be bit-identical to the uninterrupted run
+    (the step-keyed PRNG makes the z-draws resume-invariant)."""
+    import jax
+    import jax.numpy as jnp
+
+    from myconvnet_tpu import models
+    from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
+    from myconvnet_tpu.core import transform
+    from myconvnet_tpu.train import gan, optim
+
+    gen = transform(lambda z, train: models.dcgan_generator(
+        z, train=train, image_size=16, base_features=16))
+    disc = transform(lambda x, train: models.dcgan_discriminator(
+        x, train=train, base_features=8))
+    g_opt = optim.adam(2e-4, b1=0.5)
+    d_opt = optim.adam(2e-4, b1=0.5)
+    step = gan.make_dcgan_step(gen, disc, g_opt, d_opt, latent_dim=16)
+
+    def fresh():
+        return gan.init_gan_state(gen, disc, g_opt, d_opt,
+                                  jax.random.key(0), jnp.zeros((4, 16)),
+                                  (jnp.zeros((4, 16, 16, 3)),))
+
+    rs = np.random.RandomState(0)
+    real = jnp.asarray(rs.uniform(-1, 1, (4, 16, 16, 3))
+                       .astype(np.float32))
+
+    # uninterrupted: 4 steps
+    state = fresh()
+    losses = []
+    for _ in range(4):
+        state, m = step(state, real)
+        losses.append((float(m["d_loss"]), float(m["g_loss"])))
+
+    # interrupted: 2 steps, checkpoint, restore into a fresh template
+    state = fresh()
+    for _ in range(2):
+        state, m = step(state, real)
+    ckpt_lib.save_checkpoint(str(tmp_path), 2, state._asdict())
+    restored = ckpt_lib.restore_checkpoint(str(tmp_path),
+                                           fresh()._asdict())
+    state = type(state)(**restored)
+    resumed = []
+    for _ in range(2):
+        state, m = step(state, real)
+        resumed.append((float(m["d_loss"]), float(m["g_loss"])))
+    np.testing.assert_array_equal(np.asarray(resumed),
+                                  np.asarray(losses[2:]))
