@@ -22,7 +22,8 @@ from myconvnet_tpu.data.pipeline import DataSet
 from myconvnet_tpu.eval.evaluators import (AccuracyEvaluator,
                                            MeanIoUEvaluator)
 from myconvnet_tpu.models.base import ConvNet
-from myconvnet_tpu.subsets import cifar10, cifar100, imagenet, mnist, voc
+from myconvnet_tpu.subsets import (cifar10, cifar100, imagenet, mnist,
+                                   svhn, voc)
 from myconvnet_tpu.train import gan as gan_lib
 from myconvnet_tpu.train import optim as optim_lib
 from myconvnet_tpu.train.losses import (pixel_cross_entropy,
@@ -88,7 +89,7 @@ def make_sources(cfg: dict, synthetic: bool, splits=("train", "val")):
     data_dir = cfg.get("data_dir")
     table = {"cifar10": cifar10, "cifar100": cifar100,
              "imagenet": imagenet, "voc": voc,
-             "mnist": mnist, "fashion_mnist": mnist}
+             "mnist": mnist, "fashion_mnist": mnist, "svhn": svhn}
     if name not in table:
         raise ValueError(f"unknown dataset {name!r}; valid: "
                          f"{sorted(table)} (or 'pairs' for pix2pix)")
@@ -96,7 +97,8 @@ def make_sources(cfg: dict, synthetic: bool, splits=("train", "val")):
     out = []
     for split in splits:
         real_split = {"val": "test" if name.startswith("cifar")
-                      or name.endswith("mnist") else "val"}.get(split, split)
+                      or name.endswith("mnist") or name == "svhn"
+                      else "val"}.get(split, split)
         src = mod.make_source(data_dir, real_split,
                               synthetic=synthetic or data_dir is None)
         if name == "fashion_mnist":
