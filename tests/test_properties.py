@@ -1,0 +1,140 @@
+"""Property-based tests (hypothesis): invariants that hold for ALL
+shapes/values, not just the fixtures the example-based suite picked.
+
+Settings keep example counts small — each example may trigger an XLA
+compile, and the invariants are shape-driven, so breadth beats depth.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+SET = dict(max_examples=15, deadline=None)
+
+
+@settings(**SET)
+@given(
+    h=st.integers(6, 24), w=st.integers(6, 24),
+    oh=st.integers(4, 20), ow=st.integers(4, 20),
+    value=st.integers(0, 255), n=st.integers(1, 3),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_crop_resize_preserves_constant_images(h, w, oh, ow, value, n,
+                                               seed):
+    """A constant image stays exactly constant under ANY random crop +
+    resize geometry (the interpolation matrices are affine with rows
+    summing to 1)."""
+    from myconvnet_tpu.data.augment import (batched_crop_resize,
+                                            random_resized_crop_boxes)
+    imgs = np.full((n, h, w, 3), value, np.uint8)
+    boxes = random_resized_crop_boxes(jax.random.key(seed), n, (h, w),
+                                      (0.3, 1.0), (0.75, 1.333))
+    out = batched_crop_resize(jnp.asarray(imgs), boxes, (oh, ow))
+    np.testing.assert_allclose(np.asarray(out), float(value), atol=1e-2)
+
+
+@settings(**SET)
+@given(
+    h=st.integers(5, 20), w=st.integers(5, 20),
+    oh=st.integers(4, 16), ow=st.integers(4, 16),
+    n=st.integers(1, 3), seed=st.integers(0, 2**31 - 1),
+    labels=st.integers(2, 6),
+)
+def test_mask_crop_emits_only_original_labels(h, w, oh, ow, n, seed,
+                                              labels):
+    """Nearest mask resampling must never invent label values."""
+    from myconvnet_tpu.data.augment import (batched_crop_nearest,
+                                            random_resized_crop_boxes)
+    rs = np.random.RandomState(seed % 2**31)
+    masks = rs.randint(0, labels, (n, h, w)).astype(np.int32)
+    boxes = random_resized_crop_boxes(jax.random.key(seed), n, (h, w),
+                                      (0.3, 1.0), (0.75, 1.333))
+    out = np.asarray(batched_crop_nearest(jnp.asarray(masks), boxes,
+                                          (oh, ow)))
+    assert set(np.unique(out)) <= set(np.unique(masks))
+
+
+@settings(**SET)
+@given(
+    shape=st.sampled_from([(3,), (4, 5), (2, 3, 4), (1, 2, 3, 4)]),
+    scale=st.floats(1e-3, 1e3), seed=st.integers(0, 2**31 - 1),
+)
+def test_quantize_roundtrip_error_bound(shape, scale, seed):
+    from myconvnet_tpu.ops.quantized import quantize_tensor
+    rs = np.random.RandomState(seed % 2**31)
+    x = jnp.asarray((rs.randn(*shape) * scale).astype(np.float32))
+    q, s = quantize_tensor(x)
+    err = float(jnp.max(jnp.abs(q.astype(jnp.float32) * s - x)))
+    assert err <= float(s) * 0.5 + 1e-6
+
+
+@settings(**SET)
+@given(
+    h=st.integers(2, 17), w=st.integers(2, 17),
+    bh=st.integers(1, 8), bw=st.integers(1, 8),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_adaptive_pool_preserves_global_mean_weightedly(h, w, bh, bw,
+                                                        seed):
+    """bins=(1,1) IS the global mean for any input shape; and every
+    output bin lies within [min, max] of the input."""
+    from myconvnet_tpu.ops.pool import adaptive_avg_pool2d
+    rs = np.random.RandomState(seed % 2**31)
+    x = jnp.asarray(rs.rand(2, h, w, 3).astype(np.float32))
+    g = adaptive_avg_pool2d(x, 1)
+    np.testing.assert_allclose(np.asarray(g)[:, 0, 0],
+                               np.asarray(x).mean(axis=(1, 2)), atol=1e-5)
+    bh2, bw2 = min(bh, h), min(bw, w)
+    y = np.asarray(adaptive_avg_pool2d(x, (bh2, bw2)))
+    assert y.min() >= float(np.asarray(x).min()) - 1e-6
+    assert y.max() <= float(np.asarray(x).max()) + 1e-6
+
+
+@settings(**SET)
+@given(
+    n=st.integers(1, 8), c=st.integers(2, 12),
+    smoothing=st.floats(0.0, 0.3), seed=st.integers(0, 2**31 - 1),
+)
+def test_cross_entropy_nonnegative_and_smoothing_bounded(n, c, smoothing,
+                                                         seed):
+    from myconvnet_tpu.train.losses import softmax_cross_entropy
+    rs = np.random.RandomState(seed % 2**31)
+    logits = jnp.asarray(rs.randn(n, c).astype(np.float32) * 3)
+    labels = jnp.asarray(rs.randint(0, c, n))
+    loss = float(softmax_cross_entropy(logits, labels,
+                                       label_smoothing=smoothing))
+    assert np.isfinite(loss) and loss >= 0.0
+    # CE is invariant to logit shifts (softmax gauge)
+    loss2 = float(softmax_cross_entropy(logits + 7.3, labels,
+                                        label_smoothing=smoothing))
+    np.testing.assert_allclose(loss, loss2, rtol=1e-4)
+
+
+@settings(**SET)
+@given(
+    depth=st.integers(1, 4), seed=st.integers(0, 2**31 - 1),
+)
+def test_checkpoint_roundtrip_arbitrary_trees(depth, seed, tmp_path_factory):
+    """save/restore is the identity for random nested dict pytrees of
+    mixed dtypes/shapes."""
+    from myconvnet_tpu.ckpt.checkpoint import (restore_checkpoint,
+                                               save_checkpoint)
+    rs = np.random.RandomState(seed % 2**31)
+
+    def tree(d):
+        if d == 0:
+            dtype = rs.choice([np.float32, np.int32, np.uint8])
+            shape = tuple(rs.randint(1, 4, rs.randint(0, 3)))
+            return np.asarray(rs.rand(*shape) * 10).astype(dtype)
+        return {f"k{i}": tree(d - 1) for i in range(rs.randint(1, 3))}
+
+    state = {"params": tree(depth), "step": np.int32(7)}
+    d = tmp_path_factory.mktemp("ckpt")
+    save_checkpoint(str(d), 1, state)
+    out = restore_checkpoint(str(d), state)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(state)[0],
+            jax.tree_util.tree_flatten_with_path(out)[0]):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
