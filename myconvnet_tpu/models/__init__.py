@@ -1,5 +1,8 @@
 """Model zoo: the five BASELINE config families (SURVEY.md §2#2-4).
 
+list_models()/get_model() are the public registry surface;
+CLASSIFIERS/SEGMENTERS/GAN_* are the raw tables.
+
 Every model is a pure forward function ``fn(x, num_classes, train=...)``
 meant to be wrapped with ``core.transform``; the ConvNet-compatible class
 API lives in ``models.base``.
@@ -81,6 +84,24 @@ GAN_DISCRIMINATORS = {
     "pix2pix": patchgan_discriminator,
     "cyclegan": patchgan_discriminator,
 }
+
+
+def list_models(kind: str | None = None) -> list[str]:
+    """Registry names: kind in (None|'classifier'|'segmenter'|'gan')."""
+    if kind in (None, "classifier"):
+        names = sorted(CLASSIFIERS)
+        if kind == "classifier":
+            return names
+    if kind in (None, "segmenter"):
+        seg = sorted(SEGMENTERS)
+        if kind == "segmenter":
+            return seg
+        names += seg
+    if kind == "gan":
+        return sorted(GAN_GENERATORS)
+    if kind is None:
+        return names
+    raise ValueError(f"unknown kind {kind!r}")
 
 
 def get_model(name: str):

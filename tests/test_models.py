@@ -435,3 +435,16 @@ def test_convnext_forward_and_droppath():
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
     # layer-scale parameters exist
     assert any("layer_scale" in d for b in params.values() for d in b)
+
+
+def test_list_models_registry():
+    names = models.list_models()
+    assert "resnet50" in names and "pspnet" in names
+    assert models.list_models("segmenter") == sorted(models.SEGMENTERS)
+    assert set(models.list_models("classifier")) == set(models.CLASSIFIERS)
+    assert "dcgan" in models.list_models("gan")
+    with pytest.raises(ValueError):
+        models.list_models("detector")
+    # every registry entry actually resolves
+    for n in names:
+        assert models.get_model(n) is not None
