@@ -87,21 +87,19 @@ GAN_DISCRIMINATORS = {
 
 
 def list_models(kind: str | None = None) -> list[str]:
-    """Registry names: kind in (None|'classifier'|'segmenter'|'gan')."""
-    if kind in (None, "classifier"):
-        names = sorted(CLASSIFIERS)
-        if kind == "classifier":
-            return names
-    if kind in (None, "segmenter"):
-        seg = sorted(SEGMENTERS)
-        if kind == "segmenter":
-            return seg
-        names += seg
-    if kind == "gan":
-        return sorted(GAN_GENERATORS)
+    """Registry names.  kind: 'classifier' | 'segmenter' | 'gan';
+    None lists everything get_model() resolves (classifiers +
+    segmenters — GAN generators pair with discriminators, ask for
+    kind='gan' explicitly)."""
+    tables = {"classifier": CLASSIFIERS, "segmenter": SEGMENTERS,
+              "gan": GAN_GENERATORS}
     if kind is None:
-        return names
-    raise ValueError(f"unknown kind {kind!r}")
+        return sorted(CLASSIFIERS) + sorted(SEGMENTERS)
+    try:
+        return sorted(tables[kind])
+    except KeyError as e:
+        raise ValueError(f"unknown kind {kind!r}; valid: "
+                         f"{sorted(tables)}") from e
 
 
 def get_model(name: str):

@@ -25,9 +25,19 @@ def read_subset(data_dir: str, split: str = "train"
                 ) -> tuple[np.ndarray, np.ndarray]:
     """Returns (images uint8 [N,32,32,3], labels int32 [N], digit 0 as
     class 0)."""
-    from scipy.io import loadmat
-    path = os.path.join(data_dir,
-                        _FILES["train" if split == "train" else "test"])
+    try:
+        from scipy.io import loadmat
+    except ImportError as e:
+        raise ImportError("the SVHN .mat reader needs scipy "
+                          "(pip install scipy)") from e
+    if split == "val":
+        split = "test"
+    if split not in _FILES:
+        raise ValueError(f"unknown SVHN split {split!r}; valid: "
+                         f"{sorted(_FILES)} (the 531k-image 'extra' "
+                         "split is not wired — point data_dir at a dir "
+                         "whose train_32x32.mat includes it if needed)")
+    path = os.path.join(data_dir, _FILES[split])
     if not os.path.exists(path):
         raise FileNotFoundError(
             f"SVHN file {path!r} not found; pass synthetic=True or place "

@@ -26,7 +26,8 @@ def main():
     ap.add_argument("--images", default=None,
                     help="directory of images to classify")
     ap.add_argument("--config", default=None,
-                    help="recipe config (class names/normalization hints)")
+                    help="recipe config (normalization stats + dataset "
+                         "class names when known)")
     ap.add_argument("--topk", type=int, default=5)
     ap.add_argument("--latency", action="store_true",
                     help="measure p50/p95/p99 + throughput instead")
@@ -55,6 +56,11 @@ def main():
     if args.latency:
         if args.hw:
             h, w = (int(v) for v in args.hw.split(","))
+            if (h, w) != tuple(art_shape[1:3]):
+                raise SystemExit(
+                    f"--hw {h},{w} does not match the artifact's fixed "
+                    f"input {art_shape} — exported programs compile for "
+                    "one shape; re-export for a different resolution")
         else:
             h, w = art_shape[1], art_shape[2]
         sizes = tuple(int(s) for s in args.sizes.split(","))
@@ -80,15 +86,17 @@ def main():
 
     mean = std = None
     names = None
-    hw = (art_shape[1], art_shape[2])
+    hw = (art_shape[1], art_shape[2])  # the artifact's shape is law
     if args.config:
         from myconvnet_tpu import recipes
         cfg = recipes.load_config(args.config)
         aug = cfg.get("augment") or {}
-        hw = tuple(aug.get("out_hw", hw))
-        if "mean" in aug:
+        if "mean" in aug and "std" in aug:
             mean = np.asarray(aug["mean"], np.float32)
             std = np.asarray(aug["std"], np.float32)
+        if cfg.get("dataset") == "fashion_mnist":
+            from myconvnet_tpu.subsets.mnist import FASHION_CLASS_NAMES
+            names = FASHION_CLASS_NAMES
 
     raw = np.stack([
         np.asarray(Image.open(p).convert("RGB").resize(

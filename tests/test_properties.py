@@ -8,7 +8,10 @@ compile, and the invariants are shape-driven, so breadth beats depth.
 import jax
 import jax.numpy as jnp
 import numpy as np
-from hypothesis import given, settings, strategies as st
+import pytest
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import given, settings, strategies as st  # noqa: E402
 
 SET = dict(max_examples=15, deadline=None)
 

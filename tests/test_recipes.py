@@ -163,7 +163,7 @@ def test_load_config_json_roundtrip(tmp_path):
 
 
 def test_svhn_mat_roundtrip_and_synthetic(tmp_path):
-    from scipy.io import savemat
+    savemat = pytest.importorskip("scipy.io").savemat
 
     from myconvnet_tpu.subsets import svhn
 
