@@ -201,6 +201,48 @@ def main():
                      False)[0]
     grid = make_grid(to_uint8(np.asarray(fake)))
     print(f"[images] 9-sample grid: {grid.shape}")
+
+    # 11. fine-tuning: freeze everything but the head, few steps
+    frozen_opt = optim.with_frozen(optim.momentum(0.05, 0.9),
+                                   lambda path, p: "logits" not in path)
+    head_before = np.asarray(net2.state.params["logits"]["w"]).copy()
+    fstate = net2.state._replace(opt_state=frozen_opt.init(
+        net2.state.params))
+    x8 = jnp.asarray(train_set.source.images[:8], jnp.float32) / 255.0
+
+    def head_loss(p):
+        logits, _ = net2._transformed.apply(p, fstate.model_state, None,
+                                            x8, False)
+        return jnp.mean(logits ** 2)
+
+    g = jax.grad(head_loss)(fstate.params)
+    new_p, _ = frozen_opt.update(g, fstate.opt_state, fstate.params,
+                                 jnp.asarray(0))
+    moved = float(np.abs(np.asarray(new_p["logits"]["w"])
+                         - head_before).sum())
+    stem_moved = float(sum(np.abs(np.asarray(new_p[k][n])
+                                  - np.asarray(fstate.params[k][n])).sum()
+                           for k in fstate.params if k != "logits"
+                           for n in fstate.params[k]))
+    print(f"[finetune] head moved {moved:.2e}, frozen rest moved "
+          f"{stem_moved:.1e}")
+
+    # 12. calibration + serving SLOs
+    from myconvnet_tpu.eval.calibration import (
+        expected_calibration_error, fit_temperature)
+    lg = net2.predict(val_set.source.images[:128])
+    temp = fit_temperature(lg, val_set.source.labels[:128])
+    print(f"[calibrate] T={temp:.2f} ece "
+          f"{expected_calibration_error(lg, val_set.source.labels[:128]):.3f}"
+          f" -> {expected_calibration_error(lg, val_set.source.labels[:128], temperature=temp):.3f}")
+    from myconvnet_tpu.serving import make_batched_server, measure_latency
+    fn3 = serving.make_inference_fn(net2._transformed, net2.state.params,
+                                    net2.state.model_state)
+    srv = make_batched_server(fn3, batch_sizes=(8, 32))
+    lat = measure_latency(srv, (32, 32, 3), request_sizes=(1, 8),
+                          iters=5, warmup=1)
+    print(f"[serve] p50@1={lat[1]['p50']:.1f}ms "
+          f"p50@8={lat[8]['p50']:.1f}ms")
     print("tour complete")
 
 
