@@ -26,7 +26,8 @@ from myconvnet_tpu.subsets import (cifar10, cifar100, imagenet, mnist,
                                    svhn, voc)
 from myconvnet_tpu.train import gan as gan_lib
 from myconvnet_tpu.train import optim as optim_lib
-from myconvnet_tpu.train.losses import (pixel_cross_entropy,
+from myconvnet_tpu.train.losses import (ce_dice_loss, dice_loss,
+                                        pixel_cross_entropy,
                                         softmax_cross_entropy)
 
 
@@ -140,7 +141,13 @@ def build_segmenter(cfg: dict, synthetic: bool = False,
     model_fn = models.get_model(cfg["model"])
     kwargs = dict(cfg.get("model_kwargs", {}))
     ignore = cfg.get("ignore_label", 255)
-    loss = lambda logits, y: pixel_cross_entropy(  # noqa: E731
+    kind = cfg.get("seg_loss", "ce")  # ce | dice | ce_dice
+    table = {"ce": pixel_cross_entropy, "dice": dice_loss,
+             "ce_dice": ce_dice_loss}
+    if kind not in table:
+        raise ValueError(f"unknown seg_loss {kind!r}; valid: "
+                         f"{sorted(table)}")
+    loss = lambda logits, y, _fn=table[kind]: _fn(  # noqa: E731
         logits, y, ignore_label=ignore)
     aug = make_augment(cfg.get("augment"))
     if aug is None:

@@ -46,6 +46,40 @@ def pixel_cross_entropy(logits: jax.Array, labels: jax.Array, *,
     return jnp.sum(ce) / jnp.maximum(jnp.sum(valid), 1.0)
 
 
+def dice_loss(logits: jax.Array, labels: jax.Array, *,
+              ignore_label: int | None = 255,
+              eps: float = 1.0) -> jax.Array:
+    """Soft Dice loss over [N,H,W,C] logits / [N,H,W] int labels —
+    the class-imbalance-robust companion to per-pixel CE (medical/thin-
+    structure segmentation).  One-hot overlaps are batched matmul-free
+    elementwise sums; ignore pixels drop out of both numerator and
+    denominator."""
+    logits = logits.astype(jnp.float32)
+    nc = logits.shape[-1]
+    valid = jnp.ones(labels.shape, jnp.float32) if ignore_label is None \
+        else (labels != ignore_label).astype(jnp.float32)
+    safe = jnp.where(valid > 0, labels, 0)
+    onehot = jax.nn.one_hot(safe, nc, dtype=jnp.float32) \
+        * valid[..., None]
+    probs = jax.nn.softmax(logits, axis=-1) * valid[..., None]
+    inter = jnp.sum(probs * onehot, axis=(1, 2))          # [N, C]
+    denom = jnp.sum(probs + onehot, axis=(1, 2))
+    dice = (2.0 * inter + eps) / (denom + eps)
+    return 1.0 - jnp.mean(dice)
+
+
+def ce_dice_loss(logits: jax.Array, labels: jax.Array, *,
+                 ignore_label: int | None = 255,
+                 dice_weight: float = 1.0,
+                 label_smoothing: float = 0.0) -> jax.Array:
+    """The standard CE + Dice combination."""
+    return (pixel_cross_entropy(logits, labels,
+                                ignore_label=ignore_label,
+                                label_smoothing=label_smoothing)
+            + dice_weight * dice_loss(logits, labels,
+                                      ignore_label=ignore_label))
+
+
 def sigmoid_bce(logits: jax.Array, target: float | jax.Array) -> jax.Array:
     """Numerically-stable sigmoid binary CE against a constant or tensor
     target (GAN real/fake labels)."""

@@ -89,3 +89,44 @@ def test_segmenter_predict_images_only():
     imgs = train_set.source.images[:3]
     out = net.predict(imgs, batch_size=2)
     assert out.shape == (3, 96, 96, 21)
+
+
+def test_dice_loss_properties():
+    import jax
+    from myconvnet_tpu.train.losses import ce_dice_loss, dice_loss
+
+    labels = jnp.asarray(np.random.RandomState(0)
+                         .randint(0, 4, (2, 8, 8)).astype(np.int32))
+    # perfect predictions (huge correct logits) -> dice -> ~0
+    perfect = jax.nn.one_hot(labels, 4) * 50.0
+    assert float(dice_loss(perfect, labels, ignore_label=None)) < 0.01
+    # wrong predictions -> near 1
+    wrong = jax.nn.one_hot((labels + 1) % 4, 4) * 50.0
+    assert float(dice_loss(wrong, labels, ignore_label=None)) > 0.9
+    # ignore pixels don't contribute: flipping an ignored pixel's logits
+    labels_ig = labels.at[0, 0, 0].set(255)
+    a = float(dice_loss(perfect, labels_ig))
+    b = float(dice_loss(perfect.at[0, 0, 0].set(-50.0), labels_ig))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    # combined loss is differentiable and positive for imperfect preds
+    g = jax.grad(lambda l: ce_dice_loss(l, labels,
+                                        ignore_label=None))(wrong)
+    assert float(jnp.sum(jnp.abs(g))) > 0
+
+
+def test_seg_loss_config_selection():
+    from myconvnet_tpu import recipes
+    cfg = dict(task="segmentation", model="unet",
+               model_kwargs=dict(base_features=4, depth=2),
+               dataset="voc", data_dir=None, num_classes=21,
+               batch_size=2, total_steps=1, seg_loss="ce_dice",
+               augment=dict(out_hw=(32, 32), area_range=(0.75, 1.25),
+                            flip=True),
+               precision="f32", seed=0)
+    net, train_set, _ = recipes.build_segmenter(cfg, synthetic=True)
+    state = net.train(train_set, batch_size=2, total_steps=1)
+    assert int(state.step) == 1
+    cfg["seg_loss"] = "tversky"
+    import pytest
+    with pytest.raises(ValueError, match="unknown seg_loss"):
+        recipes.build_segmenter(cfg, synthetic=True)
