@@ -54,8 +54,11 @@ def dcgan_generator(z: jax.Array, *, train: bool = False,
 
 
 def dcgan_discriminator(x: jax.Array, *, train: bool = False,
-                        base_features: int = 64) -> jax.Array:
-    """images [N,H,W,C] -> logits [N, 1]."""
+                        base_features: int = 64,
+                        spectral_norm: bool = False) -> jax.Array:
+    """images [N,H,W,C] -> logits [N, 1].  ``spectral_norm`` swaps BN
+    for SN on every conv/dense (SNGAN recipe — Lipschitz-bounded D,
+    pairs with the hinge objective)."""
     feats = base_features
     n_down = 0
     size = x.shape[1]
@@ -64,13 +67,14 @@ def dcgan_discriminator(x: jax.Array, *, train: bool = False,
         n_down += 1
     for i in range(n_down):
         x = nn.conv(x, feats, 4, stride=2, use_bias=(i == 0),
-                    w_init=_W_INIT)
-        if i > 0:  # no BN on the first conv (DCGAN convention)
+                    spectral_norm=spectral_norm, w_init=_W_INIT)
+        if i > 0 and not spectral_norm:  # DCGAN: no BN on first conv
             x = nn.batch_norm(x, train=train, momentum=0.9)
         x = nn.leaky_relu(x, 0.2)
         feats = min(feats * 2, 512)
     x = x.reshape(x.shape[0], -1)
-    return nn.dense(x, 1, w_init=_W_INIT, name="logits")
+    return nn.dense(x, 1, spectral_norm=spectral_norm, w_init=_W_INIT,
+                    name="logits")
 
 
 # ----------------------------------------------------------------- pix2pix

@@ -50,6 +50,7 @@ def conv(x: jax.Array, features: int, kernel_size: _IntOrPair, *,
          stride: _IntOrPair = 1, padding: str = "SAME",
          dilation: _IntOrPair = 1, groups: int = 1, use_bias: bool = True,
          weight_standardization: bool = False,
+         spectral_norm: bool = False,
          w_init=None, name: str = "conv") -> jax.Array:
     """Conv layer (reference conv_layer equivalent). NHWC in/out.
 
@@ -71,6 +72,8 @@ def conv(x: jax.Array, features: int, kernel_size: _IntOrPair, *,
             mean = jnp.mean(wf, axis=(0, 1, 2), keepdims=True)
             var = jnp.var(wf, axis=(0, 1, 2), keepdims=True)
             w = ((wf - mean) * jax.lax.rsqrt(var + 1e-10)).astype(w.dtype)
+        if spectral_norm:
+            w = _spectral_normalize(w)
         if calibrating():
             observe_activation(x)
         if qat_active() and not int8_active():
@@ -136,6 +139,7 @@ def depthwise_conv(x: jax.Array, kernel_size: _IntOrPair = 3, *,
 
 
 def dense(x: jax.Array, features: int, *, use_bias: bool = True,
+          spectral_norm: bool = False,
           w_init=None, name: str = "dense") -> jax.Array:
     """Fully-connected layer (reference fc_layer equivalent)."""
     pol = current_policy()
@@ -143,6 +147,8 @@ def dense(x: jax.Array, features: int, *, use_bias: bool = True,
     with scope(auto_name(name)):
         w = param("w", (cin, features), pol.param_dtype,
                   w_init or init.glorot_uniform())
+        if spectral_norm:
+            w = _spectral_normalize(w)
         if calibrating():
             observe_activation(x)
         if qat_active() and not int8_active():
@@ -159,6 +165,29 @@ def dense(x: jax.Array, features: int, *, use_bias: bool = True,
             b = param("b", (features,), pol.param_dtype, init.zeros)
             y = y + pol.cast_to_compute(b)
     return y
+
+
+def _spectral_normalize(w: jax.Array) -> jax.Array:
+    """Divide ``w`` by its leading singular value, estimated with one
+    persistent power iteration per apply (SNGAN, Miyato et al.).  The
+    iteration vector rides in layer state under "sn_u"; u/v are treated
+    as constants for the gradient (standard practice), so backward cost
+    is one elementwise divide."""
+    out = w.shape[-1]
+    w_mat = w.astype(jnp.float32).reshape(-1, out)          # [in, out]
+    u = get_state("sn_u", (out,), jnp.float32,
+                  lambda s, d: jnp.ones(s, d) / jnp.sqrt(s[0]))
+
+    def l2(x):
+        return x * jax.lax.rsqrt(jnp.sum(jnp.square(x)) + 1e-12)
+
+    v = l2(w_mat @ u)
+    u_new = l2(w_mat.T @ v)
+    set_state("sn_u", jax.lax.stop_gradient(u_new))
+    sigma = jnp.einsum("i,io,o->", jax.lax.stop_gradient(v), w_mat,
+                       jax.lax.stop_gradient(u_new))
+    return (w_mat / jnp.maximum(sigma, 1e-12)).reshape(w.shape) \
+        .astype(w.dtype)
 
 
 # ------------------------------------------------------------ normalization

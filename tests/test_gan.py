@@ -241,3 +241,52 @@ def test_cyclegan_recipe_and_sampler():
     out_ba = sampler(state, batch[1], direction="ba")
     assert out_ab.shape == (2, 16, 16, 3) and out_ab.dtype == np.uint8
     assert out_ba.shape == (2, 16, 16, 3)
+
+
+def test_spectral_norm_bounds_singular_value():
+    """After the power iteration converges, the effective conv weight's
+    leading singular value must be ~1."""
+    from myconvnet_tpu import nn as nn_lib
+
+    net = transform(lambda x: nn_lib.conv(x, 8, 3, use_bias=False,
+                                          spectral_norm=True,
+                                          name="snconv"))
+    x = jnp.asarray(np.random.RandomState(0)
+                    .rand(2, 8, 8, 4).astype(np.float32))
+    params, state = net.init(jax.random.key(0), x)
+    for _ in range(30):  # converge u
+        _, state = net.apply(params, state, None, x)
+    w = np.asarray(params["snconv"]["w"], np.float64).reshape(-1, 8)
+    u = np.asarray(state["snconv"]["sn_u"], np.float64)
+    v = w @ u
+    v /= np.linalg.norm(v)
+    u2 = w.T @ v
+    u2 /= np.linalg.norm(u2)
+    sigma_est = float(v @ w @ u2)
+    sigma_true = float(np.linalg.svd(w, compute_uv=False)[0])
+    np.testing.assert_allclose(sigma_est, sigma_true, rtol=1e-3)
+    # and the layer actually divides by it: ||W_eff||_2 ~= 1
+    np.testing.assert_allclose(
+        np.linalg.svd(w / sigma_est, compute_uv=False)[0], 1.0,
+        rtol=1e-3)
+
+
+def test_sn_hinge_dcgan_trains():
+    gen = transform(lambda z, train: models.dcgan_generator(
+        z, train=train, image_size=16, base_features=32))
+    disc = transform(lambda x, train: models.dcgan_discriminator(
+        x, train=train, base_features=16, spectral_norm=True))
+    g_opt = optim.adam(2e-4, b1=0.5)
+    d_opt = optim.adam(2e-4, b1=0.5)
+    step = gan.make_dcgan_step(gen, disc, g_opt, d_opt, latent_dim=16,
+                               gan_loss="hinge")
+    state = gan.init_gan_state(gen, disc, g_opt, d_opt, jax.random.key(0),
+                               jnp.zeros((4, 16)),
+                               (jnp.zeros((4, 16, 16, 3)),))
+    # SN state (power-iteration vectors) exists in D's state tree
+    assert any("sn_u" in d for d in state.d_state.values())
+    real = jnp.asarray(np.random.RandomState(0)
+                       .uniform(-1, 1, (4, 16, 16, 3)).astype(np.float32))
+    for _ in range(3):
+        state, m = step(state, real)
+    assert np.isfinite(float(m["d_loss"]))
