@@ -119,30 +119,38 @@ def unet_generator(x: jax.Array, *, train: bool = False,
 
 def patchgan_discriminator(x: jax.Array, y: jax.Array | None = None, *,
                            train: bool = False, base_features: int = 64,
-                           n_layers: int = 3,
-                           norm: str = "batch") -> jax.Array:
+                           n_layers: int = 3, norm: str = "batch",
+                           spectral_norm: bool = False) -> jax.Array:
     """70x70 PatchGAN: conditional pairs (x, y) -> patch logits
-    [N, H/8-ish, W/8-ish, 1]."""
+    [N, H/8-ish, W/8-ish, 1].  ``spectral_norm`` replaces the norm
+    layers with SN on every conv (Lipschitz-bounded D)."""
     h = x if y is None else jnp.concatenate([x, y], axis=-1)
+    sn = spectral_norm
 
     def norm_layer(t):
+        if sn:
+            return t
         if norm == "batch":
             return nn.batch_norm(t, train=train, momentum=0.9)
         return nn.instance_norm(t)
 
-    h = nn.conv(h, base_features, 4, stride=2, w_init=_W_INIT)
+    h = nn.conv(h, base_features, 4, stride=2, spectral_norm=sn,
+                w_init=_W_INIT)
     h = nn.leaky_relu(h, 0.2)
     feats = base_features
     for i in range(1, n_layers):
         feats = min(feats * 2, 512)
-        h = nn.conv(h, feats, 4, stride=2, use_bias=False, w_init=_W_INIT)
+        h = nn.conv(h, feats, 4, stride=2, use_bias=False,
+                    spectral_norm=sn, w_init=_W_INIT)
         h = norm_layer(h)
         h = nn.leaky_relu(h, 0.2)
     feats = min(feats * 2, 512)
-    h = nn.conv(h, feats, 4, stride=1, use_bias=False, w_init=_W_INIT)
+    h = nn.conv(h, feats, 4, stride=1, use_bias=False, spectral_norm=sn,
+                w_init=_W_INIT)
     h = norm_layer(h)
     h = nn.leaky_relu(h, 0.2)
-    return nn.conv(h, 1, 4, stride=1, w_init=_W_INIT, name="logits")
+    return nn.conv(h, 1, 4, stride=1, spectral_norm=sn, w_init=_W_INIT,
+                   name="logits")
 
 
 # ---------------------------------------------------------------- cyclegan

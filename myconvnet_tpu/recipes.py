@@ -27,7 +27,7 @@ from myconvnet_tpu.subsets import (cifar10, cifar100, imagenet, mnist,
 from myconvnet_tpu.train import gan as gan_lib
 from myconvnet_tpu.train import optim as optim_lib
 from myconvnet_tpu.train.losses import (ce_dice_loss, dice_loss,
-                                        pixel_cross_entropy,
+                                        focal_loss, pixel_cross_entropy,
                                         softmax_cross_entropy)
 
 
@@ -143,7 +143,7 @@ def build_segmenter(cfg: dict, synthetic: bool = False,
     ignore = cfg.get("ignore_label", 255)
     kind = cfg.get("seg_loss", "ce")  # ce | dice | ce_dice
     table = {"ce": pixel_cross_entropy, "dice": dice_loss,
-             "ce_dice": ce_dice_loss}
+             "ce_dice": ce_dice_loss, "focal": focal_loss}
     if kind not in table:
         raise ValueError(f"unknown seg_loss {kind!r}; valid: "
                          f"{sorted(table)}")

@@ -68,6 +68,30 @@ def dice_loss(logits: jax.Array, labels: jax.Array, *,
     return 1.0 - jnp.mean(dice)
 
 
+def focal_loss(logits: jax.Array, labels: jax.Array, *,
+               gamma: float = 2.0, alpha: float | None = None,
+               ignore_label: int | None = None) -> jax.Array:
+    """Focal loss (Lin et al.): CE scaled by (1 - p_t)^gamma — easy
+    examples fade, hard ones dominate (extreme class imbalance).
+    Works for [N,C] classification and [N,H,W,C] segmentation logits
+    (int labels of matching rank); ``alpha`` optionally weights the
+    positive-class term per the paper."""
+    logits = logits.astype(jnp.float32)
+    nc = logits.shape[-1]
+    valid = jnp.ones(labels.shape, jnp.float32) if ignore_label is None \
+        else (labels != ignore_label).astype(jnp.float32)
+    safe = jnp.where(valid > 0, labels, 0)
+    onehot = jax.nn.one_hot(safe, nc, dtype=jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    logp_t = jnp.sum(onehot * logp, axis=-1)
+    p_t = jnp.exp(logp_t)
+    w = (1.0 - p_t) ** gamma
+    if alpha is not None:
+        w = w * alpha
+    loss = -w * logp_t * valid
+    return jnp.sum(loss) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
 def ce_dice_loss(logits: jax.Array, labels: jax.Array, *,
                  ignore_label: int | None = 255,
                  dice_weight: float = 1.0,

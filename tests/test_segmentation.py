@@ -130,3 +130,33 @@ def test_seg_loss_config_selection():
     import pytest
     with pytest.raises(ValueError, match="unknown seg_loss"):
         recipes.build_segmenter(cfg, synthetic=True)
+
+
+def test_focal_loss_downweights_easy_examples():
+    import jax
+    from myconvnet_tpu.train.losses import (focal_loss,
+                                            pixel_cross_entropy)
+
+    labels = jnp.asarray(np.random.RandomState(1)
+                         .randint(0, 4, (2, 8, 8)).astype(np.int32))
+    onehot = jax.nn.one_hot(labels, 4)
+    easy = onehot * 10.0          # confident + correct
+    hard = jnp.zeros_like(onehot)  # uniform
+    # gamma=0 degenerates to CE
+    for lg in (easy, hard):
+        np.testing.assert_allclose(
+            float(focal_loss(lg, labels, gamma=0.0)),
+            float(pixel_cross_entropy(lg, labels, ignore_label=None)),
+            rtol=1e-5)
+    # focal crushes the easy loss far more than CE does
+    ratio_focal = float(focal_loss(easy, labels)) / \
+        float(focal_loss(hard, labels))
+    ratio_ce = float(pixel_cross_entropy(easy, labels,
+                                         ignore_label=None)) / \
+        float(pixel_cross_entropy(hard, labels, ignore_label=None))
+    assert ratio_focal < ratio_ce * 0.1
+    # classification-rank logits work too
+    cls_logits = jnp.asarray(np.random.RandomState(2)
+                             .randn(8, 5).astype(np.float32))
+    cls_labels = jnp.asarray(np.arange(8) % 5)
+    assert np.isfinite(float(focal_loss(cls_logits, cls_labels)))
