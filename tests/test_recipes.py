@@ -24,6 +24,7 @@ CONFIGS = [
     "configs/cyclegan.py",
     "configs/fashion_mnist_smallnet.py",
     "configs/svhn_smallnet.py",
+    "configs/sngan_cifar10.py",
 ]
 
 
