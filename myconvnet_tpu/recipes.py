@@ -115,8 +115,15 @@ def build_classifier(cfg: dict, synthetic: bool = False,
     model_fn = models.get_model(cfg["model"])
     kwargs = dict(cfg.get("model_kwargs", {}))
     smoothing = cfg.get("label_smoothing", 0.0)
-    loss = lambda logits, y: softmax_cross_entropy(  # noqa: E731
-        logits, y, label_smoothing=smoothing)
+    if cfg.get("cls_loss", "ce") == "focal":
+        loss = lambda logits, y: focal_loss(  # noqa: E731
+            logits, y, gamma=cfg.get("focal_gamma", 2.0))
+    elif cfg.get("cls_loss", "ce") == "ce":
+        loss = lambda logits, y: softmax_cross_entropy(  # noqa: E731
+            logits, y, label_smoothing=smoothing)
+    else:
+        raise ValueError(f"unknown cls_loss {cfg['cls_loss']!r}; "
+                         "valid: ['ce', 'focal']")
     augment = make_augment(cfg.get("augment"))
     mix_cfg = cfg.get("mix")
     if mix_cfg is not None:

@@ -184,3 +184,16 @@ def test_svhn_mat_roundtrip_and_synthetic(tmp_path):
     cfg["dataset"] = "svhn"
     tr, va = recipes.make_sources(cfg, synthetic=True)
     assert len(tr) > 0 and len(va) > 0
+
+
+def test_cls_loss_focal_knob():
+    cfg = recipes.load_config("configs/cifar10_smallnet.py",
+                              total_steps=2, batch_size=8)
+    cfg["model_kwargs"] = dict(width=4, dropout_rate=0.0)
+    cfg["cls_loss"] = "focal"
+    net, train_set, _ = recipes.build_classifier(cfg, synthetic=True)
+    state = net.train(train_set, batch_size=8, total_steps=2)
+    assert int(state.step) == 2
+    cfg["cls_loss"] = "poly"
+    with pytest.raises(ValueError, match="unknown cls_loss"):
+        recipes.build_classifier(cfg, synthetic=True)
