@@ -66,7 +66,10 @@ def dcgan_discriminator(x: jax.Array, *, train: bool = False,
         size //= 2
         n_down += 1
     for i in range(n_down):
-        x = nn.conv(x, feats, 4, stride=2, use_bias=(i == 0),
+        # bias on every conv under SN (no BN to absorb the shift; the
+        # SNGAN reference keeps biases) — else only with no following BN
+        x = nn.conv(x, feats, 4, stride=2,
+                    use_bias=(i == 0) or spectral_norm,
                     spectral_norm=spectral_norm, w_init=_W_INIT)
         if i > 0 and not spectral_norm:  # DCGAN: no BN on first conv
             x = nn.batch_norm(x, train=train, momentum=0.9)
@@ -140,12 +143,12 @@ def patchgan_discriminator(x: jax.Array, y: jax.Array | None = None, *,
     feats = base_features
     for i in range(1, n_layers):
         feats = min(feats * 2, 512)
-        h = nn.conv(h, feats, 4, stride=2, use_bias=False,
+        h = nn.conv(h, feats, 4, stride=2, use_bias=sn,
                     spectral_norm=sn, w_init=_W_INIT)
         h = norm_layer(h)
         h = nn.leaky_relu(h, 0.2)
     feats = min(feats * 2, 512)
-    h = nn.conv(h, feats, 4, stride=1, use_bias=False, spectral_norm=sn,
+    h = nn.conv(h, feats, 4, stride=1, use_bias=sn, spectral_norm=sn,
                 w_init=_W_INIT)
     h = norm_layer(h)
     h = nn.leaky_relu(h, 0.2)

@@ -116,6 +116,13 @@ def build_classifier(cfg: dict, synthetic: bool = False,
     kwargs = dict(cfg.get("model_kwargs", {}))
     smoothing = cfg.get("label_smoothing", 0.0)
     if cfg.get("cls_loss", "ce") == "focal":
+        # fail fast on silently-unsupported combinations
+        if cfg.get("mix") is not None:
+            raise ValueError("cls_loss='focal' needs integer labels; "
+                             "remove the 'mix' (MixUp/CutMix) entry")
+        if smoothing:
+            raise ValueError("cls_loss='focal' does not support "
+                             "label_smoothing; remove one of the two")
         loss = lambda logits, y: focal_loss(  # noqa: E731
             logits, y, gamma=cfg.get("focal_gamma", 2.0))
     elif cfg.get("cls_loss", "ce") == "ce":
@@ -148,14 +155,16 @@ def build_segmenter(cfg: dict, synthetic: bool = False,
     model_fn = models.get_model(cfg["model"])
     kwargs = dict(cfg.get("model_kwargs", {}))
     ignore = cfg.get("ignore_label", 255)
-    kind = cfg.get("seg_loss", "ce")  # ce | dice | ce_dice
+    kind = cfg.get("seg_loss", "ce")  # ce | dice | ce_dice | focal
     table = {"ce": pixel_cross_entropy, "dice": dice_loss,
              "ce_dice": ce_dice_loss, "focal": focal_loss}
     if kind not in table:
         raise ValueError(f"unknown seg_loss {kind!r}; valid: "
                          f"{sorted(table)}")
-    loss = lambda logits, y, _fn=table[kind]: _fn(  # noqa: E731
-        logits, y, ignore_label=ignore)
+    extra = ({"gamma": cfg.get("focal_gamma", 2.0)}
+             if kind == "focal" else {})
+    loss = lambda logits, y, _fn=table[kind], _kw=extra: _fn(  # noqa: E731
+        logits, y, ignore_label=ignore, **_kw)
     aug = make_augment(cfg.get("augment"))
     if aug is None:
         raise ValueError(

@@ -77,6 +77,11 @@ def focal_loss(logits: jax.Array, labels: jax.Array, *,
     (int labels of matching rank); ``alpha`` optionally weights the
     positive-class term per the paper."""
     logits = logits.astype(jnp.float32)
+    if labels.ndim != logits.ndim - 1:
+        raise ValueError(
+            "focal_loss needs integer class labels; soft labels "
+            "(MixUp/CutMix) have no standard focal form — use "
+            "softmax_cross_entropy for mixed batches")
     nc = logits.shape[-1]
     valid = jnp.ones(labels.shape, jnp.float32) if ignore_label is None \
         else (labels != ignore_label).astype(jnp.float32)
@@ -95,13 +100,30 @@ def focal_loss(logits: jax.Array, labels: jax.Array, *,
 def ce_dice_loss(logits: jax.Array, labels: jax.Array, *,
                  ignore_label: int | None = 255,
                  dice_weight: float = 1.0,
-                 label_smoothing: float = 0.0) -> jax.Array:
-    """The standard CE + Dice combination."""
-    return (pixel_cross_entropy(logits, labels,
-                                ignore_label=ignore_label,
-                                label_smoothing=label_smoothing)
-            + dice_weight * dice_loss(logits, labels,
-                                      ignore_label=ignore_label))
+                 label_smoothing: float = 0.0,
+                 eps: float = 1.0) -> jax.Array:
+    """The standard CE + Dice combination, computed fused: the validity
+    mask, one-hot and softmax are shared between the two terms (a
+    per-pixel cost that XLA does not reliably CSE across separate
+    calls)."""
+    logits = logits.astype(jnp.float32)
+    nc = logits.shape[-1]
+    valid = jnp.ones(labels.shape, jnp.float32) if ignore_label is None \
+        else (labels != ignore_label).astype(jnp.float32)
+    safe = jnp.where(valid > 0, labels, 0)
+    onehot = jax.nn.one_hot(safe, nc, dtype=jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    target = onehot
+    if label_smoothing > 0.0:
+        target = onehot * (1.0 - label_smoothing) + label_smoothing / nc
+    ce = -jnp.sum(target * logp, axis=-1) * valid
+    ce = jnp.sum(ce) / jnp.maximum(jnp.sum(valid), 1.0)
+    probs = jnp.exp(logp) * valid[..., None]
+    onehot_v = onehot * valid[..., None]
+    inter = jnp.sum(probs * onehot_v, axis=(1, 2))
+    denom = jnp.sum(probs + onehot_v, axis=(1, 2))
+    dice = 1.0 - jnp.mean((2.0 * inter + eps) / (denom + eps))
+    return ce + dice_weight * dice
 
 
 def sigmoid_bce(logits: jax.Array, target: float | jax.Array) -> jax.Array:
