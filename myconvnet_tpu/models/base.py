@@ -227,6 +227,23 @@ class ConvNet:
         return int(sum(np.prod(p.shape) for b in self.state.params.values()
                        for p in b.values()))
 
+    def forward_flops(self, batch_size: int = 1) -> float | None:
+        """Per-image forward FLOPs from the XLA cost analysis (None when
+        the backend does not expose it)."""
+        self.build()
+        from myconvnet_tpu.utils.mfu import compiled_flops
+        x = jnp.zeros((batch_size, *self.input_shape),
+                      self.policy.compute_dtype)
+        try:
+            compiled = jax.jit(
+                lambda p, s, x: self._transformed.apply(p, s, None, x,
+                                                        False)[0]
+            ).lower(self.state.params, self.state.model_state, x).compile()
+            flops = compiled_flops(compiled)
+        except Exception:
+            return None
+        return flops / batch_size if flops else None
+
     def summary(self, depth: int = 1, print_fn=print) -> str:
         """Per-scope parameter table (the era's model-summary habit).
 
@@ -261,6 +278,10 @@ class ConvNet:
         if state_n:
             lines.append(f"{'(state: BN stats etc.)':<{width}}"
                          f"{state_n:>12,}")
+        flops = self.forward_flops()
+        if flops:
+            lines.append(f"{'forward GFLOPs/img':<{width}}"
+                         f"{flops / 1e9:>12.2f}")
         text = "\n".join(lines)
         if print_fn:
             print_fn(text)

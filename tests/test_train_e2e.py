@@ -106,6 +106,10 @@ def test_convnet_summary_and_count():
     assert n > 1000
     text = net.summary(print_fn=None)
     assert f"{n:,}" in text and "logits" in text
+    flops = net.forward_flops()
+    if flops is not None:  # cost analysis present on this backend
+        assert flops > 1e6
+        assert "GFLOPs" in text
     # deeper grouping produces at least as many rows
     assert len(net.summary(depth=3, print_fn=None).splitlines()) >= \
         len(text.splitlines())
