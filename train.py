@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--trace", action="store_true",
                     help="capture a jax.profiler trace of the run under "
                          "--out/trace (open in TensorBoard/Perfetto)")
+    ap.add_argument("--summary", action="store_true",
+                    help="print the model's per-scope parameter table "
+                         "(+XLA-costed GFLOPs) before training")
     ap.add_argument("--platform", default=None,
                     help="force jax platform (e.g. cpu)")
     args = ap.parse_args()
@@ -121,6 +124,9 @@ def run_supervised(cfg, args, out, mesh, resume: bool):
             json.dump(cfg, f, indent=1, default=str)
     evaluator = recipes.build_evaluator(cfg)
     optimizer = recipes.make_optimizer(cfg["optimizer"])
+    if args.summary:
+        net.build(optimizer)
+        net.summary()
     if resume:
         from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
         if ckpt_lib.latest_checkpoint(out):
