@@ -118,6 +118,8 @@ def main():
         score = net.evaluate(val_set, evaluator, batch_size=batch)
     print(f"{evaluator.name}: {score:.4f}")
     if args.calibrate and cfg["task"] == "classification":
+        import os
+
         import numpy as np
 
         from myconvnet_tpu.eval.calibration import (
@@ -132,6 +134,16 @@ def main():
         print(f"temperature: {temp:.3f}  "
               f"ece: {expected_calibration_error(logits, labels):.4f} -> "
               f"{expected_calibration_error(logits, labels, temperature=temp):.4f}")
+        if os.path.isdir(args.ckpt):
+            import json
+            with open(os.path.join(args.ckpt, "calibration.json"),
+                      "w") as f:
+                json.dump({"temperature": temp,
+                           "ece_raw": expected_calibration_error(
+                               logits, labels),
+                           "ece_calibrated": expected_calibration_error(
+                               logits, labels, temperature=temp)}, f)
+            print(f"wrote {os.path.join(args.ckpt, 'calibration.json')}")
     if args.report and hasattr(evaluator, "report"):
         names = getattr(val_set.source, "class_names", None)
         print(evaluator.report(names))
