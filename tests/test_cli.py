@@ -155,10 +155,13 @@ def test_classifier_cli_report_and_average(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     r2 = _run(["test.py", "--config", "configs/cifar10_smallnet.py",
                "--ckpt", out, "--synthetic", "--batch", "32",
-               "--platform", "cpu", "--report", "--average", "2"])
+               "--platform", "cpu", "--report", "--average", "2",
+               "--calibrate"])
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "averaged params" in r2.stdout
     assert "macro f1" in r2.stdout  # per-class report printed
+    assert "temperature:" in r2.stdout
+    assert os.path.exists(os.path.join(out, "calibration.json"))
 
 
 @pytest.mark.slow
