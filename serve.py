@@ -29,6 +29,9 @@ def main():
                     help="recipe config (normalization stats + dataset "
                          "class names when known)")
     ap.add_argument("--topk", type=int, default=5)
+    ap.add_argument("--calibration", default=None,
+                    help="calibration.json from test.py --calibrate "
+                         "(applies the fitted softmax temperature)")
     ap.add_argument("--latency", action="store_true",
                     help="measure p50/p95/p99 + throughput instead")
     ap.add_argument("--sizes", default="1,8,32",
@@ -105,6 +108,12 @@ def main():
     x = (raw - mean) / std if mean is not None else raw
 
     logits = np.asarray(serve(x))
+    if args.calibration:
+        import json
+        with open(args.calibration) as f:
+            temp = float(json.load(f)["temperature"])
+        logits = logits / temp
+        print(f"(temperature-calibrated, T={temp:.3f})")
     from myconvnet_tpu.eval.evaluators import decode_predictions
     names = names or [str(i) for i in range(logits.shape[-1])]
     for path, row in zip(paths,
