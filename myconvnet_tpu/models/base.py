@@ -227,22 +227,33 @@ class ConvNet:
         return int(sum(np.prod(p.shape) for b in self.state.params.values()
                        for p in b.values()))
 
+    _flops_cache: dict | None = None
+
     def forward_flops(self, batch_size: int = 1) -> float | None:
         """Per-image forward FLOPs from the XLA cost analysis (None when
-        the backend does not expose it)."""
+        the backend does not expose it).  Cached per batch size — the
+        compile is the cost, and parameter shapes are fixed."""
+        if self._flops_cache is None:
+            self._flops_cache = {}
+        if batch_size in self._flops_cache:
+            return self._flops_cache[batch_size]
         self.build()
         from myconvnet_tpu.utils.mfu import compiled_flops
         x = jnp.zeros((batch_size, *self.input_shape),
                       self.policy.compute_dtype)
+        # tracing errors are real model bugs and must propagate; only a
+        # missing cost analysis degrades to None
+        lowered = jax.jit(
+            lambda p, s, x: self._transformed.apply(p, s, None, x,
+                                                    False)[0]
+        ).lower(self.state.params, self.state.model_state, x)
         try:
-            compiled = jax.jit(
-                lambda p, s, x: self._transformed.apply(p, s, None, x,
-                                                        False)[0]
-            ).lower(self.state.params, self.state.model_state, x).compile()
-            flops = compiled_flops(compiled)
+            flops = compiled_flops(lowered.compile())
         except Exception:
-            return None
-        return flops / batch_size if flops else None
+            flops = None
+        out = flops / batch_size if flops else None
+        self._flops_cache[batch_size] = out
+        return out
 
     def summary(self, depth: int = 1, print_fn=print) -> str:
         """Per-scope parameter table (the era's model-summary habit).

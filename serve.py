@@ -57,6 +57,9 @@ def main():
     serve = serving.make_batched_server(fn, batch_sizes=buckets)
 
     if args.latency:
+        if args.calibration:
+            print("note: --calibration has no effect on --latency "
+                  "(it rescales logits, not compute)")
         if args.hw:
             h, w = (int(v) for v in args.hw.split(","))
             if (h, w) != tuple(art_shape[1:3]):

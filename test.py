@@ -131,19 +131,19 @@ def main():
         logits = np.concatenate(logits)
         labels = np.concatenate(labels)
         temp = fit_temperature(logits, labels)
+        ece_raw = expected_calibration_error(logits, labels)
+        ece_cal = expected_calibration_error(logits, labels,
+                                             temperature=temp)
         print(f"temperature: {temp:.3f}  "
-              f"ece: {expected_calibration_error(logits, labels):.4f} -> "
-              f"{expected_calibration_error(logits, labels, temperature=temp):.4f}")
-        if os.path.isdir(args.ckpt):
-            import json
-            with open(os.path.join(args.ckpt, "calibration.json"),
-                      "w") as f:
-                json.dump({"temperature": temp,
-                           "ece_raw": expected_calibration_error(
-                               logits, labels),
-                           "ece_calibrated": expected_calibration_error(
-                               logits, labels, temperature=temp)}, f)
-            print(f"wrote {os.path.join(args.ckpt, 'calibration.json')}")
+              f"ece: {ece_raw:.4f} -> {ece_cal:.4f}")
+        out_dir = (args.ckpt if os.path.isdir(args.ckpt)
+                   else os.path.dirname(args.ckpt) or ".")
+        import json
+        cal_path = os.path.join(out_dir, "calibration.json")
+        with open(cal_path, "w") as f:
+            json.dump({"temperature": temp, "ece_raw": ece_raw,
+                       "ece_calibrated": ece_cal}, f)
+        print(f"wrote {cal_path}")
     if args.report and hasattr(evaluator, "report"):
         names = getattr(val_set.source, "class_names", None)
         print(evaluator.report(names))

@@ -177,12 +177,22 @@ def ckpt_lib_latest(out):
 
 
 def run_gan(cfg, args, out):
+    import jax
+
     from myconvnet_tpu import recipes
     from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
     from myconvnet_tpu.utils.logging import MetricLogger
 
     state, step, data_iter_fn, kind = recipes.build_gan(
         cfg, synthetic=args.synthetic)
+    if getattr(args, "summary", False):
+        import numpy as np
+        for tag, tree in (("generator", state.g_params),
+                          ("discriminator", state.d_params)):
+            n = sum(int(np.prod(p.shape))
+                    for b in jax.tree.leaves(tree) if hasattr(b, "shape")
+                    for p in [b])
+            print(f"{tag:<14} params: {n:,}")
     if args.resume and ckpt_lib_latest(out):
         restored = __import__(
             "myconvnet_tpu.ckpt.checkpoint",
