@@ -132,3 +132,29 @@ def test_measure_latency_shape_and_sanity():
         # qps counts requests; images_per_sec scales with the batch
         np.testing.assert_allclose(row["images_per_sec"],
                                    n * row["qps"], rtol=1e-6)
+
+
+def test_batched_server_chunk_remainders_and_padding():
+    """Every request size maps to the right compute: padding pads, big
+    requests chunk through the largest bucket, remainders pad again."""
+    import jax.numpy as jnp
+
+    from myconvnet_tpu.serving import make_batched_server
+
+    calls = []
+
+    def fn(x):
+        calls.append(int(x.shape[0]))
+        return jnp.sum(x, axis=(1, 2, 3))
+
+    serve = make_batched_server(fn, batch_sizes=(4, 8))
+    xs = np.arange(11 * 2 * 2 * 1, dtype=np.float32).reshape(11, 2, 2, 1)
+    out = np.asarray(serve(xs))
+    # 11 = 8 + 3(pad->4); outputs exact per example
+    np.testing.assert_allclose(out, xs.sum(axis=(1, 2, 3)), rtol=1e-6)
+    assert all(c in (4, 8) for c in calls)
+    # single example pads to the smallest bucket
+    np.testing.assert_allclose(np.asarray(serve(xs[:1])),
+                               xs[:1].sum(axis=(1, 2, 3)), rtol=1e-6)
+    with pytest.raises(ValueError):
+        serve(xs[:0])
