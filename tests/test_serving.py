@@ -156,5 +156,6 @@ def test_batched_server_chunk_remainders_and_padding():
     # single example pads to the smallest bucket
     np.testing.assert_allclose(np.asarray(serve(xs[:1])),
                                xs[:1].sum(axis=(1, 2, 3)), rtol=1e-6)
+    import pytest
     with pytest.raises(ValueError):
         serve(xs[:0])
