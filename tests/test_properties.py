@@ -141,3 +141,24 @@ def test_checkpoint_roundtrip_arbitrary_trees(depth, seed, tmp_path_factory):
             jax.tree_util.tree_flatten_with_path(out)[0]):
         assert pa == pb
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@settings(**SET)
+@given(
+    h=st.integers(8, 24), w=st.integers(8, 24),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_ssim_symmetric_bounded_and_psnr_order(h, w, seed):
+    from myconvnet_tpu.eval.image_metrics import psnr, ssim
+    rs = np.random.RandomState(seed % 2**31)
+    a = jnp.asarray(rs.rand(2, h, w, 3).astype(np.float32))
+    b = jnp.asarray(rs.rand(2, h, w, 3).astype(np.float32))
+    s_ab = np.asarray(ssim(a, b))
+    s_ba = np.asarray(ssim(b, a))
+    np.testing.assert_allclose(s_ab, s_ba, atol=1e-5)  # symmetry
+    assert (s_ab <= 1.0 + 1e-5).all() and (s_ab >= -1.0 - 1e-5).all()
+    # a closer pair scores at least as high on both metrics
+    mid = (a + b) / 2
+    assert float(jnp.mean(ssim(a, mid))) >= float(jnp.mean(ssim(a, b))) \
+        - 1e-3
+    assert float(jnp.mean(psnr(a, mid))) >= float(jnp.mean(psnr(a, b)))
