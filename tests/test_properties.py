@@ -162,3 +162,24 @@ def test_ssim_symmetric_bounded_and_psnr_order(h, w, seed):
     assert float(jnp.mean(ssim(a, mid))) >= float(jnp.mean(ssim(a, b))) \
         - 1e-3
     assert float(jnp.mean(psnr(a, mid))) >= float(jnp.mean(psnr(a, b)))
+
+
+@settings(**SET)
+@given(
+    c=st.sampled_from([4, 8, 16]), groups=st.sampled_from([1, 2, 4]),
+    scale=st.floats(0.1, 100.0), seed=st.integers(0, 2**31 - 1),
+)
+def test_group_norm_scale_invariant(c, groups, scale, seed):
+    """GN output is invariant to per-group input scaling (the whole
+    point of batch-independent normalization)."""
+    from myconvnet_tpu.core import transform
+    from myconvnet_tpu import nn
+
+    net = transform(lambda x: nn.group_norm(x, groups=groups))
+    rs = np.random.RandomState(seed % 2**31)
+    x = jnp.asarray(rs.rand(2, 6, 6, c).astype(np.float32))
+    params, state = net.init(jax.random.key(0), x)
+    y1, _ = net.apply(params, state, None, x)
+    y2, _ = net.apply(params, state, None, x * scale)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               atol=5e-3)
