@@ -240,6 +240,40 @@ class ConfusionMatrixEvaluator(Evaluator):
         return "\n".join(lines)
 
 
+class JointEvaluator(Evaluator):
+    """Fan one stream of (outputs, labels) updates into several
+    evaluators: the FIRST is primary (its score drives best-checkpoint
+    selection and is what ``score()`` returns); ``report()`` delegates
+    to the first member that has one.  Lets e.g. a top-k accuracy score
+    and a confusion-matrix report accumulate in one evaluation pass
+    (test.py --topk --report) instead of one silently replacing the
+    other."""
+
+    def __init__(self, *members: Evaluator):
+        if not members:
+            raise ValueError("JointEvaluator needs at least one member")
+        self.members = members
+        self.name = members[0].name
+        self.higher_is_better = members[0].higher_is_better
+
+    def reset(self):
+        for m in self.members:
+            m.reset()
+
+    def update(self, outputs, labels):
+        for m in self.members:
+            m.update(outputs, labels)
+
+    def score(self) -> float:
+        return self.members[0].score()
+
+    def report(self, class_names=None) -> str:
+        for m in self.members[1:] + self.members[:1]:
+            if hasattr(m, "report"):
+                return m.report(class_names)
+        raise AttributeError("no member evaluator exposes report()")
+
+
 class LossEvaluator(Evaluator):
     """Tracks mean loss (GAN path, where no accuracy exists)."""
 

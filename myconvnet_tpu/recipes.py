@@ -62,6 +62,20 @@ def make_optimizer(opt_cfg: dict) -> optim_lib.Optimizer:
     ema_decay = opt_cfg.pop("ema_decay", None)
     plateau = opt_cfg.pop("plateau", False)
     freeze = opt_cfg.pop("freeze", None)
+    if freeze is not None:
+        # Also exclude frozen subtrees from the inner optimizer's weight
+        # decay: with_frozen zeroes their grads, but without this the
+        # decay term wd*p would still flow into momentum/Adam moments
+        # for frozen leaves (phantom state drift; params themselves are
+        # protected by with_frozen's kept-mask either way).
+        prefixes = tuple(str(p) for p in freeze)
+        prev = opt_cfg.get("weight_decay_exclude")
+
+        def _exclude(path, p, _prev=prev, _pre=prefixes):
+            return (path.startswith(_pre)
+                    or (_prev is not None and _prev(path, p)))
+
+        opt_cfg["weight_decay_exclude"] = _exclude
     opt = optim_lib.make_optimizer(name, lr, **opt_cfg)
     if plateau:
         # inside clipping/EMA so a surrounding EMA tracks the

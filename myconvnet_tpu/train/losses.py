@@ -69,13 +69,19 @@ def dice_loss(logits: jax.Array, labels: jax.Array, *,
 
 
 def focal_loss(logits: jax.Array, labels: jax.Array, *,
-               gamma: float = 2.0, alpha: float | None = None,
+               gamma: float = 2.0, alpha=None,
                ignore_label: int | None = None) -> jax.Array:
     """Focal loss (Lin et al.): CE scaled by (1 - p_t)^gamma — easy
     examples fade, hard ones dominate (extreme class imbalance).
     Works for [N,C] classification and [N,H,W,C] segmentation logits
-    (int labels of matching rank); ``alpha`` optionally weights the
-    positive-class term per the paper."""
+    (int labels of matching rank).
+
+    ``alpha`` — the paper's alpha_t class weighting: a length-C
+    sequence gives each *target class* its own weight (the multiclass
+    generalization of the paper's binary {alpha, 1-alpha} pair; for
+    two classes pass ``(1-a, a)`` to reproduce it exactly).  A scalar
+    is a plain uniform loss rescale (kept for convenience; it is NOT
+    the paper's alpha_t)."""
     logits = logits.astype(jnp.float32)
     if labels.ndim != logits.ndim - 1:
         raise ValueError(
@@ -92,7 +98,14 @@ def focal_loss(logits: jax.Array, labels: jax.Array, *,
     p_t = jnp.exp(logp_t)
     w = (1.0 - p_t) ** gamma
     if alpha is not None:
-        w = w * alpha
+        a = jnp.asarray(alpha, jnp.float32)
+        if a.ndim == 1:
+            if a.shape[0] != nc:
+                raise ValueError(
+                    f"per-class alpha needs length {nc}, got {a.shape[0]}")
+            w = w * jnp.sum(onehot * a, axis=-1)   # alpha_t by target
+        else:
+            w = w * a                              # uniform rescale
     loss = -w * logp_t * valid
     return jnp.sum(loss) / jnp.maximum(jnp.sum(valid), 1.0)
 

@@ -437,9 +437,13 @@ def with_frozen(opt: Optimizer, frozen) -> Optimizer:
 
     ``frozen``: predicate ``(path, param) -> bool`` or an iterable of
     scope-path prefixes (e.g. ``["backbone"]``).  Frozen leaves keep
-    their exact values (their gradients are also zeroed before the inner
-    update, so momentum/Adam moments stay at rest rather than
-    accumulating phantom velocity).  Wrap OUTSIDE with_gradient_clipping
+    their exact values; their gradients are zeroed before the inner
+    update.  For momentum/Adam moments to truly stay at rest the inner
+    optimizer's *weight decay* must also skip frozen leaves (otherwise
+    wd*p still feeds the moments) — pass a matching
+    ``weight_decay_exclude`` to the base optimizer;
+    ``recipes.make_optimizer`` composes this automatically when the
+    config sets ``freeze``.  Wrap OUTSIDE with_gradient_clipping
     (the zeroing must happen before the global norm so the clip
     threshold applies to the trainable subset) and INSIDE with_ema
     (EMA tracks the actually-applied parameters) — recipes.make_optimizer

@@ -90,19 +90,24 @@ def main():
     if not paths:
         raise SystemExit(f"no images under {args.images!r}")
 
-    mean = std = None
     names = None
     hw = (art_shape[1], art_shape[2])  # the artifact's shape is law
+    # Resolve normalization exactly as training/eval do: through
+    # make_augment + AugmentConfig defaults (IMAGENET_MEAN/STD when the
+    # recipe's augment block omits mean/std).  Feeding raw [0,1] pixels
+    # to a model trained on normalized inputs silently wrecks accuracy.
+    from myconvnet_tpu.data.augment import AugmentConfig
+    acfg = AugmentConfig()
     if args.config:
         from myconvnet_tpu import recipes
         cfg = recipes.load_config(args.config)
-        aug = cfg.get("augment") or {}
-        if "mean" in aug and "std" in aug:
-            mean = np.asarray(aug["mean"], np.float32)
-            std = np.asarray(aug["std"], np.float32)
+        acfg = recipes.make_augment(cfg.get("augment")) or acfg
         if cfg.get("dataset") == "fashion_mnist":
             from myconvnet_tpu.subsets.mnist import FASHION_CLASS_NAMES
             names = FASHION_CLASS_NAMES
+    nch = art_shape[3] if len(art_shape) > 3 else 3
+    mean = np.broadcast_to(np.asarray(acfg.mean, np.float32), (nch,))
+    std = np.broadcast_to(np.asarray(acfg.std, np.float32), (nch,))
 
     raw = np.stack([
         np.asarray(Image.open(p).convert("RGB").resize(

@@ -70,8 +70,14 @@ def main():
         from myconvnet_tpu.eval.evaluators import AccuracyEvaluator
         evaluator = AccuracyEvaluator(k=args.topk)
     if args.report and cfg["task"] == "classification":
-        from myconvnet_tpu.eval.evaluators import ConfusionMatrixEvaluator
-        evaluator = ConfusionMatrixEvaluator(cfg["num_classes"])
+        from myconvnet_tpu.eval.evaluators import (
+            ConfusionMatrixEvaluator, JointEvaluator)
+        cm = ConfusionMatrixEvaluator(cfg["num_classes"])
+        # with --topk: score top-k, accumulate the confusion report in
+        # the same pass (JointEvaluator) rather than silently replacing
+        # the requested metric with top-1
+        evaluator = (JointEvaluator(evaluator, cm)
+                     if args.topk > 1 else cm)
     net.build(recipes.make_optimizer(cfg["optimizer"]))
     path = args.ckpt
     if args.best:

@@ -239,3 +239,24 @@ def test_top_confusions():
     top = ev2.top_confusions(2, ["a", "b", "c"])
     assert top == [("a", "c", 5), ("b", "a", 2)]
     assert ev2.top_confusions(10)[0] == ("0", "2", 5)
+
+
+def test_joint_evaluator_scores_primary_reports_secondary():
+    from myconvnet_tpu.eval.evaluators import (AccuracyEvaluator,
+                                               ConfusionMatrixEvaluator,
+                                               JointEvaluator)
+    top2 = AccuracyEvaluator(k=2)
+    cm = ConfusionMatrixEvaluator(3)
+    ev = JointEvaluator(top2, cm)
+    logits = np.asarray([[0.1, 0.9, 0.0],   # true 0: top1 wrong, top2 hit
+                         [0.0, 0.2, 0.8],   # true 2: top1 hit
+                         [0.9, 0.0, 0.05]])  # true 1: top2 miss
+    labels = np.asarray([0, 2, 1])
+    ev.update(logits, labels)
+    assert ev.name == "top2_accuracy"
+    assert abs(ev.score() - 2 / 3) < 1e-9          # top-2 accuracy
+    assert abs(top2.score() - cm.score()) > 1e-6   # cm holds top-1 (1/3)
+    rep = ev.report(["a", "b", "c"])
+    assert "precision" in rep and "macro f1" in rep
+    ev.reset()
+    assert ev.score() == 0.0

@@ -376,3 +376,30 @@ def test_frozen_grads_excluded_from_clip_norm():
     # head unclipped: delta == -lr * g exactly
     np.testing.assert_allclose(np.asarray(p["head"]["w"]),
                                [-0.03, -0.04], rtol=1e-5)
+
+
+def test_frozen_weight_decay_moments_at_rest():
+    """ADVICE r1: with freeze, the inner optimizer's weight decay must
+    also skip frozen leaves — otherwise wd*p accumulates phantom
+    momentum for frozen subtrees.  make_optimizer composes the frozen
+    prefixes into weight_decay_exclude."""
+    from myconvnet_tpu import recipes
+
+    opt = recipes.make_optimizer(dict(name="momentum", lr=0.1,
+                                      weight_decay=0.1,
+                                      freeze=["backbone"]))
+    params = {"backbone": {"w": jnp.asarray([2.0, 4.0])},
+              "head": {"w": jnp.asarray([3.0])}}
+    grads = {"backbone": {"w": jnp.asarray([1.0, 1.0])},
+             "head": {"w": jnp.asarray([1.0])}}
+    state = opt.init(params)
+    p = params
+    for i in range(3):
+        p, state = opt.update(grads, state, p, jnp.asarray(i))
+    np.testing.assert_array_equal(p["backbone"]["w"], [2.0, 4.0])
+    # the frozen momentum buffer is EXACTLY zero (no wd*p leakage);
+    # momentum state mirrors the param tree, so index it directly
+    np.testing.assert_array_equal(np.asarray(state["backbone"]["w"]),
+                                  [0.0, 0.0])
+    # head decays + trains normally
+    assert float(p["head"]["w"][0]) < 3.0

@@ -160,3 +160,30 @@ def test_focal_loss_downweights_easy_examples():
                              .randn(8, 5).astype(np.float32))
     cls_labels = jnp.asarray(np.arange(8) % 5)
     assert np.isfinite(float(focal_loss(cls_logits, cls_labels)))
+
+
+def test_focal_loss_per_class_alpha():
+    """alpha as a length-C sequence is the paper's alpha_t: the target
+    class's weight scales that example's term (binary case: (1-a, a))."""
+    import numpy as np
+
+    from myconvnet_tpu.train.losses import focal_loss
+    logits = jnp.asarray([[2.0, -1.0, 0.5], [0.1, 1.5, -0.3]])
+    labels = jnp.asarray([0, 1])
+    base = float(focal_loss(logits, labels, gamma=2.0))
+    uniform = float(focal_loss(logits, labels, gamma=2.0,
+                               alpha=(1.0, 1.0, 1.0)))
+    np.testing.assert_allclose(uniform, base, rtol=1e-6)
+    # doubling only class 0's weight changes only example 0's term:
+    # loss = mean(w_t * f_i); with w=(2,1,1): sum = f0*2 + f1
+    per0 = float(focal_loss(logits[:1], labels[:1], gamma=2.0))
+    per1 = float(focal_loss(logits[1:], labels[1:], gamma=2.0))
+    weighted = float(focal_loss(logits, labels, gamma=2.0,
+                                alpha=(2.0, 1.0, 1.0)))
+    np.testing.assert_allclose(weighted, (2 * per0 + per1) / 2, rtol=1e-5)
+    # scalar stays a plain uniform rescale (backward compat)
+    np.testing.assert_allclose(
+        float(focal_loss(logits, labels, gamma=2.0, alpha=0.25)),
+        0.25 * base, rtol=1e-6)
+    with pytest.raises(ValueError):
+        focal_loss(logits, labels, alpha=(1.0, 2.0))
