@@ -46,12 +46,22 @@ def _torch_block_names(depth: int):
 
 def import_torch_resnet(state_dict: Mapping[str, Any], params: Params,
                         state: State, depth: int = 50,
-                        load_head: bool = True
+                        load_head: bool = True, prefix: str = ""
                         ) -> tuple[Params, State]:
     """Map a torchvision-style ResNet state_dict onto our tree.
 
     Accepts numpy arrays or anything with ``.numpy()`` (torch tensors).
     Returns new (params, state); raises on any shape mismatch.
+
+    ``prefix`` relocates the target scopes — e.g. ``"backbone/"`` to
+    warm-start DeepLabv3+'s encoder (models/deeplab.py) from an
+    ImageNet-pretrained torchvision backbone.
+
+    Numerics note: torchvision pads strided convs/pools symmetrically;
+    build the target model with ``torch_padding=True``
+    (models/resnet.py) for exact logits agreement — with the default
+    TF-SAME padding the stride-2 window alignment differs slightly
+    (fine for fine-tuning warm starts, wrong for serving).
     """
 
     def arr(key):
@@ -79,8 +89,8 @@ def import_torch_resnet(state_dict: Mapping[str, Any], params: Params,
         new_s[scope]["moving_var"] = arr(
             f"{prefix}.running_var").astype(np.float32)
 
-    put_conv("stem/conv", "conv1.weight")
-    put_bn("stem/bn", "bn1")
+    put_conv(f"{prefix}stem/conv", "conv1.weight")
+    put_bn(f"{prefix}stem/bn", "bn1")
 
     blocks = _torch_block_names(depth)
     bottleneck = depth >= 50
@@ -88,7 +98,7 @@ def import_torch_resnet(state_dict: Mapping[str, Any], params: Params,
     for stage_i, n_blocks in enumerate(blocks):
         for b in range(n_blocks):
             t_pre = f"layer{stage_i + 1}.{b}"
-            scope_pre = f"stage{stage_i + 1}/block{b + 1}"
+            scope_pre = f"{prefix}stage{stage_i + 1}/block{b + 1}"
             for li, letter in enumerate(letters):
                 put_conv(f"{scope_pre}/conv_{letter}",
                          f"{t_pre}.conv{li + 1}.weight")
@@ -98,21 +108,24 @@ def import_torch_resnet(state_dict: Mapping[str, Any], params: Params,
                          f"{t_pre}.downsample.0.weight")
                 put_bn(f"{scope_pre}/bn_proj", f"{t_pre}.downsample.1")
 
-    if load_head and "fc.weight" in state_dict and "logits" in new_p:
+    head = f"{prefix}logits"
+    if load_head and "fc.weight" in state_dict and head in new_p:
         w = np.transpose(arr("fc.weight"), (1, 0))
-        if tuple(w.shape) == tuple(new_p["logits"]["w"].shape):
-            new_p["logits"]["w"] = w.astype(np.float32)
-            new_p["logits"]["b"] = arr("fc.bias").astype(np.float32)
+        if tuple(w.shape) == tuple(new_p[head]["w"].shape):
+            new_p[head]["w"] = w.astype(np.float32)
+            new_p[head]["b"] = arr("fc.bias").astype(np.float32)
     return new_p, new_s
 
 
 def import_torch_resnet_file(path: str, params: Params, state: State,
-                             depth: int = 50, load_head: bool = True):
+                             depth: int = 50, load_head: bool = True,
+                             prefix: str = ""):
     import torch
     sd = torch.load(path, map_location="cpu", weights_only=True)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
-    return import_torch_resnet(sd, params, state, depth, load_head)
+    return import_torch_resnet(sd, params, state, depth, load_head,
+                               prefix=prefix)
 
 
 def export_torch_resnet(params: Params, state: State, depth: int = 50

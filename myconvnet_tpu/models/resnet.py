@@ -48,14 +48,25 @@ def _bn(x, train, zero_init=False, name="bn", norm="batch"):
                          name=name)
 
 
+def _pad3(dilation, torch_padding):
+    """Padding for a 3x3 conv: torch pads symmetrically by the dilation
+    on BOTH sides regardless of stride; TF-SAME differs from that only
+    at stride 2 (it pads (d-? lo, hi) asymmetrically).  Explicit
+    symmetric padding reproduces torch geometry bit-for-bit — required
+    when running imported torchvision weights (models/pretrained.py)."""
+    return ((dilation, dilation),) * 2 if torch_padding else "SAME"
+
+
 def basic_block(x, features, *, stride, dilation, train, projection,
-                norm="batch", ws=False):
+                norm="batch", ws=False, torch_padding=False):
     shortcut = x
     y = nn.conv(x, features, 3, stride=stride, dilation=dilation,
+                padding=_pad3(dilation, torch_padding),
                 use_bias=False, weight_standardization=ws, name="conv_a")
     y = _bn(y, train, name="bn_a", norm=norm)
     y = nn.relu(y)
     y = nn.conv(y, features, 3, dilation=dilation, use_bias=False,
+                padding=_pad3(dilation, torch_padding),
                 weight_standardization=ws, name="conv_b")
     y = _bn(y, train, zero_init=True, name="bn_b", norm=norm)
     if projection:
@@ -80,7 +91,7 @@ def se_block(x, ratio: int = 16, name: str = "se"):
 def bottleneck_block(x, features, *, stride, dilation, train, projection,
                      groups: int = 1, width_per_group: int = 64,
                      se_ratio: int = 0, norm: str = "batch",
-                     ws: bool = False):
+                     ws: bool = False, torch_padding: bool = False):
     shortcut = x
     inner = features * width_per_group * groups // 64
     y = nn.conv(x, inner, 1, use_bias=False, weight_standardization=ws,
@@ -89,6 +100,7 @@ def bottleneck_block(x, features, *, stride, dilation, train, projection,
     y = nn.relu(y)
     # stride on the 3x3 (v1.5); grouped for the ResNeXt variants
     y = nn.conv(y, inner, 3, stride=stride, dilation=dilation,
+                padding=_pad3(dilation, torch_padding),
                 groups=groups, use_bias=False, weight_standardization=ws,
                 name="conv_b")
     y = _bn(y, train, name="bn_b", norm=norm)
@@ -110,7 +122,7 @@ def resnet_backbone(x: jax.Array, depth: int = 50, *, train: bool = False,
                     return_low_level: bool = False, stem: str = "conv7",
                     groups: int = 1, width_per_group: int = 64,
                     se_ratio: int = 0, norm: str = "batch",
-                    ws: bool = False):
+                    ws: bool = False, torch_padding: bool = False):
     """Feature extractor. Returns final feature map (and the end-of-stage-1
     low-level features when ``return_low_level`` — DeepLab decoder input).
 
@@ -127,11 +139,13 @@ def resnet_backbone(x: jax.Array, depth: int = 50, *, train: bool = False,
     if depth >= 50:
         block_fn = partial(bottleneck_block, groups=groups,
                            width_per_group=width_per_group,
-                           se_ratio=se_ratio, norm=norm, ws=ws)
+                           se_ratio=se_ratio, norm=norm, ws=ws,
+                           torch_padding=torch_padding)
     else:
         if groups != 1 or width_per_group != 64:
             raise ValueError("grouped (ResNeXt) blocks need depth >= 50")
-        block_fn = partial(basic_block, norm=norm, ws=ws)
+        block_fn = partial(basic_block, norm=norm, ws=ws,
+                           torch_padding=torch_padding)
         if se_ratio:
             raise ValueError("SE variants are built on bottleneck blocks "
                              "(depth >= 50)")
@@ -151,10 +165,17 @@ def resnet_backbone(x: jax.Array, depth: int = 50, *, train: bool = False,
                         weight_standardization=ws, name="conv")
         else:
             x = nn.conv(x, width, 7, stride=2, use_bias=False,
+                        padding=((3, 3), (3, 3)) if torch_padding
+                        else "SAME",
                         weight_standardization=ws, name="conv")
+        if torch_padding and stem == "s2d":
+            raise ValueError("torch_padding reproduces the torchvision "
+                             "conv7 stem; combine it with stem='conv7'")
         x = _bn(x, train, name="bn", norm=norm)
         x = nn.relu(x)
-        x = nn.max_pool(x, 3, 2, padding="SAME")
+        x = nn.max_pool(x, 3, 2,
+                        padding=((0, 0), (1, 1), (1, 1), (0, 0))
+                        if torch_padding else "SAME")
 
     low_level = None
     current_stride = 4
@@ -166,14 +187,21 @@ def resnet_backbone(x: jax.Array, depth: int = 50, *, train: bool = False,
             # swap stride for dilation: keeps resolution for segmentation
             dilation *= 2
             stage_stride = 1
+        out_ch = features * (4 if depth >= 50 else 1)
         with nn.scope_named(f"stage{stage + 1}"):
             for b in range(n_blocks):
+                # projection shortcut only where the canonical network
+                # has one: shape change (stride or channel growth).
+                # Stage 1 of ResNet-18/34 keeps identity shortcuts
+                # (64 -> 64, stride 1) — torchvision parity.
                 with nn.scope_named(f"block{b + 1}"):
                     x = block_fn(
                         x, features,
                         stride=stage_stride if b == 0 else 1,
                         dilation=dilation, train=train,
-                        projection=(b == 0))
+                        projection=(b == 0 and
+                                    (stage_stride != 1
+                                     or x.shape[-1] != out_ch)))
         current_stride *= stage_stride
         if stage == 0:
             low_level = x
@@ -187,12 +215,17 @@ def resnet(x: jax.Array, num_classes: int = 1000, depth: int = 50, *,
            train: bool = False, width: int = 64,
            stem: str = "conv7", groups: int = 1,
            width_per_group: int = 64, se_ratio: int = 0,
-           norm: str = "batch", ws: bool = False) -> jax.Array:
+           norm: str = "batch", ws: bool = False,
+           torch_padding: bool = False) -> jax.Array:
     """``norm="group"`` + ``ws=True`` is the BiT/big-transfer recipe:
-    fully batch-independent training."""
+    fully batch-independent training.  ``torch_padding=True`` swaps the
+    strided ops' TF-SAME padding for torch's symmetric padding —
+    required for numerical agreement when running weights imported from
+    torchvision (models/pretrained.py)."""
     x = resnet_backbone(x, depth, train=train, width=width, stem=stem,
                         groups=groups, width_per_group=width_per_group,
-                        se_ratio=se_ratio, norm=norm, ws=ws)
+                        se_ratio=se_ratio, norm=norm, ws=ws,
+                        torch_padding=torch_padding)
     x = nn.gap(x)
     return nn.dense(x, num_classes, w_init=init.glorot_uniform(),
                     name="logits")
