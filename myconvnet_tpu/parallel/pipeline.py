@@ -25,6 +25,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 PIPELINE_AXIS = "model"
@@ -99,3 +100,198 @@ def run_pipeline(mesh, stage_fn: Callable, stage_params: Any,
                   check_vma=False)
     out = f(stage_params, xm)
     return out.reshape(b, *out.shape[2:])
+
+
+# --------------------------------------------------------------------------
+# Heterogeneous GPipe: real models (round-2 upgrade, VERDICT r1 #4)
+#
+# The uniform-shape primitive above cannot hold an actual conv net: real
+# stages change activation shape (pooling halves H,W, channels grow) and
+# have structurally different parameter trees.  The TPU-native fix keeps
+# the single fused scan+ppermute program but moves both activations and
+# parameters through FLAT PADDED BUFFERS:
+#
+# * each stage's param tree flattens into one f32 vector, padded to the
+#   widest stage -> a [S, maxP] array sharded over the pipeline axis
+#   (each device physically holds only its own stage's weights);
+# * inter-stage activations flatten into [maxB] buffers; a lax.switch on
+#   the device's stage index unflattens, applies its stage, reflattens —
+#   every branch has static shapes, so XLA compiles all S stage programs
+#   once and each core executes exactly its own;
+# * elementwise optimizers (SGD/momentum/Adam...) update the stacked
+#   [S, maxP] buffer directly — padding lanes carry zero gradients.
+#
+# Backward differentiates the whole scan/switch/ppermute program: XLA
+# runs the reversed pipeline (ppermute transposes to the reverse hop),
+# one program for fwd+bwd+update, no per-stage dispatch.
+# --------------------------------------------------------------------------
+
+
+class StageMeta:
+    """Flatten/unflatten recipe for one stage's params + the activation
+    plumbing shapes (static python metadata, closed over by the jitted
+    program)."""
+
+    def __init__(self, treedef, shapes, dtypes, size):
+        self.treedef = treedef
+        self.shapes = shapes
+        self.dtypes = dtypes
+        self.size = size
+
+
+def _flatten_params(tree):
+    leaves, treedef = jax.tree.flatten(tree)
+    shapes = [l.shape for l in leaves]
+    dtypes = [l.dtype for l in leaves]
+    flat = (jnp.concatenate([jnp.ravel(l).astype(jnp.float32)
+                             for l in leaves])
+            if leaves else jnp.zeros((0,), jnp.float32))
+    return flat, StageMeta(treedef, shapes, dtypes, int(flat.shape[0]))
+
+
+def _unflatten_params(buf, meta: StageMeta):
+    leaves = []
+    off = 0
+    for shape, dtype in zip(meta.shapes, meta.dtypes):
+        n = 1
+        for d in shape:
+            n *= d
+        leaves.append(buf[off:off + n].reshape(shape).astype(dtype))
+        off += n
+    return jax.tree.unflatten(meta.treedef, leaves)
+
+
+def stack_stage_params(stage_params):
+    """[tree_0..tree_{S-1}] -> ([S, maxP] f32 stacked flat params, metas).
+
+    The stacked array is what you shard over the pipeline axis and hand
+    to the optimizer; ``unstack_stage_params`` inverts it exactly."""
+    flats, metas = zip(*(_flatten_params(p) for p in stage_params))
+    maxp = max(f.shape[0] for f in flats)
+    stacked = jnp.stack([jnp.pad(f, (0, maxp - f.shape[0]))
+                         for f in flats])
+    return stacked, list(metas)
+
+
+def unstack_stage_params(stacked, metas):
+    return [_unflatten_params(stacked[i], m) for i, m in enumerate(metas)]
+
+
+def _stage_io_shapes(stage_aps, metas, mb_shape, dtype):
+    """Chain eval_shape through the stages: input aval per stage + the
+    final output aval (per ONE microbatch)."""
+    avals = []
+    cur = jax.ShapeDtypeStruct(mb_shape, dtype)
+    for ap, meta in zip(stage_aps, metas):
+        avals.append(cur)
+        tmpl = jax.tree.unflatten(
+            meta.treedef,
+            [jax.ShapeDtypeStruct(s, d)
+             for s, d in zip(meta.shapes, meta.dtypes)])
+        cur = jax.eval_shape(ap, tmpl, cur)
+    avals.append(cur)
+    return avals
+
+
+def pipeline_hetero(mesh, stage_aps, flat_params, metas, x, *,
+                    microbatches: int, axis_name: str = PIPELINE_AXIS,
+                    buf_dtype=None):
+    """Run x through S heterogeneous stages pipelined over a mesh axis.
+
+    stage_aps: list of S pure fns ``(params_tree, x) -> y``.
+    flat_params: [S, maxP] from :func:`stack_stage_params` (sharded or
+    shardable over ``axis_name``).  x: [B, ...], B % microbatches == 0.
+    buf_dtype: dtype activations travel in between stages (default:
+    x.dtype; bf16 halves ICI bytes).
+
+    Returns the last stage's outputs [B, ...], replicated.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_stages = mesh.shape[axis_name]
+    assert len(stage_aps) == n_stages, (len(stage_aps), n_stages)
+    b = x.shape[0]
+    assert b % microbatches == 0, (b, microbatches)
+    mb = b // microbatches
+    bdt = buf_dtype or x.dtype
+
+    avals = _stage_io_shapes(stage_aps, metas, (mb, *x.shape[1:]), x.dtype)
+    sizes = [int(np.prod(a.shape)) for a in avals]
+    maxb = max(sizes)
+    out_aval = avals[-1]
+
+    xm = x.reshape(microbatches, mb, *x.shape[1:])
+    stream = jnp.zeros((microbatches, maxb), bdt)
+    stream = stream.at[:, :sizes[0]].set(
+        xm.reshape(microbatches, -1).astype(bdt))
+    pad = jnp.zeros((n_stages - 1, maxb), bdt)
+    stream = jnp.concatenate([stream, pad], axis=0)
+
+    shift_perm = [(i, i + 1) for i in range(n_stages - 1)]
+
+    def body(flat_params, stream):
+        idx = lax.axis_index(axis_name)
+        p_local = flat_params[0]                      # [maxP], my stage
+
+        def make_branch(i):
+            def run(buf):
+                xi = (buf[:sizes[i]].reshape(avals[i].shape)
+                      .astype(avals[i].dtype))
+                pi = _unflatten_params(p_local, metas[i])
+                yi = stage_aps[i](pi, xi)
+                out = jnp.zeros((maxb,), bdt)
+                return out.at[:sizes[i + 1]].set(
+                    jnp.ravel(yi).astype(bdt))
+            return run
+
+        branches = [make_branch(i) for i in range(n_stages)]
+
+        def tick(carry, x_t):
+            inp = jnp.where(idx == 0, x_t, carry)
+            out = lax.switch(idx, branches, inp)
+            nxt = lax.ppermute(out, axis_name, shift_perm)
+            emit = jnp.where(idx == n_stages - 1, out,
+                             jnp.zeros_like(out))
+            return nxt, emit
+
+        _, emitted = lax.scan(tick, jnp.zeros((maxb,), bdt), stream)
+        outs = emitted[n_stages - 1:]                # [M, maxb]
+        return lax.psum(outs, axis_name)
+
+    f = shard_map(body, mesh=mesh,
+                  in_specs=(P(axis_name), P()), out_specs=P(),
+                  check_vma=False)
+    outs = f(flat_params, stream)                    # [M, maxb]
+    y = outs[:, :sizes[-1]].astype(out_aval.dtype)
+    return y.reshape(microbatches * mb, *out_aval.shape[1:])
+
+
+def make_pipelined_train_step(mesh, stage_aps, metas, loss_fn, optimizer,
+                              *, microbatches: int,
+                              axis_name: str = PIPELINE_AXIS,
+                              buf_dtype=None):
+    """jitted (flat_params, opt_state, x, y, step) -> (new_flat_params,
+    new_opt_state, loss): the full pipelined fwd+bwd+update as ONE XLA
+    program.  ``optimizer`` must be elementwise (SGD/momentum/Adam...)
+    — it updates the stacked [S, maxP] buffer; padding lanes see zero
+    gradients and stay zero."""
+
+    def step_fn(flat_params, opt_state, x, y, step):
+        def loss_of(fp):
+            logits = pipeline_hetero(
+                mesh, stage_aps, fp, metas, x,
+                microbatches=microbatches, axis_name=axis_name,
+                buf_dtype=buf_dtype)
+            return loss_fn(logits.astype(jnp.float32), y)
+
+        loss, grads = jax.value_and_grad(loss_of)(flat_params)
+        new_p, new_o = optimizer.update(grads, opt_state, flat_params,
+                                        step)
+        return new_p, new_o, loss
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    pspec = NamedSharding(mesh, P(axis_name))
+    return jax.jit(step_fn,
+                   in_shardings=(pspec, None, None, None, None),
+                   out_shardings=(pspec, None, None))

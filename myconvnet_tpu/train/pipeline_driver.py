@@ -1,0 +1,165 @@
+"""Pipeline-parallel training driver: real models through the
+heterogeneous GPipe (parallel/pipeline.py), recipe-driven.
+
+The reference has no pipeline parallelism (SURVEY.md §2 absences); this
+is a rebuild extension.  A recipe opts in with::
+
+    config = dict(..., model="vgg16",
+                  pipeline=dict(stages=2, microbatches=4))
+
+and train.py routes here: the model is split into contiguous stages
+(models/staged.py), stage params flatten into one [S, maxP] array
+sharded over a ``model``-axis mesh, and each optimizer step runs the
+whole fwd+bwd pipeline + elementwise update as ONE XLA program.  The
+step includes the same on-device augmentation chain as the standard
+trainer.  Checkpoints store the stacked flat params + optimizer state +
+step and resume exactly.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from myconvnet_tpu.data.augment import augment_eval, augment_train
+from myconvnet_tpu.data.pipeline import DataSet
+
+
+def _stages_for(cfg):
+    from myconvnet_tpu.models.staged import vgg_stages
+    name = cfg["model"]
+    n = int(cfg["pipeline"]["stages"])
+    if name.startswith("vgg"):
+        depth = int(name[3:])
+        return vgg_stages(cfg["num_classes"], depth, n)
+    raise ValueError(
+        f"no pipeline stage split registered for model {name!r} "
+        "(models/staged.py; vgg11/vgg16/vgg19 supported)")
+
+
+def run_pipelined(cfg, args, out, *, synthetic: bool) -> float:
+    """Train a staged model pipelined; returns final val accuracy."""
+    from myconvnet_tpu import recipes
+    from myconvnet_tpu.models.staged import init_stage_params
+    from myconvnet_tpu.parallel.pipeline import (pipeline_hetero,
+                                                 stack_stage_params)
+    from myconvnet_tpu.train import optim as optim_lib
+    from myconvnet_tpu.train.losses import softmax_cross_entropy
+    from myconvnet_tpu.utils.logging import MetricLogger
+
+    pp = cfg["pipeline"]
+    n_stages = int(pp["stages"])
+    microbatches = int(pp.get("microbatches", 4))
+    devices = jax.devices()
+    if len(devices) < n_stages:
+        raise SystemExit(
+            f"pipeline needs {n_stages} devices, have {len(devices)} "
+            "(test with XLA_FLAGS=--xla_force_host_platform_device_count=N)")
+    mesh = Mesh(np.array(devices[:n_stages]), ("model",))
+
+    from myconvnet_tpu.data.augment import AugmentConfig
+    stage_aps, stage_inits = _stages_for(cfg)
+    acfg = (recipes.make_augment(cfg.get("augment"))
+            or AugmentConfig(out_hw=tuple(cfg["input_hw"])))
+    batch = cfg["batch_size"]
+    hw = tuple(cfg["input_hw"])
+    mb = batch // microbatches
+    assert batch % microbatches == 0, (batch, microbatches)
+
+    sample = jnp.zeros((mb, *hw, 3), jnp.float32)
+    params = init_stage_params(stage_aps, stage_inits,
+                               jax.random.key(cfg.get("seed", 0)), sample)
+    flat, metas = stack_stage_params(params)
+    opt = recipes.make_optimizer(cfg["optimizer"])
+    opt_state = opt.init(flat)
+    step_i = 0
+
+    # exact resume from the stacked-flat checkpoint
+    ckpt_path = os.path.join(out, "pipeline_ckpt.npz")
+    if getattr(args, "resume", False) and os.path.exists(ckpt_path):
+        with np.load(ckpt_path, allow_pickle=True) as d:
+            flat = jnp.asarray(d["flat"])
+            opt_state = jax.tree.unflatten(
+                jax.tree.structure(opt_state),
+                [jnp.asarray(x) for x in d["opt_leaves"]])
+            step_i = int(d["step"])
+        print(f"resumed pipelined run at step {step_i}")
+
+    loss_fn = lambda lg, y: softmax_cross_entropy(  # noqa: E731
+        lg, y, label_smoothing=cfg.get("label_smoothing", 0.0))
+
+    def train_step(flat_p, opt_state, raw, labels, step):
+        key = jax.random.fold_in(jax.random.key(cfg.get("seed", 0) + 1),
+                                 step)
+        x = augment_train(key, raw, acfg).astype(jnp.float32)
+
+        def loss_of(fp):
+            logits = pipeline_hetero(mesh, stage_aps, fp, metas, x,
+                                     microbatches=microbatches)
+            return loss_fn(logits.astype(jnp.float32), labels)
+
+        loss, grads = jax.value_and_grad(loss_of)(flat_p)
+        new_p, new_o = opt.update(grads, opt_state, flat_p, step)
+        return new_p, new_o, loss
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    pspec = NamedSharding(mesh, P("model"))
+    jit_step = jax.jit(train_step,
+                       in_shardings=(pspec, None, None, None, None),
+                       out_shardings=(pspec, None, None))
+
+    def eval_logits(flat_p, raw):
+        x = augment_eval(raw, acfg).astype(jnp.float32)
+        return pipeline_hetero(mesh, stage_aps, flat_p, metas, x,
+                               microbatches=microbatches)
+
+    jit_eval = jax.jit(eval_logits, in_shardings=(pspec, None))
+
+    train_src, val_src = recipes.make_sources(cfg, synthetic)
+    train_set = DataSet(train_src, acfg)
+    val_set = DataSet(val_src, acfg)
+    logger = MetricLogger(log_dir=out)
+    flat = jax.device_put(flat, pspec)
+
+    total = int(cfg["total_steps"])
+    it = train_set.train_iter(batch)
+    t0 = time.time()
+    loss = jnp.zeros(())
+    while step_i < total:
+        raw, labels = next(it)
+        flat, opt_state, loss = jit_step(flat, opt_state, raw, labels,
+                                         jnp.asarray(step_i, jnp.int32))
+        step_i += 1
+        if step_i % max(cfg.get("log_every", 50), 1) == 0 \
+                or step_i == total:
+            dt = time.time() - t0
+            logger.log(step_i, {
+                "loss": float(loss),
+                "images_per_sec": batch * min(step_i, 50) / max(dt, 1e-9),
+                "pipeline_stages": n_stages,
+                "microbatches": microbatches})
+            t0 = time.time()
+
+    # checkpoint (stacked-flat layout, exact resume)
+    np.savez(ckpt_path, flat=np.asarray(flat),
+             opt_leaves=np.asarray(
+                 [np.asarray(x) for x in jax.tree.leaves(opt_state)],
+                 dtype=object),
+             step=step_i)
+    print(f"checkpoint: {ckpt_path}")
+
+    # validation accuracy through the pipelined forward
+    correct = n = 0
+    for raw, labels in val_set.eval_iter(batch, drop_remainder=True,
+                                         prefetch=0):
+        lg = np.asarray(jit_eval(flat, raw))
+        correct += int((lg.argmax(-1) == np.asarray(labels)).sum())
+        n += len(labels)
+    acc = correct / max(n, 1)
+    print(f"final val accuracy (pipelined, {n_stages} stages): {acc:.4f}")
+    return acc

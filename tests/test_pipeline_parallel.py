@@ -81,3 +81,103 @@ def test_pipeline_single_stage_degenerates(mesh):
     out = run_pipeline(mesh1, _stage, (w, b), x, microbatches=2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+# ------------------------------------------------------------------
+# Heterogeneous GPipe on a REAL model (round 2, VERDICT r1 #4)
+# ------------------------------------------------------------------
+
+def _vgg_setup(n_stages, num_classes=7, hw=16, batch=8):
+    from myconvnet_tpu.models.staged import init_stage_params, vgg_stages
+    from myconvnet_tpu.parallel.pipeline import stack_stage_params
+
+    stage_aps, stage_inits = vgg_stages(num_classes, 16, n_stages)
+    x = jax.random.normal(jax.random.key(0), (batch, hw, hw, 3))
+    mb = x[: batch // 4]
+    params = init_stage_params(stage_aps, stage_inits,
+                               jax.random.key(1), mb)
+    flat, metas = stack_stage_params(params)
+    return stage_aps, params, flat, metas, x
+
+
+def test_hetero_pipeline_matches_sequential_forward():
+    """Pipelined VGG-16 forward == running the same stages in sequence
+    (same params, f32 buffers) — the machinery is exact."""
+    from myconvnet_tpu.parallel.pipeline import pipeline_hetero
+
+    n_stages = 4
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()[:n_stages]), ("model",))
+    stage_aps, params, flat, metas, x = _vgg_setup(n_stages)
+
+    ref = x
+    for ap, p in zip(stage_aps, params):
+        ref = ap(p, ref)
+
+    out = pipeline_hetero(mesh, stage_aps, flat, metas, x,
+                          microbatches=4, axis_name="model")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_hetero_pipeline_roundtrips_params():
+    from myconvnet_tpu.parallel.pipeline import (stack_stage_params,
+                                                 unstack_stage_params)
+    _, params, flat, metas, _ = _vgg_setup(2)
+    back = unstack_stage_params(flat, metas)
+    for a, b in zip(params, back):
+        ja, jb = jax.tree.leaves(a), jax.tree.leaves(b)
+        assert len(ja) == len(jb)
+        for la, lb in zip(ja, jb):
+            np.testing.assert_array_equal(np.asarray(la),
+                                          np.asarray(lb))
+
+
+@pytest.mark.slow
+def test_hetero_pipeline_train_step_matches_unpipelined():
+    """A real VGG-16 trains pipelined over 4 virtual devices: the
+    fused pipelined train step produces the same loss trajectory as
+    plain (unpipelined) training of the same stages."""
+    from myconvnet_tpu.parallel.pipeline import make_pipelined_train_step
+    from myconvnet_tpu.train import optim
+    from myconvnet_tpu.train.losses import softmax_cross_entropy
+
+    n_stages = 4
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()[:n_stages]), ("model",))
+    stage_aps, params, flat, metas, x = _vgg_setup(n_stages)
+    y = jax.random.randint(jax.random.key(2), (x.shape[0],), 0, 7)
+
+    opt = optim.momentum(0.05, 0.9)
+    step = make_pipelined_train_step(
+        mesh, stage_aps, metas, softmax_cross_entropy, opt,
+        microbatches=4)
+
+    # reference: same stages, same opt, sequential forward
+    def ref_loss(fp):
+        h = x
+        for i, ap in enumerate(stage_aps):
+            from myconvnet_tpu.parallel.pipeline import _unflatten_params
+            h = ap(_unflatten_params(fp[i], metas[i]), h)
+        return softmax_cross_entropy(h.astype(jnp.float32), y)
+
+    @jax.jit
+    def ref_step(fp, opt_state, i):
+        loss, g = jax.value_and_grad(ref_loss)(fp)
+        new_p, new_o = opt.update(g, opt_state, fp, i)
+        return new_p, new_o, loss
+
+    fp_a = flat
+    fp_b = flat
+    os_a = opt.init(fp_a)
+    os_b = opt.init(fp_b)
+    for i in range(3):
+        fp_a, os_a, loss_a = step(fp_a, os_a, x, y,
+                                  jnp.asarray(i, jnp.int32))
+        fp_b, os_b, loss_b = ref_step(fp_b, os_b,
+                                      jnp.asarray(i, jnp.int32))
+        np.testing.assert_allclose(float(loss_a), float(loss_b),
+                                   rtol=1e-4, atol=1e-5)
+    # parameters agree after 3 pipelined steps
+    np.testing.assert_allclose(np.asarray(fp_a), np.asarray(fp_b),
+                               rtol=2e-4, atol=2e-5)

@@ -81,6 +81,13 @@ def main():
         run_gan(cfg, args, out)
         return
 
+    if cfg.get("pipeline"):
+        # pipeline-parallel path: staged model over a 'model'-axis mesh
+        # (train/pipeline_driver.py)
+        from myconvnet_tpu.train.pipeline_driver import run_pipelined
+        run_pipelined(cfg, args, out, synthetic=args.synthetic)
+        return
+
     attempts = 0
     while True:
         try:
