@@ -9,13 +9,14 @@ ImageNet recipes (EfficientNet et al.).  TPU-first shape of the idea:
   XLA fuses the pool into a handful of elementwise passes; wall-clock is
   pool-size HBM sweeps per layer, a few ms at batch 256 (augmentation is
   <5% of a train step; see PERF_NOTES.md).
-* Ops are restricted to formulas that map to elementwise math or
-  separable one-hot matmuls (the translate ops reuse the crop machinery's
-  axis-matrix trick — zero gathers).  PIL's equalize (per-image 256-bin
-  histogram LUT) and non-separable geometry (rotate/shear) are
-  deliberately NOT in the default pool: on TPU they cost scatter/gather
-  patterns XLA lowers poorly, for marginal policy value.  The pool is a
-  config knob, so recipes can subset further.
+* Ops map to elementwise math, separable one-hot matmuls (translate
+  reuses the crop machinery's axis-matrix trick), or the Pallas affine
+  resampler (rotate via 3-shear, shear-x/y — bounded dynamic lane-rolls
+  in VMEM, ops/pallas/affine.py; round 2 closed the canonical-pool
+  geometry gap).  PIL's equalize (per-image 256-bin histogram LUT)
+  remains out: a scatter-shaped op XLA lowers poorly, for marginal
+  policy value.  The pool is a config knob, so recipes can subset
+  (e.g. drop the geometry ops to shave the where-fold's cost).
 
 Magnitude semantics follow the paper: one global ``magnitude`` M in
 [0, 30] scaled per-op onto its natural range, with a random sign for
@@ -143,6 +144,43 @@ def op_translate_y(x, mag01):
     return _translate(x, shift, axis=1)
 
 
+# -- geometry via the Pallas affine resampler (ops/pallas/affine.py):
+# rotate / shear close the canonical-pool gap (round 2).  The kernel
+# sweeps bounded dynamic lane-rolls in VMEM — no gathers, no extra HBM
+# traffic; interpret mode covers CPU runs.
+
+_SHEAR_MAX = 0.3            # AutoAugment shear range at M=30
+_ROTATE_MAX = 30.0          # degrees at M=30
+
+
+def _affine_interpret():
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def op_shear_x(x, mag01):
+    from myconvnet_tpu.ops.pallas.affine import shear_x
+    return shear_x(x, mag01[:, 0, 0, 0] * _SHEAR_MAX,
+                   max_abs_slope=_SHEAR_MAX,
+                   interpret=_affine_interpret())
+
+
+def op_shear_y(x, mag01):
+    from myconvnet_tpu.ops.pallas.affine import shear_y
+    return shear_y(x, mag01[:, 0, 0, 0] * _SHEAR_MAX,
+                   max_abs_slope=_SHEAR_MAX,
+                   interpret=_affine_interpret())
+
+
+def op_rotate(x, mag01):
+    import math
+
+    from myconvnet_tpu.ops.pallas.affine import rotate
+    rad = mag01[:, 0, 0, 0] * (_ROTATE_MAX * math.pi / 180.0)
+    return rotate(x, rad,
+                  max_abs_radians=_ROTATE_MAX * math.pi / 180.0,
+                  interpret=_affine_interpret())
+
+
 POOL = {
     "identity": op_identity,
     "autocontrast": op_autocontrast,
@@ -156,10 +194,13 @@ POOL = {
     "sharpness": op_sharpness,
     "translate_x": op_translate_x,
     "translate_y": op_translate_y,
+    "rotate": op_rotate,
+    "shear_x": op_shear_x,
+    "shear_y": op_shear_y,
 }
 # signed ops draw a random direction per image
 SIGNED = {"color", "contrast", "brightness", "sharpness",
-          "translate_x", "translate_y"}
+          "translate_x", "translate_y", "rotate", "shear_x", "shear_y"}
 DEFAULT_OPS = tuple(POOL)
 
 

@@ -1,0 +1,167 @@
+"""Pallas affine resampler (rotate/shear) vs PIL and a direct bilinear
+reference (VERDICT r1 next #6: close the RandAugment geometry gap,
+tolerance-tested against PIL on CPU)."""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from myconvnet_tpu.ops.pallas.affine import rotate, shear_x, shear_y
+
+
+def _ref_affine(img, mat, fill=0.5):
+    """Direct inverse-map bilinear: src = mat @ (x, y, 1)."""
+    h, w, _ = img.shape
+    out = np.zeros_like(img)
+    for y in range(h):
+        for x in range(w):
+            sx = mat[0][0] * x + mat[0][1] * y + mat[0][2]
+            sy = mat[1][0] * x + mat[1][1] * y + mat[1][2]
+            x0, y0 = int(np.floor(sx)), int(np.floor(sy))
+            fx, fy = sx - x0, sy - y0
+            v = 0.0
+            cov = 0.0
+            for dy, wy in ((0, 1 - fy), (1, fy)):
+                for dx, wx in ((0, 1 - fx), (1, fx)):
+                    xx, yy = x0 + dx, y0 + dy
+                    if 0 <= xx < w and 0 <= yy < h:
+                        v += wy * wx * img[yy, xx]
+                        cov += wy * wx
+            out[y, x] = v + (1 - cov) * fill
+    return out
+
+
+def _smooth(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([np.sin(xx / 6) + np.cos(yy / 5), (xx + yy) / 50.0,
+                    np.cos(xx / 8) * np.sin(yy / 7)], -1)
+    img = (img - img.min()) / (img.max() - img.min())
+    return img.astype(np.float32)
+
+
+def test_shear_x_matches_direct_bilinear_exactly():
+    rng = np.random.RandomState(0)
+    img = rng.rand(16, 20, 3).astype(np.float32)
+    s = 0.2
+    cy = (16 - 1) / 2
+    got = np.asarray(shear_x(jnp.asarray(img[None]),
+                             jnp.asarray([s], np.float32),
+                             max_abs_slope=0.3, interpret=True))[0]
+    want = _ref_affine(img, [[1, s, -s * cy], [0, 1, 0]])
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_shear_y_matches_direct_bilinear_exactly():
+    rng = np.random.RandomState(1)
+    img = rng.rand(12, 24, 3).astype(np.float32)
+    s = -0.25
+    cx = (24 - 1) / 2
+    got = np.asarray(shear_y(jnp.asarray(img[None]),
+                             jnp.asarray([s], np.float32),
+                             max_abs_slope=0.3, interpret=True))[0]
+    want = _ref_affine(img, [[1, 0, 0], [s, 1, -s * cx]])
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_shear_x_matches_pil():
+    """PIL AFFINE (1, s, c, 0, 1, 0) bilinear on a uint8 image.  PIL
+    samples at half-pixel centers (maps (x+.5, y+.5) then -.5), which
+    for a pure shear adds 0.5*s to the effective offset — compensated
+    via shear_rows' explicit offset."""
+    PIL = pytest.importorskip("PIL.Image")
+    from myconvnet_tpu.ops.pallas.affine import shear_rows
+    rng = np.random.RandomState(2)
+    img8 = rng.randint(0, 256, (32, 32, 3), np.uint8)
+    s = 0.3
+    cy = (32 - 1) / 2
+    pil = PIL.fromarray(img8).transform(
+        (32, 32), PIL.AFFINE, (1, s, -s * cy, 0, 1, 0),
+        resample=PIL.BILINEAR, fillcolor=(128, 128, 128))
+    want = np.asarray(pil, np.float32) / 255.0
+    got = np.asarray(shear_rows(
+        jnp.asarray(img8[None], jnp.float32) / 255.0,
+        jnp.asarray([s], np.float32),
+        jnp.asarray([-s * cy + 0.5 * s], np.float32),
+        max_abs_slope=0.3,
+        fill=128.0 / 255.0, interpret=True))[0]
+    # interior only: PIL rounds to uint8 and fills the frame edge
+    d = np.abs(got - want)[2:-2, 2:-2]
+    assert d.mean() < 0.01 and d.max() < 0.25, (d.mean(), d.max())
+
+
+def test_rotate_matches_direct_rotation_on_smooth_images():
+    """3-shear rotation == single-resample CCW rotation up to the extra
+    interpolation smoothing (tight on smooth content)."""
+    img = _smooth(24, 28)
+    th = math.radians(15)
+    h, w = 24, 28
+    cx, cy = (w - 1) / 2, (h - 1) / 2
+    c, s = math.cos(th), math.sin(th)
+    mat = [[c, s, cx - c * cx - s * cy], [-s, c, cy + s * cx - c * cy]]
+    want = _ref_affine(img, mat)
+    got = np.asarray(rotate(jnp.asarray(img[None]),
+                            jnp.asarray([th], np.float32),
+                            max_abs_radians=0.6, interpret=True))[0]
+    d = np.abs(got - want)[3:-3, 3:-3]
+    assert d.mean() < 2e-3 and d.max() < 2e-2, (d.mean(), d.max())
+
+
+def test_rotate_matches_pil_rotate():
+    """PIL.rotate(+deg) is counter-clockwise on SCREEN (y down) ==
+    clockwise in array coordinates == our rotate(-deg).  Odd image size
+    so the rotation centers coincide ((w-1)/2 == PIL's w/2 - 0.5)."""
+    PIL = pytest.importorskip("PIL.Image")
+    img = (_smooth(33, 33) * 255).astype(np.uint8)
+    deg = 20.0
+    pil = PIL.fromarray(img).rotate(deg, resample=PIL.BILINEAR,
+                                    fillcolor=(128, 128, 128))
+    want = np.asarray(pil, np.float32) / 255.0
+    got = np.asarray(rotate(jnp.asarray(img[None], jnp.float32) / 255.0,
+                            jnp.asarray([-math.radians(deg)], np.float32),
+                            max_abs_radians=0.6,
+                            fill=128.0 / 255.0, interpret=True))[0]
+    d = np.abs(got - want)[4:-4, 4:-4]
+    assert d.mean() < 0.02, d.mean()
+
+
+def test_zero_angle_is_identity():
+    rng = np.random.RandomState(3)
+    img = rng.rand(2, 16, 16, 3).astype(np.float32)
+    out = np.asarray(rotate(jnp.asarray(img),
+                            jnp.zeros((2,), np.float32),
+                            max_abs_radians=0.6, interpret=True))
+    np.testing.assert_allclose(out, img, atol=1e-5)
+    out = np.asarray(shear_x(jnp.asarray(img),
+                             jnp.zeros((2,), np.float32),
+                             max_abs_slope=0.3, interpret=True))
+    np.testing.assert_allclose(out, img, atol=1e-5)
+
+
+def test_per_image_angles_differ():
+    """Per-image parameters really apply per image (scalar prefetch)."""
+    img = _smooth(16, 16)
+    batch = jnp.asarray(np.stack([img, img]))
+    out = np.asarray(rotate(batch,
+                            jnp.asarray([0.0, 0.4], np.float32),
+                            max_abs_radians=0.6, interpret=True))
+    np.testing.assert_allclose(out[0], img, atol=1e-5)
+    assert np.abs(out[1] - img).mean() > 0.01
+
+
+def test_randaugment_pool_includes_geometry_ops():
+    from myconvnet_tpu.data.randaugment import (DEFAULT_OPS, SIGNED,
+                                                rand_augment)
+    for name in ("rotate", "shear_x", "shear_y"):
+        assert name in DEFAULT_OPS and name in SIGNED
+    x = jnp.asarray(np.random.RandomState(4).rand(4, 16, 16, 3)
+                    .astype(np.float32))
+    out = rand_augment(jax.random.key(0), x, num_layers=2, magnitude=9,
+                       ops=("rotate", "shear_x", "shear_y"))
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.asarray(out).min() >= 0.0 and np.asarray(out).max() <= 1.0

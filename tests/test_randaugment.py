@@ -86,7 +86,7 @@ def test_chain_integration():
 
 def test_unknown_op_raises():
     with pytest.raises(KeyError):
-        ra.rand_augment(jax.random.key(0), _img(), ops=("rotate",))
+        ra.rand_augment(jax.random.key(0), _img(), ops=("equalize",))
 
 
 def test_pallas_backend_matches_xla_on_shared_pool():
