@@ -421,6 +421,14 @@ class ConvNet:
             self._seg_forward = _seg_fwd
 
         def forward(x):
+            if self.mesh is not None:
+                # eval-path sharding parity with training: spatial mode
+                # shards image rows over the model axis too (the 513x513
+                # inference case this path exists for)
+                sh = (mesh_lib.spatial_input_sharding(self.mesh)
+                      if self.spatial
+                      else mesh_lib.batch_sharding(self.mesh))
+                x = jax.device_put(x, sh)
             return self._seg_forward(state.params, state.model_state, x)
 
         outs = []

@@ -412,12 +412,15 @@ class Trainer:
         return self.evaluator.score()
 
     def predict(self, state: TrainState, data_iter: Iterable):
-        """Yield per-batch predictions (reference ConvNet.predict)."""
+        """Yield per-batch predictions (reference ConvNet.predict).
+
+        Goes through :meth:`shard_batch` so ``spatial=True`` inference
+        shards image rows exactly like training (the 513x513 case)."""
         state = self._eval_state(state)
         for batch in data_iter:
             x = batch[0] if isinstance(batch, tuple) else batch
             if self.mesh is not None:
-                x = mesh_lib.shard_batch(self.mesh, (x,))[0]
+                x = self.shard_batch((x,))[0]
             yield jax.device_get(self._predict_step(state, x))
 
     # -------------------------------------------------------- checkpointing
