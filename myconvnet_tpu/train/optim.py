@@ -377,6 +377,9 @@ def make_optimizer(name: str, lr, **kwargs) -> Optimizer:
     if name.lower() == "shampoo":
         from myconvnet_tpu.train.shampoo import shampoo
         return shampoo(lr, **kwargs)
+    if name.lower() == "blocked_shampoo":
+        from myconvnet_tpu.train.shampoo import blocked_shampoo
+        return blocked_shampoo(lr, **kwargs)
     try:
         return table[name.lower()](lr, **kwargs)
     except KeyError as e:

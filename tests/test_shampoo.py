@@ -83,3 +83,104 @@ def test_shampoo_registry():
     g = {"a": {"w": jnp.ones((4, 4))}}
     p2, _ = opt.update(g, state, p, jnp.asarray(0))
     assert float(jnp.max(p2["a"]["w"])) < 1.0
+
+
+# ---------------------------------------------------------------- blocked
+
+def test_tile_roundtrip():
+    from myconvnet_tpu.train.shampoo import _from_tiles, _to_tiles
+    rs = np.random.RandomState(0)
+    for m, n, b in ((27, 64, 16), (16, 16, 16), (5, 33, 8)):
+        gm = jnp.asarray(rs.randn(m, n).astype(np.float32))
+        bm, bn = -(-m // b), -(-n // b)
+        t = _to_tiles(gm, m, n, bm, bn, b)
+        assert t.shape == (bm * bn, b, b)
+        back = _from_tiles(t, m, n, bm, bn, b)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(gm))
+
+
+def test_blocked_beats_capped_on_large_axis_ill_conditioned():
+    """The VERDICT r1 #7 criterion: a conv-shaped problem whose LARGE
+    axis is ill-conditioned.  Capped shampoo (max_dim below that axis)
+    leaves it unpreconditioned; blocked shampoo partitions and
+    preconditions it, converging to a much lower loss."""
+    from myconvnet_tpu.train.shampoo import blocked_shampoo
+    rs = np.random.RandomState(1)
+    d = 48                                   # the "large" axis
+    evals = np.logspace(0, 3, d).astype(np.float32)
+    q, _ = np.linalg.qr(rs.randn(d, d).astype(np.float32))
+    a = jnp.asarray(q * evals @ q.T)
+    w0 = {"conv": {"w": jnp.asarray(rs.randn(d, 4).astype(np.float32))}}
+
+    def loss_fn(w):
+        v = w["conv"]["w"]
+        return 0.5 * jnp.sum(v * (a @ v))
+
+    def run(opt, steps=250):
+        w = w0
+        state = opt.init(w)
+        step = jax.jit(lambda g, s, w, i: opt.update(g, s, w, i))
+        for i in range(steps):
+            g = jax.grad(loss_fn)(w)
+            w, state = step(g, state, w, jnp.asarray(i))
+        return float(loss_fn(w))
+
+    lr = 1e-3
+    # cap below 48: the ill-conditioned axis falls back to identity
+    l_capped = run(shampoo(lr, 0.9, precond_every=5, start_step=20,
+                           max_dim=16, eps=1e-9))
+    # blocks of 16 partition the 48-axis into 3 preconditioned blocks
+    l_blocked = run(blocked_shampoo(lr, 0.9, block_size=16,
+                                    precond_every=5, start_step=20,
+                                    eps=1e-9))
+    assert np.isfinite(l_blocked)
+    assert l_blocked < l_capped * 0.5, (l_blocked, l_capped)
+
+
+def test_blocked_matches_unblocked_when_axes_fit_one_block():
+    """With block_size >= both axes, blocked runs the same per-axis
+    algorithm.  Trajectories agree closely but not bitwise: the padded
+    tile's eps-degenerate eigenspace can rotate into the real block's
+    eps-scale eigenvalues while the statistics are still tiny (eigh is
+    free to mix degenerate subspaces), so early preconditioners differ
+    at the percent level before the spectra separate."""
+    from myconvnet_tpu.train.shampoo import blocked_shampoo
+    rs = np.random.RandomState(2)
+    w0 = {"fc": {"w": jnp.asarray(rs.randn(12, 8).astype(np.float32))},
+          "bn": {"g": jnp.asarray(rs.randn(8).astype(np.float32))}}
+    tgt = jnp.asarray(rs.randn(12, 8).astype(np.float32))
+
+    def loss_fn(w):
+        return 0.5 * jnp.sum((w["fc"]["w"] - tgt) ** 2) \
+            + 0.5 * jnp.sum(w["bn"]["g"] ** 2)
+
+    def run(opt, steps=30):
+        w = w0
+        state = opt.init(w)
+        out = []
+        for i in range(steps):
+            g = jax.grad(loss_fn)(w)
+            w, state = opt.update(g, state, w, jnp.asarray(i))
+            out.append(float(loss_fn(w)))
+        return np.asarray(out)
+
+    la = run(shampoo(0.01, 0.9, precond_every=3, start_step=6,
+                     max_dim=64, eps=1e-8))
+    lb = run(blocked_shampoo(0.01, 0.9, block_size=16, precond_every=3,
+                             start_step=6, eps=1e-8))
+    np.testing.assert_allclose(la, lb, rtol=5e-2, atol=1e-6)
+
+
+def test_blocked_shampoo_registry_and_mesh():
+    from myconvnet_tpu.parallel.mesh import make_mesh
+    opt = optim.make_optimizer("blocked_shampoo", 0.01, block_size=8,
+                               precond_every=2, mesh=make_mesh(8, 1))
+    p = {"a": {"w": jnp.ones((10, 12))}}
+    state = opt.init(p)
+    g = {"a": {"w": jnp.ones((10, 12))}}
+    step = jax.jit(lambda g, s, p, i: opt.update(g, s, p, i))
+    p2, s2 = step(g, state, p, jnp.asarray(4))  # past start -> refresh
+    assert p2["a"]["w"].shape == (10, 12)
+    assert np.isfinite(np.asarray(p2["a"]["w"])).all()
+    # tile axis: 2x2 grid of 8-blocks = 4 tiles
+    assert s2.stats_l.shape == (4, 8, 8)
