@@ -389,3 +389,34 @@ def make_gan_sampler(cfg: dict):
             return to_uint8(imgs)
 
     return sample
+
+
+def apply_pretrained(net: ConvNet, cfg: dict) -> None:
+    """Warm-start from the config's ``pretrained`` block (the
+    reference's fine-tuning workflow, SURVEY.md §2#11)::
+
+        pretrained=dict(path="r50.pth",      # torch state_dict file
+                        depth=50,            # resnet depth of the file
+                        prefix="backbone/",  # "" for classifiers
+                        load_head=False)     # fc -> logits too?
+
+    Combine with ``optimizer.freeze=["backbone"]`` to train only the
+    head.  ``path`` may also be an ``.npz`` of this framework's flat
+    ``scope::name`` layout (load_npz_weights; depth/prefix ignored).
+    Call after ``net.build()``.
+    """
+    from myconvnet_tpu.models.pretrained import (import_torch_resnet_file,
+                                                 load_npz_weights)
+    pcfg = dict(cfg["pretrained"])
+    path = pcfg["path"]
+    if path.endswith(".npz"):
+        new_params = load_npz_weights(path, net.state.params)
+        net.state = net.state._replace(params=new_params)
+    else:
+        new_p, new_s = import_torch_resnet_file(
+            path, net.state.params, net.state.model_state,
+            depth=int(pcfg.get("depth", 50)),
+            load_head=bool(pcfg.get("load_head", True)),
+            prefix=pcfg.get("prefix", ""))
+        net.state = net.state._replace(params=new_p, model_state=new_s)
+    print(f"warm-started from {path}")

@@ -230,3 +230,41 @@ def test_gan_fid_cli(tmp_path):
     import math
     fid = float(r3.stdout.split("fid:")[1].split()[0])
     assert math.isfinite(fid) and fid >= 0.0
+
+
+@pytest.mark.slow
+def test_pretrained_warmstart_cli(tmp_path):
+    """config pretrained= block: train.py warm-starts a DeepLabv3+
+    backbone from a real torch-saved ResNet-18 state_dict and
+    fine-tunes with the backbone frozen."""
+    make_ckpt = (
+        "import torch, sys\n"
+        "sys.path.insert(0, 'tests')\n"
+        "from test_pretrained_torch_file import (_Basic, "
+        "_save_torch_resnet)\n"
+        f"_save_torch_resnet(_Basic, [2, 2, 2, 2], 10, "
+        f"{str(str(tmp_path / 'r18.pth'))!r})\n")
+    r0 = subprocess.run([sys.executable, "-c", make_ckpt], cwd=REPO,
+                        capture_output=True, text=True, timeout=300)
+    assert r0.returncode == 0, r0.stderr[-2000:]
+
+    cfg = tmp_path / "cfg.py"
+    cfg.write_text(
+        "config = dict(task='segmentation', dataset='voc', model="
+        "'deeplab_v3_plus',\n"
+        "    num_classes=6, data_dir=None, batch_size=4, total_steps=4,\n"
+        "    log_every=2, ignore_label=255,\n"
+        "    model_kwargs=dict(backbone_depth=18, aspp_features=16,\n"
+        "                      decoder_low_features=8),\n"
+        "    augment=dict(out_hw=(64, 64), area_range=None, flip=True),\n"
+        f"    pretrained=dict(path={str(str(tmp_path / 'r18.pth'))!r},\n"
+        "                    depth=18, prefix='backbone/',\n"
+        "                    load_head=False),\n"
+        "    optimizer=dict(name='momentum', lr=0.01,\n"
+        "                   freeze=['backbone']),\n"
+        "    val_every=0, seed=0)\n")
+    out = str(tmp_path / "run")
+    r = _run(["train.py", "--config", str(cfg), "--synthetic",
+              "--platform", "cpu", "--out", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "warm-started from" in r.stdout

@@ -134,6 +134,12 @@ def run_supervised(cfg, args, out, mesh, resume: bool):
     if args.summary:
         net.build(optimizer)
         net.summary()
+    if cfg.get("pretrained") and not resume:
+        # warm-start (fine-tuning workflow): torch state_dict file or
+        # flat npz into the fresh params; resume skips it (the
+        # checkpoint already carries the trained weights)
+        net.build(optimizer)
+        recipes.apply_pretrained(net, cfg)
     if resume:
         from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
         if ckpt_lib.latest_checkpoint(out):
