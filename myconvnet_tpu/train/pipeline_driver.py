@@ -129,6 +129,7 @@ def run_pipelined(cfg, args, out, *, synthetic: bool) -> float:
     total = int(cfg["total_steps"])
     it = train_set.train_iter(batch)
     t0 = time.time()
+    last_logged = step_i
     loss = jnp.zeros(())
     while step_i < total:
         raw, labels = next(it)
@@ -138,12 +139,14 @@ def run_pipelined(cfg, args, out, *, synthetic: bool) -> float:
         if step_i % max(cfg.get("log_every", 50), 1) == 0 \
                 or step_i == total:
             dt = time.time() - t0
+            window = step_i - last_logged
             logger.log(step_i, {
                 "loss": float(loss),
-                "images_per_sec": batch * min(step_i, 50) / max(dt, 1e-9),
+                "images_per_sec": batch * window / max(dt, 1e-9),
                 "pipeline_stages": n_stages,
                 "microbatches": microbatches})
             t0 = time.time()
+            last_logged = step_i
 
     # checkpoint (stacked-flat layout, exact resume)
     np.savez(ckpt_path, flat=np.asarray(flat),

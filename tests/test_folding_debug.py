@@ -45,6 +45,7 @@ def test_fold_smallnet_outputs_match():
     assert err < 1e-3
 
 
+@pytest.mark.slow
 def test_fold_reduces_param_scopes():
     net = transform(lambda x, train=False: models.resnet(
         x, 10, 18, train=train))
@@ -55,6 +56,7 @@ def test_fold_reduces_param_scopes():
     assert len(fs) < len(state)
 
 
+@pytest.mark.slow
 def test_mobilenet_v2_forward():
     net = transform(lambda x, train: models.mobilenet_v2(x, 10,
                                                          train=train))
@@ -86,6 +88,7 @@ def test_efficientnet_b0_param_count():
     assert abs(n - 5.29) < 0.15, n
 
 
+@pytest.mark.slow
 def test_efficientnet_forward_with_stochastic_depth():
     net = transform(lambda x, train: models.efficientnet_b0(x, 4,
                                                             train=train))

@@ -41,6 +41,7 @@ def dcgan_setup(dcgan_factory):
     return make_state(), step
 
 
+@pytest.mark.slow
 def test_dcgan_step_updates_both_nets(dcgan_setup):
     state, step = dcgan_setup
     real = jax.random.uniform(jax.random.key(1), (4, 16, 16, 3)) * 2 - 1
@@ -68,6 +69,7 @@ def test_dcgan_losses_sane_over_steps(dcgan_setup):
     assert 0.05 < float(metrics["g_loss"]) < 10.0
 
 
+@pytest.mark.slow
 def test_pix2pix_step():
     gen = transform(lambda x, train: models.unet_generator(
         x, train=train, base_features=8, n_levels=3))
@@ -188,6 +190,7 @@ def test_dcgan_step_loss_variants(gan_loss):
     assert _tree_diff(state.d_params, d0) > 0
 
 
+@pytest.mark.slow
 def test_cyclegan_fused_step():
     """Quad-network fused step: both Gs and both Ds update in one
     program; cycle/identity losses are exact L1 at init symmetry."""
@@ -271,6 +274,7 @@ def test_spectral_norm_bounds_singular_value():
         rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_sn_hinge_dcgan_trains():
     gen = transform(lambda z, train: models.dcgan_generator(
         z, train=train, image_size=16, base_features=32))

@@ -17,6 +17,7 @@ from jax.test_util import check_grads
 from myconvnet_tpu.ops.batch_norm import batch_norm_train
 
 
+@pytest.mark.slow
 def test_fused_bn_train_grads_match_finite_differences():
     rs = np.random.RandomState(0)
     x = jnp.asarray(rs.rand(4, 5, 5, 3).astype(np.float32) * 2 - 1)
@@ -36,6 +37,7 @@ def test_fused_bn_train_grads_match_finite_differences():
                     atol=2e-2, rtol=2e-2)
 
 
+@pytest.mark.slow
 def test_fused_bn_vjp_matches_reference_formula_grads():
     """Tight check: the hand-derived custom_vjp equals JAX autodiff of
     the plain jnp BN formula (analytic vs analytic, f32)."""
@@ -64,6 +66,7 @@ def test_fused_bn_vjp_matches_reference_formula_grads():
                                    rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_halo_conv_grads_match_finite_differences():
     if len(jax.devices()) < 4:
         pytest.skip("needs 4 virtual devices")

@@ -36,6 +36,7 @@ def setup():
     return model, opt, x, y
 
 
+@pytest.mark.slow
 def test_dp_step_lowering_contains_gradient_allreduce(setup):
     model, opt, x, y = setup
     mesh = make_mesh(8, 1)

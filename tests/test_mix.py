@@ -31,6 +31,7 @@ def test_mixup_only_convex_combination():
     assert float(jnp.max(mx)) <= float(jnp.max(x)) + 1e-6
 
 
+@pytest.mark.slow
 def test_cutmix_label_matches_pixel_area():
     x, y, nc = _batch(n=16, h=32, w=32)
     cfg = MixConfig(mixup_alpha=0.0, cutmix_alpha=1.0, prob=1.0)

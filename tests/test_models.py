@@ -174,6 +174,7 @@ def test_alexnet_param_count():
     assert abs(n - 61.10) < 0.2, n
 
 
+@pytest.mark.slow
 def test_resnet_s2d_stem():
     x = jax.random.normal(jax.random.key(0), (2, 64, 64, 3))
 
@@ -258,6 +259,7 @@ def test_wide_resnet_forward_and_grad():
         _build(models.wide_resnet, x, 10, depth=11)
 
 
+@pytest.mark.slow
 def test_unet_output_shape_and_grads():
     x = jnp.zeros((1, 32, 32, 3))
 
@@ -317,6 +319,7 @@ def test_shufflenet_v2_param_count():
     assert abs(n - 2.28) < 0.05, f"shufflenet_v2: {n:.3f}M"
 
 
+@pytest.mark.slow
 def test_shufflenet_forward_and_shuffle():
     from myconvnet_tpu.models.shufflenet import channel_shuffle
     # shuffle interleaves the two groups: [a1 a2 b1 b2] -> [a1 b1 a2 b2]
@@ -342,6 +345,7 @@ def test_squeezenet_param_count_and_forward():
     assert y.shape == (2, 1000) and y.dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_xception_backbone_strides():
     from myconvnet_tpu.models.xception import xception_backbone
     x = jnp.zeros((1, 64, 64, 3))
@@ -372,6 +376,7 @@ def test_xception65_classifier_and_deeplab():
     assert y.shape == (1, 64, 64, 21)
 
 
+@pytest.mark.slow
 def test_resnet_group_norm_variant():
     """norm='group' swaps every BN for GroupNorm: no moving statistics
     in the state, microbatch-size-independent outputs."""
@@ -395,6 +400,7 @@ def test_resnet_group_norm_variant():
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_pspnet_output_shape_and_registry():
     x = jnp.zeros((1, 32, 32, 3))
 
@@ -421,6 +427,7 @@ def test_convnext_tiny_param_count():
     assert abs(n - 28.6) < 0.4, f"convnext_tiny: {n:.2f}M"
 
 
+@pytest.mark.slow
 def test_convnext_forward_and_droppath():
     x = jnp.zeros((2, 32, 32, 3))
     net, params, state = _build(

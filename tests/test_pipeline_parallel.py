@@ -100,6 +100,7 @@ def _vgg_setup(n_stages, num_classes=7, hw=16, batch=8):
     return stage_aps, params, flat, metas, x
 
 
+@pytest.mark.slow
 def test_hetero_pipeline_matches_sequential_forward():
     """Pipelined VGG-16 forward == running the same stages in sequence
     (same params, f32 buffers) — the machinery is exact."""

@@ -168,6 +168,7 @@ def test_torch_export_loads_into_torchvision_like_shapes():
         strict=False)
 
 
+@pytest.mark.slow
 def test_torch_export_rejects_se_params():
     """SE gates have no torchvision slot: export must refuse rather
     than silently dropping them."""

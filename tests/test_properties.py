@@ -23,6 +23,7 @@ SET = dict(max_examples=15, deadline=None)
     value=st.integers(0, 255), n=st.integers(1, 3),
     seed=st.integers(0, 2**31 - 1),
 )
+@pytest.mark.slow
 def test_crop_resize_preserves_constant_images(h, w, oh, ow, value, n,
                                                seed):
     """A constant image stays exactly constant under ANY random crop +
@@ -44,6 +45,7 @@ def test_crop_resize_preserves_constant_images(h, w, oh, ow, value, n,
     n=st.integers(1, 3), seed=st.integers(0, 2**31 - 1),
     labels=st.integers(2, 6),
 )
+@pytest.mark.slow
 def test_mask_crop_emits_only_original_labels(h, w, oh, ow, n, seed,
                                               labels):
     """Nearest mask resampling must never invent label values."""
@@ -63,6 +65,7 @@ def test_mask_crop_emits_only_original_labels(h, w, oh, ow, n, seed,
     shape=st.sampled_from([(3,), (4, 5), (2, 3, 4), (1, 2, 3, 4)]),
     scale=st.floats(1e-3, 1e3), seed=st.integers(0, 2**31 - 1),
 )
+@pytest.mark.slow
 def test_quantize_roundtrip_error_bound(shape, scale, seed):
     from myconvnet_tpu.ops.quantized import quantize_tensor
     rs = np.random.RandomState(seed % 2**31)
@@ -78,6 +81,7 @@ def test_quantize_roundtrip_error_bound(shape, scale, seed):
     bh=st.integers(1, 8), bw=st.integers(1, 8),
     seed=st.integers(0, 2**31 - 1),
 )
+@pytest.mark.slow
 def test_adaptive_pool_preserves_global_mean_weightedly(h, w, bh, bw,
                                                         seed):
     """bins=(1,1) IS the global mean for any input shape; and every
@@ -99,6 +103,7 @@ def test_adaptive_pool_preserves_global_mean_weightedly(h, w, bh, bw,
     n=st.integers(1, 8), c=st.integers(2, 12),
     smoothing=st.floats(0.0, 0.3), seed=st.integers(0, 2**31 - 1),
 )
+@pytest.mark.slow
 def test_cross_entropy_nonnegative_and_smoothing_bounded(n, c, smoothing,
                                                          seed):
     from myconvnet_tpu.train.losses import softmax_cross_entropy
@@ -148,6 +153,7 @@ def test_checkpoint_roundtrip_arbitrary_trees(depth, seed, tmp_path_factory):
     h=st.integers(8, 24), w=st.integers(8, 24),
     seed=st.integers(0, 2**31 - 1),
 )
+@pytest.mark.slow
 def test_ssim_symmetric_bounded_and_psnr_order(h, w, seed):
     from myconvnet_tpu.eval.image_metrics import psnr, ssim
     rs = np.random.RandomState(seed % 2**31)
@@ -169,6 +175,7 @@ def test_ssim_symmetric_bounded_and_psnr_order(h, w, seed):
     c=st.sampled_from([4, 8, 16]), groups=st.sampled_from([1, 2, 4]),
     scale=st.floats(0.5, 100.0), seed=st.integers(0, 2**31 - 1),
 )
+@pytest.mark.slow
 def test_group_norm_scale_invariant(c, groups, scale, seed):
     """GN output is invariant to input scaling up to the eps term
     (eps/(var*s^2) shifts the denominator ~0.6% at s=0.1, so the scale

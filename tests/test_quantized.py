@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from myconvnet_tpu import models
 from myconvnet_tpu.core import transform
@@ -54,6 +55,7 @@ def test_qdense_close_to_f32():
     assert rel < 0.03, rel
 
 
+@pytest.mark.slow
 def test_int8_model_top1_agreement():
     """Whole smallnet through int8_scope: top-1 must agree with f32 on
     clearly-classified inputs (trained net on separable synthetic data)."""
@@ -165,6 +167,7 @@ def test_fake_quant_ste_and_rounding():
     assert (err <= per_ch_step * 0.51).all()
 
 
+@pytest.mark.slow
 def test_qat_training_then_int8_serving():
     """Train under qat_scope, then the int8 path reproduces the QAT
     forward closely (that is the whole point of QAT)."""

@@ -78,6 +78,7 @@ def test_sliding_window_matches_full_forward_for_linear_model():
     np.testing.assert_allclose(tiled, full, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_convnet_predict_segmentation():
     """ConvNet.predict_segmentation: multi-scale and sliding-window
     paths both emit class maps."""

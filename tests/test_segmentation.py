@@ -76,6 +76,7 @@ def test_segmentation_recipe_trains():
     assert 0.0 <= miou <= 1.0
 
 
+@pytest.mark.slow
 def test_segmenter_predict_images_only():
     """ConvNet.predict on a segmentation net takes raw images (no masks)."""
     from myconvnet_tpu import recipes
@@ -91,6 +92,7 @@ def test_segmenter_predict_images_only():
     assert out.shape == (3, 96, 96, 21)
 
 
+@pytest.mark.slow
 def test_dice_loss_properties():
     import jax
     from myconvnet_tpu.train.losses import ce_dice_loss, dice_loss
@@ -114,6 +116,7 @@ def test_dice_loss_properties():
     assert float(jnp.sum(jnp.abs(g))) > 0
 
 
+@pytest.mark.slow
 def test_seg_loss_config_selection():
     from myconvnet_tpu import recipes
     cfg = dict(task="segmentation", model="unet",

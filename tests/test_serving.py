@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from myconvnet_tpu import models, serving
 from myconvnet_tpu.core import transform
@@ -91,6 +92,7 @@ def test_batched_server_on_real_model():
                                rtol=2e-4, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_int8_export_reload(tmp_path):
     """The quantized inference program exports/reloads as StableHLO and
     agrees with the live int8 path."""

@@ -20,6 +20,7 @@ def test_inv_fourth_root():
     np.testing.assert_allclose(np.asarray(prod), np.eye(6), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_shampoo_converges_on_ill_conditioned_quadratic():
     """0.5 * w^T A w with condition number 1e3: grafted Shampoo must
     reach a much lower loss than plain momentum at the same lr/steps."""
@@ -99,6 +100,7 @@ def test_tile_roundtrip():
         np.testing.assert_array_equal(np.asarray(back), np.asarray(gm))
 
 
+@pytest.mark.slow
 def test_blocked_beats_capped_on_large_axis_ill_conditioned():
     """The VERDICT r1 #7 criterion: a conv-shaped problem whose LARGE
     axis is ill-conditioned.  Capped shampoo (max_dim below that axis)
@@ -137,6 +139,7 @@ def test_blocked_beats_capped_on_large_axis_ill_conditioned():
     assert l_blocked < l_capped * 0.5, (l_blocked, l_capped)
 
 
+@pytest.mark.slow
 def test_blocked_matches_unblocked_when_axes_fit_one_block():
     """With block_size >= both axes, blocked runs the same per-axis
     algorithm.  Trajectories agree closely but not bitwise: the padded

@@ -275,6 +275,7 @@ def test_trainer_spatial_sharding_matches_plain():
 
 
 @pytest.mark.parametrize("seg_model", ["unet", "fcn"])
+@pytest.mark.slow
 def test_new_segmenters_spatial_sharding_matches_plain(seg_model):
     """U-Net / FCN under Trainer(spatial=True): H-sharded training must
     reproduce the unsharded losses (the upsample matmuls and pool
