@@ -13,10 +13,10 @@ ImageNet recipes (EfficientNet et al.).  TPU-first shape of the idea:
   reuses the crop machinery's axis-matrix trick), or the Pallas affine
   resampler (rotate via 3-shear, shear-x/y — bounded dynamic lane-rolls
   in VMEM, ops/pallas/affine.py; round 2 closed the canonical-pool
-  geometry gap).  PIL's equalize (per-image 256-bin histogram LUT)
-  remains out: a scatter-shaped op XLA lowers poorly, for marginal
-  policy value.  The pool is a config knob, so recipes can subset
-  (e.g. drop the geometry ops to shave the where-fold's cost).
+  geometry gap).  Even PIL's equalize (usually skipped on TPU as
+  scatter-shaped) is here, as broadcast-compare reduction passes.  The
+  pool is a config knob, so recipes can subset (e.g. drop the
+  geometry/histogram ops to shave the where-fold's cost).
 
 Magnitude semantics follow the paper: one global ``magnitude`` M in
 [0, 30] scaled per-op onto its natural range, with a random sign for
@@ -110,6 +110,39 @@ def op_autocontrast(x, mag01):
     return jnp.where(hi > lo, stretched, x)
 
 
+def op_equalize(x, mag01):
+    """PIL ``ImageOps.equalize`` (per-image, per-channel histogram
+    equalization), batched and gather-free: both the 256-bin histogram
+    and the LUT application are broadcast-compare passes that XLA fuses
+    into reductions (no scatter, no per-pixel gather — the reason this
+    op is usually skipped on TPU).  Magnitude-free like autocontrast.
+
+    Bit-exact vs PIL on 8-bit content (the input is binned to 256
+    levels; integer arithmetic stays exact in f32 at these ranges, with
+    an epsilon dominating fp division error below the 1/step result
+    granularity)."""
+    n, h, w, c = x.shape
+    bins = jnp.clip(jnp.round(x.astype(jnp.float32) * 255.0),
+                    0, 255).astype(jnp.int32)
+    iota = jnp.arange(256, dtype=jnp.int32)
+    eq = (bins[..., None] == iota).astype(jnp.float32)  # fused into sums
+    hist = jnp.sum(eq, axis=(1, 2))                     # [N, C, 256]
+
+    nz = hist > 0
+    last_idx = jnp.argmax(jnp.where(nz, iota[None, None, :], -1), -1)
+    last_count = jnp.sum(
+        hist * (iota[None, None, :] == last_idx[..., None]), -1)
+    step = jnp.floor((h * w - last_count) / 255.0)      # [N, C]
+    cum = jnp.cumsum(hist, axis=-1) - hist              # counts BELOW bin
+    lut = jnp.floor((cum + jnp.floor(step / 2.0)[..., None])
+                    / jnp.maximum(step, 1.0)[..., None] + 1e-4)
+    lut = jnp.clip(lut, 0.0, 255.0)
+    out = jnp.sum(eq * lut[:, None, None, :, :], -1) / 255.0
+    identity = (step < 1.0) | (jnp.sum(nz, -1) <= 1)    # PIL no-op cases
+    return jnp.where(identity[:, None, None, :], x,
+                     out.astype(x.dtype))
+
+
 def _translate_matrix(shift: jax.Array, size: int) -> jax.Array:
     """One-hot shift matrices [N, size, size]: out[i] = in[i + shift]
     (out-of-frame rows all-zero -> fill handled by caller)."""
@@ -184,6 +217,7 @@ def op_rotate(x, mag01):
 POOL = {
     "identity": op_identity,
     "autocontrast": op_autocontrast,
+    "equalize": op_equalize,
     "invert": op_invert,
     "posterize": op_posterize,
     "solarize": op_solarize,

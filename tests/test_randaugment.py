@@ -86,7 +86,7 @@ def test_chain_integration():
 
 def test_unknown_op_raises():
     with pytest.raises(KeyError):
-        ra.rand_augment(jax.random.key(0), _img(), ops=("equalize",))
+        ra.rand_augment(jax.random.key(0), _img(), ops=("histogram_magic",))
 
 
 def test_pallas_backend_matches_xla_on_shared_pool():
@@ -122,3 +122,33 @@ def test_pallas_kernel_each_op_matches_reference():
         ref = ra.POOL[name](x, m if name in ra.SIGNED else jnp.abs(m))
         np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                    atol=1e-5, err_msg=name)
+
+
+def test_equalize_matches_pil_exactly():
+    """op_equalize reproduces PIL ImageOps.equalize bit-for-bit on
+    8-bit content (incl. the step==0 / single-level no-op cases)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    from PIL import ImageOps
+
+    rs = np.random.RandomState(0)
+    imgs = [
+        (rs.rand(24, 20, 3) ** 2 * 255).astype(np.uint8),   # skewed
+        (rs.rand(24, 20, 3) * 255).astype(np.uint8),        # uniform
+        np.full((24, 20, 3), 77, np.uint8),                 # single level
+        np.clip(rs.randn(24, 20, 3) * 20 + 128, 0,
+                255).astype(np.uint8),                      # narrow
+    ]
+    x = jnp.asarray(np.stack(imgs), jnp.float32) / 255.0
+    out = np.asarray(ra.op_equalize(x, jnp.zeros((4, 1, 1, 1))))
+    got = np.round(out * 255.0).astype(np.int32)
+    for i, img in enumerate(imgs):
+        want = np.asarray(ImageOps.equalize(
+            PIL_Image.fromarray(img)), np.int32)
+        np.testing.assert_array_equal(got[i], want, err_msg=f"img {i}")
+
+
+def test_equalize_in_pool_and_jit():
+    assert "equalize" in ra.DEFAULT_OPS
+    x = _img()
+    y = jax.jit(lambda x: ra.op_equalize(x, None))(x)
+    assert np.isfinite(np.asarray(y)).all()
