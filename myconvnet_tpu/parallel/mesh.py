@@ -122,3 +122,37 @@ def local_batch_size(mesh: Mesh, global_batch: int) -> int:
         raise ValueError(f"global batch {global_batch} not divisible by "
                          f"data-parallel degree {n_data}")
     return global_batch // n_data
+
+
+def zero_state_sharding(mesh: Mesh, min_size: int = 2 ** 16):
+    """Leaf -> NamedSharding rule for ZeRO-style optimizer-state
+    sharding: moments/accumulators shard their largest data-axis-
+    divisible dimension over ``data``, so per-chip optimizer memory
+    drops by the data-parallel degree (params stay replicated — the
+    GSPMD partitioner inserts the gathers where updates are consumed;
+    this is the ZeRO-2 memory shape expressed as sharding annotations,
+    not new collectives code).
+
+    Returns a callable usable both for initial placement
+    (``jax.device_put(leaf, rule(leaf))``) and as an in-jit
+    ``with_sharding_constraint`` rule.  Leaves smaller than
+    ``min_size`` or with no divisible dim stay replicated (sharding
+    them buys nothing and costs collective latency).
+    """
+    n_data = mesh.shape[DATA_AXIS]
+
+    def rule(leaf):
+        shape = getattr(leaf, "shape", ())
+        size = int(np.prod(shape)) if shape else 0
+        if n_data <= 1 or size < min_size:
+            return NamedSharding(mesh, P())
+        divisible = [d for d in range(len(shape))
+                     if shape[d] % n_data == 0 and shape[d] >= n_data]
+        if not divisible:
+            return NamedSharding(mesh, P())
+        axis = max(divisible, key=lambda d: shape[d])
+        spec = [None] * len(shape)
+        spec[axis] = DATA_AXIS
+        return NamedSharding(mesh, P(*spec))
+
+    return rule

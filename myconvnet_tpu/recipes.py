@@ -158,6 +158,7 @@ def build_classifier(cfg: dict, synthetic: bool = False,
                   mesh=mesh, seed=cfg.get("seed", 0),
                   remat=cfg.get("remat", False),
                   accum_steps=cfg.get("accum_steps", 1),
+                  zero_sharding=cfg.get("zero_sharding", False),
                   ckpt_dir=ckpt_dir, log_dir=log_dir, **kwargs)
     train_src, val_src = make_sources(cfg, synthetic)
     return net, DataSet(train_src, augment), DataSet(val_src, augment)
@@ -196,6 +197,7 @@ def build_segmenter(cfg: dict, synthetic: bool = False,
                   remat=cfg.get("remat", False),
                   accum_steps=cfg.get("accum_steps", 1),
                   spatial=cfg.get("spatial", False),
+                  zero_sharding=cfg.get("zero_sharding", False),
                   ckpt_dir=ckpt_dir, log_dir=log_dir, **kwargs)
     train_src, val_src = make_sources(cfg, synthetic)
     return net, DataSet(train_src), DataSet(val_src)

@@ -97,6 +97,12 @@ class Trainer:
     # inserts the conv halo exchanges (parallel/mesh.py
     # spatial_input_sharding). The HBM lever for 513x513 segmentation.
     spatial: bool = False
+    # ZeRO-style optimizer-state sharding (needs mesh): moments and
+    # accumulators shard over the data axis (parallel/mesh.py
+    # zero_state_sharding) so per-chip optimizer memory drops by the dp
+    # degree; params stay replicated and GSPMD inserts the gathers.
+    # Numerics are identical to unsharded training (tested).
+    zero_sharding: bool = False
     # evaluate/predict with the Polyak-averaged parameters when the
     # optimizer is wrapped with optim.with_ema (no-op otherwise)
     eval_with_ema: bool = False
@@ -144,6 +150,9 @@ class Trainer:
             return loss, (new_state, logits)
 
         accum = max(int(self.accum_steps), 1)
+        zero_rule = (mesh_lib.zero_state_sharding(self.mesh)
+                     if self.zero_sharding and self.mesh is not None
+                     else None)
 
         def train_step(state: TrainState, batch) -> tuple[TrainState, dict]:
             x, y = batch
@@ -187,6 +196,13 @@ class Trainer:
                 logits = logits_m.reshape(n, *logits_m.shape[2:])
             new_params, new_opt = optimizer.update(
                 grads, state.opt_state, state.params, state.step)
+            if zero_rule is not None:
+                # keep the optimizer state sharded across steps (the
+                # constraint pins what input-sharding propagation
+                # usually infers, so the memory saving is guaranteed)
+                new_opt = jax.tree.map(
+                    lambda t: jax.lax.with_sharding_constraint(
+                        t, zero_rule(t)), new_opt)
             metrics = {"loss": loss}
             if logits.ndim == y.ndim + 1:  # per-example/pixel class labels
                 metrics["accuracy"] = jnp.mean(
@@ -227,6 +243,7 @@ class Trainer:
             return logits
 
         # GSPMD propagates from sharded inputs in both layouts.
+        self._zero_rule = zero_rule
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
         if self.debug_checks:
             from myconvnet_tpu.utils.debugging import nan_guard
@@ -269,6 +286,13 @@ class Trainer:
             # only surface hours in, at the first plateau
             from myconvnet_tpu.train.optim import plateau_scale
             plateau_scale(state.opt_state)
+        if self._zero_rule is not None:
+            # initial ZeRO placement: each chip holds only its shard of
+            # the moments from step 0 (restores included — the npz
+            # checkpoint is host-global, this re-places it)
+            state = state._replace(opt_state=jax.tree.map(
+                lambda t: jax.device_put(t, self._zero_rule(t)),
+                state.opt_state))
         pending = None  # (step_idx, metrics) fetched with 1-step lag
         t0 = time.perf_counter()
         window = 0
