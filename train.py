@@ -33,8 +33,12 @@ def main():
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize the forward in backward "
                          "(activation-memory saver)")
-    ap.add_argument("--mesh", action="store_true",
-                    help="train data-parallel over all visible devices")
+    ap.add_argument("--mesh", nargs="?", const="auto", default=None,
+                    metavar="DxM",
+                    help="train over a device mesh: bare --mesh = all "
+                         "devices data-parallel; '4x2' = 4-way data x "
+                         "2-way model; overrides the config's mesh= "
+                         "block")
     ap.add_argument("--resume", action="store_true",
                     help="resume from the latest checkpoint in --out")
     ap.add_argument("--max_restarts", type=int, default=0,
@@ -75,7 +79,18 @@ def main():
     import json
     with open(os.path.join(out, "config.json"), "w") as f:
         json.dump(cfg, f, indent=1, default=str)
-    mesh = make_mesh() if args.mesh else None
+    mesh_spec = args.mesh or cfg.get("mesh")
+    if mesh_spec is None:
+        mesh = None
+    elif mesh_spec == "auto" or mesh_spec is True:
+        mesh = make_mesh()          # all devices data-parallel
+    elif isinstance(mesh_spec, str):
+        d, _, m = mesh_spec.partition("x")
+        mesh = make_mesh(int(d), int(m or 1))
+    else:                           # config block: mesh=dict(data=, model=)
+        mesh = make_mesh(int(mesh_spec.get("data")) if
+                         mesh_spec.get("data") else None,
+                         int(mesh_spec.get("model", 1)))
 
     if cfg["task"] == "gan":
         run_gan(cfg, args, out)
