@@ -77,10 +77,12 @@ def build_step(batch, hw, num_classes, smoke=False):
     state = init_train_state(model, opt, jax.random.key(0),
                              jnp.zeros((batch, *hw, 3), jnp.bfloat16))
 
-    # microbatch count: accum=2 measured consistently ~4% faster than the
-    # monolithic step at the same global batch on v5e (PERF_NOTES.md) —
-    # the smaller working set schedules better on a bandwidth-bound chip
-    accum = int(os.environ.get("BENCH_ACCUM", "1" if smoke else "2"))
+    # microbatch size 128 is the measured sweet spot on v5e (mb 96/192/
+    # 256 all slower — round-2 sweep, PERF_NOTES.md): the smaller
+    # working set schedules better on a bandwidth-bound chip
+    accum = int(os.environ.get("BENCH_ACCUM",
+                               "1" if smoke else str(max(batch // 128,
+                                                         1))))
     if batch % max(accum, 1):
         accum = 1
 
@@ -148,15 +150,19 @@ def run_bench():
         batch = int(os.environ.get("BENCH_BATCH", 16))
         hw, classes, steps = (32, 32), 10, 3
     else:
-        batch = int(os.environ.get("BENCH_BATCH", 256))
+        # batch 768 = 6 x mb128: largest measured win before the b1024
+        # OOM cliff; 30 timed steps amortize the relay's per-sync
+        # latency to <0.5% of the measurement (round-2 sweep)
+        batch = int(os.environ.get("BENCH_BATCH", 768))
         hw, classes = (224, 224), 1000
-        steps = int(os.environ.get("BENCH_STEPS", 10))
+        steps = int(os.environ.get("BENCH_STEPS", 30))
 
     last_err = None
-    # retry ladder: first drop gradient accumulation, then halve the
-    # batch — the driver must always get a number
-    attempts = [(batch, None), (batch, 1), (batch // 2, 1),
-                (batch // 4, 1)]
+    # retry ladder: shrink the batch (keeping the mb128 microbatching
+    # via the accum default), then drop accumulation — the driver must
+    # always get a number
+    attempts = [(batch, None), (batch // 2, None), (batch // 4, None),
+                (batch // 4, 1), (batch // 8, 1)]
     for try_batch, force_accum in attempts:
         if try_batch < 1:
             break
