@@ -65,7 +65,7 @@ class ConvNet:
                  mesh=None, use_mesh: bool = False,
                  remat: bool = False, accum_steps: int = 1,
                  debug_checks: bool = False, spatial: bool = False,
-                 zero_sharding: bool = False,
+                 zero_sharding: bool = False, sam_rho: float = 0.0,
                  seed: int = 0, ckpt_dir: str | None = None,
                  log_dir: str | None = None, **model_kwargs):
         if model_fn is None and type(self)._forward is ConvNet._forward:
@@ -92,6 +92,7 @@ class ConvNet:
         self.debug_checks = debug_checks
         self.spatial = spatial
         self.zero_sharding = zero_sharding
+        self.sam_rho = sam_rho
         self.seed = seed
         self.ckpt_dir = ckpt_dir
         self.model_kwargs = model_kwargs
@@ -174,7 +175,7 @@ class ConvNet:
             evaluator=evaluator, ckpt_dir=self.ckpt_dir,
             remat=self.remat, accum_steps=self.accum_steps,
             debug_checks=self.debug_checks, spatial=self.spatial,
-            zero_sharding=self.zero_sharding,
+            zero_sharding=self.zero_sharding, sam_rho=self.sam_rho,
             preemption_guard=self.preemption_guard,
             logger=self.logger)
 

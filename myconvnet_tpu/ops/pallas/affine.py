@@ -35,21 +35,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(par_ref, x_ref, o_ref, *, h: int, w: int, c: int,
-            r_max: int, fill: float):
+            wc_pad: int, r_max: int, fill: float):
     i = pl.program_id(0)
     s = par_ref[i, 0]                      # pixels of x-shift per row
     t = par_ref[i, 1]                      # x-shift at row 0
 
-    x = x_ref[0].astype(jnp.float32)       # [H, W*C]
+    # lane dim padded to a multiple of 128: Mosaic's dynamic_rotate
+    # rejects padded vector layouts, so the caller pads W*C -> wc_pad.
+    # Padding that rolls into frame positions is provably masked: a
+    # position x' receives source x' + k*c, and x' + k*c >= w*c  <=>
+    # cols_pix(x') + k >= w (r < c keeps the pixel index exact), which
+    # the validity test zeroes; same for wrap-around at negative k.
+    x = x_ref[0].astype(jnp.float32)       # [H, wc_pad]
     rows = jax.lax.broadcasted_iota(
-        jnp.int32, (h, w * c), 0).astype(jnp.float32)
+        jnp.int32, (h, wc_pad), 0).astype(jnp.float32)
     shift = s * rows + t                   # source offset, constant/row
     base = jnp.floor(shift)
     frac = shift - base
     base_i = base.astype(jnp.int32)
     # the shift is linear in y: its floor-min is at one of the ends
     dmin = jnp.floor(jnp.minimum(t, s * (h - 1) + t)).astype(jnp.int32)
-    cols_pix = jax.lax.broadcasted_iota(jnp.int32, (h, w * c), 1) // c
+    cols_pix = jax.lax.broadcasted_iota(jnp.int32, (h, wc_pad), 1) // c
 
     def body(d, carry):
         acc, cov = carry
@@ -64,8 +70,8 @@ def _kernel(par_ref, x_ref, o_ref, *, h: int, w: int, c: int,
 
     acc, cov = jax.lax.fori_loop(
         0, r_max, body,
-        (jnp.zeros((h, w * c), jnp.float32),
-         jnp.zeros((h, w * c), jnp.float32)))
+        (jnp.zeros((h, wc_pad), jnp.float32),
+         jnp.zeros((h, wc_pad), jnp.float32)))
     o_ref[0] = (acc + (1.0 - cov) * fill).astype(o_ref.dtype)
 
 
@@ -86,23 +92,28 @@ def shear_rows(x: jax.Array, slope: jax.Array, offset: jax.Array, *,
     params = jnp.stack([slope.astype(jnp.float32),
                         offset.astype(jnp.float32)], axis=1)
     r_max = int(math.ceil(max_abs_slope * (h - 1))) + 2
+    wc = w * c
+    wc_pad = -(-wc // 128) * 128           # Mosaic dynamic-rotate needs
+    xf = x.reshape(n, h, wc)               # an unpadded lane layout
+    if wc_pad != wc:
+        xf = jnp.pad(xf, ((0, 0), (0, 0), (0, wc_pad - wc)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n,),
-        in_specs=[pl.BlockSpec((1, h, w * c), lambda i, par: (i, 0, 0),
+        in_specs=[pl.BlockSpec((1, h, wc_pad), lambda i, par: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, h, w * c), lambda i, par: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, h, wc_pad), lambda i, par: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, h=h, w=w, c=c, r_max=r_max,
-                          fill=float(fill)),
-        out_shape=jax.ShapeDtypeStruct((n, h, w * c), x.dtype),
+        functools.partial(_kernel, h=h, w=w, c=c, wc_pad=wc_pad,
+                          r_max=r_max, fill=float(fill)),
+        out_shape=jax.ShapeDtypeStruct((n, h, wc_pad), x.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(params, x.reshape(n, h, w * c))
-    return out.reshape(n, h, w, c)
+    )(params, xf)
+    return out[:, :, :wc].reshape(n, h, w, c)
 
 
 def _centered(slope, size_along):

@@ -61,6 +61,7 @@ def make_optimizer(opt_cfg: dict) -> optim_lib.Optimizer:
     clip = opt_cfg.pop("clip_norm", None)
     ema_decay = opt_cfg.pop("ema_decay", None)
     plateau = opt_cfg.pop("plateau", False)
+    lookahead = opt_cfg.pop("lookahead", None)
     freeze = opt_cfg.pop("freeze", None)
     if freeze is not None:
         # Also exclude frozen subtrees from the inner optimizer's weight
@@ -87,6 +88,12 @@ def make_optimizer(opt_cfg: dict) -> optim_lib.Optimizer:
         # OUTSIDE clipping: frozen grads are zeroed before the global
         # norm, so the clip threshold applies to the trainable subset
         opt = optim_lib.with_frozen(opt, freeze)
+    if lookahead:
+        # outside freeze/clip (slow weights track the actually-applied
+        # fast weights), inside EMA
+        kw = (dict(sync_period=int(lookahead)) if not isinstance(
+            lookahead, dict) else {k: v for k, v in lookahead.items()})
+        opt = optim_lib.with_lookahead(opt, **kw)
     if ema_decay:
         opt = optim_lib.with_ema(opt, float(ema_decay))
     return opt
@@ -159,6 +166,7 @@ def build_classifier(cfg: dict, synthetic: bool = False,
                   remat=cfg.get("remat", False),
                   accum_steps=cfg.get("accum_steps", 1),
                   zero_sharding=cfg.get("zero_sharding", False),
+                  sam_rho=cfg.get("sam_rho", 0.0),
                   ckpt_dir=ckpt_dir, log_dir=log_dir, **kwargs)
     train_src, val_src = make_sources(cfg, synthetic)
     return net, DataSet(train_src, augment), DataSet(val_src, augment)

@@ -470,6 +470,46 @@ def with_frozen(opt: Optimizer, frozen) -> Optimizer:
     return Optimizer(opt.init, update)
 
 
+class LookaheadState(NamedTuple):
+    inner: PyTree
+    slow: PyTree      # slow weights (f32)
+    count: jax.Array  # steps since last sync
+
+
+def with_lookahead(opt: Optimizer, sync_period: int = 5,
+                   slow_step: float = 0.5) -> Optimizer:
+    """Lookahead (Zhang et al.): every ``sync_period`` inner steps the
+    slow weights move ``slow_step`` of the way toward the fast weights
+    and the fast weights reset onto them.  A pure elementwise
+    combinator — in-jit, branch-free (the sync is a where-fold on the
+    step counter), composes outside any inner optimizer."""
+
+    def init(params):
+        slow = jax.tree.map(
+            lambda p: jnp.array(p, jnp.float32, copy=True), params)
+        return LookaheadState(opt.init(params), slow,
+                              jnp.zeros((), jnp.int32))
+
+    def update(grads, opt_state, params, step):
+        fast, new_inner = opt.update(grads, opt_state.inner, params, step)
+        count = opt_state.count + 1
+        sync = count >= sync_period
+
+        def blend(s, f):
+            s32 = s.astype(jnp.float32)
+            new_slow = s32 + slow_step * (f.astype(jnp.float32) - s32)
+            return jnp.where(sync, new_slow, s32)
+
+        new_slow = jax.tree.map(blend, opt_state.slow, fast)
+        new_fast = jax.tree.map(
+            lambda f, s: jnp.where(sync, s, f.astype(jnp.float32))
+            .astype(f.dtype), fast, new_slow)
+        new_count = jnp.where(sync, 0, count)
+        return new_fast, LookaheadState(new_inner, new_slow, new_count)
+
+    return Optimizer(init, update)
+
+
 # ------------------------------------------- reduce-on-plateau LR scaling
 
 class PlateauOptState(NamedTuple):

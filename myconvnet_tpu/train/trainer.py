@@ -103,6 +103,10 @@ class Trainer:
     # degree; params stay replicated and GSPMD inserts the gathers.
     # Numerics are identical to unsharded training (tested).
     zero_sharding: bool = False
+    # sharpness-aware minimization (Foret et al.): rho > 0 takes the
+    # descent gradient at the l2-worst-case point within radius rho
+    # (2x compute per step, both passes in one XLA program)
+    sam_rho: float = 0.0
     # evaluate/predict with the Polyak-averaged parameters when the
     # optimizer is wrapped with optim.with_ema (no-op otherwise)
     eval_with_ema: bool = False
@@ -153,6 +157,29 @@ class Trainer:
         zero_rule = (mesh_lib.zero_state_sharding(self.mesh)
                      if self.zero_sharding and self.mesh is not None
                      else None)
+        sam_rho = float(self.sam_rho)
+
+        base_grad_fn = jax.value_and_grad(loss_and_state, has_aux=True)
+        if sam_rho > 0.0:
+            # Sharpness-aware minimization (Foret et al.): ascend to the
+            # worst-case point within an l2 ball of radius rho, take the
+            # descent gradient THERE.  Both passes live in the same XLA
+            # program (2x compute); with accumulation this is per-
+            # microbatch m-SAM.  BN statistics come from the second
+            # (perturbed) pass — the standard implementation choice.
+            def grad_fn(params, mstate, key, x, y):
+                _, g1 = base_grad_fn(params, mstate, key, x, y)
+                gn = jnp.sqrt(sum(jnp.sum(
+                    jnp.square(g.astype(jnp.float32)))
+                    for g in jax.tree.leaves(g1)))
+                scale = sam_rho / jnp.maximum(gn, 1e-12)
+                perturbed = jax.tree.map(
+                    lambda p, g: (p.astype(jnp.float32)
+                                  + scale * g.astype(jnp.float32))
+                    .astype(p.dtype), params, g1)
+                return base_grad_fn(perturbed, mstate, key, x, y)
+        else:
+            grad_fn = base_grad_fn
 
         def train_step(state: TrainState, batch) -> tuple[TrainState, dict]:
             x, y = batch
@@ -162,9 +189,8 @@ class Trainer:
             if augment_fn is not None:
                 x, y = augment_fn(k_aug, x, y)
             if accum == 1:
-                (loss, (new_mstate, logits)), grads = jax.value_and_grad(
-                    loss_and_state, has_aux=True)(
-                        state.params, state.model_state, k_model, x, y)
+                (loss, (new_mstate, logits)), grads = grad_fn(
+                    state.params, state.model_state, k_model, x, y)
             else:
                 # microbatch scan: grads accumulate in f32, BN stats
                 # thread through the carry; activation memory is 1/accum
@@ -172,8 +198,6 @@ class Trainer:
                 assert n % accum == 0, (n, accum)
                 xm = x.reshape(accum, n // accum, *x.shape[1:])
                 ym = y.reshape(accum, n // accum, *y.shape[1:])
-                grad_fn = jax.value_and_grad(loss_and_state, has_aux=True)
-
                 keys = jax.random.split(k_model, accum)
 
                 def micro(carry, xyk):

@@ -403,3 +403,37 @@ def test_frozen_weight_decay_moments_at_rest():
                                   [0.0, 0.0])
     # head decays + trains normally
     assert float(p["head"]["w"][0]) < 3.0
+
+
+def test_lookahead_sync_semantics():
+    """Slow weights move slow_step toward fast every sync_period steps
+    and the fast weights reset onto them (Zhang et al.)."""
+    p = {"w": jnp.asarray([0.0])}
+    g = {"w": jnp.asarray([1.0])}
+    opt = optim.with_lookahead(optim.sgd(0.1), sync_period=3,
+                               slow_step=0.5)
+    s = opt.init(p)
+    traj = []
+    for i in range(6):
+        p, s = opt.update(g, s, p, jnp.asarray(i))
+        traj.append(float(p["w"][0]))
+    # inner sgd alone: -0.1 per step.  After step 3 (fast=-0.3):
+    # slow = 0 + 0.5*(-0.3) = -0.15, fast resets to -0.15.
+    np.testing.assert_allclose(traj[:3], [-0.1, -0.2, -0.15], atol=1e-6)
+    # steps 4,5 continue from -0.15; step 6 syncs again:
+    # fast = -0.45, slow = -0.15 + 0.5*(-0.3) = -0.30
+    np.testing.assert_allclose(traj[3:], [-0.25, -0.35, -0.30], atol=1e-6)
+
+
+def test_lookahead_jits_and_registry():
+    from myconvnet_tpu import recipes
+    opt = recipes.make_optimizer(dict(name="momentum", lr=0.1,
+                                      lookahead=5))
+    p = {"a": {"w": jnp.ones((4,))}}
+    s = opt.init(p)
+    step = jax.jit(lambda g, s, p, i: opt.update(g, s, p, i))
+    g = {"a": {"w": jnp.ones((4,))}}
+    for i in range(7):
+        p, s = step(g, s, p, jnp.asarray(i))
+    assert np.isfinite(np.asarray(p["a"]["w"])).all()
+    assert float(p["a"]["w"][0]) < 1.0

@@ -387,3 +387,80 @@ def test_plateau_without_wrapper_fails_fast():
                              jnp.zeros((4, 32, 32, 3)))
     with pytest.raises(ValueError, match="plateau"):
         t.fit(state, iter([]), total_steps=1)
+
+
+def test_sam_update_matches_hand_computed_quadratic():
+    """SAM on L(w) = 0.5*a*w^2: first gradient a*w, perturbation
+    rho*sign(w) (normalized), final gradient a*(w + rho*sign(w)) —
+    exactly what the step must apply."""
+    from myconvnet_tpu.core.module import transform
+    from myconvnet_tpu.train import optim
+    from myconvnet_tpu.train.trainer import Trainer, init_train_state
+    from myconvnet_tpu import nn
+
+    a = 2.0
+    rho = 0.1
+
+    def fwd(x, train=False):
+        w = nn.param("w", (), jnp.float32,
+                     lambda key, shape, dtype: jnp.asarray(3.0))
+        return jnp.broadcast_to(w, (x.shape[0], 1))
+
+    model = transform(lambda x, train=False: _scoped(fwd, x, train))
+
+    def _scoped(f, x, train):
+        with nn.scope_named("lin"):
+            return f(x, train)
+
+    def loss_fn(logits, y):
+        return 0.5 * a * jnp.mean(logits) ** 2
+
+    opt = optim.sgd(0.5)
+    t = Trainer(model=model, optimizer=opt, loss_fn=loss_fn, sam_rho=rho)
+    t.logger.stdout = False
+    s = init_train_state(model, opt, jax.random.key(0),
+                         jnp.zeros((2, 1)))
+    x = jnp.zeros((2, 1))
+    y = jnp.zeros((2,), jnp.int32)
+    s2, m = t._train_step(s, (x, y))
+    w0 = 3.0
+    # g1 = a*w0 = 6; ||g1|| = 6 -> eps = rho*g1/||g1|| = rho
+    # g2 = a*(w0 + rho) = 6.2;  w1 = w0 - 0.5*g2
+    expected = w0 - 0.5 * a * (w0 + rho)
+    np.testing.assert_allclose(float(s2.params["lin"]["w"]), expected,
+                               rtol=1e-5)
+
+
+def test_sam_trains_and_differs_from_plain():
+    from myconvnet_tpu import models
+    from myconvnet_tpu.core.module import transform
+    from myconvnet_tpu.train import optim
+    from myconvnet_tpu.train.losses import softmax_cross_entropy
+    from myconvnet_tpu.train.trainer import Trainer, init_train_state
+
+    model = transform(lambda x, train=False: models.smallnet(
+        x, 10, train=train, width=8, dropout_rate=0.0))
+    opt = optim.momentum(0.05, 0.9)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(8, 16, 16, 3).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 10, 8))
+
+    def run(rho, accum=1):
+        t = Trainer(model=model, optimizer=opt,
+                    loss_fn=softmax_cross_entropy, sam_rho=rho,
+                    accum_steps=accum)
+        t.logger.stdout = False
+        s = init_train_state(model, opt, jax.random.key(0),
+                             jnp.zeros((8, 16, 16, 3)))
+        losses = []
+        for _ in range(4):
+            s, m = t._train_step(s, (x, y))
+            losses.append(float(m["loss"]))
+        return losses
+
+    plain = run(0.0)
+    sam = run(0.2)
+    sam_accum = run(0.2, accum=2)
+    assert all(np.isfinite(sam)) and all(np.isfinite(sam_accum))
+    assert sam[-1] < sam[0]                      # still learns
+    assert abs(sam[1] - plain[1]) > 1e-6         # and really differs
