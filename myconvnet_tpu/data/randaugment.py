@@ -235,7 +235,21 @@ POOL = {
 # signed ops draw a random direction per image
 SIGNED = {"color", "contrast", "brightness", "sharpness",
           "translate_x", "translate_y", "rotate", "shear_x", "shear_y"}
-DEFAULT_OPS = tuple(POOL)
+# the paper's canonical 14-op pool (full geometry + equalize)
+CANONICAL_OPS = ("identity", "autocontrast", "equalize", "rotate",
+                 "solarize", "color", "posterize", "contrast",
+                 "brightness", "sharpness", "shear_x", "shear_y",
+                 "translate_x", "translate_y")
+# cheap pool: the where-fold computes EVERY op for every image each
+# layer, so the expensive ops (geometry: 3 resample passes each;
+# equalize: 2x 256-bin passes) would tax every layer by their full
+# cost.  Measured at batch 256 / 224^2 on v5e: cheap fold ~19 ms,
+# full canonical fold hundreds of ms (PERF_NOTES.md).  Recipes wanting
+# the paper-exact pool pass ops=CANONICAL_OPS.
+FAST_OPS = ("identity", "autocontrast", "invert", "posterize",
+            "solarize", "solarize_add", "color", "contrast",
+            "brightness", "sharpness", "translate_x", "translate_y")
+DEFAULT_OPS = FAST_OPS
 
 
 def rand_augment(key: jax.Array, x: jax.Array, *, num_layers: int = 2,

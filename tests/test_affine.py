@@ -154,10 +154,10 @@ def test_per_image_angles_differ():
 
 
 def test_randaugment_pool_includes_geometry_ops():
-    from myconvnet_tpu.data.randaugment import (DEFAULT_OPS, SIGNED,
-                                                rand_augment)
+    from myconvnet_tpu.data.randaugment import (CANONICAL_OPS, POOL,
+                                                SIGNED, rand_augment)
     for name in ("rotate", "shear_x", "shear_y"):
-        assert name in DEFAULT_OPS and name in SIGNED
+        assert name in CANONICAL_OPS and name in POOL and name in SIGNED
     x = jnp.asarray(np.random.RandomState(4).rand(4, 16, 16, 3)
                     .astype(np.float32))
     out = rand_augment(jax.random.key(0), x, num_layers=2, magnitude=9,

@@ -148,7 +148,19 @@ def test_equalize_matches_pil_exactly():
 
 
 def test_equalize_in_pool_and_jit():
-    assert "equalize" in ra.DEFAULT_OPS
+    assert "equalize" in ra.CANONICAL_OPS and "equalize" in ra.POOL
     x = _img()
     y = jax.jit(lambda x: ra.op_equalize(x, None))(x)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_canonical_pool_runs():
+    """The paper's full 14-op pool (geometry + equalize included) runs
+    jitted end to end; the default pool stays the cheap subset."""
+    assert set(ra.CANONICAL_OPS) <= set(ra.POOL)
+    assert len(ra.CANONICAL_OPS) == 14
+    x = _img(n=2, hw=16)
+    y = jax.jit(lambda k, x: ra.rand_augment(
+        k, x, num_layers=1, magnitude=9.0,
+        ops=ra.CANONICAL_OPS))(jax.random.key(0), x)
     assert np.isfinite(np.asarray(y)).all()
