@@ -119,6 +119,19 @@ def restore_checkpoint(path: str, target: dict[str, Any]) -> dict[str, Any]:
     if missing:
         raise ValueError(f"checkpoint {path!r} missing keys: {missing[:5]}"
                          f"{'...' if len(missing) > 5 else ''}")
+    unused = sorted(set(flat_saved) - set(flat_target))
+    if unused:
+        # loud, not fatal: a checkpoint carrying weights the current
+        # model has no slot for usually means an architecture changed
+        # under it (e.g. ResNet-18/34 stage-1 shortcuts went identity in
+        # round 2) — restoring silently would compute a different
+        # function than was trained
+        import warnings
+        warnings.warn(
+            f"checkpoint {path!r} carries {len(unused)} entries the "
+            f"target has no slot for (e.g. {unused[:3]}) — they are "
+            "IGNORED; if this checkpoint predates an architecture "
+            "change, re-train or convert it", stacklevel=2)
     leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(target)
     new_leaves = []
     for keypath, leaf in leaves_with_path:

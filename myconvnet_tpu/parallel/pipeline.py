@@ -270,14 +270,21 @@ def pipeline_hetero(mesh, stage_aps, flat_params, metas, x, *,
 def make_pipelined_train_step(mesh, stage_aps, metas, loss_fn, optimizer,
                               *, microbatches: int,
                               axis_name: str = PIPELINE_AXIS,
-                              buf_dtype=None):
+                              buf_dtype=None, preprocess=None,
+                              seed: int = 0):
     """jitted (flat_params, opt_state, x, y, step) -> (new_flat_params,
     new_opt_state, loss): the full pipelined fwd+bwd+update as ONE XLA
     program.  ``optimizer`` must be elementwise (SGD/momentum/Adam...)
     — it updates the stacked [S, maxP] buffer; padding lanes see zero
-    gradients and stay zero."""
+    gradients and stay zero.  ``preprocess``: optional ``(key, raw) ->
+    x`` run inside the program before the pipeline (on-device
+    augmentation), keyed from ``seed`` and the step counter."""
 
     def step_fn(flat_params, opt_state, x, y, step):
+        if preprocess is not None:
+            key = jax.random.fold_in(jax.random.key(seed), step)
+            x = preprocess(key, x)
+
         def loss_of(fp):
             logits = pipeline_hetero(
                 mesh, stage_aps, fp, metas, x,

@@ -68,12 +68,19 @@ def make_optimizer(opt_cfg: dict) -> optim_lib.Optimizer:
         # decay: with_frozen zeroes their grads, but without this the
         # decay term wd*p would still flow into momentum/Adam moments
         # for frozen leaves (phantom state drift; params themselves are
-        # protected by with_frozen's kept-mask either way).
-        prefixes = tuple(str(p) for p in freeze)
+        # protected by with_frozen's kept-mask either way).  ``freeze``
+        # may be a predicate or an iterable of prefixes — same contract
+        # as with_frozen.
+        if callable(freeze):
+            frozen_pred = freeze
+        else:
+            prefixes = tuple(str(p) for p in freeze)
+            frozen_pred = lambda path, p, _pre=prefixes: (  # noqa: E731
+                path.startswith(_pre))
         prev = opt_cfg.get("weight_decay_exclude")
 
-        def _exclude(path, p, _prev=prev, _pre=prefixes):
-            return (path.startswith(_pre)
+        def _exclude(path, p, _prev=prev, _frozen=frozen_pred):
+            return (_frozen(path, p)
                     or (_prev is not None and _prev(path, p)))
 
         opt_cfg["weight_decay_exclude"] = _exclude
@@ -90,9 +97,14 @@ def make_optimizer(opt_cfg: dict) -> optim_lib.Optimizer:
         opt = optim_lib.with_frozen(opt, freeze)
     if lookahead:
         # outside freeze/clip (slow weights track the actually-applied
-        # fast weights), inside EMA
-        kw = (dict(sync_period=int(lookahead)) if not isinstance(
-            lookahead, dict) else {k: v for k, v in lookahead.items()})
+        # fast weights), inside EMA.  `lookahead: true` opts into the
+        # paper defaults; an int sets sync_period; a dict passes through.
+        if isinstance(lookahead, dict):
+            kw = dict(lookahead)
+        elif lookahead is True:
+            kw = {}
+        else:
+            kw = dict(sync_period=int(lookahead))
         opt = optim_lib.with_lookahead(opt, **kw)
     if ema_decay:
         opt = optim_lib.with_ema(opt, float(ema_decay))

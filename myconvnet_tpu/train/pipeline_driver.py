@@ -55,6 +55,18 @@ def run_pipelined(cfg, args, out, *, synthetic: bool) -> float:
     pp = cfg["pipeline"]
     n_stages = int(pp["stages"])
     microbatches = int(pp.get("microbatches", 4))
+    # fail fast on optimizers that are not elementwise: the pipelined
+    # update runs on the stacked [S, maxP] flat buffer, which would
+    # silently couple unrelated parameters (and padding lanes) under
+    # shampoo/LARS-style per-matrix/per-layer methods
+    opt_name = cfg["optimizer"]["name"].lower()
+    elementwise = {"sgd", "momentum", "adam", "adamw", "rmsprop",
+                   "adagrad"}
+    if opt_name not in elementwise:
+        raise SystemExit(
+            f"pipeline training needs an elementwise optimizer (got "
+            f"{opt_name!r}); valid: {sorted(elementwise)} — per-matrix "
+            "preconditioners would mix stages on the stacked buffer")
     devices = jax.devices()
     if len(devices) < n_stages:
         raise SystemExit(
@@ -82,36 +94,28 @@ def run_pipelined(cfg, args, out, *, synthetic: bool) -> float:
     # exact resume from the stacked-flat checkpoint
     ckpt_path = os.path.join(out, "pipeline_ckpt.npz")
     if getattr(args, "resume", False) and os.path.exists(ckpt_path):
-        with np.load(ckpt_path, allow_pickle=True) as d:
+        with np.load(ckpt_path) as d:
             flat = jnp.asarray(d["flat"])
+            n_leaves = len(jax.tree.leaves(opt_state))
             opt_state = jax.tree.unflatten(
                 jax.tree.structure(opt_state),
-                [jnp.asarray(x) for x in d["opt_leaves"]])
+                [jnp.asarray(d[f"opt_{i}"]) for i in range(n_leaves)])
             step_i = int(d["step"])
         print(f"resumed pipelined run at step {step_i}")
 
     loss_fn = lambda lg, y: softmax_cross_entropy(  # noqa: E731
         lg, y, label_smoothing=cfg.get("label_smoothing", 0.0))
 
-    def train_step(flat_p, opt_state, raw, labels, step):
-        key = jax.random.fold_in(jax.random.key(cfg.get("seed", 0) + 1),
-                                 step)
-        x = augment_train(key, raw, acfg).astype(jnp.float32)
-
-        def loss_of(fp):
-            logits = pipeline_hetero(mesh, stage_aps, fp, metas, x,
-                                     microbatches=microbatches)
-            return loss_fn(logits.astype(jnp.float32), labels)
-
-        loss, grads = jax.value_and_grad(loss_of)(flat_p)
-        new_p, new_o = opt.update(grads, opt_state, flat_p, step)
-        return new_p, new_o, loss
+    from myconvnet_tpu.parallel.pipeline import make_pipelined_train_step
+    jit_step = make_pipelined_train_step(
+        mesh, stage_aps, metas, loss_fn, opt,
+        microbatches=microbatches,
+        preprocess=lambda k, raw: augment_train(k, raw, acfg)
+        .astype(jnp.float32),
+        seed=cfg.get("seed", 0) + 1)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
     pspec = NamedSharding(mesh, P("model"))
-    jit_step = jax.jit(train_step,
-                       in_shardings=(pspec, None, None, None, None),
-                       out_shardings=(pspec, None, None))
 
     def eval_logits(flat_p, raw):
         x = augment_eval(raw, acfg).astype(jnp.float32)
@@ -126,7 +130,16 @@ def run_pipelined(cfg, args, out, *, synthetic: bool) -> float:
     logger = MetricLogger(log_dir=out)
     flat = jax.device_put(flat, pspec)
 
+    def save_ckpt():
+        # atomic write (tmp + rename) of the stacked-flat layout
+        tmp = ckpt_path + ".tmp.npz"   # np.savez appends .npz otherwise
+        np.savez(tmp, flat=np.asarray(flat), step=step_i,
+                 **{f"opt_{i}": np.asarray(x) for i, x in
+                    enumerate(jax.tree.leaves(opt_state))})
+        os.replace(tmp, ckpt_path)
+
     total = int(cfg["total_steps"])
+    ckpt_every = int(cfg.get("ckpt_every", 200))
     it = train_set.train_iter(batch)
     t0 = time.time()
     last_logged = step_i
@@ -147,13 +160,11 @@ def run_pipelined(cfg, args, out, *, synthetic: bool) -> float:
                 "microbatches": microbatches})
             t0 = time.time()
             last_logged = step_i
+        if step_i % ckpt_every == 0 and step_i < total:
+            # periodic checkpoint so --resume recovers interrupted runs
+            save_ckpt()
 
-    # checkpoint (stacked-flat layout, exact resume)
-    np.savez(ckpt_path, flat=np.asarray(flat),
-             opt_leaves=np.asarray(
-                 [np.asarray(x) for x in jax.tree.leaves(opt_state)],
-                 dtype=object),
-             step=step_i)
+    save_ckpt()
     print(f"checkpoint: {ckpt_path}")
 
     # validation accuracy through the pipelined forward

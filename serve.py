@@ -106,14 +106,19 @@ def main():
             from myconvnet_tpu.subsets.mnist import FASHION_CLASS_NAMES
             names = FASHION_CLASS_NAMES
     nch = art_shape[3] if len(art_shape) > 3 else 3
-    mean = np.broadcast_to(np.asarray(acfg.mean, np.float32), (nch,))
-    std = np.broadcast_to(np.asarray(acfg.std, np.float32), (nch,))
+    mean = np.asarray(acfg.mean, np.float32)
+    std = np.asarray(acfg.std, np.float32)
+    if mean.ndim and mean.shape[0] != nch:
+        # grayscale (or otherwise non-RGB) artifact with RGB stats:
+        # collapse to the channel-averaged scalar rather than crash
+        mean = np.full((nch,), float(mean.mean()), np.float32)
+        std = np.full((nch,), float(std.mean()), np.float32)
 
     raw = np.stack([
         np.asarray(Image.open(p).convert("RGB").resize(
             (hw[1], hw[0]), Image.BILINEAR), np.float32) / 255.0
         for p in paths])
-    x = (raw - mean) / std if mean is not None else raw
+    x = (raw - mean) / std
 
     logits = np.asarray(serve(x))
     if args.calibration:

@@ -229,7 +229,9 @@ def _fid_extractor(spec, platform=None):
         ecfg = recipes.load_config(kind)
         net, _tr, _va = recipes.build_classifier(ecfg, synthetic=True,
                                                  ckpt_dir=rest)
-        net.build()
+        # build with the RECIPE's optimizer: the checkpoint's opt_state
+        # structure must match the template or restore raises
+        net.build(recipes.make_optimizer(ecfg["optimizer"]))
         net.restore(rest)
         hw = tuple(ecfg["input_hw"])
 

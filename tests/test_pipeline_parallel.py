@@ -14,8 +14,8 @@ N_STAGES = 4
 
 @pytest.fixture(scope="module")
 def mesh():
-    if len(jax.devices()) < N_STAGES:
-        pytest.skip("needs >=4 virtual devices")
+    if len(jax.devices()) < 2 * N_STAGES:
+        pytest.skip("needs >=8 virtual devices (2-way data x 4 stages)")
     # 2-way data x 4-way pipeline over the 8 CPU devices
     return make_mesh(2, N_STAGES)
 

@@ -99,6 +99,12 @@ def main():
     if cfg.get("pipeline"):
         # pipeline-parallel path: staged model over a 'model'-axis mesh
         # (train/pipeline_driver.py)
+        if mesh_spec is not None:
+            raise SystemExit(
+                "--mesh/config mesh= conflicts with pipeline=: the "
+                "pipelined driver builds its own 'model'-axis mesh of "
+                "pipeline.stages devices (data x pipeline composition "
+                "is not wired through this entry point)")
         from myconvnet_tpu.train.pipeline_driver import run_pipelined
         run_pipelined(cfg, args, out, synthetic=args.synthetic)
         return
