@@ -121,7 +121,7 @@ def op_equalize(x, mag01):
     levels; integer arithmetic stays exact in f32 at these ranges, with
     an epsilon dominating fp division error below the 1/step result
     granularity)."""
-    n, h, w, c = x.shape
+    _, h, w, c = x.shape
     bins = jnp.clip(jnp.round(x.astype(jnp.float32) * 255.0),
                     0, 255).astype(jnp.int32)
     iota = jnp.arange(256, dtype=jnp.int32)

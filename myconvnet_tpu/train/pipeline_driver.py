@@ -46,9 +46,8 @@ def run_pipelined(cfg, args, out, *, synthetic: bool) -> float:
     """Train a staged model pipelined; returns final val accuracy."""
     from myconvnet_tpu import recipes
     from myconvnet_tpu.models.staged import init_stage_params
-    from myconvnet_tpu.parallel.pipeline import (pipeline_hetero,
-                                                 stack_stage_params)
-    from myconvnet_tpu.train import optim as optim_lib
+    from myconvnet_tpu.parallel.pipeline import (
+        make_pipelined_train_step, pipeline_hetero, stack_stage_params)
     from myconvnet_tpu.train.losses import softmax_cross_entropy
     from myconvnet_tpu.utils.logging import MetricLogger
 
@@ -106,7 +105,6 @@ def run_pipelined(cfg, args, out, *, synthetic: bool) -> float:
     loss_fn = lambda lg, y: softmax_cross_entropy(  # noqa: E731
         lg, y, label_smoothing=cfg.get("label_smoothing", 0.0))
 
-    from myconvnet_tpu.parallel.pipeline import make_pipelined_train_step
     jit_step = make_pipelined_train_step(
         mesh, stage_aps, metas, loss_fn, opt,
         microbatches=microbatches,

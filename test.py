@@ -199,7 +199,7 @@ def main():
         print(f"wrote {idx} prediction pairs to {args.save_preds}")
 
 
-def _fid_extractor(spec, platform=None):
+def _fid_extractor(spec):
     """Build the feature extractor for --fid.
 
     'CONFIG:CKPT_DIR' — any trained classifier recipe; its tagged
@@ -265,7 +265,7 @@ def eval_gan_fid(cfg, args):
         raise SystemExit(
             "--fid needs --fid_extractor CONFIG:CKPT_DIR (any trained "
             "classifier) or inception:WEIGHTS.npz")
-    feature_fn, _hw = _fid_extractor(args.fid_extractor, args.platform)
+    feature_fn, _hw = _fid_extractor(args.fid_extractor)
 
     state, _step, _it, kind = recipes.build_gan(cfg,
                                                 synthetic=args.synthetic)
