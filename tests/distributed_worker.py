@@ -19,6 +19,7 @@ jax.config.update("jax_platforms", "cpu")
 def main():
     port, pid, n = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     n_model = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    mode = sys.argv[5] if len(sys.argv) > 5 else "dp"
     from myconvnet_tpu.parallel import distributed
     if n > 1:
         distributed.initialize(f"127.0.0.1:{port}", n, pid)
@@ -38,6 +39,9 @@ def main():
     print(f"INFO {info['process_index']}/{info['process_count']} "
           f"local={info['local_devices']} global={info['global_devices']}",
           flush=True)
+
+    if mode == "pipeline":
+        return run_pipeline_mode(n)
 
     n_data = max(len(jax.devices()) // n_model, 1)
     mesh = Mesh(np.asarray(jax.devices()).reshape(n_data, n_model),
@@ -92,6 +96,51 @@ def main():
         state, metrics = t._train_step(state, batch)
         print(f"STEP {step} loss {float(metrics['loss']):.6f}",
               flush=True)
+    print("DONE", flush=True)
+
+
+def run_pipeline_mode(n):
+    """Heterogeneous GPipe across REAL process boundaries: a 2-stage
+    VGG-16 with each stage's parameters living on a DIFFERENT process's
+    device; the scan+ppermute activations cross the process boundary
+    every tick.  Prints per-step losses; the parent checks all
+    processes agree and (for n=1) that the single-process trajectory
+    matches."""
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from myconvnet_tpu.models.staged import init_stage_params, vgg_stages
+    from myconvnet_tpu.parallel.pipeline import (
+        make_pipelined_train_step, stack_stage_params)
+    from myconvnet_tpu.train import optim
+    from myconvnet_tpu.train.losses import softmax_cross_entropy
+
+    n_stages = 2
+    mesh = Mesh(np.asarray(jax.devices()[:n_stages]), ("model",))
+    aps, inits = vgg_stages(10, 16, n_stages)
+    x = jnp.asarray(np.random.RandomState(0)
+                    .rand(8, 16, 16, 3).astype(np.float32))
+    y = jnp.asarray(np.random.RandomState(1).randint(0, 10, 8))
+    params = init_stage_params(aps, inits, jax.random.key(0), x[:2])
+    flat, metas = stack_stage_params(params)
+    opt = optim.momentum(0.05, 0.9)
+    step = make_pipelined_train_step(mesh, aps, metas,
+                                     softmax_cross_entropy, opt,
+                                     microbatches=4)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sh = NamedSharding(mesh, P("model"))
+    # multi-process placement: device_put cannot target non-addressable
+    # devices; every process holds the same host values (same seed), so
+    # assemble the global array from per-shard callbacks
+    host = np.asarray(flat)
+    flat = jax.make_array_from_callback(host.shape, sh,
+                                        lambda idx: host[idx])
+    opt_state = opt.init(flat)
+    for i in range(3):
+        flat, opt_state, loss = step(flat, opt_state, x, y,
+                                     jnp.asarray(i, jnp.int32))
+        print(f"STEP {i} loss {float(loss):.6f}", flush=True)
     print("DONE", flush=True)
 
 

@@ -113,3 +113,45 @@ def test_four_process_2x2_mesh_matches_single_process():
     out, _ = p.communicate(timeout=600)
     assert p.returncode == 0, out[-2000:]
     np.testing.assert_allclose(ls[0], _losses(out), rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_two_process_pipeline_matches_single_process():
+    """The heterogeneous GPipe across REAL process boundaries: 2
+    processes, one device each, 2 VGG-16 stages — every scan tick's
+    ppermute crosses the process boundary.  Losses agree between the
+    processes and with single-process execution of the same pipeline."""
+    def launch(pid, n):
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        env.pop("XLA_FLAGS", None)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        return subprocess.Popen(
+            [sys.executable, WORKER, str(port), str(pid), str(n), "2",
+             "pipeline"],
+            cwd=REPO, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+    port = _free_port()
+    procs = [launch(pid, 2) for pid in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+        assert p.returncode == 0, out[-2000:]
+        assert "DONE" in out, out[-2000:]
+    l0, l1 = _losses(outs[0]), _losses(outs[1])
+    assert len(l0) == 3
+    np.testing.assert_allclose(l0, l1, rtol=1e-6)
+
+    # single-process reference (2 local devices via XLA fanout)
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    p = subprocess.Popen(
+        [sys.executable, WORKER, str(port), "0", "1", "2", "pipeline"],
+        cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+    out, _ = p.communicate(timeout=600)
+    assert p.returncode == 0, out[-2000:]
+    np.testing.assert_allclose(l0, _losses(out), rtol=1e-4)
