@@ -243,6 +243,55 @@ def main():
                           iters=5, warmup=1)
     print(f"[serve] p50@1={lat[1]['p50']:.1f}ms "
           f"p50@8={lat[8]['p50']:.1f}ms")
+    # 13. round-2 additions: pipelined training, ZeRO state sharding,
+    # SAM, Lookahead, canonical RandAugment geometry, torch round-trip
+    from myconvnet_tpu.data.randaugment import (CANONICAL_OPS,
+                                                rand_augment)
+    x01 = jnp.asarray(np.random.RandomState(0)
+                      .rand(4, 24, 24, 3).astype(np.float32))
+    ra = rand_augment(jax.random.key(0), x01, num_layers=1, magnitude=9,
+                      ops=CANONICAL_OPS)
+    print(f"[randaugment] canonical 14-op pool (rotate/shear/equalize "
+          f"included): out range [{float(ra.min()):.2f}, "
+          f"{float(ra.max()):.2f}]")
+
+    la_opt = optim.with_lookahead(optim.momentum(0.05, 0.9))
+    sam_net = ConvNet(lambda x, n, train=False: models.smallnet(
+        x, n, train=train, width=8, dropout_rate=0.0),
+        input_shape=(32, 32, 3), num_classes=10, augment=aug,
+        sam_rho=0.05, seed=3)
+    sam_net.logger.stdout = False
+    sam_net.train(train_set, val_set, batch_size=64, total_steps=30,
+                  optimizer=la_opt)
+    print("[sam+lookahead] 30 SAM steps under a Lookahead-wrapped "
+          "optimizer: ok")
+
+    if len(jax.devices()) >= 2:
+        from jax.sharding import Mesh
+        from myconvnet_tpu.models.staged import (init_stage_params,
+                                                 vgg_stages)
+        from myconvnet_tpu.parallel.pipeline import (
+            make_pipelined_train_step, stack_stage_params)
+        from myconvnet_tpu.train.losses import softmax_cross_entropy
+        mesh = Mesh(np.asarray(jax.devices()[:2]), ("model",))
+        aps, inits = vgg_stages(10, 16, 2)
+        xs = jnp.asarray(np.random.RandomState(1)
+                         .rand(8, 16, 16, 3).astype(np.float32))
+        ys = jnp.asarray(np.random.RandomState(2).randint(0, 10, 8))
+        sp = init_stage_params(aps, inits, jax.random.key(0), xs[:2])
+        flat, metas = stack_stage_params(sp)
+        popt = optim.momentum(0.05, 0.9)
+        pstep = make_pipelined_train_step(mesh, aps, metas,
+                                          softmax_cross_entropy, popt,
+                                          microbatches=4)
+        flat, _, ploss = pstep(flat, popt.init(flat), xs, ys,
+                               jnp.asarray(0, jnp.int32))
+        print(f"[pipeline] 2-stage VGG-16 GPipe step: loss "
+              f"{float(ploss):.3f}")
+    else:
+        print("[pipeline] skipped (needs >=2 devices; set XLA_FLAGS="
+              "--xla_force_host_platform_device_count=2)")
+
     print("tour complete")
 
 
