@@ -191,3 +191,83 @@ def test_group_norm_scale_invariant(c, groups, scale, seed):
     y2, _ = net.apply(params, state, None, x * scale)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
                                atol=2e-2)
+
+
+@pytest.mark.slow
+@given(h=st.integers(8, 40), w=st.integers(8, 40),
+       slope=st.floats(-0.29, 0.29))
+@settings(max_examples=12, deadline=None)
+def test_property_shear_matches_direct_bilinear(h, w, slope):
+    """The Pallas shear (interpret mode) equals direct bilinear
+    inverse-map sampling for arbitrary sizes and slopes — incl. the
+    lane-padding and row-block edge cases."""
+    from myconvnet_tpu.ops.pallas.affine import shear_x
+
+    rng = np.random.RandomState(h * 41 + w)
+    img = rng.rand(h, w, 3).astype(np.float32)
+    got = np.asarray(shear_x(jnp.asarray(img[None]),
+                             jnp.asarray([slope], np.float32),
+                             max_abs_slope=0.3, interpret=True))[0]
+    cy = (h - 1) / 2.0
+    # reference: out[y,x] = in[y, x + slope*(y-cy)] bilinear, 0.5 fill
+    ys = np.arange(h)[:, None]
+    xs = np.arange(w)[None, :]
+    src = xs + slope * (ys - cy)
+    x0 = np.floor(src).astype(int)
+    f = (src - x0).astype(np.float32)
+    def take(xi):
+        valid = (xi >= 0) & (xi < w)
+        v = img[np.arange(h)[:, None], np.clip(xi, 0, w - 1)]
+        return np.where(valid[..., None], v, 0.0), valid.astype(np.float32)
+    v0, c0 = take(x0)
+    v1, c1 = take(x0 + 1)
+    cov = (1 - f) * c0 + f * c1
+    want = (1 - f[..., None]) * v0 + f[..., None] * v1 \
+        + (1 - cov[..., None]) * 0.5
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.mark.slow
+@given(seed=st.integers(0, 10_000))
+@settings(max_examples=15, deadline=None)
+def test_property_equalize_matches_pil(seed):
+    from PIL import Image, ImageOps
+
+    from myconvnet_tpu.data.randaugment import op_equalize
+    rng = np.random.RandomState(seed)
+    h, w = rng.randint(4, 40), rng.randint(4, 40)
+    # mix of skewed / flat / narrow histograms
+    base = rng.rand(h, w, 3) ** rng.uniform(0.3, 3.0)
+    img8 = (base * rng.uniform(0.3, 1.0) * 255).astype(np.uint8)
+    x = jnp.asarray(img8[None], jnp.float32) / 255.0
+    out = np.asarray(op_equalize(x, None))[0]
+    got = np.round(out * 255.0).astype(np.int32)
+    want = np.asarray(ImageOps.equalize(Image.fromarray(img8)), np.int32)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
+@given(n_stages=st.integers(2, 5), hw=st.sampled_from([8, 16]),
+       batch_mult=st.integers(1, 3))
+@settings(max_examples=6, deadline=None)
+def test_property_stage_param_roundtrip_and_forward(n_stages, hw,
+                                                    batch_mult):
+    """stack/unstack stage params is lossless and the staged VGG
+    composes to the same function regardless of the stage count."""
+    from myconvnet_tpu.models.staged import init_stage_params, vgg_stages
+    from myconvnet_tpu.parallel.pipeline import (stack_stage_params,
+                                                 unstack_stage_params)
+
+    aps, inits = vgg_stages(5, 11, n_stages)
+    x = jnp.asarray(np.random.RandomState(n_stages)
+                    .rand(2 * batch_mult, hw, hw, 3).astype(np.float32))
+    params = init_stage_params(aps, inits, jax.random.key(7), x[:1])
+    flat, metas = stack_stage_params(params)
+    back = unstack_stage_params(flat, metas)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    out = x
+    for ap, p in zip(aps, back):
+        out = ap(p, out)
+    assert out.shape == (2 * batch_mult, 5)
+    assert np.isfinite(np.asarray(out)).all()
