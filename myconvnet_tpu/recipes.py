@@ -71,12 +71,7 @@ def make_optimizer(opt_cfg: dict) -> optim_lib.Optimizer:
         # protected by with_frozen's kept-mask either way).  ``freeze``
         # may be a predicate or an iterable of prefixes — same contract
         # as with_frozen.
-        if callable(freeze):
-            frozen_pred = freeze
-        else:
-            prefixes = tuple(str(p) for p in freeze)
-            frozen_pred = lambda path, p, _pre=prefixes: (  # noqa: E731
-                path.startswith(_pre))
+        frozen_pred = optim_lib.as_frozen_predicate(freeze)
         prev = opt_cfg.get("weight_decay_exclude")
 
         def _exclude(path, p, _prev=prev, _frozen=frozen_pred):

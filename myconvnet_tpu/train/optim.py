@@ -434,6 +434,18 @@ def with_gradient_clipping(opt: Optimizer, max_norm: float) -> Optimizer:
     return Optimizer(opt.init, update)
 
 
+def as_frozen_predicate(frozen):
+    """Normalize with_frozen's ``frozen`` argument — a ``(path, param)
+    -> bool`` predicate or an iterable of scope-path prefixes — into a
+    predicate.  Shared by :func:`with_frozen` and
+    ``recipes.make_optimizer`` (which composes the same predicate into
+    the inner weight-decay exclusion)."""
+    if callable(frozen):
+        return frozen
+    prefixes = tuple(str(p) for p in frozen)
+    return lambda path, p, _pre=prefixes: path.startswith(_pre)
+
+
 def with_frozen(opt: Optimizer, frozen) -> Optimizer:
     """Freeze a subset of parameters (transfer-learning/fine-tuning:
     imported backbone frozen, new head trains).
@@ -452,11 +464,7 @@ def with_frozen(opt: Optimizer, frozen) -> Optimizer:
     (EMA tracks the actually-applied parameters) — recipes.make_optimizer
     composes in this order.
     """
-    if not callable(frozen):
-        prefixes = tuple(str(p) for p in frozen)
-
-        def frozen(path, p, _pre=prefixes):  # noqa: F811
-            return path.startswith(_pre)
+    frozen = as_frozen_predicate(frozen)
 
     def update(grads, opt_state, params, step):
         mask = _path_mask(params, frozen)

@@ -66,6 +66,14 @@ def run_pipelined(cfg, args, out, *, synthetic: bool) -> float:
             f"pipeline training needs an elementwise optimizer (got "
             f"{opt_name!r}); valid: {sorted(elementwise)} — per-matrix "
             "preconditioners would mix stages on the stacked buffer")
+    path_opts = {"freeze", "wd_exclude_norms", "weight_decay_exclude"} \
+        & set(cfg["optimizer"])
+    if path_opts:
+        raise SystemExit(
+            f"optimizer options {sorted(path_opts)} select parameters "
+            "by scope path, which the stacked [S, maxP] pipeline buffer "
+            "does not carry — they would silently no-op/misapply; "
+            "remove them from the pipeline recipe")
     devices = jax.devices()
     if len(devices) < n_stages:
         raise SystemExit(
@@ -94,6 +102,11 @@ def run_pipelined(cfg, args, out, *, synthetic: bool) -> float:
     ckpt_path = os.path.join(out, "pipeline_ckpt.npz")
     if getattr(args, "resume", False) and os.path.exists(ckpt_path):
         with np.load(ckpt_path) as d:
+            if "opt_leaves" in getattr(d, "files", ()):
+                raise SystemExit(
+                    f"{ckpt_path} uses the pre-release 'opt_leaves' "
+                    "layout (unreadable object array); re-run without "
+                    "--resume to restart cleanly")
             flat = jnp.asarray(d["flat"])
             n_leaves = len(jax.tree.leaves(opt_state))
             opt_state = jax.tree.unflatten(
@@ -158,7 +171,8 @@ def run_pipelined(cfg, args, out, *, synthetic: bool) -> float:
                 "microbatches": microbatches})
             t0 = time.time()
             last_logged = step_i
-        if step_i % ckpt_every == 0 and step_i < total:
+        if ckpt_every > 0 and step_i % ckpt_every == 0 \
+                and step_i < total:
             # periodic checkpoint so --resume recovers interrupted runs
             save_ckpt()
 

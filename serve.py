@@ -114,10 +114,15 @@ def main():
         mean = np.full((nch,), float(mean.mean()), np.float32)
         std = np.full((nch,), float(std.mean()), np.float32)
 
+    # load in the artifact's channel count: RGB normally, luminance
+    # for 1-channel (e.g. mnist/fashion) artifacts
+    pil_mode = "L" if nch == 1 else "RGB"
     raw = np.stack([
-        np.asarray(Image.open(p).convert("RGB").resize(
+        np.asarray(Image.open(p).convert(pil_mode).resize(
             (hw[1], hw[0]), Image.BILINEAR), np.float32) / 255.0
         for p in paths])
+    if nch == 1:
+        raw = raw[..., None]
     x = (raw - mean) / std
 
     logits = np.asarray(serve(x))

@@ -41,7 +41,7 @@ def main():
           flush=True)
 
     if mode == "pipeline":
-        return run_pipeline_mode(n)
+        return run_pipeline_mode()
 
     n_data = max(len(jax.devices()) // n_model, 1)
     mesh = Mesh(np.asarray(jax.devices()).reshape(n_data, n_model),
@@ -99,7 +99,7 @@ def main():
     print("DONE", flush=True)
 
 
-def run_pipeline_mode(n):
+def run_pipeline_mode():
     """Heterogeneous GPipe across REAL process boundaries: a 2-stage
     VGG-16 with each stage's parameters living on a DIFFERENT process's
     device; the scan+ppermute activations cross the process boundary
