@@ -268,3 +268,32 @@ def test_pretrained_warmstart_cli(tmp_path):
               "--platform", "cpu", "--out", out])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "warm-started from" in r.stdout
+
+
+@pytest.mark.slow
+def test_serve_cli_grayscale_artifact(tmp_path):
+    """1-channel artifacts serve end-to-end: images load as luminance
+    and the RGB normalization stats collapse to the channel count."""
+    export = (
+        "import jax, jax.numpy as jnp, numpy as np\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from myconvnet_tpu import models, serving\n"
+        "from myconvnet_tpu.core import transform\n"
+        "m = transform(lambda x, train=False: models.smallnet("
+        "x, 10, train=train, width=8, dropout_rate=0.0))\n"
+        "p, s = m.init(jax.random.key(0), jnp.zeros((2, 28, 28, 1)), "
+        "True)\n"
+        f"serving.export_inference(m, p, s, np.zeros((4, 28, 28, 1), "
+        f"np.float32), {str(str(tmp_path / 'g.hlo'))!r})\n"
+        "from PIL import Image\n"
+        "Image.fromarray(np.full((28, 28), 70, np.uint8)).save("
+        f"{str(str(tmp_path / 'a.png'))!r})\n")
+    r0 = subprocess.run([sys.executable, "-c", export], cwd=REPO,
+                        capture_output=True, text=True, timeout=300,
+                        env={**os.environ, "JAX_PLATFORMS": ""})
+    assert r0.returncode == 0, r0.stderr[-2000:]
+    r1 = _run(["serve.py", "--artifact", str(tmp_path / "g.hlo"),
+               "--images", str(tmp_path), "--topk", "2",
+               "--platform", "cpu"])
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert "a.png:" in r1.stdout
