@@ -56,6 +56,10 @@ class AugmentConfig(NamedTuple):
     # "xla" (12-op where-fold) or "pallas" (8-op subset, true per-image
     # branching in a TPU kernel — one HBM sweep per layer)
     randaugment_backend: str = "xla"
+    # op pool: None = the cheap default fold; "canonical" = the paper's
+    # 14-op set (rotate/shear/equalize included — costlier, see
+    # PERF_NOTES.md); or an explicit tuple of op names
+    randaugment_ops: "tuple[str, ...] | str | None" = None
     mean: tuple[float, ...] = IMAGENET_MEAN
     std: tuple[float, ...] = IMAGENET_STD
 
@@ -328,10 +332,14 @@ def augment_train(key: jax.Array, images_u8: jax.Array,
                          contrast=cfg.contrast, saturation=cfg.saturation,
                          hue=cfg.hue)
     if cfg.randaugment is not None:
-        from myconvnet_tpu.data.randaugment import rand_augment
+        from myconvnet_tpu.data.randaugment import (CANONICAL_OPS,
+                                                    rand_augment)
         layers, mag = cfg.randaugment
+        ops = cfg.randaugment_ops
+        if ops == "canonical":
+            ops = CANONICAL_OPS
         x = rand_augment(k_ra, x, num_layers=int(layers),
-                         magnitude=float(mag),
+                         magnitude=float(mag), ops=ops,
                          backend=cfg.randaugment_backend)
     return normalize(x, cfg.mean, cfg.std).astype(cfg.out_dtype)
 

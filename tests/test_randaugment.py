@@ -164,3 +164,18 @@ def test_canonical_pool_runs():
         k, x, num_layers=1, magnitude=9.0,
         ops=ra.CANONICAL_OPS))(jax.random.key(0), x)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_chain_canonical_ops_knob():
+    """AugmentConfig(randaugment_ops='canonical') routes the chain
+    through the paper's 14-op pool."""
+    from myconvnet_tpu.data.augment import AugmentConfig, augment_train
+    cfg = AugmentConfig(out_hw=(16, 16), area_range=None, pad=2,
+                        randaugment=(1, 9), randaugment_ops="canonical",
+                        mean=(0.5, 0.5, 0.5), std=(0.25, 0.25, 0.25))
+    imgs = np.random.RandomState(0).randint(
+        0, 256, (2, 16, 16, 3), np.uint8)
+    out = jax.jit(lambda k, x: augment_train(k, x, cfg))(
+        jax.random.key(0), jnp.asarray(imgs))
+    assert out.shape == (2, 16, 16, 3)
+    assert np.isfinite(np.asarray(out)).all()
