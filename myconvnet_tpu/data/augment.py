@@ -60,6 +60,10 @@ class AugmentConfig(NamedTuple):
     # 14-op set (rotate/shear/equalize included — costlier, see
     # PERF_NOTES.md); or an explicit tuple of op names
     randaugment_ops: "tuple[str, ...] | str | None" = None
+    # AutoAugment (Cubuk et al. 2018): a registered policy name
+    # ("imagenet") or a custom sub-policy table; mutually exclusive
+    # with randaugment
+    autoaugment: "str | tuple | None" = None
     mean: tuple[float, ...] = IMAGENET_MEAN
     std: tuple[float, ...] = IMAGENET_STD
 
@@ -331,6 +335,8 @@ def augment_train(key: jax.Array, images_u8: jax.Array,
         x = color_jitter(k_color, x, brightness=cfg.brightness,
                          contrast=cfg.contrast, saturation=cfg.saturation,
                          hue=cfg.hue)
+    if cfg.randaugment is not None and cfg.autoaugment is not None:
+        raise ValueError("set randaugment OR autoaugment, not both")
     if cfg.randaugment is not None:
         from myconvnet_tpu.data.randaugment import (CANONICAL_OPS,
                                                     rand_augment)
@@ -341,6 +347,9 @@ def augment_train(key: jax.Array, images_u8: jax.Array,
         x = rand_augment(k_ra, x, num_layers=int(layers),
                          magnitude=float(mag), ops=ops,
                          backend=cfg.randaugment_backend)
+    elif cfg.autoaugment is not None:
+        from myconvnet_tpu.data.randaugment import auto_augment
+        x = auto_augment(k_ra, x, policy=cfg.autoaugment)
     return normalize(x, cfg.mean, cfg.std).astype(cfg.out_dtype)
 
 

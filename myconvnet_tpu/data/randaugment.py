@@ -307,3 +307,84 @@ def rand_augment(key: jax.Array, x: jax.Array, *, num_layers: int = 2,
             out = jnp.where((idx == k)[:, None, None, None], fn(x, m), out)
         x = out
     return x
+
+
+# ------------------------------------------------------------ AutoAugment
+#
+# The predecessor policy (Cubuk et al. 2018): 25 learned sub-policies of
+# two (op, probability, level) steps; each image draws one sub-policy
+# and applies its steps with their probabilities.  Same branch-free
+# realization as RandAugment: per step, a where-fold over the DISTINCT
+# ops that column uses (with per-image magnitudes — every POOL op
+# already takes a [N,1,1,1] magnitude).  Level semantics: level/10 maps
+# onto the same op ranges the RA pool uses at |mag01|=1 (these coincide
+# with the AutoAugment ranges: 0.3 shear, 30deg rotation, 0.1-1.9
+# enhancement factors, 4-8 posterize bits); signed ops mirror randomly,
+# following the reference implementations.
+
+# the published ImageNet policy (torchvision layout); levels None ->
+# magnitude-free ops
+AUTOAUGMENT_IMAGENET = (
+    (("posterize", 0.4, 8), ("rotate", 0.6, 9)),
+    (("solarize", 0.6, 5), ("autocontrast", 0.6, None)),
+    (("equalize", 0.8, None), ("equalize", 0.6, None)),
+    (("posterize", 0.6, 7), ("posterize", 0.6, 6)),
+    (("equalize", 0.4, None), ("solarize", 0.2, 4)),
+    (("equalize", 0.4, None), ("rotate", 0.8, 8)),
+    (("solarize", 0.6, 3), ("equalize", 0.6, None)),
+    (("posterize", 0.8, 5), ("equalize", 1.0, None)),
+    (("rotate", 0.2, 3), ("solarize", 0.6, 8)),
+    (("equalize", 0.6, None), ("posterize", 0.4, 6)),
+    (("rotate", 0.8, 8), ("color", 0.4, 0)),
+    (("rotate", 0.4, 9), ("equalize", 0.6, None)),
+    (("equalize", 0.0, None), ("equalize", 0.8, None)),
+    (("invert", 0.6, None), ("equalize", 1.0, None)),
+    (("color", 0.6, 4), ("contrast", 1.0, 8)),
+    (("rotate", 0.8, 8), ("color", 1.0, 2)),
+    (("color", 0.8, 8), ("solarize", 0.8, 7)),
+    (("sharpness", 0.4, 7), ("invert", 0.6, None)),
+    (("shear_x", 0.6, 5), ("equalize", 1.0, None)),
+    (("color", 0.4, 0), ("equalize", 0.6, None)),
+    (("equalize", 0.4, None), ("solarize", 0.2, 4)),
+    (("solarize", 0.6, 5), ("autocontrast", 0.6, None)),
+    (("invert", 0.6, None), ("equalize", 1.0, None)),
+    (("color", 0.6, 4), ("contrast", 1.0, 8)),
+    (("equalize", 0.8, None), ("equalize", 0.6, None)),
+)
+
+_AA_POLICIES = {"imagenet": AUTOAUGMENT_IMAGENET}
+
+
+def auto_augment(key: jax.Array, x: jax.Array, *,
+                 policy="imagenet") -> jax.Array:
+    """AutoAugment: each image draws one sub-policy and applies its two
+    (op, prob, level) steps.  ``policy``: a registered name or a custom
+    table of ``((op, p, level), (op, p, level))`` rows (ops from POOL;
+    level 0-9 or None).  x: [N,H,W,C] float in [0,1]."""
+    table = _AA_POLICIES[policy] if isinstance(policy, str) else policy
+    n = x.shape[0]
+    k_sp, key = jax.random.split(key)
+    sp = jax.random.randint(k_sp, (n,), 0, len(table))
+
+    for col in (0, 1):
+        steps = [row[col] for row in table]
+        names = sorted({name for name, _, _ in steps})
+        index_of = {name: i for i, name in enumerate(names)}
+        op_ids = jnp.asarray([index_of[name] for name, _, _ in steps])
+        probs = jnp.asarray([p for _, p, _ in steps], jnp.float32)
+        mags = jnp.asarray([0.0 if lv is None else lv / 10.0
+                            for _, _, lv in steps], jnp.float32)
+
+        k_apply, k_sign, key = jax.random.split(key, 3)
+        idx = op_ids[sp]                       # [N] op per image
+        run = jax.random.bernoulli(k_apply, probs[sp])
+        sign = jnp.where(jax.random.bernoulli(k_sign, 0.5, (n,)),
+                         1.0, -1.0)
+        mag01 = (mags[sp] * sign)[:, None, None, None]
+        out = x
+        for k, name in enumerate(names):
+            m = mag01 if name in SIGNED else jnp.abs(mag01)
+            sel = ((idx == k) & run)[:, None, None, None]
+            out = jnp.where(sel, POOL[name](x, m), out)
+        x = out
+    return x

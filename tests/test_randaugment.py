@@ -179,3 +179,55 @@ def test_chain_canonical_ops_knob():
         jax.random.key(0), jnp.asarray(imgs))
     assert out.shape == (2, 16, 16, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_autoaugment_runs_and_is_deterministic():
+    x = _img(n=4, hw=16)
+    f = jax.jit(lambda k, x: ra.auto_augment(k, x))
+    y1 = f(jax.random.key(0), x)
+    y2 = f(jax.random.key(0), x)
+    y3 = f(jax.random.key(1), x)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    assert not np.allclose(np.asarray(y1), np.asarray(y3))
+    assert float(jnp.min(y1)) >= 0.0 and float(jnp.max(y1)) <= 1.0
+
+
+def test_autoaugment_single_subpolicy_semantics():
+    """A one-row custom policy with p=1 must equal applying its two ops
+    in sequence (up to the random magnitude sign)."""
+    x = _img(n=3, hw=12)
+    table = ((("invert", 1.0, None), ("equalize", 1.0, None)),)
+    y = ra.auto_augment(jax.random.key(5), x, policy=table)
+    want = ra.op_equalize(ra.op_invert(x, None), None)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                               atol=1e-6)
+    # p=0 on both steps -> identity
+    table0 = ((("invert", 0.0, None), ("equalize", 0.0, None)),)
+    y0 = ra.auto_augment(jax.random.key(5), x, policy=table0)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(x))
+
+
+def test_autoaugment_policy_table_well_formed():
+    for row in ra.AUTOAUGMENT_IMAGENET:
+        assert len(row) == 2
+        for name, p, lv in row:
+            assert name in ra.POOL, name
+            assert 0.0 <= p <= 1.0
+            assert lv is None or 0 <= lv <= 9
+
+
+def test_chain_autoaugment_knob():
+    from myconvnet_tpu.data.augment import AugmentConfig, augment_train
+    cfg = AugmentConfig(out_hw=(16, 16), area_range=None, pad=2,
+                        autoaugment="imagenet",
+                        mean=(0.5, 0.5, 0.5), std=(0.25, 0.25, 0.25))
+    imgs = np.random.RandomState(0).randint(
+        0, 256, (2, 16, 16, 3), np.uint8)
+    out = jax.jit(lambda k, x: augment_train(k, x, cfg))(
+        jax.random.key(0), jnp.asarray(imgs))
+    assert out.shape == (2, 16, 16, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    with pytest.raises(ValueError, match="not both"):
+        bad = AugmentConfig(out_hw=(16, 16), area_range=None,
+                            randaugment=(2, 9), autoaugment="imagenet")
+        augment_train(jax.random.key(0), jnp.asarray(imgs), bad)
