@@ -137,7 +137,15 @@ def build_step(batch, hw, num_classes, smoke=False):
                                      dtype=np.uint8))
     labels = jax.device_put(
         rng.randint(0, num_classes, batch).astype(np.int32))
-    step = jax.jit(train_step, donate_argnums=(0,))
+    # TPU compiler options pass through jit even where env XLA_FLAGS
+    # are rejected by this stack; BENCH_VMEM_KIB probes the scoped-VMEM
+    # fusion budget
+    copts = {}
+    if os.environ.get("BENCH_VMEM_KIB"):
+        copts["xla_tpu_scoped_vmem_limit_kib"] = \
+            os.environ["BENCH_VMEM_KIB"]
+    step = jax.jit(train_step, donate_argnums=(0,),
+                   compiler_options=copts or None)
     return step, state, raw, labels, accum
 
 
