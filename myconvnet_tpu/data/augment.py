@@ -342,8 +342,14 @@ def augment_train(key: jax.Array, images_u8: jax.Array,
                                                     rand_augment)
         layers, mag = cfg.randaugment
         ops = cfg.randaugment_ops
-        if ops == "canonical":
-            ops = CANONICAL_OPS
+        if isinstance(ops, str):
+            from myconvnet_tpu.data.randaugment import FAST_OPS
+            named = {"canonical": CANONICAL_OPS, "fast": FAST_OPS}
+            if ops not in named:
+                raise ValueError(
+                    f"randaugment_ops={ops!r}: named pools are "
+                    f"{sorted(named)} (or pass a tuple of op names)")
+            ops = named[ops]
         x = rand_augment(k_ra, x, num_layers=int(layers),
                          magnitude=float(mag), ops=ops,
                          backend=cfg.randaugment_backend)

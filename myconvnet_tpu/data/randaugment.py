@@ -361,7 +361,15 @@ def auto_augment(key: jax.Array, x: jax.Array, *,
     (op, prob, level) steps.  ``policy``: a registered name or a custom
     table of ``((op, p, level), (op, p, level))`` rows (ops from POOL;
     level 0-9 or None).  x: [N,H,W,C] float in [0,1]."""
-    table = _AA_POLICIES[policy] if isinstance(policy, str) else policy
+    if isinstance(policy, str):
+        if policy not in _AA_POLICIES:
+            raise ValueError(
+                f"unknown AutoAugment policy {policy!r}; registered: "
+                f"{sorted(_AA_POLICIES)} (or pass a custom sub-policy "
+                "table)")
+        table = _AA_POLICIES[policy]
+    else:
+        table = policy
     n = x.shape[0]
     k_sp, key = jax.random.split(key)
     sp = jax.random.randint(k_sp, (n,), 0, len(table))

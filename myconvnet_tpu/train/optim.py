@@ -442,6 +442,10 @@ def as_frozen_predicate(frozen):
     the inner weight-decay exclusion)."""
     if callable(frozen):
         return frozen
+    if isinstance(frozen, str):
+        # a bare string would iterate into single-CHARACTER prefixes
+        # and silently freeze arbitrary subtrees
+        frozen = (frozen,)
     prefixes = tuple(str(p) for p in frozen)
     return lambda path, p, _pre=prefixes: path.startswith(_pre)
 

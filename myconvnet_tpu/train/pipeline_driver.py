@@ -66,8 +66,9 @@ def run_pipelined(cfg, args, out, *, synthetic: bool) -> float:
             f"pipeline training needs an elementwise optimizer (got "
             f"{opt_name!r}); valid: {sorted(elementwise)} — per-matrix "
             "preconditioners would mix stages on the stacked buffer")
-    path_opts = {"freeze", "wd_exclude_norms", "weight_decay_exclude"} \
-        & set(cfg["optimizer"])
+    path_opts = [k for k in ("freeze", "wd_exclude_norms",
+                             "weight_decay_exclude")
+                 if cfg["optimizer"].get(k)]
     if path_opts:
         raise SystemExit(
             f"optimizer options {sorted(path_opts)} select parameters "

@@ -69,8 +69,9 @@ def main():
                     "one shape; re-export for a different resolution")
         else:
             h, w = art_shape[1], art_shape[2]
+        nch = art_shape[3] if len(art_shape) > 3 else 3
         sizes = tuple(int(s) for s in args.sizes.split(","))
-        stats = serving.measure_latency(serve, (h, w, 3),
+        stats = serving.measure_latency(serve, (h, w, nch),
                                         request_sizes=sizes)
         for n, row in stats.items():
             print(f"n={n:<4d} p50={row['p50']:.2f}ms "

@@ -437,3 +437,11 @@ def test_lookahead_jits_and_registry():
         p, s = step(g, s, p, jnp.asarray(i))
     assert np.isfinite(np.asarray(p["a"]["w"])).all()
     assert float(p["a"]["w"][0]) < 1.0
+
+
+def test_frozen_predicate_string_is_one_prefix():
+    """freeze='backbone' (a bare string) must mean ONE prefix, not a
+    set of single-character prefixes."""
+    pred = optim.as_frozen_predicate("backbone")
+    assert pred("backbone/conv/w", None)
+    assert not pred("classifier/w", None)   # 'c' must NOT match

@@ -231,3 +231,23 @@ def test_chain_autoaugment_knob():
         bad = AugmentConfig(out_hw=(16, 16), area_range=None,
                             randaugment=(2, 9), autoaugment="imagenet")
         augment_train(jax.random.key(0), jnp.asarray(imgs), bad)
+
+
+def test_validation_errors_are_helpful():
+    from myconvnet_tpu.data.augment import AugmentConfig, augment_train
+    imgs = jnp.asarray(np.random.RandomState(0).randint(
+        0, 256, (2, 16, 16, 3), np.uint8))
+    with pytest.raises(ValueError, match="named pools"):
+        augment_train(jax.random.key(0), imgs,
+                      AugmentConfig(out_hw=(16, 16), area_range=None,
+                                    randaugment=(1, 9),
+                                    randaugment_ops="Canonical"))
+    with pytest.raises(ValueError, match="registered"):
+        ra.auto_augment(jax.random.key(0),
+                        jnp.zeros((1, 8, 8, 3)), policy="cifar10")
+    # "fast" named pool works
+    out = augment_train(jax.random.key(0), imgs,
+                        AugmentConfig(out_hw=(16, 16), area_range=None,
+                                      randaugment=(1, 9),
+                                      randaugment_ops="fast"))
+    assert np.isfinite(np.asarray(out)).all()
