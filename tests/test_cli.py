@@ -297,3 +297,7 @@ def test_serve_cli_grayscale_artifact(tmp_path):
                "--platform", "cpu"])
     assert r1.returncode == 0, r1.stderr[-2000:]
     assert "a.png:" in r1.stdout
+    r2 = _run(["serve.py", "--artifact", str(tmp_path / "g.hlo"),
+               "--latency", "--sizes", "1,4", "--platform", "cpu"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "p99" in r2.stdout
