@@ -11,6 +11,10 @@ API lives in ``models.base``.
 from myconvnet_tpu.models.alexnet import alexnet
 from myconvnet_tpu.models.convnext import (convnext, convnext_small,
                                            convnext_tiny)
+from myconvnet_tpu.models.regnet import (regnet, regnet_x_400mf,
+                                         regnet_x_1_6gf,
+                                         regnet_y_400mf,
+                                         regnet_y_1_6gf)
 from myconvnet_tpu.models.deeplab import aspp, deeplab_v3_plus
 from myconvnet_tpu.models.densenet import (densenet, densenet121,
                                            densenet169, densenet201)
@@ -64,6 +68,8 @@ CLASSIFIERS = {
     "xception65": xception65,
     "convnext_tiny": convnext_tiny,
     "convnext_small": convnext_small,
+    "regnet_x_400mf": regnet_x_400mf, "regnet_y_400mf": regnet_y_400mf,
+    "regnet_x_1_6gf": regnet_x_1_6gf, "regnet_y_1_6gf": regnet_y_1_6gf,
 }
 
 SEGMENTERS = {

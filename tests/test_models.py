@@ -455,3 +455,29 @@ def test_list_models_registry():
     # every registry entry actually resolves
     for n in names:
         assert models.get_model(n) is not None
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("variant,expected_m", [
+    ("x_400mf", 5.16), ("y_400mf", 4.34),
+    ("x_1_6gf", 9.19), ("y_1_6gf", 11.20)])
+def test_regnet_param_counts(variant, expected_m):
+    """Match the published parameter counts (paper Table / torchvision:
+    y_400mf=4.344M, x_1_6gf=9.190M, y_1_6gf=11.202M exactly;
+    x_400mf=5.16M per the paper's 5.2M row)."""
+    x = jnp.zeros((1, 32, 32, 3))
+    _, params, _ = _build(models.regnet, x, 1000, variant)
+    n = _n_params(params) / 1e6
+    assert abs(n - expected_m) < 0.05, f"regnet_{variant}: {n:.3f}M"
+
+
+@pytest.mark.slow
+def test_regnet_forward_and_registry():
+    x = jax.random.normal(jax.random.key(0), (2, 32, 32, 3))
+    net, params, state = _build(models.regnet_y_400mf, x, 10, train=True)
+    y, _ = net.apply(params, state, None, x, 10, train=True)
+    assert y.shape == (2, 10)
+    assert np.isfinite(np.asarray(y)).all()
+    assert models.get_model("regnet_y_400mf") is models.regnet_y_400mf
+    with pytest.raises(ValueError, match="unknown RegNet"):
+        models.regnet(x, 10, "z_9gf")
