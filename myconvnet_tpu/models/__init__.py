@@ -22,7 +22,11 @@ from myconvnet_tpu.models.efficientnet import (efficientnet,
                                                efficientnet_b0,
                                                efficientnet_b1,
                                                efficientnet_b2,
-                                               efficientnet_b3)
+                                               efficientnet_b3,
+                                               efficientnet_b4,
+                                               efficientnet_b5,
+                                               efficientnet_b6,
+                                               efficientnet_b7)
 from myconvnet_tpu.models.inception import inception_v3
 from myconvnet_tpu.models.mobilenet import mobilenet_v2
 from myconvnet_tpu.models.pspnet import pspnet, pyramid_pooling

@@ -31,6 +31,10 @@ SCALING = {
     1: (1.0, 1.1, 0.2),
     2: (1.1, 1.2, 0.3),
     3: (1.2, 1.4, 0.3),
+    4: (1.4, 1.8, 0.4),
+    5: (1.6, 2.2, 0.4),
+    6: (1.8, 2.6, 0.5),
+    7: (2.0, 3.1, 0.5),
 }
 
 
@@ -128,3 +132,7 @@ efficientnet_b0 = partial(efficientnet, variant=0)
 efficientnet_b1 = partial(efficientnet, variant=1)
 efficientnet_b2 = partial(efficientnet, variant=2)
 efficientnet_b3 = partial(efficientnet, variant=3)
+efficientnet_b4 = partial(efficientnet, variant=4)
+efficientnet_b5 = partial(efficientnet, variant=5)
+efficientnet_b6 = partial(efficientnet, variant=6)
+efficientnet_b7 = partial(efficientnet, variant=7)

@@ -481,3 +481,14 @@ def test_regnet_forward_and_registry():
     assert models.get_model("regnet_y_400mf") is models.regnet_y_400mf
     with pytest.raises(ValueError, match="unknown RegNet"):
         models.regnet(x, 10, "z_9gf")
+
+
+@pytest.mark.slow
+def test_efficientnet_b4_param_count():
+    """The compound-scaling presets extend to B4-B7; B4's count matches
+    torchvision exactly (19.342M — the others follow the same rule)."""
+    x = jnp.zeros((1, 32, 32, 3))
+    _, params, _ = _build(models.efficientnet_b4, x, 1000)
+    n = _n_params(params) / 1e6
+    assert abs(n - 19.342) < 0.02, f"b4: {n:.3f}M"
+    assert models.get_model("efficientnet_b7") is models.efficientnet_b7
