@@ -66,6 +66,8 @@ CLASSIFIERS = {
     "mobilenet_v2": mobilenet_v2,
     "efficientnet_b0": efficientnet_b0, "efficientnet_b1": efficientnet_b1,
     "efficientnet_b2": efficientnet_b2, "efficientnet_b3": efficientnet_b3,
+    "efficientnet_b4": efficientnet_b4, "efficientnet_b5": efficientnet_b5,
+    "efficientnet_b6": efficientnet_b6, "efficientnet_b7": efficientnet_b7,
     "wrn_28_10": wrn_28_10, "wrn_16_8": wrn_16_8,
     "shufflenet_v2": shufflenet_v2,
     "squeezenet": squeezenet,
