@@ -27,6 +27,10 @@ from myconvnet_tpu.models.efficientnet import (efficientnet,
                                                efficientnet_b5,
                                                efficientnet_b6,
                                                efficientnet_b7)
+from myconvnet_tpu.models.efficientnetv2 import (efficientnet_v2,
+                                                 efficientnet_v2_l,
+                                                 efficientnet_v2_m,
+                                                 efficientnet_v2_s)
 from myconvnet_tpu.models.inception import inception_v3
 from myconvnet_tpu.models.mobilenet import mobilenet_v2
 from myconvnet_tpu.models.pspnet import pspnet, pyramid_pooling
@@ -68,6 +72,9 @@ CLASSIFIERS = {
     "efficientnet_b2": efficientnet_b2, "efficientnet_b3": efficientnet_b3,
     "efficientnet_b4": efficientnet_b4, "efficientnet_b5": efficientnet_b5,
     "efficientnet_b6": efficientnet_b6, "efficientnet_b7": efficientnet_b7,
+    "efficientnet_v2_s": efficientnet_v2_s,
+    "efficientnet_v2_m": efficientnet_v2_m,
+    "efficientnet_v2_l": efficientnet_v2_l,
     "wrn_28_10": wrn_28_10, "wrn_16_8": wrn_16_8,
     "shufflenet_v2": shufflenet_v2,
     "squeezenet": squeezenet,

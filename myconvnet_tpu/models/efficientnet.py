@@ -79,17 +79,7 @@ def mbconv(x, features, *, kernel, stride, expand, se_ratio, train,
     h = nn.batch_norm(h, train=train, momentum=0.9, eps=1e-3,
                       name="bn_project")
     if stride == 1 and cin == features:
-        if drop_rate > 0:
-            # stochastic depth (per-sample drop of the residual branch)
-            import jax.numpy as jnp
-            from myconvnet_tpu.core.module import next_rng_key
-            if train:
-                keep = 1.0 - drop_rate
-                mask_shape = (h.shape[0],) + (1,) * (h.ndim - 1)
-                mask = jax.random.bernoulli(next_rng_key(), keep,
-                                            mask_shape)
-                h = jnp.where(mask, h / keep, jnp.zeros_like(h))
-        h = h + shortcut
+        h = nn.drop_path(h, drop_rate, train=train) + shortcut
     return h
 
 

@@ -492,3 +492,26 @@ def test_efficientnet_b4_param_count():
     n = _n_params(params) / 1e6
     assert abs(n - 19.342) < 0.02, f"b4: {n:.3f}M"
     assert models.get_model("efficientnet_b7") is models.efficientnet_b7
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("variant,expected_m", [("s", 21.458), ("m", 54.139)])
+def test_efficientnet_v2_param_counts(variant, expected_m):
+    """Stage tables match the published V2 configs (torchvision:
+    v2_s=21.458M, v2_m=54.139M)."""
+    x = jnp.zeros((1, 32, 32, 3))
+    _, params, _ = _build(models.efficientnet_v2, x, 1000, variant)
+    n = _n_params(params) / 1e6
+    assert abs(n - expected_m) < 0.05, f"v2_{variant}: {n:.3f}M"
+
+
+@pytest.mark.slow
+def test_efficientnet_v2_forward_and_registry():
+    x = jax.random.normal(jax.random.key(0), (2, 64, 64, 3))
+    net, params, state = _build(models.efficientnet_v2_s, x, 10, train=True)
+    y, _ = net.apply(params, state, jax.random.key(1), x, 10, train=True)
+    assert y.shape == (2, 10)
+    assert np.isfinite(np.asarray(y)).all()
+    assert models.get_model("efficientnet_v2_m") is models.efficientnet_v2_m
+    with pytest.raises(ValueError, match="unsupported EfficientNetV2"):
+        models.efficientnet_v2(x, 10, "xl9")
