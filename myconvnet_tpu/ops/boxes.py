@@ -1,0 +1,165 @@
+"""Bounding-box ops for detection: IoU, encode/decode, anchors, NMS.
+
+Beyond the reference inventory (SURVEY.md §2 has no detection task) —
+added as the third-plus task family on the same substrate.  Everything
+here is static-shape and branch-free so it jits cleanly on TPU:
+
+* IoU is a broadcasted [N, M] tensor op (no loops).
+* Box encode/decode use the standard SSD center-form parameterization
+  with (0.1, 0.2) variances.
+* Anchor grids are precomputed host-side (numpy, cached) — they are
+  compile-time constants of the recipe, like the resize interpolation
+  matrices in ops/resize.py.
+* NMS is the TPU formulation: a fixed-trip-count ``lax.fori_loop`` of
+  argmax-select + IoU-mask-suppress, returning a padded index list and
+  a validity mask instead of a dynamic-length result.  No sorting
+  networks, no gathers beyond one row per iteration.
+
+Boxes are ``[..., 4]`` in normalized ``(x1, y1, x2, y2)`` order unless a
+function says otherwise.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from math import sqrt
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def box_area(boxes: jax.Array) -> jax.Array:
+    """[..., 4] xyxy -> [...] area (clamped at zero for degenerate boxes)."""
+    w = jnp.maximum(boxes[..., 2] - boxes[..., 0], 0.0)
+    h = jnp.maximum(boxes[..., 3] - boxes[..., 1], 0.0)
+    return w * h
+
+
+def box_iou(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Pairwise IoU.  a: [N, 4], b: [M, 4] (xyxy) -> [N, M]."""
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.maximum(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = box_area(a)[:, None] + box_area(b)[None, :] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+def _to_center(boxes: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """xyxy -> (center [.., 2], size [.., 2])."""
+    size = boxes[..., 2:] - boxes[..., :2]
+    center = boxes[..., :2] + 0.5 * size
+    return center, size
+
+
+def encode_boxes(boxes: jax.Array, anchors: jax.Array,
+                 variances: tuple[float, float] = (0.1, 0.2)) -> jax.Array:
+    """Ground-truth xyxy -> SSD regression targets relative to anchors.
+
+    t = ((cx - acx)/aw/v0, (cy - acy)/ah/v0, log(w/aw)/v1, log(h/ah)/v1)
+    """
+    bc, bs = _to_center(boxes)
+    ac, as_ = _to_center(anchors)
+    as_ = jnp.maximum(as_, 1e-9)
+    txy = (bc - ac) / as_ / variances[0]
+    twh = jnp.log(jnp.maximum(bs, 1e-9) / as_) / variances[1]
+    return jnp.concatenate([txy, twh], axis=-1)
+
+
+def decode_boxes(deltas: jax.Array, anchors: jax.Array,
+                 variances: tuple[float, float] = (0.1, 0.2)) -> jax.Array:
+    """Inverse of encode_boxes: regression output -> xyxy boxes."""
+    ac, as_ = _to_center(anchors)
+    cxy = deltas[..., :2] * variances[0] * as_ + ac
+    wh = jnp.exp(deltas[..., 2:] * variances[1]) * as_
+    return jnp.concatenate([cxy - 0.5 * wh, cxy + 0.5 * wh], axis=-1)
+
+
+# --------------------------------------------------------------- anchors
+
+# SSD300 spec: (feature-map size, scale, next scale, aspect ratios).
+# Scales follow the paper's s_min=0.2 -> s_max=0.9 progression with the
+# conventional 0.1 stem scale; 8732 anchors total.
+SSD300_SPEC = (
+    (38, 0.10, 0.20, (2.0,)),
+    (19, 0.20, 0.37, (2.0, 3.0)),
+    (10, 0.37, 0.54, (2.0, 3.0)),
+    (5, 0.54, 0.71, (2.0, 3.0)),
+    (3, 0.71, 0.88, (2.0,)),
+    (1, 0.88, 1.05, (2.0,)),
+)
+
+
+@lru_cache(maxsize=8)
+def ssd_anchors(spec=SSD300_SPEC, clip: bool = True) -> np.ndarray:
+    """Anchor grid for an SSD feature pyramid -> [A, 4] normalized xyxy.
+
+    Per cell: one s×s square, one sqrt(s·s')×… square, and a ±aspect
+    pair per ratio — 4 or 6 anchors per cell as in the paper (8732 for
+    the SSD300 spec).  Host-side numpy; a compile-time constant.
+    """
+    out = []
+    for fm, s, s_next, ratios in spec:
+        whs = [(s, s), (sqrt(s * s_next),) * 2]
+        for r in ratios:
+            whs.append((s * sqrt(r), s / sqrt(r)))
+            whs.append((s / sqrt(r), s * sqrt(r)))
+        centers = (np.arange(fm, dtype=np.float32) + 0.5) / fm
+        cx, cy = np.meshgrid(centers, centers)  # [fm, fm] each
+        for w, h in whs:
+            x1 = cx - w / 2
+            y1 = cy - h / 2
+            boxes = np.stack([x1, y1, x1 + w, y1 + h], axis=-1)
+            out.append(boxes.reshape(-1, 4))
+    anchors = np.concatenate(out, axis=0).astype(np.float32)
+    if clip:
+        anchors = np.clip(anchors, 0.0, 1.0)
+    return anchors
+
+
+# ------------------------------------------------------------------- NMS
+
+def nms(boxes: jax.Array, scores: jax.Array, iou_threshold: float = 0.45,
+        max_out: int = 100,
+        score_threshold: float = -jnp.inf) -> tuple[jax.Array, jax.Array]:
+    """Static-shape non-maximum suppression.
+
+    boxes [N, 4] xyxy, scores [N] -> (indices [max_out], valid [max_out]).
+    Exactly ``max_out`` fixed iterations of: take the highest-scoring
+    surviving box, emit it, kill every box with IoU above the threshold.
+    Entries past the surviving count have ``valid == False`` (their index
+    repeats the last argmax — always mask before use).
+    """
+    n = boxes.shape[0]
+    iou = box_iou(boxes, boxes)  # [N, N] once, reused every iteration
+    live = scores > score_threshold
+
+    def body(_, carry):
+        alive, idxs, valid, k = carry
+        masked = jnp.where(alive, scores, -jnp.inf)
+        best = jnp.argmax(masked)
+        ok = masked[best] > -jnp.inf
+        idxs = idxs.at[k].set(best)
+        valid = valid.at[k].set(ok)
+        # suppress the winner (unconditionally) + everything overlapping it
+        alive = alive & (iou[best] <= iou_threshold) & ok
+        alive = alive.at[best].set(False)
+        return alive, idxs, valid, k + 1
+
+    init = (live, jnp.zeros((max_out,), jnp.int32),
+            jnp.zeros((max_out,), bool), 0)
+    _, idxs, valid, _ = jax.lax.fori_loop(0, min(max_out, n), body, init)
+    return idxs, valid
+
+
+def batched_nms(boxes: jax.Array, scores: jax.Array, labels: jax.Array,
+                iou_threshold: float = 0.45, max_out: int = 100,
+                score_threshold: float = -jnp.inf
+                ) -> tuple[jax.Array, jax.Array]:
+    """Class-aware NMS: boxes of different labels never suppress each
+    other (the torchvision trick — offset each class into its own
+    disjoint coordinate region, then one plain NMS)."""
+    offsets = labels.astype(boxes.dtype)[:, None] * 4.0
+    return nms(boxes + offsets, scores, iou_threshold, max_out,
+               score_threshold)
