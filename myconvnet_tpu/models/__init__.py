@@ -43,6 +43,7 @@ from myconvnet_tpu.models.resnet import (resnet, resnet18, resnet34,
                                          resnext101_32x8d, se_resnet50,
                                          se_resnet101, se_resnext50_32x4d)
 from myconvnet_tpu.models.fcn import fcn
+from myconvnet_tpu.models.ssd import ssd300
 from myconvnet_tpu.models.shufflenet import shufflenet_v2
 from myconvnet_tpu.models.smallnet import smallnet
 from myconvnet_tpu.models.squeezenet import squeezenet
@@ -92,6 +93,10 @@ SEGMENTERS = {
     "pspnet": pspnet,
 }
 
+DETECTORS = {
+    "ssd300": ssd300,
+}
+
 GAN_GENERATORS = {
     "dcgan": dcgan_generator,
     "pix2pix": unet_generator,
@@ -106,14 +111,14 @@ GAN_DISCRIMINATORS = {
 
 
 def list_models(kind: str | None = None) -> list[str]:
-    """Registry names.  kind: 'classifier' | 'segmenter' | 'gan';
-    None lists everything get_model() resolves (classifiers +
-    segmenters — GAN generators pair with discriminators, ask for
-    kind='gan' explicitly)."""
+    """Registry names.  kind: 'classifier' | 'segmenter' | 'detector' |
+    'gan'; None lists everything get_model() resolves (classifiers +
+    segmenters + detectors — GAN generators pair with discriminators,
+    ask for kind='gan' explicitly)."""
     tables = {"classifier": CLASSIFIERS, "segmenter": SEGMENTERS,
-              "gan": GAN_GENERATORS}
+              "detector": DETECTORS, "gan": GAN_GENERATORS}
     if kind is None:
-        return sorted(CLASSIFIERS) + sorted(SEGMENTERS)
+        return sorted(CLASSIFIERS) + sorted(SEGMENTERS) + sorted(DETECTORS)
     try:
         return sorted(tables[kind])
     except KeyError as e:
@@ -122,8 +127,8 @@ def list_models(kind: str | None = None) -> list[str]:
 
 
 def get_model(name: str):
-    for table in (CLASSIFIERS, SEGMENTERS):
+    for table in (CLASSIFIERS, SEGMENTERS, DETECTORS):
         if name in table:
             return table[name]
     raise ValueError(f"unknown model {name!r}; valid: "
-                     f"{sorted(CLASSIFIERS) + sorted(SEGMENTERS)}")
+                     f"{sorted(CLASSIFIERS) + sorted(SEGMENTERS) + sorted(DETECTORS)}")

@@ -98,6 +98,10 @@ def ssd_anchors(spec=SSD300_SPEC, clip: bool = True) -> np.ndarray:
     Per cell: one s×s square, one sqrt(s·s')×… square, and a ±aspect
     pair per ratio — 4 or 6 anchors per cell as in the paper (8732 for
     the SSD300 spec).  Host-side numpy; a compile-time constant.
+
+    Ordering is cell-major — [row, col, variant] within each map — to
+    line up with a detection head's [H, W, a*k] channel layout after
+    ``reshape(H*W*a, k)``.
     """
     out = []
     for fm, s, s_next, ratios in spec:
@@ -106,12 +110,11 @@ def ssd_anchors(spec=SSD300_SPEC, clip: bool = True) -> np.ndarray:
             whs.append((s * sqrt(r), s / sqrt(r)))
             whs.append((s / sqrt(r), s * sqrt(r)))
         centers = (np.arange(fm, dtype=np.float32) + 0.5) / fm
-        cx, cy = np.meshgrid(centers, centers)  # [fm, fm] each
-        for w, h in whs:
-            x1 = cx - w / 2
-            y1 = cy - h / 2
-            boxes = np.stack([x1, y1, x1 + w, y1 + h], axis=-1)
-            out.append(boxes.reshape(-1, 4))
+        cx, cy = np.meshgrid(centers, centers)  # [row, col] grids
+        cxy = np.stack([cx, cy], axis=-1)[:, :, None, :]  # [fm, fm, 1, 2]
+        wh = np.asarray(whs, np.float32)[None, None, :, :]  # [1, 1, k, 2]
+        boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], axis=-1)
+        out.append(boxes.reshape(-1, 4))  # [fm*fm*k, 4], cell-major
     anchors = np.concatenate(out, axis=0).astype(np.float32)
     if clip:
         anchors = np.clip(anchors, 0.0, 1.0)

@@ -73,6 +73,19 @@ def test_ssd300_anchor_count_and_range():
     assert sum(counts) == 8732
 
 
+def test_ssd_anchors_cell_major_order():
+    """The first 4 anchors (38x38 map, 4 variants/cell) share the first
+    cell's center; anchor 5 moves one column right — the layout a
+    [H, W, a*k]-channel head flattens to."""
+    a = B.ssd_anchors(clip=False)
+    centers = (a[:, :2] + a[:, 2:]) / 2
+    first = centers[0]
+    np.testing.assert_allclose(centers[:4],
+                               np.tile(first, (4, 1)), atol=1e-6)
+    np.testing.assert_allclose(centers[4] - first,
+                               [1.0 / 38, 0.0], atol=1e-6)
+
+
 def test_nms_matches_scalar_reference():
     bx = _random_boxes(60, 4)
     rng = np.random.RandomState(5)

@@ -450,8 +450,9 @@ def test_list_models_registry():
     assert models.list_models("segmenter") == sorted(models.SEGMENTERS)
     assert set(models.list_models("classifier")) == set(models.CLASSIFIERS)
     assert "dcgan" in models.list_models("gan")
+    assert models.list_models("detector") == sorted(models.DETECTORS)
     with pytest.raises(ValueError):
-        models.list_models("detector")
+        models.list_models("keypoint")
     # every registry entry actually resolves
     for n in names:
         assert models.get_model(n) is not None
@@ -515,3 +516,32 @@ def test_efficientnet_v2_forward_and_registry():
     assert models.get_model("efficientnet_v2_m") is models.efficientnet_v2_m
     with pytest.raises(ValueError, match="unsupported EfficientNetV2"):
         models.efficientnet_v2(x, 10, "xl9")
+
+
+@pytest.mark.slow
+def test_ssd300_output_shapes_and_grad():
+    from myconvnet_tpu.ops import boxes as B
+    x = jax.random.normal(jax.random.key(0), (1, 300, 300, 3))
+    net, params, state = _build(models.ssd300, x, 21, train=True)
+    (cls, loc), _ = net.apply(params, state, None, x, 21, train=True)
+    assert cls.shape == (1, 8732, 21) and loc.shape == (1, 8732, 4)
+    # the head layout agrees with the anchor grid
+    assert B.ssd_anchors().shape[0] == cls.shape[1]
+    assert np.isfinite(np.asarray(cls)).all()
+
+    def loss(p):
+        (c, ll), _ = net.apply(p, state, None, x, 21, train=True)
+        return jnp.mean(c ** 2) + jnp.mean(ll ** 2)
+
+    g = jax.grad(loss)(params)
+    gnorm = jax.tree.reduce(lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0)
+    assert np.isfinite(gnorm) and gnorm > 0
+    assert models.get_model("ssd300") is models.ssd300
+
+
+@pytest.mark.slow
+def test_ssd300_rejects_wrong_input_size():
+    x = jnp.zeros((1, 224, 224, 3))
+    from myconvnet_tpu.core import transform
+    with pytest.raises(ValueError, match="feature pyramid"):
+        transform(models.ssd300).init(jax.random.key(0), x, 21)
