@@ -1,0 +1,134 @@
+"""Detection metrics: VOC-style mean average precision.
+
+Beyond the reference inventory — the evaluator for the detection task
+family (train/detection.py), on the uniform Evaluator surface
+(eval/evaluators.py, SURVEY.md §2#7).
+
+Matching and the PR curve run host-side in numpy at eval time (detection
+eval is inherently ragged — per-image variable object counts — and is a
+once-per-validation cost, not a step cost; the per-batch device work is
+the jitted post-process in train/detection.py).  AP uses all-point
+interpolation by default (VOC2010+/COCO style) with the VOC2007
+11-point variant as an option.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from myconvnet_tpu.eval.evaluators import Evaluator
+
+
+def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """[N, M] IoU, numpy."""
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0.0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area = lambda x: np.clip(x[:, 2] - x[:, 0], 0, None) * \
+        np.clip(x[:, 3] - x[:, 1], 0, None)  # noqa: E731
+    union = area(a)[:, None] + area(b)[None, :] - inter
+    return inter / np.maximum(union, 1e-9)
+
+
+def average_precision(recall: np.ndarray, precision: np.ndarray,
+                      interpolation: str = "all") -> float:
+    """AP from a PR curve (recall ascending)."""
+    if interpolation == "11point":
+        ap = 0.0
+        for t in np.linspace(0.0, 1.0, 11):
+            mask = recall >= t
+            ap += (precision[mask].max() if mask.any() else 0.0) / 11.0
+        return float(ap)
+    # all-point: area under the monotone-precision envelope
+    r = np.concatenate([[0.0], recall, [1.0]])
+    p = np.concatenate([[0.0], precision, [0.0]])
+    p = np.maximum.accumulate(p[::-1])[::-1]
+    steps = np.where(r[1:] != r[:-1])[0]
+    return float(np.sum((r[steps + 1] - r[steps]) * p[steps + 1]))
+
+
+class MeanAPEvaluator(Evaluator):
+    """mAP at a fixed IoU threshold (default 0.5 — PASCAL VOC).
+
+    ``update(preds, targets)`` takes one batch:
+      preds   = (boxes [B,D,4], scores [B,D], labels [B,D], valid [B,D])
+                — the output of train/detection.make_postprocess;
+      targets = (gt_boxes [B,M,4], gt_labels [B,M]) with label -1 padding.
+    Labels share one id space (0 background, 1..C-1 foreground).
+    """
+
+    name = "mAP"
+
+    def __init__(self, num_classes: int, iou_threshold: float = 0.5,
+                 interpolation: str = "all"):
+        if interpolation not in ("all", "11point"):
+            raise ValueError(f"unknown interpolation {interpolation!r}; "
+                             "valid: ['all', '11point']")
+        self.num_classes = num_classes
+        self.iou_threshold = iou_threshold
+        self.interpolation = interpolation
+        self.reset()
+
+    def reset(self):
+        self._dets: list[tuple] = []  # (img, label, score, box)
+        self._gts: list[tuple] = []  # (img, label, box)
+        self._n_img = 0
+
+    def update(self, preds, targets):
+        boxes, scores, labels, valid = (np.asarray(t) for t in preds)
+        gt_boxes, gt_labels = (np.asarray(t) for t in targets)
+        for b in range(boxes.shape[0]):
+            img = self._n_img
+            self._n_img += 1
+            for d in range(boxes.shape[1]):
+                if valid[b, d]:
+                    self._dets.append((img, int(labels[b, d]),
+                                       float(scores[b, d]), boxes[b, d]))
+            for m in range(gt_boxes.shape[1]):
+                if gt_labels[b, m] >= 1:
+                    self._gts.append((img, int(gt_labels[b, m]),
+                                      gt_boxes[b, m]))
+
+    def per_class_ap(self) -> dict[int, float]:
+        """AP per foreground class that has ground truth."""
+        aps = {}
+        for c in range(1, self.num_classes):
+            gts = [(i, box) for i, lab, box in self._gts if lab == c]
+            if not gts:
+                continue
+            dets = sorted((d for d in self._dets if d[1] == c),
+                          key=lambda d: -d[2])
+            # per image: gt boxes + matched flags
+            by_img: dict[int, list] = {}
+            for i, box in gts:
+                by_img.setdefault(i, []).append(box)
+            matched = {i: np.zeros(len(v), bool) for i, v in by_img.items()}
+            tp = np.zeros(len(dets))
+            fp = np.zeros(len(dets))
+            for k, (img, _, _, box) in enumerate(dets):
+                cand = by_img.get(img)
+                if cand is None:
+                    fp[k] = 1
+                    continue
+                ious = _iou_matrix(box[None], np.stack(cand))[0]
+                best = int(np.argmax(ious))
+                if ious[best] >= self.iou_threshold and \
+                        not matched[img][best]:
+                    matched[img][best] = True
+                    tp[k] = 1
+                else:
+                    fp[k] = 1
+            if not dets:
+                aps[c] = 0.0
+                continue
+            ctp, cfp = np.cumsum(tp), np.cumsum(fp)
+            recall = ctp / len(gts)
+            precision = ctp / np.maximum(ctp + cfp, 1e-9)
+            aps[c] = average_precision(recall, precision,
+                                       self.interpolation)
+        return aps
+
+    def score(self) -> float:
+        aps = self.per_class_ap()
+        return float(np.mean(list(aps.values()))) if aps else 0.0

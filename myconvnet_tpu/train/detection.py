@@ -1,0 +1,188 @@
+"""Detection training: anchor matching, multibox loss, one fused step.
+
+Beyond the reference inventory (SURVEY.md §2 has no detection family) —
+the fourth task family, built the same way as the GAN path
+(train/gan.py): a self-contained state NamedTuple + ONE jitted step
+program containing matching, loss, backward, and the optimizer update.
+
+TPU formulation notes:
+* Ground truth arrives PADDED to a fixed ``max_boxes`` per image
+  (label column == -1 marks padding) so every step has static shapes.
+* Anchor matching is gather-free: the per-anchor best ground-truth row
+  is materialized with a one-hot [A, M] matmul (M <= 64 — the matmul is
+  noise next to the backbone), and the SSD "force-match the best anchor
+  of every gt" rule is a broadcasted [M, A] compare + argmax, not a
+  scatter.
+* Hard-negative mining (3:1 neg:pos, per image) needs top-k with a
+  *data-dependent* k — done branch-free via the double-argsort rank
+  trick: rank = argsort(argsort(-loss)); keep rank < k.  Shapes stay
+  static; only values depend on data.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from myconvnet_tpu.core.module import Transformed
+from myconvnet_tpu.ops import boxes as box_ops
+from myconvnet_tpu.train.optim import Optimizer
+
+
+def match_anchors(anchors: jax.Array, gt_boxes: jax.Array,
+                  gt_labels: jax.Array, iou_threshold: float = 0.5
+                  ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """SSD matching for ONE image.
+
+    anchors [A, 4]; gt_boxes [M, 4]; gt_labels [M] int with -1 padding.
+    Returns (matched_boxes [A, 4], matched_labels [A] — 0 is background,
+    positives) where positives = IoU >= threshold, plus every gt's
+    single best anchor (so no ground truth goes unmatched).
+    """
+    valid = gt_labels >= 0  # [M]
+    iou = box_ops.box_iou(anchors, gt_boxes)  # [A, M]
+    iou = jnp.where(valid[None, :], iou, -1.0)
+    best_gt = jnp.argmax(iou, axis=1)  # [A]
+    best_iou = jnp.max(iou, axis=1)
+    # force-match: gt m's best anchor. [M, A] compare, no scatter.
+    best_anchor = jnp.argmax(iou, axis=0)  # [M]
+    a_range = jnp.arange(anchors.shape[0])
+    forced_oh = (best_anchor[:, None] == a_range[None, :]) & valid[:, None]
+    forced = forced_oh.any(axis=0)  # [A]
+    forced_gt = jnp.argmax(forced_oh, axis=0)  # [A] (first gt on ties)
+    positive = (best_iou >= iou_threshold) | forced
+    gt_idx = jnp.where(forced, forced_gt, best_gt)  # [A]
+    one_hot = jax.nn.one_hot(gt_idx, gt_boxes.shape[0],
+                             dtype=gt_boxes.dtype)  # [A, M]
+    matched_boxes = one_hot @ gt_boxes  # [A, 4]
+    labels_f = jnp.maximum(gt_labels, 0).astype(gt_boxes.dtype)
+    matched_labels = jnp.where(
+        positive, (one_hot @ labels_f).astype(jnp.int32), 0)
+    return matched_boxes, matched_labels, positive
+
+
+def _smooth_l1(x: jax.Array) -> jax.Array:
+    ax = jnp.abs(x)
+    return jnp.where(ax < 1.0, 0.5 * x * x, ax - 0.5)
+
+
+def multibox_loss(cls_logits: jax.Array, loc: jax.Array,
+                  gt_boxes: jax.Array, gt_labels: jax.Array,
+                  anchors: jax.Array, *, iou_threshold: float = 0.5,
+                  neg_pos_ratio: float = 3.0
+                  ) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """SSD loss over a batch.
+
+    cls_logits [B, A, C] (class 0 = background), loc [B, A, 4],
+    gt_boxes [B, M, 4], gt_labels [B, M] (-1 padding), anchors [A, 4].
+    Returns (scalar loss, metrics).  Normalized by the number of
+    positive anchors, per the paper.
+    """
+    m_boxes, m_labels, positive = jax.vmap(
+        lambda b, l: match_anchors(anchors, b, l, iou_threshold)
+    )(gt_boxes, gt_labels)  # [B,A,4], [B,A], [B,A]
+
+    loc_t = box_ops.encode_boxes(m_boxes, anchors[None])
+    loc_err = _smooth_l1(loc - jax.lax.stop_gradient(loc_t)).sum(-1)
+    loc_loss = jnp.where(positive, loc_err, 0.0).sum()
+
+    ce = -jnp.take_along_axis(jax.nn.log_softmax(cls_logits),
+                              m_labels[..., None], axis=-1)[..., 0]
+    pos_ce = jnp.where(positive, ce, 0.0).sum()
+    # hard-negative mining, per image: keep the top (ratio * n_pos)
+    # background anchors by loss.  double-argsort rank, static shapes.
+    neg_ce = jnp.where(positive, -jnp.inf, ce)  # [B, A]
+    order = jnp.argsort(-neg_ce, axis=1)
+    rank = jnp.argsort(order, axis=1)  # rank 0 = hardest negative
+    n_pos = positive.sum(axis=1, keepdims=True)  # [B, 1]
+    n_neg = jnp.minimum((neg_pos_ratio * n_pos).astype(jnp.int32),
+                        (~positive).sum(axis=1, keepdims=True))
+    mined = (rank < n_neg) & ~positive
+    neg_loss = jnp.where(mined, ce, 0.0).sum()
+
+    denom = jnp.maximum(n_pos.sum(), 1).astype(cls_logits.dtype)
+    loss = (loc_loss + pos_ce + neg_loss) / denom
+    metrics = {"loss": loss, "loc_loss": loc_loss / denom,
+               "cls_loss": (pos_ce + neg_loss) / denom,
+               "n_pos": n_pos.sum()}
+    return loss, metrics
+
+
+class DetState(NamedTuple):
+    params: Any
+    state: Any
+    opt: Any
+    step: jax.Array
+    rng: jax.Array  # key data
+
+
+def init_det_state(net: Transformed, opt: Optimizer, rng: jax.Array,
+                   sample_images: jax.Array, num_classes: int) -> DetState:
+    params, state = net.init(rng, sample_images, num_classes, train=True)
+    return DetState(params, state, opt.init(params),
+                    jnp.zeros((), jnp.int32), jax.random.key_data(rng))
+
+
+def make_detection_step(net: Transformed, opt: Optimizer,
+                        anchors: jax.Array, num_classes: int, *,
+                        iou_threshold: float = 0.5,
+                        neg_pos_ratio: float = 3.0) -> Callable:
+    """One fused detection step:
+    (state, (images, gt_boxes, gt_labels)) -> (state, metrics)."""
+
+    def step(state: DetState, batch):
+        images, gt_boxes, gt_labels = batch
+        key = jax.random.fold_in(jax.random.wrap_key_data(state.rng),
+                                 state.step)
+
+        def loss_fn(params):
+            (cls_logits, loc), new_state = net.apply(
+                params, state.state, key, images, num_classes, train=True)
+            loss, metrics = multibox_loss(
+                cls_logits, loc, gt_boxes, gt_labels, anchors,
+                iou_threshold=iou_threshold, neg_pos_ratio=neg_pos_ratio)
+            return loss, (new_state, metrics)
+
+        (_, (new_state, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_params, new_opt = opt.update(grads, state.opt, state.params,
+                                         state.step)
+        return DetState(new_params, new_state, new_opt, state.step + 1,
+                        state.rng), metrics
+
+    return step
+
+
+def make_postprocess(anchors: jax.Array, num_classes: int, *,
+                     score_threshold: float = 0.05,
+                     iou_threshold: float = 0.45,
+                     max_detections: int = 100) -> Callable:
+    """Jittable (cls_logits [B,A,C], loc [B,A,4]) ->
+    (boxes [B,D,4], scores [B,D], labels [B,D], valid [B,D]).
+
+    Softmax over classes, best non-background class per anchor, then
+    class-aware NMS.  Static output size D = max_detections; mask on
+    ``valid`` before use.  Labels use the ground-truth id space:
+    1..C-1 (0 is background and never emitted).
+    """
+
+    def postprocess(cls_logits, loc):
+        probs = jax.nn.softmax(cls_logits, axis=-1)[..., 1:]  # drop bg
+        scores = probs.max(axis=-1)  # [B, A]
+        labels = probs.argmax(axis=-1) + 1  # [B, A] gt id space
+        decoded = box_ops.decode_boxes(loc, anchors[None])
+        decoded = jnp.clip(decoded, 0.0, 1.0)
+
+        def one(b, s, l):
+            idx, valid = box_ops.batched_nms(
+                b, s, l, iou_threshold=iou_threshold,
+                max_out=max_detections, score_threshold=score_threshold)
+            oh = jax.nn.one_hot(idx, b.shape[0], dtype=b.dtype)  # [D, A]
+            return (oh @ b, oh @ s, (oh @ l.astype(b.dtype)).astype(
+                jnp.int32), valid)
+
+        return jax.vmap(one)(decoded, scores, labels)
+
+    return postprocess
