@@ -60,6 +60,20 @@ def decode_image(path: str, raw_hw: tuple[int, int]) -> np.ndarray:
                                     raw_hw)
 
 
+def decode_image_warp(path: str, raw_hw: tuple[int, int]) -> np.ndarray:
+    """Decode + plain (aspect-warping) resize to [raw_h, raw_w, 3] uint8.
+
+    The detection decode geometry: SSD-style detectors warp the whole
+    frame to the network input, so NORMALIZED box coordinates survive the
+    resize unchanged — no crop bookkeeping.  (cover_resize_center_crop
+    would silently cut off boxes near the long edges.)
+    """
+    from PIL import Image
+    th, tw = raw_hw
+    img = Image.open(path).convert("RGB").resize((tw, th), Image.BILINEAR)
+    return np.asarray(img, np.uint8)
+
+
 class ArraySource:
     """In-memory images+labels (CIFAR-scale corpora).
 

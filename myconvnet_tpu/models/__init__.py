@@ -43,7 +43,7 @@ from myconvnet_tpu.models.resnet import (resnet, resnet18, resnet34,
                                          resnext101_32x8d, se_resnet50,
                                          se_resnet101, se_resnext50_32x4d)
 from myconvnet_tpu.models.fcn import fcn
-from myconvnet_tpu.models.ssd import ssd300
+from myconvnet_tpu.models.ssd import ssd300, tinydet
 from myconvnet_tpu.models.shufflenet import shufflenet_v2
 from myconvnet_tpu.models.smallnet import smallnet
 from myconvnet_tpu.models.squeezenet import squeezenet
@@ -95,6 +95,7 @@ SEGMENTERS = {
 
 DETECTORS = {
     "ssd300": ssd300,
+    "tinydet": tinydet,
 }
 
 GAN_GENERATORS = {

@@ -100,3 +100,59 @@ def ssd300(x: jax.Array, num_classes: int = 21, *, train: bool = False,
     cls_logits = jnp.concatenate(cls_out, axis=1)
     loc = jnp.concatenate(loc_out, axis=1)
     return cls_logits, loc
+
+
+# recipe wiring metadata (recipes.build_detector reads these to pick
+# the anchor grid and the input resolution): ssd300 uses the canonical
+# paper spec that lives with the anchor code (ops/boxes.py).
+from myconvnet_tpu.ops.boxes import SSD300_SPEC  # noqa: E402
+
+ssd300.input_hw = (300, 300)
+ssd300.anchor_spec = SSD300_SPEC
+
+
+# Tinydet: the CPU-runnable smoke detector — the detection analogue of
+# models/smallnet.py.  96x96 input, three pyramid levels (12/6/3), 4
+# anchors per cell -> 756 anchors.
+TINYDET_SPEC = (
+    (12, 0.10, 0.25, (2.0,)),
+    (6, 0.25, 0.50, (2.0,)),
+    (3, 0.50, 0.80, (2.0,)),
+)
+
+
+def tinydet(x: jax.Array, num_classes: int = 21, *, train: bool = False,
+            use_bn: bool = True, width: int = 32
+            ) -> tuple[jax.Array, jax.Array]:
+    """Small single-shot detector: (cls [B, 756, C], loc [B, 756, 4])."""
+    feats = []
+    with nn.scope_named("backbone"):
+        x = _conv_bn_relu(x, width, 3, stride=2, train=train,
+                          use_bn=use_bn)          # 48
+        x = _conv_bn_relu(x, width * 2, 3, stride=2, train=train,
+                          use_bn=use_bn)          # 24
+        x = _conv_bn_relu(x, width * 2, 3, train=train, use_bn=use_bn)
+        x = _conv_bn_relu(x, width * 4, 3, stride=2, train=train,
+                          use_bn=use_bn)          # 12
+        feats.append(x)
+        x = _conv_bn_relu(x, width * 4, 3, stride=2, train=train,
+                          use_bn=use_bn)          # 6
+        feats.append(x)
+        x = _conv_bn_relu(x, width * 4, 3, stride=2, train=train,
+                          use_bn=use_bn)          # 3
+        feats.append(x)
+    sizes = tuple(f.shape[1] for f in feats)
+    if sizes != tuple(s[0] for s in TINYDET_SPEC):
+        raise ValueError(f"feature pyramid {sizes} does not match "
+                         "TINYDET_SPEC — input must be 96x96")
+    cls_out, loc_out = [], []
+    with nn.scope_named("heads"):
+        for i, fm in enumerate(feats):
+            cls_out.append(_head(fm, 4, num_classes, f"cls{i + 1}"))
+            loc_out.append(_head(fm, 4, 4, f"loc{i + 1}"))
+    return (jnp.concatenate(cls_out, axis=1),
+            jnp.concatenate(loc_out, axis=1))
+
+
+tinydet.input_hw = (96, 96)
+tinydet.anchor_spec = TINYDET_SPEC

@@ -222,7 +222,111 @@ def build_evaluator(cfg: dict):
     if cfg["task"] == "segmentation":
         return MeanIoUEvaluator(cfg["num_classes"],
                                 cfg.get("ignore_label", 255))
+    if cfg["task"] == "detection":
+        from myconvnet_tpu.eval.detection import MeanAPEvaluator
+        return MeanAPEvaluator(cfg["num_classes"],
+                               iou_threshold=cfg.get("map_iou", 0.5))
     return AccuracyEvaluator()
+
+
+def make_detection_sources(cfg: dict, synthetic: bool,
+                           splits=("train", "val")):
+    """Detection sources (VOC Annotations/*.xml layout or synthetic
+    rectangles; subsets/voc.py)."""
+    if cfg["dataset"] != "voc":
+        raise ValueError(f"detection dataset {cfg['dataset']!r}; "
+                         "valid: ['voc']")
+    data_dir = cfg.get("data_dir")
+    hw = tuple(cfg.get("input_hw", voc.DET_IMAGE_HW))
+    return [voc.make_detection_source(
+        data_dir, split, synthetic=synthetic or data_dir is None,
+        raw_hw=hw, max_boxes=cfg.get("max_boxes", voc.MAX_BOXES))
+        for split in splits]
+
+
+def build_detector(cfg: dict, synthetic: bool = False):
+    """Detection recipe wiring (the fourth task family, built like
+    build_gan: a self-contained state + ONE fused jitted step).
+
+    Returns (state, step_fn, predict_fn, train_set, val_set).
+    ``step_fn`` folds uint8->normalize + box-aware random hflip into the
+    program (train/detection.preprocess_batch); ``predict_fn(state,
+    images_uint8)`` is the fused eval chain — normalize -> forward ->
+    decode+NMS — returning (boxes, scores, labels, valid) ready for
+    MeanAPEvaluator.update.
+    """
+    import jax.numpy as jnp
+
+    from myconvnet_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
+    from myconvnet_tpu.ops.boxes import ssd_anchors
+    from myconvnet_tpu.train import detection as det_lib
+
+    model_fn = models.get_model(cfg.get("model", "ssd300"))
+    policy = get_policy(cfg.get("precision", "f32"))
+    kwargs = dict(cfg.get("model_kwargs", {}))
+    num_classes = cfg["num_classes"]
+
+    def fwd(x, n, train=False):
+        with policy_scope(policy):
+            return model_fn(x, n, train=train, **kwargs)
+
+    net = transform(fwd)
+    opt = make_optimizer(cfg["optimizer"])
+    # the anchor grid + input size are properties of the detector
+    # architecture (models/ssd.py attaches them to the model fn)
+    anchors = jnp.asarray(ssd_anchors(model_fn.anchor_spec))
+    hw = tuple(cfg.get("input_hw", model_fn.input_hw))
+    aug = cfg.get("augment", {}) or {}
+    mean = tuple(aug.get("mean", IMAGENET_MEAN))
+    std = tuple(aug.get("std", IMAGENET_STD))
+    state = det_lib.init_det_state(
+        net, opt, jax.random.key(cfg.get("seed", 0)),
+        jnp.zeros((cfg["batch_size"], *hw, 3)), num_classes)
+    step = jax.jit(det_lib.make_detection_step(
+        net, opt, anchors, num_classes,
+        iou_threshold=cfg.get("match_iou", 0.5),
+        neg_pos_ratio=cfg.get("neg_pos_ratio", 3.0),
+        mean=mean, std=std,
+        hflip=aug.get("flip", aug.get("hflip", True))))
+    post = det_lib.make_postprocess(
+        anchors, num_classes,
+        score_threshold=cfg.get("score_threshold", 0.05),
+        iou_threshold=cfg.get("nms_iou", 0.45),
+        max_detections=cfg.get("max_detections", 100))
+
+    @jax.jit
+    def predict(st, images):
+        x, _ = det_lib.preprocess_batch(images, jnp.zeros((1, 1, 4)),
+                                        None, mean=mean, std=std)
+        (cls_logits, loc), _ = net.apply(st.params, st.state, None, x,
+                                         num_classes, train=False)
+        return post(cls_logits, loc)
+
+    train_src, val_src = make_detection_sources(dict(cfg, input_hw=hw),
+                                                synthetic)
+    return state, step, predict, DataSet(train_src), DataSet(val_src)
+
+
+def evaluate_detection(state, predict, val_set: DataSet, batch_size: int,
+                       evaluator) -> float:
+    """Score a detection state on a val split: predict every batch, feed
+    MeanAPEvaluator, return mAP.  The tail batch is padded up to
+    ``batch_size`` (one compiled shape) and its padding sliced back off
+    before scoring — no example dropped, no recompile."""
+    evaluator.reset()
+    for images, gt_boxes, gt_labels in val_set.eval_iter(batch_size,
+                                                         prefetch=0):
+        images = np.asarray(images)
+        n = len(images)
+        if n < batch_size:
+            pad = batch_size - n
+            images = np.concatenate(
+                [images, np.zeros((pad, *images.shape[1:]),
+                                  images.dtype)])
+        preds = [np.asarray(t)[:n] for t in predict(state, images)]
+        evaluator.update(preds, (np.asarray(gt_boxes),
+                                 np.asarray(gt_labels)))
+    return evaluator.score()
 
 
 

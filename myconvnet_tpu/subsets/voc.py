@@ -1,21 +1,27 @@
-"""PASCAL VOC segmentation subset (SURVEY.md §2#8; BASELINE config #4).
+"""PASCAL VOC subsets (SURVEY.md §2#8; BASELINE config #4).
 
-Understands the standard VOCdevkit layout::
+Segmentation understands the standard VOCdevkit layout::
 
     VOC2012/JPEGImages/*.jpg
     VOC2012/SegmentationClass/*.png     (palette masks; 255 = ignore)
     VOC2012/ImageSets/Segmentation/{train,val}.txt
 
-plus a deterministic synthetic fallback producing (image, mask) pairs.
+Detection (the fourth task family — beyond the reference inventory)
+reads ``ImageSets/Main/{split}.txt`` + ``Annotations/*.xml`` and yields
+fixed-shape padded targets (boxes [M,4] normalized xyxy, labels [M]
+with -1 padding) for the static-shape TPU detection path
+(train/detection.py).  Both have deterministic synthetic fallbacks.
 """
 
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
-from myconvnet_tpu.data.pipeline import ArraySource, FileSource
+from myconvnet_tpu.data.pipeline import (ArraySource, FileSource,
+                                         decode_image_warp)
 
 NUM_CLASSES = 21
 IGNORE_LABEL = 255
@@ -77,3 +83,177 @@ def make_source(data_dir: str | None, split: str = "train",
         return PairArraySource(*synthetic_subset(synthetic_n, small, seed))
     imgs, masks = read_subset(data_dir, split)
     return FileSource(imgs, masks, raw_hw, workers=workers, mask_hw=raw_hw)
+
+
+# ------------------------------------------------------------- detection
+
+DET_CLASS_NAMES = (
+    "aeroplane", "bicycle", "bird", "boat", "bottle", "bus", "car",
+    "cat", "chair", "cow", "diningtable", "dog", "horse", "motorbike",
+    "person", "pottedplant", "sheep", "sofa", "train", "tvmonitor")
+DET_NUM_CLASSES = 21  # 20 foreground + background id 0
+DET_IMAGE_HW = (300, 300)  # SSD300 input
+MAX_BOXES = 64  # >= VOC2012's densest image (56 objects)
+
+
+def _parse_voc_xml(path: str, keep_difficult: bool = False
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """One Annotations/*.xml -> (boxes [m,4] normalized xyxy float32,
+    labels [m] int32 in 1..20).  VOC pixel coords are 1-based inclusive;
+    ``difficult`` objects are dropped by default (the VOC train
+    convention)."""
+    import xml.etree.ElementTree as ET
+    root = ET.parse(path).getroot()
+    size = root.find("size")
+    w = float(size.findtext("width"))
+    h = float(size.findtext("height"))
+    name_to_id = {n: i + 1 for i, n in enumerate(DET_CLASS_NAMES)}
+    boxes, labels = [], []
+    for obj in root.iter("object"):
+        if not keep_difficult and \
+                (obj.findtext("difficult") or "0").strip() == "1":
+            continue
+        name = (obj.findtext("name") or "").strip()
+        if name not in name_to_id:
+            continue
+        bb = obj.find("bndbox")
+        x1 = (float(bb.findtext("xmin")) - 1.0) / w
+        y1 = (float(bb.findtext("ymin")) - 1.0) / h
+        x2 = (float(bb.findtext("xmax")) - 1.0) / w
+        y2 = (float(bb.findtext("ymax")) - 1.0) / h
+        boxes.append([x1, y1, x2, y2])
+        labels.append(name_to_id[name])
+    boxes = np.clip(np.asarray(boxes, np.float32).reshape(-1, 4), 0.0, 1.0)
+    return boxes, np.asarray(labels, np.int32)
+
+
+def read_detection_subset(data_dir: str, split: str = "train",
+                          keep_difficult: bool = False
+                          ) -> tuple[list[str], list[tuple]]:
+    """Returns (image_paths, annotations) where each annotation is an
+    unpadded (boxes [m,4], labels [m]) pair from _parse_voc_xml."""
+    for sub in ("VOC2012", "VOCdevkit/VOC2012", "VOC2007",
+                "VOCdevkit/VOC2007", "."):
+        root = os.path.normpath(os.path.join(data_dir, sub))
+        lst = os.path.join(root, "ImageSets", "Main", f"{split}.txt")
+        if os.path.exists(lst):
+            break
+    else:
+        raise FileNotFoundError(
+            f"no VOC ImageSets/Main/{split}.txt under {data_dir!r}")
+    with open(lst) as f:
+        ids = [line.split()[0] for line in f if line.strip()]
+    imgs = [os.path.join(root, "JPEGImages", f"{i}.jpg") for i in ids]
+    annos = [_parse_voc_xml(os.path.join(root, "Annotations", f"{i}.xml"),
+                            keep_difficult) for i in ids]
+    return imgs, annos
+
+
+def pad_annotations(annos: list[tuple], max_boxes: int = MAX_BOXES
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Unpadded (boxes, labels) list -> fixed-shape arrays
+    (boxes [N,M,4] float32, labels [N,M] int32, -1 marks padding).
+    Images with more than ``max_boxes`` objects keep the largest ones."""
+    n = len(annos)
+    out_b = np.zeros((n, max_boxes, 4), np.float32)
+    out_l = np.full((n, max_boxes), -1, np.int32)
+    for i, (b, l) in enumerate(annos):
+        if len(b) > max_boxes:
+            area = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+            keep = np.argsort(-area)[:max_boxes]
+            b, l = b[keep], l[keep]
+        out_b[i, :len(b)] = b
+        out_l[i, :len(l)] = l
+    return out_b, out_l
+
+
+class DetectionArraySource:
+    """In-memory detection source: images uint8 [N,H,W,3] +
+    padded targets (boxes [N,M,4], labels [N,M] with -1 padding)."""
+
+    class_names = DET_CLASS_NAMES
+
+    def __init__(self, images: np.ndarray, boxes: np.ndarray,
+                 labels: np.ndarray):
+        assert len(images) == len(boxes) == len(labels)
+        self.images = images
+        self.boxes = boxes
+        self.labels = labels
+
+    def __len__(self):
+        return len(self.images)
+
+    def get_batch(self, idx: np.ndarray):
+        idx = np.asarray(idx)
+        return self.images[idx], self.boxes[idx], self.labels[idx]
+
+
+class DetectionFileSource:
+    """File-backed detection source.
+
+    Images are warp-resized (plain resize, NOT cover-crop — normalized
+    box coordinates are invariant under a full-frame warp, the SSD
+    convention; pipeline.decode_image_warp) by a worker pool; targets
+    are pre-padded once at construction.
+    """
+
+    class_names = DET_CLASS_NAMES
+
+    def __init__(self, paths: list[str], annos: list[tuple],
+                 raw_hw: tuple[int, int] = DET_IMAGE_HW,
+                 max_boxes: int = MAX_BOXES, workers: int = 8):
+        self.paths = list(paths)
+        self.raw_hw = raw_hw
+        self.boxes, self.labels = pad_annotations(annos, max_boxes)
+        self._pool = ThreadPoolExecutor(max_workers=workers)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def get_batch(self, idx: np.ndarray):
+        idx = np.asarray(idx)
+        imgs = list(self._pool.map(
+            lambda i: decode_image_warp(self.paths[i], self.raw_hw), idx))
+        return np.stack(imgs), self.boxes[idx], self.labels[idx]
+
+
+def synthetic_detection_subset(n: int = 64,
+                               raw_hw: tuple[int, int] = DET_IMAGE_HW,
+                               seed: int = 0, max_boxes: int = 8
+                               ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fake detection triplets: 1-3 class-colored rectangles per image on
+    a noisy background, so mAP is learnable from pixels alone."""
+    rng = np.random.RandomState(seed)
+    h, w = raw_hw
+    imgs = rng.rand(n, h, w, 3).astype(np.float32) * 0.15
+    boxes = np.zeros((n, max_boxes, 4), np.float32)
+    labels = np.full((n, max_boxes), -1, np.int32)
+    for i in range(n):
+        for k in range(rng.randint(1, 4)):
+            c = rng.randint(1, DET_NUM_CLASSES)
+            bw = rng.uniform(0.2, 0.5)
+            bh = rng.uniform(0.2, 0.5)
+            x1 = rng.uniform(0.0, 1.0 - bw)
+            y1 = rng.uniform(0.0, 1.0 - bh)
+            color = np.asarray([c / DET_NUM_CLASSES, (c % 5) / 5.0,
+                                (c % 7) / 7.0])
+            ys, xs = int(y1 * h), int(x1 * w)
+            ye, xe = int((y1 + bh) * h), int((x1 + bw) * w)
+            imgs[i, ys:ye, xs:xe] = color
+            boxes[i, k] = (x1, y1, x1 + bw, y1 + bh)
+            labels[i, k] = c
+    imgs = (np.clip(imgs, 0, 1) * 255).astype(np.uint8)
+    return imgs, boxes, labels
+
+
+def make_detection_source(data_dir: str | None, split: str = "train",
+                          synthetic: bool = False, synthetic_n: int = 64,
+                          raw_hw: tuple[int, int] = DET_IMAGE_HW,
+                          max_boxes: int = MAX_BOXES, workers: int = 8):
+    if synthetic or data_dir is None:
+        seed = 0 if split == "train" else 1
+        return DetectionArraySource(
+            *synthetic_detection_subset(synthetic_n, raw_hw, seed,
+                                        min(max_boxes, 8)))
+    imgs, annos = read_detection_subset(data_dir, split)
+    return DetectionFileSource(imgs, annos, raw_hw, max_boxes, workers)

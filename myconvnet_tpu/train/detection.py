@@ -110,6 +110,33 @@ def multibox_loss(cls_logits: jax.Array, loc: jax.Array,
     return loss, metrics
 
 
+def preprocess_batch(images: jax.Array, boxes: jax.Array,
+                     key: jax.Array | None, *,
+                     mean: tuple | None = None, std: tuple | None = None,
+                     hflip: bool = False) -> tuple[jax.Array, jax.Array]:
+    """On-device detection preprocessing (the framework's augmentation
+    stance — data/pipeline.py ships uint8, the step owns the math).
+
+    uint8 [B,H,W,3] -> normalized float; optional per-image random
+    horizontal flip applied to pixels AND boxes together (x1' = 1-x2,
+    x2' = 1-x1; padded all-zero rows become (1,0,1,0) degenerate boxes,
+    which stay inert — their label is -1 and match_anchors masks on
+    labels, not geometry).  Branch-free: flip via where(), not cond.
+    """
+    x = images.astype(jnp.float32)
+    if images.dtype == jnp.uint8:
+        x = x / 255.0
+    if mean is not None:
+        x = (x - jnp.asarray(mean, x.dtype)) / jnp.asarray(std, x.dtype)
+    if hflip and key is not None:
+        flip = jax.random.bernoulli(key, 0.5, (x.shape[0],))
+        x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+        flipped = jnp.stack([1.0 - boxes[..., 2], boxes[..., 1],
+                             1.0 - boxes[..., 0], boxes[..., 3]], axis=-1)
+        boxes = jnp.where(flip[:, None, None], flipped, boxes)
+    return x, boxes
+
+
 class DetState(NamedTuple):
     params: Any
     state: Any
@@ -128,14 +155,25 @@ def init_det_state(net: Transformed, opt: Optimizer, rng: jax.Array,
 def make_detection_step(net: Transformed, opt: Optimizer,
                         anchors: jax.Array, num_classes: int, *,
                         iou_threshold: float = 0.5,
-                        neg_pos_ratio: float = 3.0) -> Callable:
+                        neg_pos_ratio: float = 3.0,
+                        mean: tuple | None = None,
+                        std: tuple | None = None,
+                        hflip: bool = False) -> Callable:
     """One fused detection step:
-    (state, (images, gt_boxes, gt_labels)) -> (state, metrics)."""
+    (state, (images, gt_boxes, gt_labels)) -> (state, metrics).
+
+    ``mean``/``std``/``hflip`` fold preprocess_batch into the program, so
+    uint8 pipeline batches normalize + augment on-device inside the same
+    XLA program as the model (no extra dispatch, SURVEY.md §7)."""
 
     def step(state: DetState, batch):
         images, gt_boxes, gt_labels = batch
         key = jax.random.fold_in(jax.random.wrap_key_data(state.rng),
                                  state.step)
+        if mean is not None or hflip:
+            aug_key, key = jax.random.split(key)
+            images, gt_boxes = preprocess_batch(
+                images, gt_boxes, aug_key, mean=mean, std=std, hflip=hflip)
 
         def loss_fn(params):
             (cls_logits, loc), new_state = net.apply(

@@ -77,6 +77,8 @@ def main():
                          "--fid_extractor CONFIG:CKPT; paired "
                          "translation (pix2pix) is scored here with "
                          "PSNR/SSIM")
+    if cfg["task"] == "detection":
+        return eval_detection(cfg, args)
     builder = (recipes.build_segmenter if cfg["task"] == "segmentation"
                else recipes.build_classifier)
     net, _train_set, val_set = builder(cfg, synthetic=args.synthetic,
@@ -197,6 +199,34 @@ def main():
                                       ignore_label=ignore))
                 idx += 1
         print(f"wrote {idx} prediction pairs to {args.save_preds}")
+
+
+def eval_detection(cfg, args):
+    """Score a detection checkpoint: VOC mAP over the val split, with
+    optional per-class AP table (--report)."""
+    from myconvnet_tpu import recipes
+    from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
+
+    state, _step, predict, _train_set, val_set = recipes.build_detector(
+        cfg, synthetic=args.synthetic)
+    path = args.ckpt
+    if args.best:
+        best = ckpt_lib.best_checkpoint(args.ckpt)
+        if best is None:
+            raise SystemExit(f"no best.npz under {args.ckpt!r}")
+        path = best
+    restored = ckpt_lib.restore_checkpoint(path, state._asdict())
+    state = type(state)(**restored)
+    evaluator = recipes.build_evaluator(cfg)
+    score = recipes.evaluate_detection(state, predict, val_set,
+                                       cfg["batch_size"], evaluator)
+    print(f"mAP@{evaluator.iou_threshold:g}: {score:.4f}")
+    if args.report:
+        names = getattr(val_set.source, "class_names", None)
+        for c, ap in sorted(evaluator.per_class_ap().items()):
+            label = names[c - 1] if names else str(c)
+            print(f"  {label:<14} AP {ap:.4f}")
+    return score
 
 
 def _fid_extractor(spec):

@@ -301,3 +301,30 @@ def test_serve_cli_grayscale_artifact(tmp_path):
                "--latency", "--sizes", "1,4", "--platform", "cpu"])
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "p99" in r2.stdout
+
+
+@pytest.mark.slow
+def test_detection_cli_train_and_score(tmp_path):
+    """Detection family end-to-end through the entry scripts: train.py
+    runs the fused step loop + mAP validation, test.py restores the
+    checkpoint and prints mAP with a per-class --report."""
+    cfg_path = tmp_path / "tinydet.py"
+    cfg_path.write_text(
+        "config = dict(task='detection', model='tinydet', dataset='voc',\n"
+        "              data_dir=None, num_classes=21, max_boxes=8,\n"
+        "              batch_size=4, total_steps=8, val_every=4,\n"
+        "              log_every=4,\n"
+        "              optimizer=dict(name='momentum', momentum_coef=0.9,\n"
+        "                             lr=dict(kind='constant', lr=0.05)),\n"
+        "              augment=dict(flip=True), seed=0)\n")
+    out = str(tmp_path / "run")
+    r = _run(["train.py", "--config", str(cfg_path), "--synthetic",
+              "--platform", "cpu", "--out", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "final val mAP" in r.stdout
+    assert "val mAP" in r.stdout  # the val_every=4 midpoint validation
+    r2 = _run(["test.py", "--config", str(cfg_path), "--ckpt", out,
+               "--synthetic", "--report", "--platform", "cpu"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "mAP@0.5:" in r2.stdout
+    assert "AP" in r2.stdout

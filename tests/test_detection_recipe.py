@@ -1,0 +1,171 @@
+"""Detection recipe surface: VOC XML parsing, padded targets, on-device
+preprocessing, and the build_detector -> train -> evaluate chain (on the
+CPU-runnable tinydet smoke detector)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from myconvnet_tpu import recipes
+from myconvnet_tpu.subsets import voc
+
+TINY_CFG = dict(
+    task="detection",
+    model="tinydet",
+    dataset="voc",
+    data_dir=None,
+    num_classes=21,
+    max_boxes=8,
+    batch_size=4,
+    total_steps=10,
+    optimizer=dict(name="momentum", momentum_coef=0.9,
+                   lr=dict(kind="constant", lr=0.05)),
+    augment=dict(flip=True),
+    seed=0,
+)
+
+
+# ------------------------------------------------------------ VOC layout
+
+VOC_XML = """<annotation>
+  <size><width>400</width><height>200</height><depth>3</depth></size>
+  <object>
+    <name>dog</name><difficult>0</difficult>
+    <bndbox><xmin>41</xmin><ymin>21</ymin><xmax>241</xmax><ymax>121</ymax></bndbox>
+  </object>
+  <object>
+    <name>cat</name><difficult>1</difficult>
+    <bndbox><xmin>1</xmin><ymin>1</ymin><xmax>100</xmax><ymax>100</ymax></bndbox>
+  </object>
+  <object>
+    <name>not_a_voc_class</name><difficult>0</difficult>
+    <bndbox><xmin>1</xmin><ymin>1</ymin><xmax>50</xmax><ymax>50</ymax></bndbox>
+  </object>
+</annotation>
+"""
+
+
+def _write_voc_tree(root):
+    """Two-image VOCdevkit/VOC2012 detection layout."""
+    from PIL import Image
+    base = os.path.join(root, "VOC2012")
+    os.makedirs(os.path.join(base, "ImageSets", "Main"))
+    os.makedirs(os.path.join(base, "JPEGImages"))
+    os.makedirs(os.path.join(base, "Annotations"))
+    for name in ("img0", "img1"):
+        Image.new("RGB", (400, 200), (120, 90, 60)).save(
+            os.path.join(base, "JPEGImages", f"{name}.jpg"))
+        with open(os.path.join(base, "Annotations", f"{name}.xml"),
+                  "w") as f:
+            f.write(VOC_XML)
+    with open(os.path.join(base, "ImageSets", "Main", "train.txt"),
+              "w") as f:
+        f.write("img0\nimg1\n")
+    return root
+
+
+def test_parse_voc_xml_geometry_and_filters(tmp_path):
+    p = tmp_path / "a.xml"
+    p.write_text(VOC_XML)
+    boxes, labels = voc._parse_voc_xml(str(p))
+    # difficult cat and the unknown class are dropped
+    assert labels.tolist() == [voc.DET_CLASS_NAMES.index("dog") + 1]
+    # 1-based inclusive pixels -> normalized: (41-1)/400 = 0.1 etc.
+    np.testing.assert_allclose(boxes[0], [0.1, 0.1, 0.6, 0.6], atol=1e-6)
+    # keep_difficult keeps the cat
+    boxes2, labels2 = voc._parse_voc_xml(str(p), keep_difficult=True)
+    assert len(labels2) == 2
+    assert voc.DET_CLASS_NAMES.index("cat") + 1 in labels2.tolist()
+
+
+def test_read_detection_subset_and_file_source(tmp_path):
+    _write_voc_tree(str(tmp_path))
+    imgs, annos = voc.read_detection_subset(str(tmp_path), "train")
+    assert len(imgs) == 2 and len(annos) == 2
+    src = voc.DetectionFileSource(imgs, annos, raw_hw=(96, 96),
+                                  max_boxes=8)
+    x, b, l = src.get_batch(np.array([0, 1]))
+    assert x.shape == (2, 96, 96, 3) and x.dtype == np.uint8
+    assert b.shape == (2, 8, 4) and l.shape == (2, 8)
+    assert (l[:, 0] > 0).all() and (l[:, 1:] == -1).all()
+    # warp geometry: normalized boxes pass through the resize unchanged
+    np.testing.assert_allclose(b[0, 0], [0.1, 0.1, 0.6, 0.6], atol=1e-6)
+
+
+def test_pad_annotations_keeps_largest():
+    boxes = np.array([[0.0, 0.0, 0.1, 0.1],
+                      [0.0, 0.0, 0.9, 0.9],
+                      [0.0, 0.0, 0.5, 0.5]], np.float32)
+    labels = np.array([1, 2, 3], np.int32)
+    out_b, out_l = voc.pad_annotations([(boxes, labels)], max_boxes=2)
+    assert out_l[0].tolist().count(-1) == 0
+    assert set(out_l[0].tolist()) == {2, 3}  # two largest survive
+
+
+def test_preprocess_batch_hflip_moves_boxes():
+    import jax
+
+    from myconvnet_tpu.train.detection import preprocess_batch
+    imgs = np.zeros((4, 8, 8, 3), np.uint8)
+    imgs[:, :, 0, 0] = 255  # marker on the left edge
+    boxes = np.tile(np.array([[0.1, 0.2, 0.4, 0.8]], np.float32),
+                    (4, 1)).reshape(4, 1, 4)
+    x, b = preprocess_batch(jax.numpy.asarray(imgs),
+                            jax.numpy.asarray(boxes),
+                            jax.random.key(3), hflip=True)
+    x, b = np.asarray(x), np.asarray(b)
+    flipped = np.abs(b[:, 0, 0] - 0.6) < 1e-6
+    unflipped = np.abs(b[:, 0, 0] - 0.1) < 1e-6
+    assert (flipped | unflipped).all()
+    assert flipped.any() and unflipped.any(), "key 3 should mix flips"
+    # pixels moved with the boxes
+    assert (x[flipped][:, :, -1, 0] > 0.99).all()
+    assert (x[unflipped][:, :, 0, 0] > 0.99).all()
+
+
+def test_synthetic_source_shapes():
+    src = voc.make_detection_source(None, "train", synthetic=True,
+                                    synthetic_n=8, raw_hw=(96, 96),
+                                    max_boxes=8)
+    x, b, l = src.get_batch(np.arange(4))
+    assert x.shape == (4, 96, 96, 3) and x.dtype == np.uint8
+    assert b.shape == (4, 8, 4) and l.shape == (4, 8)
+    assert (l.max(axis=1) >= 1).all()  # every image has an object
+
+
+# ---------------------------------------------------------------- e2e
+
+def test_build_detector_trains_and_evaluates():
+    state, step, predict, train_set, val_set = recipes.build_detector(
+        TINY_CFG, synthetic=True)
+    evaluator = recipes.build_evaluator(TINY_CFG)
+    assert evaluator.name == "mAP"
+    it = train_set.train_iter(4, prefetch=0)
+    first = None
+    for i, batch in enumerate(it):
+        if i >= 10:
+            break
+        state, metrics = step(state, batch)
+        if first is None:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert np.isfinite(last) and last < first, f"loss {first} -> {last}"
+    score = recipes.evaluate_detection(state, predict, val_set, 4,
+                                       evaluator)
+    assert 0.0 <= score <= 1.0
+
+
+def test_detection_config_loads():
+    cfg = recipes.load_config("configs/voc_ssd300.py")
+    assert cfg["task"] == "detection" and cfg["model"] == "ssd300"
+    # the recipe's knobs all exist on the builder surface
+    from myconvnet_tpu.models import get_model
+    fn = get_model(cfg["model"])
+    assert fn.input_hw == tuple(cfg["input_hw"])
+
+
+def test_detection_sources_reject_unknown_dataset():
+    with pytest.raises(ValueError, match="detection dataset"):
+        recipes.make_detection_sources(dict(TINY_CFG, dataset="cifar10"),
+                                       synthetic=True)

@@ -95,6 +95,9 @@ def main():
     if cfg["task"] == "gan":
         run_gan(cfg, args, out)
         return
+    if cfg["task"] == "detection":
+        run_detection(cfg, args, out)
+        return
 
     if cfg.get("pipeline"):
         # pipeline-parallel path: staged model over a 'model'-axis mesh
@@ -208,6 +211,57 @@ def run_supervised(cfg, args, out, mesh, resume: bool):
 def ckpt_lib_latest(out):
     from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
     return ckpt_lib.latest_checkpoint(out)
+
+
+def run_detection(cfg, args, out):
+    """Detection training loop (the fourth task family): fused jitted
+    step + periodic mAP validation with best-checkpoint retention —
+    same driver shape as run_gan."""
+    from myconvnet_tpu import recipes
+    from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
+    from myconvnet_tpu.utils.logging import MetricLogger
+    from myconvnet_tpu.utils.preemption import PreemptionGuard
+
+    state, step, predict, train_set, val_set = recipes.build_detector(
+        cfg, synthetic=args.synthetic)
+    if args.resume and ckpt_lib.latest_checkpoint(out):
+        restored = ckpt_lib.restore_checkpoint(out, state._asdict())
+        state = type(state)(**restored)
+        print(f"resumed detection from step {int(state.step)}")
+    evaluator = recipes.build_evaluator(cfg)
+    guard = PreemptionGuard().__enter__()
+    logger = MetricLogger(log_dir=out, name="detection")
+    log_every = cfg.get("log_every", 100)
+    val_every = cfg.get("val_every", 0)
+    total = cfg["total_steps"]
+    batch = cfg["batch_size"]
+    best = evaluator.worst_score()
+    start = int(state.step)
+    it = train_set.train_iter(batch)
+    for i, b in enumerate(it):
+        i = start + i
+        if i >= total or guard.preempted:
+            break
+        state, metrics = step(state, b)
+        if (i + 1) % log_every == 0:
+            logger.log(i + 1, {k: float(v) for k, v in metrics.items()})
+            ckpt_lib.save_checkpoint(out, i + 1, state._asdict(), keep=2)
+        if val_every and (i + 1) % val_every == 0:
+            score = recipes.evaluate_detection(state, predict, val_set,
+                                               batch, evaluator)
+            logger.log(i + 1, {"val_mAP": score})
+            print(f"step {i + 1}: val mAP {score:.4f}")
+            if evaluator.is_better(score, best):
+                best = score
+                ckpt_lib.save_checkpoint(out, i + 1, state._asdict(),
+                                         keep=2, metric=score,
+                                         is_best=True)
+    if hasattr(it, "close"):
+        it.close()
+    ckpt_lib.save_checkpoint(out, int(state.step), state._asdict(), keep=2)
+    score = recipes.evaluate_detection(state, predict, val_set, batch,
+                                       evaluator)
+    print(f"final val mAP: {score:.4f}")
 
 
 def run_gan(cfg, args, out):
