@@ -244,9 +244,16 @@ def make_detection_sources(cfg: dict, synthetic: bool,
         for split in splits]
 
 
-def build_detector(cfg: dict, synthetic: bool = False):
+def build_detector(cfg: dict, synthetic: bool = False, mesh=None):
     """Detection recipe wiring (the fourth task family, built like
     build_gan: a self-contained state + ONE fused jitted step).
+
+    ``mesh``: a (data, model) Mesh — params are placed per the standard
+    sharding rules (wide heads may shard over the model axis, everything
+    else replicated — the reference's tower semantics) and GSPMD turns
+    the fused step data-parallel when the caller shards the batch
+    (parallel.shard_batch; run_detection wires this through the
+    prefetcher's device_put_fn).
 
     Returns (state, step_fn, predict_fn, train_set, val_set).
     ``step_fn`` folds uint8->normalize + box-aware random hflip into the
@@ -282,6 +289,17 @@ def build_detector(cfg: dict, synthetic: bool = False):
     state = det_lib.init_det_state(
         net, opt, jax.random.key(cfg.get("seed", 0)),
         jnp.zeros((cfg["batch_size"], *hw, 3)), num_classes)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        from myconvnet_tpu.parallel import param_sharding
+        rep = NamedSharding(mesh, PartitionSpec())
+        state = state._replace(
+            params=jax.tree.map(jax.device_put, state.params,
+                                param_sharding(mesh, state.params)),
+            state=jax.device_put(state.state, rep),
+            opt=jax.device_put(state.opt, rep),
+            step=jax.device_put(state.step, rep),
+            rng=jax.device_put(state.rng, rep))
     step = jax.jit(det_lib.make_detection_step(
         net, opt, anchors, num_classes,
         iou_threshold=cfg.get("match_iou", 0.5),
@@ -308,11 +326,13 @@ def build_detector(cfg: dict, synthetic: bool = False):
 
 
 def evaluate_detection(state, predict, val_set: DataSet, batch_size: int,
-                       evaluator) -> float:
+                       evaluator, mesh=None) -> float:
     """Score a detection state on a val split: predict every batch, feed
     MeanAPEvaluator, return mAP.  The tail batch is padded up to
     ``batch_size`` (one compiled shape) and its padding sliced back off
-    before scoring — no example dropped, no recompile."""
+    before scoring — no example dropped, no recompile.  With ``mesh``
+    the padded batch is sharded over the data axis so eval scales like
+    training."""
     evaluator.reset()
     for images, gt_boxes, gt_labels in val_set.eval_iter(batch_size,
                                                          prefetch=0):
@@ -323,6 +343,9 @@ def evaluate_detection(state, predict, val_set: DataSet, batch_size: int,
             images = np.concatenate(
                 [images, np.zeros((pad, *images.shape[1:]),
                                   images.dtype)])
+        if mesh is not None:
+            from myconvnet_tpu.parallel import shard_batch
+            images = shard_batch(mesh, (images,))[0]
         preds = [np.asarray(t)[:n] for t in predict(state, images)]
         evaluator.update(preds, (np.asarray(gt_boxes),
                                  np.asarray(gt_labels)))

@@ -545,3 +545,44 @@ def test_zero_sharded_training_matches_unsharded():
                     jax.tree.leaves(s_z.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=1e-6)
+
+
+def test_detection_step_sharded_matches_single_device():
+    """The fused SSD-style detection step (matching + multibox loss +
+    hard-negative mining + update) under batch sharding must match the
+    unsharded update — the fourth task family shards like the others."""
+    from myconvnet_tpu import recipes
+
+    cfg = dict(task="detection", model="tinydet", dataset="voc",
+               data_dir=None, num_classes=21, max_boxes=8, batch_size=8,
+               total_steps=1,
+               optimizer=dict(name="momentum", momentum_coef=0.9,
+                              lr=dict(kind="constant", lr=0.05)),
+               augment=dict(flip=True), seed=0)
+
+    ref_state, ref_step, _p, train_set, _v = recipes.build_detector(
+        cfg, synthetic=True)
+    batch = train_set.source.get_batch(np.arange(8))
+    ref_out, ref_m = ref_step(ref_state, batch)
+    ref_params = jax.tree.map(np.asarray, ref_out.params)
+
+    mesh = make_mesh()
+    sh_state, sh_step, predict, _t, val_set = recipes.build_detector(
+        cfg, synthetic=True, mesh=mesh)
+    sh_batch = shard_batch(mesh, batch)
+    assert sh_batch[0].sharding.spec == P(DATA_AXIS)
+    sh_out, sh_m = sh_step(sh_state, sh_batch)
+    np.testing.assert_allclose(float(sh_m["loss"]), float(ref_m["loss"]),
+                               rtol=1e-4)
+    for scope in ref_params:
+        for name in ref_params[scope]:
+            np.testing.assert_allclose(
+                np.asarray(sh_out.params[scope][name]),
+                ref_params[scope][name], rtol=2e-4, atol=2e-5,
+                err_msg=f"{scope}/{name}")
+
+    # sharded eval path runs end-to-end
+    ev = recipes.build_evaluator(cfg)
+    score = recipes.evaluate_detection(sh_out, predict, val_set, 8, ev,
+                                       mesh=mesh)
+    assert 0.0 <= score <= 1.0

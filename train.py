@@ -96,7 +96,7 @@ def main():
         run_gan(cfg, args, out)
         return
     if cfg["task"] == "detection":
-        run_detection(cfg, args, out)
+        run_detection(cfg, args, out, mesh)
         return
 
     if cfg.get("pipeline"):
@@ -213,17 +213,22 @@ def ckpt_lib_latest(out):
     return ckpt_lib.latest_checkpoint(out)
 
 
-def run_detection(cfg, args, out):
+def run_detection(cfg, args, out, mesh=None):
     """Detection training loop (the fourth task family): fused jitted
     step + periodic mAP validation with best-checkpoint retention —
-    same driver shape as run_gan."""
+    same driver shape as run_gan.  With --mesh the batch shards over
+    the data axis (GSPMD data parallelism, like every other family)."""
     from myconvnet_tpu import recipes
     from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
     from myconvnet_tpu.utils.logging import MetricLogger
     from myconvnet_tpu.utils.preemption import PreemptionGuard
 
     state, step, predict, train_set, val_set = recipes.build_detector(
-        cfg, synthetic=args.synthetic)
+        cfg, synthetic=args.synthetic, mesh=mesh)
+    put_fn = None
+    if mesh is not None:
+        from myconvnet_tpu.parallel import shard_batch
+        put_fn = lambda b: shard_batch(mesh, b)  # noqa: E731
     if args.resume and ckpt_lib.latest_checkpoint(out):
         restored = ckpt_lib.restore_checkpoint(out, state._asdict())
         state = type(state)(**restored)
@@ -237,7 +242,7 @@ def run_detection(cfg, args, out):
     batch = cfg["batch_size"]
     best = evaluator.worst_score()
     start = int(state.step)
-    it = train_set.train_iter(batch)
+    it = train_set.train_iter(batch, device_put_fn=put_fn)
     for i, b in enumerate(it):
         i = start + i
         if i >= total or guard.preempted:
@@ -248,7 +253,8 @@ def run_detection(cfg, args, out):
             ckpt_lib.save_checkpoint(out, i + 1, state._asdict(), keep=2)
         if val_every and (i + 1) % val_every == 0:
             score = recipes.evaluate_detection(state, predict, val_set,
-                                               batch, evaluator)
+                                               batch, evaluator,
+                                               mesh=mesh)
             logger.log(i + 1, {"val_mAP": score})
             print(f"step {i + 1}: val mAP {score:.4f}")
             if evaluator.is_better(score, best):
@@ -260,7 +266,7 @@ def run_detection(cfg, args, out):
         it.close()
     ckpt_lib.save_checkpoint(out, int(state.step), state._asdict(), keep=2)
     score = recipes.evaluate_detection(state, predict, val_set, batch,
-                                       evaluator)
+                                       evaluator, mesh=mesh)
     print(f"final val mAP: {score:.4f}")
 
 
