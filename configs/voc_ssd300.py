@@ -32,7 +32,12 @@ config = dict(
         wd_exclude_norms=True,
         lr=dict(kind="cosine", lr=1e-3, total_steps=TOTAL_STEPS,
                 warmup_steps=2000)),
-    augment=dict(flip=True),  # box-aware on-device hflip + imagenet norm
+    # the SSD paper's full on-device chain: zoom-out expand (p=0.5, up
+    # to 4x, mean fill), IoU-constrained zoom-in crop, photometric
+    # distortion (Caffe-SSD magnitudes), box-aware hflip, imagenet norm
+    augment=dict(flip=True, expand_prob=0.5, expand_max=4.0,
+                 iou_crop=True, brightness=0.125, contrast=0.5,
+                 saturation=0.5, hue=0.05),
     precision="bf16",
     seed=0,
 )

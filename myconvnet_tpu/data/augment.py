@@ -106,12 +106,19 @@ def batched_crop_resize(images: jax.Array, boxes: jax.Array,
                         out_hw: tuple[int, int],
                         flip: jax.Array | None = None,
                         precision="highest",
-                        clamp: bool = True) -> jax.Array:
+                        clamp: bool = True,
+                        fill: jax.Array | None = None) -> jax.Array:
     """Crop+resize (+horizontal flip) every image with its own box.
 
     images: [N,H,W,C] (any dtype; promoted to f32), boxes: [N,4] float
     (y0, x0, h, w) in pixels, flip: [N] bool or None.  ``clamp=False``
-    reads zeros outside the frame (pad-then-crop semantics).
+    reads zeros outside the frame (pad-then-crop semantics); with
+    ``fill`` (a [C] vector, implies clamp=False semantics) out-of-frame
+    samples read that constant instead — the sampling matrices are
+    separable, so the out-of-frame weight is the exact outer product of
+    the per-axis row-sum deficits (no second warp needed).  Boundary
+    samples blend image and fill bilinearly, which is the correct
+    behavior for a window that extends past the frame (SSD zoom-out).
     Returns [N, out_h, out_w, C] float32.  Pure matmuls — no gathers.
     True-f32 precision by default: even at ImageNet batch sizes these
     contractions are <1ms on the MXU, and exact interpolation keeps the
@@ -119,6 +126,8 @@ def batched_crop_resize(images: jax.Array, boxes: jax.Array,
     """
     n, h, w, c = images.shape
     oh, ow = out_hw
+    if fill is not None:
+        clamp = False
     mh = _axis_matrix(boxes[:, 0], boxes[:, 2], h, oh,
                       clamp=clamp)                              # [N,OH,H]
     mw = _axis_matrix(boxes[:, 1], boxes[:, 3], w, ow, flip,
@@ -128,6 +137,10 @@ def batched_crop_resize(images: jax.Array, boxes: jax.Array,
                    preferred_element_type=jnp.float32, precision=precision)
     y = jnp.einsum("njw,niwc->nijc", mw, y,
                    preferred_element_type=jnp.float32, precision=precision)
+    if fill is not None:
+        # coverage (in-frame sample weight) factors over the two axes
+        cov = mh.sum(-1)[:, :, None] * mw.sum(-1)[:, None, :]  # [N,OH,OW]
+        y = y + (1.0 - cov)[..., None] * jnp.asarray(fill, jnp.float32)
     return y
 
 

@@ -300,12 +300,27 @@ def build_detector(cfg: dict, synthetic: bool = False, mesh=None):
             opt=jax.device_put(state.opt, rep),
             step=jax.device_put(state.step, rep),
             rng=jax.device_put(state.rng, rep))
+    det_aug = det_lib.DetAugment(
+        hflip=aug.get("flip", aug.get("hflip", True)),
+        expand_prob=aug.get("expand_prob", 0.0),
+        expand_max=aug.get("expand_max", 4.0),
+        iou_crop=aug.get("iou_crop", False),
+        iou_menu=tuple(aug.get("iou_menu",
+                               det_lib.DetAugment._field_defaults[
+                                   "iou_menu"])),
+        crop_candidates=aug.get("crop_candidates", 8),
+        scale_range=tuple(aug.get("scale_range", (0.3, 1.0))),
+        aspect_range=tuple(aug.get("aspect_range", (0.5, 2.0))),
+        brightness=aug.get("brightness", 0.0),
+        contrast=aug.get("contrast", 0.0),
+        saturation=aug.get("saturation", 0.0),
+        hue=aug.get("hue", 0.0),
+        mean=mean, std=std)
     step = jax.jit(det_lib.make_detection_step(
         net, opt, anchors, num_classes,
         iou_threshold=cfg.get("match_iou", 0.5),
         neg_pos_ratio=cfg.get("neg_pos_ratio", 3.0),
-        mean=mean, std=std,
-        hflip=aug.get("flip", aug.get("hflip", True))))
+        augment=det_aug))
     post = det_lib.make_postprocess(
         anchors, num_classes,
         score_threshold=cfg.get("score_threshold", 0.05),

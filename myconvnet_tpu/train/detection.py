@@ -137,6 +137,178 @@ def preprocess_batch(images: jax.Array, boxes: jax.Array,
     return x, boxes
 
 
+class DetAugment(NamedTuple):
+    """On-device SSD augmentation policy (Liu et al. 2016 §2.2 "data
+    augmentation", torchvision option-menu semantics).
+
+    Zoom-out (random expand) and zoom-in (IoU-constrained crop) compose
+    into ONE per-image sampling window in original-image coordinates —
+    possibly extending outside the frame — applied by the framework's
+    gather-free matmul warp (data/augment.batched_crop_resize) with the
+    dataset mean filling out-of-frame samples.  Everything is
+    static-shape and branch-free: candidate patches are scored in
+    parallel and the first acceptable one is selected with a one-hot
+    matmul, with the whole (expanded) canvas as the fallback.
+    """
+    hflip: bool = True
+    # zoom-out: with prob expand_prob place the image on a canvas of
+    # ratio r ~ U[1, expand_max] at a uniform offset, mean-filled
+    expand_prob: float = 0.0
+    expand_max: float = 4.0
+    # zoom-in: per image pick uniformly from {keep} + iou_menu; for a
+    # threshold t, sample crop_candidates patches and take the first
+    # whose best-gt IoU >= t AND which contains >= 1 gt center
+    iou_crop: bool = False
+    iou_menu: tuple = (0.0, 0.1, 0.3, 0.5, 0.7, 0.9)
+    crop_candidates: int = 8
+    scale_range: tuple = (0.3, 1.0)
+    aspect_range: tuple = (0.5, 2.0)
+    # photometric distortion (data/augment.color_jitter conventions)
+    brightness: float = 0.0
+    contrast: float = 0.0
+    saturation: float = 0.0
+    hue: float = 0.0
+    mean: tuple | None = None
+    std: tuple | None = None
+
+    @property
+    def has_geometry(self) -> bool:
+        return self.expand_prob > 0.0 or self.iou_crop
+
+    @property
+    def has_photometric(self) -> bool:
+        return (self.brightness > 0.0 or self.contrast > 0.0
+                or self.saturation > 0.0 or self.hue > 0.0)
+
+
+def sample_detection_windows(key: jax.Array, gt_boxes: jax.Array,
+                             gt_labels: jax.Array, cfg: DetAugment
+                             ) -> jax.Array:
+    """Draw one sampling window per image -> [B, 4] xyxy in normalized
+    original-image coordinates (may extend outside [0, 1]).
+
+    expand-only images get the canvas window; iou-crop images get the
+    first of ``crop_candidates`` random patches (of the canvas) passing
+    the per-image IoU threshold + center containment + aspect limits,
+    falling back to the full canvas when none passes (the paper's
+    max-trials fallback).
+    """
+    b, m = gt_labels.shape
+    k_exp, k_r, k_off, k_opt, k_wh, k_xy = jax.random.split(key, 6)
+
+    # ---- zoom-out canvas: ratio r, image offset (a, b) in [0, r-1]
+    if cfg.expand_prob > 0.0:
+        do_exp = jax.random.bernoulli(k_exp, cfg.expand_prob, (b,))
+        r = jnp.where(do_exp,
+                      jax.random.uniform(k_r, (b,), minval=1.0,
+                                         maxval=cfg.expand_max), 1.0)
+        off = jax.random.uniform(k_off, (b, 2)) * (r[:, None] - 1.0)
+    else:
+        r = jnp.ones((b,))
+        off = jnp.zeros((b, 2))
+    off4 = jnp.concatenate([off, off], axis=-1)  # (ax, ay, ax, ay)
+    canvas = jnp.concatenate([-off, r[:, None] - off], axis=-1)  # [B,4]
+
+    if not cfg.iou_crop:
+        return canvas
+
+    # ---- zoom-in: candidate patches in canvas-normalized coordinates
+    k = cfg.crop_candidates
+    menu = jnp.asarray(cfg.iou_menu, jnp.float32)
+    opt = jax.random.randint(k_opt, (b,), 0, len(cfg.iou_menu) + 1)
+    thresh = menu[jnp.maximum(opt - 1, 0)]  # [B]
+    lo, hi = cfg.scale_range
+    wh = jax.random.uniform(k_wh, (b, k, 2), minval=lo, maxval=hi)
+    aspect = wh[..., 0] / wh[..., 1]
+    aspect_ok = ((aspect >= cfg.aspect_range[0])
+                 & (aspect <= cfg.aspect_range[1]))  # [B,K]
+    xy0 = jax.random.uniform(k_xy, (b, k, 2)) * (1.0 - wh)
+    patch = jnp.concatenate([xy0, xy0 + wh], axis=-1)  # [B,K,4]
+
+    # ground truth in canvas coordinates
+    valid = gt_labels >= 0  # [B,M]
+    gtc = (gt_boxes + off4[:, None, :]) / r[:, None, None]
+    iou = jax.vmap(box_ops.box_iou)(patch, gtc)  # [B,K,M]
+    best_iou = jnp.where(valid[:, None, :], iou, -1.0).max(-1)  # [B,K]
+    centers = 0.5 * (gtc[..., :2] + gtc[..., 2:])  # [B,M,2]
+    inside = ((centers[:, None, :, :] > patch[:, :, None, :2])
+              & (centers[:, None, :, :] < patch[:, :, None, 2:])
+              ).all(-1)  # [B,K,M]
+    has_center = (inside & valid[:, None, :]).any(-1)  # [B,K]
+    ok = aspect_ok & (best_iou >= thresh[:, None]) & has_center
+    first = jnp.argmax(ok, axis=1)  # first True (argmax of bools)
+    oh = jax.nn.one_hot(first, k, dtype=patch.dtype)  # [B,K]
+    chosen = jnp.einsum("bk,bkc->bc", oh, patch)
+    use_patch = (opt > 0) & ok.any(axis=1)
+    full = jnp.asarray([0.0, 0.0, 1.0, 1.0])
+    patch = jnp.where(use_patch[:, None], chosen, full[None, :])
+    # compose patch-of-canvas with the canvas window -> image coords
+    return patch * r[:, None] - off4
+
+
+def apply_detection_window(images01: jax.Array, boxes: jax.Array,
+                           labels: jax.Array, window: jax.Array,
+                           fill) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Resample each [0,1]-float image to its window (out-of-frame reads
+    ``fill``) and move the boxes into window coordinates.
+
+    A ground truth survives iff its center lies strictly inside the
+    window (the paper's keep rule); surviving boxes are clipped to the
+    window, dropped ones get label -1 (shapes stay static).
+    """
+    from myconvnet_tpu.data.augment import batched_crop_resize
+
+    bsz, h, w, _ = images01.shape
+    wx0, wy0, wx1, wy1 = (window[:, i] for i in range(4))
+    crop = jnp.stack([wy0 * h, wx0 * w, (wy1 - wy0) * h,
+                      (wx1 - wx0) * w], axis=1)
+    out = batched_crop_resize(images01, crop, (h, w),
+                              fill=jnp.asarray(fill, jnp.float32))
+    origin = jnp.stack([wx0, wy0, wx0, wy0], axis=1)[:, None, :]
+    size = jnp.stack([wx1 - wx0, wy1 - wy0], axis=1)
+    size = jnp.concatenate([size, size], axis=1)[:, None, :]
+    new_boxes = (boxes - origin) / jnp.maximum(size, 1e-9)
+    centers = 0.5 * (new_boxes[..., :2] + new_boxes[..., 2:])
+    inside = ((centers > 0.0) & (centers < 1.0)).all(-1)  # [B,M]
+    new_labels = jnp.where(inside & (labels >= 0), labels, -1)
+    return out, jnp.clip(new_boxes, 0.0, 1.0), new_labels
+
+
+def augment_detection_batch(images: jax.Array, boxes: jax.Array,
+                            labels: jax.Array, key: jax.Array,
+                            cfg: DetAugment
+                            ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Full on-device SSD train-time chain: uint8 -> [0,1] float ->
+    expand/IoU-crop window warp -> photometric distortion -> box-aware
+    hflip -> per-channel normalize.  One traced program, no host work.
+    """
+    from myconvnet_tpu.data import augment as aug
+
+    x = images.astype(jnp.float32)
+    if images.dtype == jnp.uint8:
+        x = x / 255.0
+    k_geo, k_col, k_flip = jax.random.split(key, 3)
+    if cfg.has_geometry:
+        window = sample_detection_windows(k_geo, boxes, labels, cfg)
+        fill = cfg.mean if cfg.mean is not None else (0.5, 0.5, 0.5)
+        x, boxes, labels = apply_detection_window(x, boxes, labels,
+                                                  window, fill)
+    if cfg.has_photometric:
+        x = aug.color_jitter(k_col, x, brightness=cfg.brightness,
+                             contrast=cfg.contrast,
+                             saturation=cfg.saturation, hue=cfg.hue)
+    if cfg.hflip:
+        flip = jax.random.bernoulli(k_flip, 0.5, (x.shape[0],))
+        x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+        flipped = jnp.stack([1.0 - boxes[..., 2], boxes[..., 1],
+                             1.0 - boxes[..., 0], boxes[..., 3]], axis=-1)
+        boxes = jnp.where(flip[:, None, None], flipped, boxes)
+    if cfg.mean is not None:
+        x = (x - jnp.asarray(cfg.mean, x.dtype)) / jnp.asarray(
+            cfg.std, x.dtype)
+    return x, boxes, labels
+
+
 class DetState(NamedTuple):
     params: Any
     state: Any
@@ -158,22 +330,28 @@ def make_detection_step(net: Transformed, opt: Optimizer,
                         neg_pos_ratio: float = 3.0,
                         mean: tuple | None = None,
                         std: tuple | None = None,
-                        hflip: bool = False) -> Callable:
+                        hflip: bool = False,
+                        augment: DetAugment | None = None) -> Callable:
     """One fused detection step:
     (state, (images, gt_boxes, gt_labels)) -> (state, metrics).
 
-    ``mean``/``std``/``hflip`` fold preprocess_batch into the program, so
-    uint8 pipeline batches normalize + augment on-device inside the same
-    XLA program as the model (no extra dispatch, SURVEY.md §7)."""
+    ``augment`` folds the full SSD chain (expand/IoU-crop/photometric/
+    hflip/normalize — augment_detection_batch) into the program; the
+    ``mean``/``std``/``hflip`` kwargs remain as the simple legacy subset
+    and are ignored when ``augment`` is given.  Either way uint8
+    pipeline batches normalize + augment on-device inside the same XLA
+    program as the model (no extra dispatch, SURVEY.md §7)."""
+    if augment is None and (mean is not None or hflip):
+        augment = DetAugment(hflip=hflip, mean=mean, std=std)
 
     def step(state: DetState, batch):
         images, gt_boxes, gt_labels = batch
         key = jax.random.fold_in(jax.random.wrap_key_data(state.rng),
                                  state.step)
-        if mean is not None or hflip:
+        if augment is not None:
             aug_key, key = jax.random.split(key)
-            images, gt_boxes = preprocess_batch(
-                images, gt_boxes, aug_key, mean=mean, std=std, hflip=hflip)
+            images, gt_boxes, gt_labels = augment_detection_batch(
+                images, gt_boxes, gt_labels, aug_key, augment)
 
         def loss_fn(params):
             (cls_logits, loc), new_state = net.apply(
