@@ -76,6 +76,47 @@ class scope:
         return False
 
 
+class shared_scope:
+    """A scope whose parameters are SHARED across repeat visits.
+
+    Unlike :class:`scope` via ``auto_name`` (each visit auto-numbers into
+    fresh parameters), entering a ``shared_scope`` with the same name
+    twice resolves to the same parameter bucket: the name is pushed
+    verbatim, and auto-numbering *inside* the scope restarts on every
+    visit so layer call sequences line up — the second visit's
+    ``param()`` calls find (init) or fetch (apply) the first visit's
+    arrays.  This is how weight-tied heads are expressed, e.g. a
+    RetinaNet/FPN head applied to every pyramid level
+    (models/retinanet.py).
+
+    Shapes must agree across visits (``param`` returns the first-created
+    array).  Mutable state (``set_state``) inside a shared scope is
+    last-write-wins — keep BN out of weight-tied heads.
+    """
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        f = _frame()
+        f.path.append(self.name)
+        prefix = f.scope_path()
+        self._saved = f.counters
+        # restart auto-numbering for everything at or under this path so
+        # each visit generates the same inner names ("/"-boundary match:
+        # "a/head" must not swallow "a/head2")
+        f.counters = {k: v for k, v in f.counters.items()
+                      if not (k[0] == prefix
+                              or k[0].startswith(prefix + "/"))}
+        return self
+
+    def __exit__(self, *exc):
+        f = _frame()
+        f.counters = self._saved
+        f.path.pop()
+        return False
+
+
 def auto_name(base: str) -> str:
     """Return ``base`` (first use) or ``base_N`` for repeat uses in a scope.
 

@@ -44,6 +44,7 @@ from myconvnet_tpu.models.resnet import (resnet, resnet18, resnet34,
                                          se_resnet101, se_resnext50_32x4d)
 from myconvnet_tpu.models.fcn import fcn
 from myconvnet_tpu.models.ssd import ssd300, tinydet
+from myconvnet_tpu.models.retinanet import retinanet, tinyretina
 from myconvnet_tpu.models.shufflenet import shufflenet_v2
 from myconvnet_tpu.models.smallnet import smallnet
 from myconvnet_tpu.models.squeezenet import squeezenet
@@ -96,6 +97,8 @@ SEGMENTERS = {
 DETECTORS = {
     "ssd300": ssd300,
     "tinydet": tinydet,
+    "retinanet": retinanet,
+    "tinyretina": tinyretina,
 }
 
 GAN_GENERATORS = {

@@ -119,12 +119,15 @@ def bottleneck_block(x, features, *, stride, dilation, train, projection,
 
 def resnet_backbone(x: jax.Array, depth: int = 50, *, train: bool = False,
                     output_stride: int = 32, width: int = 64,
-                    return_low_level: bool = False, stem: str = "conv7",
+                    return_low_level: bool = False,
+                    return_stages: bool = False, stem: str = "conv7",
                     groups: int = 1, width_per_group: int = 64,
                     se_ratio: int = 0, norm: str = "batch",
                     ws: bool = False, torch_padding: bool = False):
     """Feature extractor. Returns final feature map (and the end-of-stage-1
     low-level features when ``return_low_level`` — DeepLab decoder input).
+    ``return_stages`` instead returns the list of all four stage outputs
+    [C2, C3, C4, C5] (strides 4/8/16/32) — the FPN/detection tap points.
 
     Memory note: for big batches / 513x513 segmentation use the trainer's
     ``remat=True`` (full-forward rematerialization via jax.checkpoint) —
@@ -178,6 +181,7 @@ def resnet_backbone(x: jax.Array, depth: int = 50, *, train: bool = False,
                         if torch_padding else "SAME")
 
     low_level = None
+    stages = []
     current_stride = 4
     dilation = 1
     for stage, n_blocks in enumerate(blocks):
@@ -203,9 +207,12 @@ def resnet_backbone(x: jax.Array, depth: int = 50, *, train: bool = False,
                                     (stage_stride != 1
                                      or x.shape[-1] != out_ch)))
         current_stride *= stage_stride
+        stages.append(x)
         if stage == 0:
             low_level = x
     x = nn.tag_intermediate("features", x)
+    if return_stages:
+        return stages
     if return_low_level:
         return x, low_level
     return x

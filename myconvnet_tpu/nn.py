@@ -23,7 +23,7 @@ from myconvnet_tpu.core import initializers as init
 from myconvnet_tpu.core.module import (auto_name, current_scope_in_params,
                                        get_state, next_rng_key, param,
                                        param_exists, scope, set_state,
-                                       tag_intermediate)
+                                       shared_scope, tag_intermediate)
 from myconvnet_tpu.core.precision import current_policy
 from myconvnet_tpu.ops.batch_norm import (batch_norm_inference,
                                           batch_norm_train)
@@ -44,6 +44,13 @@ def scope_named(name: str) -> scope:
     return scope(auto_name(name))
 
 
+def scope_shared(name: str) -> shared_scope:
+    """Open a WEIGHT-SHARED scope: repeat visits reuse the same params
+    (core.module.shared_scope) — e.g. one detection head applied to
+    every FPN level."""
+    return shared_scope(name)
+
+
 # ---------------------------------------------------------------- conv / fc
 
 def conv(x: jax.Array, features: int, kernel_size: _IntOrPair, *,
@@ -51,7 +58,7 @@ def conv(x: jax.Array, features: int, kernel_size: _IntOrPair, *,
          dilation: _IntOrPair = 1, groups: int = 1, use_bias: bool = True,
          weight_standardization: bool = False,
          spectral_norm: bool = False,
-         w_init=None, name: str = "conv") -> jax.Array:
+         w_init=None, b_init=None, name: str = "conv") -> jax.Array:
     """Conv layer (reference conv_layer equivalent). NHWC in/out.
 
     ``weight_standardization`` (Qiao et al.; the BiT/GroupNorm companion
@@ -92,7 +99,8 @@ def conv(x: jax.Array, features: int, kernel_size: _IntOrPair, *,
         # pick up a bias injected by BN folding even when the model was
         # written with use_bias=False (models/folding.py)
         if use_bias or param_exists("b"):
-            b = param("b", (features,), pol.param_dtype, init.zeros)
+            b = param("b", (features,), pol.param_dtype,
+                      b_init or init.zeros)
             y = y + pol.cast_to_compute(b)
     return y
 

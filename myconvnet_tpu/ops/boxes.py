@@ -121,6 +121,43 @@ def ssd_anchors(spec=SSD300_SPEC, clip: bool = True) -> np.ndarray:
     return anchors
 
 
+# RetinaNet-style FPN anchor spec: (feature-map size, base size,
+# octave fractions, aspect ratios) per pyramid level.  Base sizes are
+# normalized (4 * stride / image_size, the paper's 32..512 px areas on
+# strides 8..128 at 512 input); 9 anchors per cell.
+RETINA512_SPEC = tuple(
+    (fm, base, (0.0, 1 / 3, 2 / 3), (0.5, 1.0, 2.0))
+    for fm, base in ((64, 0.0625), (32, 0.125), (16, 0.25),
+                     (8, 0.5), (4, 1.0)))
+
+
+@lru_cache(maxsize=8)
+def retina_anchors(spec=RETINA512_SPEC, clip: bool = False) -> np.ndarray:
+    """Anchor grid for an octave-scaled FPN pyramid -> [A, 4] xyxy.
+
+    Per cell: ``len(octaves) * len(ratios)`` anchors with
+    ``wh = base * 2^octave * (sqrt(r), 1/sqrt(r))`` — octave-major,
+    ratio-minor variant order, which must match the head's channel
+    layout (models/retinanet.py emits [H, W, a*k] in the same order).
+    Cell-major like :func:`ssd_anchors`; unclipped by default (the
+    paper keeps out-of-frame anchors and lets matching handle them).
+    """
+    out = []
+    for fm, base, octaves, ratios in spec:
+        whs = [(base * 2.0 ** o * sqrt(r), base * 2.0 ** o / sqrt(r))
+               for o in octaves for r in ratios]
+        centers = (np.arange(fm, dtype=np.float32) + 0.5) / fm
+        cx, cy = np.meshgrid(centers, centers)
+        cxy = np.stack([cx, cy], axis=-1)[:, :, None, :]
+        wh = np.asarray(whs, np.float32)[None, None, :, :]
+        boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], axis=-1)
+        out.append(boxes.reshape(-1, 4))
+    anchors = np.concatenate(out, axis=0).astype(np.float32)
+    if clip:
+        anchors = np.clip(anchors, 0.0, 1.0)
+    return anchors
+
+
 # ------------------------------------------------------------------- NMS
 
 def nms(boxes: jax.Array, scores: jax.Array, iou_threshold: float = 0.45,

@@ -279,9 +279,15 @@ def build_detector(cfg: dict, synthetic: bool = False, mesh=None):
 
     net = transform(fwd)
     opt = make_optimizer(cfg["optimizer"])
-    # the anchor grid + input size are properties of the detector
-    # architecture (models/ssd.py attaches them to the model fn)
-    anchors = jnp.asarray(ssd_anchors(model_fn.anchor_spec))
+    # the anchor grid + input size + head convention are properties of
+    # the detector architecture (models/ssd.py, models/retinanet.py
+    # attach them to the model fn)
+    if getattr(model_fn, "anchor_kind", "ssd") == "retina":
+        from myconvnet_tpu.ops.boxes import retina_anchors
+        anchors = jnp.asarray(retina_anchors(model_fn.anchor_spec))
+    else:
+        anchors = jnp.asarray(ssd_anchors(model_fn.anchor_spec))
+    focal_head = getattr(model_fn, "head", "softmax") == "sigmoid_focal"
     hw = tuple(cfg.get("input_hw", model_fn.input_hw))
     aug = cfg.get("augment", {}) or {}
     mean = tuple(aug.get("mean", IMAGENET_MEAN))
@@ -316,16 +322,26 @@ def build_detector(cfg: dict, synthetic: bool = False, mesh=None):
         saturation=aug.get("saturation", 0.0),
         hue=aug.get("hue", 0.0),
         mean=mean, std=std)
+    if focal_head:
+        from functools import partial
+        loss_fn = partial(det_lib.focal_det_loss,
+                          alpha=cfg.get("focal_alpha", 0.25),
+                          gamma=cfg.get("focal_gamma", 2.0),
+                          pos_threshold=cfg.get("match_iou", 0.5),
+                          neg_threshold=cfg.get("neg_iou", 0.4))
+    else:
+        loss_fn = None  # make_detection_step's multibox default
     step = jax.jit(det_lib.make_detection_step(
         net, opt, anchors, num_classes,
         iou_threshold=cfg.get("match_iou", 0.5),
         neg_pos_ratio=cfg.get("neg_pos_ratio", 3.0),
-        augment=det_aug))
+        augment=det_aug, loss_fn=loss_fn))
     post = det_lib.make_postprocess(
         anchors, num_classes,
         score_threshold=cfg.get("score_threshold", 0.05),
         iou_threshold=cfg.get("nms_iou", 0.45),
-        max_detections=cfg.get("max_detections", 100))
+        max_detections=cfg.get("max_detections", 100),
+        score_activation="sigmoid" if focal_head else "softmax")
 
     @jax.jit
     def predict(st, images):

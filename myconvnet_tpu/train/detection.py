@@ -110,6 +110,86 @@ def multibox_loss(cls_logits: jax.Array, loc: jax.Array,
     return loss, metrics
 
 
+def match_anchors_band(anchors: jax.Array, gt_boxes: jax.Array,
+                       gt_labels: jax.Array, pos_threshold: float = 0.5,
+                       neg_threshold: float = 0.4
+                       ) -> tuple[jax.Array, jax.Array, jax.Array,
+                                  jax.Array]:
+    """RetinaNet matching for ONE image: like :func:`match_anchors` but
+    with an ignore band — anchors whose best IoU lands in
+    [neg_threshold, pos_threshold) are neither positive nor negative and
+    must not contribute classification loss.
+
+    Returns (matched_boxes [A,4], matched_labels [A], positive [A],
+    ignore [A]).
+    """
+    valid = gt_labels >= 0
+    iou = box_ops.box_iou(anchors, gt_boxes)  # [A, M]
+    iou = jnp.where(valid[None, :], iou, -1.0)
+    best_gt = jnp.argmax(iou, axis=1)
+    best_iou = jnp.max(iou, axis=1)
+    best_anchor = jnp.argmax(iou, axis=0)  # [M]
+    a_range = jnp.arange(anchors.shape[0])
+    forced_oh = (best_anchor[:, None] == a_range[None, :]) & valid[:, None]
+    forced = forced_oh.any(axis=0)
+    forced_gt = jnp.argmax(forced_oh, axis=0)
+    positive = (best_iou >= pos_threshold) | forced
+    ignore = (best_iou >= neg_threshold) & ~positive
+    gt_idx = jnp.where(forced, forced_gt, best_gt)
+    one_hot = jax.nn.one_hot(gt_idx, gt_boxes.shape[0],
+                             dtype=gt_boxes.dtype)
+    matched_boxes = one_hot @ gt_boxes
+    labels_f = jnp.maximum(gt_labels, 0).astype(gt_boxes.dtype)
+    matched_labels = jnp.where(
+        positive, (one_hot @ labels_f).astype(jnp.int32), 0)
+    return matched_boxes, matched_labels, positive, ignore
+
+
+def focal_det_loss(cls_logits: jax.Array, loc: jax.Array,
+                   gt_boxes: jax.Array, gt_labels: jax.Array,
+                   anchors: jax.Array, *, alpha: float = 0.25,
+                   gamma: float = 2.0, pos_threshold: float = 0.5,
+                   neg_threshold: float = 0.4
+                   ) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """RetinaNet loss (Lin et al. 2017): sigmoid focal classification
+    over FOREGROUND classes + smooth-L1 box regression on positives.
+
+    cls_logits [B, A, C-1] — per-foreground-class sigmoid logits, NO
+    background column (background = all-zero targets); gt id space is
+    still 1..C-1.  Focal loss needs no hard-negative mining — that is
+    its point — so every non-ignored anchor contributes.  Normalized by
+    the number of positive anchors.
+    """
+    m_boxes, m_labels, positive, ignore = jax.vmap(
+        lambda b, l: match_anchors_band(anchors, b, l, pos_threshold,
+                                        neg_threshold))(gt_boxes, gt_labels)
+
+    loc_t = box_ops.encode_boxes(m_boxes, anchors[None])
+    loc_err = _smooth_l1(loc - jax.lax.stop_gradient(loc_t)).sum(-1)
+    loc_loss = jnp.where(positive, loc_err, 0.0).sum()
+
+    k = cls_logits.shape[-1]
+    # targets: one-hot over foreground classes for positives, zeros else
+    targets = jnp.where(positive[..., None],
+                        jax.nn.one_hot(m_labels - 1, k,
+                                       dtype=cls_logits.dtype), 0.0)
+    p = jax.nn.sigmoid(cls_logits)
+    # numerically-stable BCE with logits
+    bce = jnp.maximum(cls_logits, 0.0) - cls_logits * targets \
+        + jnp.log1p(jnp.exp(-jnp.abs(cls_logits)))
+    p_t = p * targets + (1.0 - p) * (1.0 - targets)
+    alpha_t = alpha * targets + (1.0 - alpha) * (1.0 - targets)
+    focal = alpha_t * (1.0 - p_t) ** gamma * bce  # [B, A, K]
+    cls_loss = jnp.where(ignore[..., None], 0.0, focal).sum()
+
+    n_pos = positive.sum()
+    denom = jnp.maximum(n_pos, 1).astype(cls_logits.dtype)
+    loss = (cls_loss + loc_loss) / denom
+    metrics = {"loss": loss, "loc_loss": loc_loss / denom,
+               "cls_loss": cls_loss / denom, "n_pos": n_pos}
+    return loss, metrics
+
+
 def preprocess_batch(images: jax.Array, boxes: jax.Array,
                      key: jax.Array | None, *,
                      mean: tuple | None = None, std: tuple | None = None,
@@ -331,7 +411,8 @@ def make_detection_step(net: Transformed, opt: Optimizer,
                         mean: tuple | None = None,
                         std: tuple | None = None,
                         hflip: bool = False,
-                        augment: DetAugment | None = None) -> Callable:
+                        augment: DetAugment | None = None,
+                        loss_fn: Callable | None = None) -> Callable:
     """One fused detection step:
     (state, (images, gt_boxes, gt_labels)) -> (state, metrics).
 
@@ -340,9 +421,18 @@ def make_detection_step(net: Transformed, opt: Optimizer,
     ``mean``/``std``/``hflip`` kwargs remain as the simple legacy subset
     and are ignored when ``augment`` is given.  Either way uint8
     pipeline batches normalize + augment on-device inside the same XLA
-    program as the model (no extra dispatch, SURVEY.md §7)."""
+    program as the model (no extra dispatch, SURVEY.md §7).
+
+    ``loss_fn(cls_logits, loc, gt_boxes, gt_labels, anchors) -> (loss,
+    metrics)`` swaps the objective (default: SSD multibox; pass a
+    :func:`focal_det_loss` closure for RetinaNet-style heads)."""
     if augment is None and (mean is not None or hflip):
         augment = DetAugment(hflip=hflip, mean=mean, std=std)
+    if loss_fn is None:
+        def loss_fn(cls_logits, loc, gt_b, gt_l, anc):
+            return multibox_loss(cls_logits, loc, gt_b, gt_l, anc,
+                                 iou_threshold=iou_threshold,
+                                 neg_pos_ratio=neg_pos_ratio)
 
     def step(state: DetState, batch):
         images, gt_boxes, gt_labels = batch
@@ -353,16 +443,15 @@ def make_detection_step(net: Transformed, opt: Optimizer,
             images, gt_boxes, gt_labels = augment_detection_batch(
                 images, gt_boxes, gt_labels, aug_key, augment)
 
-        def loss_fn(params):
+        def objective(params):
             (cls_logits, loc), new_state = net.apply(
                 params, state.state, key, images, num_classes, train=True)
-            loss, metrics = multibox_loss(
-                cls_logits, loc, gt_boxes, gt_labels, anchors,
-                iou_threshold=iou_threshold, neg_pos_ratio=neg_pos_ratio)
+            loss, metrics = loss_fn(cls_logits, loc, gt_boxes, gt_labels,
+                                    anchors)
             return loss, (new_state, metrics)
 
         (_, (new_state, metrics)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+            objective, has_aux=True)(state.params)
         new_params, new_opt = opt.update(grads, state.opt, state.params,
                                          state.step)
         return DetState(new_params, new_state, new_opt, state.step + 1,
@@ -374,18 +463,26 @@ def make_detection_step(net: Transformed, opt: Optimizer,
 def make_postprocess(anchors: jax.Array, num_classes: int, *,
                      score_threshold: float = 0.05,
                      iou_threshold: float = 0.45,
-                     max_detections: int = 100) -> Callable:
+                     max_detections: int = 100,
+                     score_activation: str = "softmax") -> Callable:
     """Jittable (cls_logits [B,A,C], loc [B,A,4]) ->
     (boxes [B,D,4], scores [B,D], labels [B,D], valid [B,D]).
 
-    Softmax over classes, best non-background class per anchor, then
-    class-aware NMS.  Static output size D = max_detections; mask on
-    ``valid`` before use.  Labels use the ground-truth id space:
-    1..C-1 (0 is background and never emitted).
+    Class scores, best non-background class per anchor, then class-aware
+    NMS.  ``score_activation``: "softmax" for SSD heads ([B,A,C] with
+    background column 0, dropped); "sigmoid" for RetinaNet heads
+    ([B,A,C-1] foreground-only logits).  Static output size
+    D = max_detections; mask on ``valid`` before use.  Labels use the
+    ground-truth id space: 1..C-1 (0 is background and never emitted).
     """
+    if score_activation not in ("softmax", "sigmoid"):
+        raise ValueError(f"unknown score_activation {score_activation!r}")
 
     def postprocess(cls_logits, loc):
-        probs = jax.nn.softmax(cls_logits, axis=-1)[..., 1:]  # drop bg
+        if score_activation == "softmax":
+            probs = jax.nn.softmax(cls_logits, axis=-1)[..., 1:]  # drop bg
+        else:
+            probs = jax.nn.sigmoid(cls_logits)  # already foreground-only
         scores = probs.max(axis=-1)  # [B, A]
         labels = probs.argmax(axis=-1) + 1  # [B, A] gt id space
         decoded = box_ops.decode_boxes(loc, anchors[None])
