@@ -90,8 +90,11 @@ class MeanAPEvaluator(Evaluator):
                     self._gts.append((img, int(gt_labels[b, m]),
                                       gt_boxes[b, m]))
 
-    def per_class_ap(self) -> dict[int, float]:
-        """AP per foreground class that has ground truth."""
+    def per_class_ap(self, iou_threshold: float | None = None
+                     ) -> dict[int, float]:
+        """AP per foreground class that has ground truth (at
+        ``iou_threshold``, defaulting to the evaluator's own)."""
+        thr = self.iou_threshold if iou_threshold is None else iou_threshold
         aps = {}
         for c in range(1, self.num_classes):
             gts = [(i, box) for i, lab, box in self._gts if lab == c]
@@ -113,7 +116,7 @@ class MeanAPEvaluator(Evaluator):
                     continue
                 ious = _iou_matrix(box[None], np.stack(cand))[0]
                 best = int(np.argmax(ious))
-                if ious[best] >= self.iou_threshold and \
+                if ious[best] >= thr and \
                         not matched[img][best]:
                     matched[img][best] = True
                     tp[k] = 1
@@ -132,3 +135,28 @@ class MeanAPEvaluator(Evaluator):
     def score(self) -> float:
         aps = self.per_class_ap()
         return float(np.mean(list(aps.values()))) if aps else 0.0
+
+
+class COCOMeanAPEvaluator(MeanAPEvaluator):
+    """COCO-style mAP: AP averaged over IoU thresholds 0.50:0.05:0.95.
+
+    Same accumulation as :class:`MeanAPEvaluator` (detections and ground
+    truth are threshold-independent); only scoring re-runs the matching
+    per threshold.  ``per_threshold()`` exposes the mAP curve — its 0.5
+    entry equals the VOC number, the 0.75 entry is COCO's strict AP75.
+    """
+
+    name = "mAP@[.5:.95]"
+    IOU_THRESHOLDS = tuple(np.arange(0.5, 1.0, 0.05).round(2))
+
+    def per_threshold(self) -> dict[float, float]:
+        out = {}
+        for t in self.IOU_THRESHOLDS:
+            aps = self.per_class_ap(float(t))
+            out[float(t)] = (float(np.mean(list(aps.values())))
+                             if aps else 0.0)
+        return out
+
+    def score(self) -> float:
+        per = self.per_threshold()
+        return float(np.mean(list(per.values()))) if per else 0.0

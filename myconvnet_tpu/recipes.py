@@ -223,7 +223,10 @@ def build_evaluator(cfg: dict):
         return MeanIoUEvaluator(cfg["num_classes"],
                                 cfg.get("ignore_label", 255))
     if cfg["task"] == "detection":
-        from myconvnet_tpu.eval.detection import MeanAPEvaluator
+        from myconvnet_tpu.eval.detection import (COCOMeanAPEvaluator,
+                                                  MeanAPEvaluator)
+        if cfg.get("map_style", "voc") == "coco":
+            return COCOMeanAPEvaluator(cfg["num_classes"])
         return MeanAPEvaluator(cfg["num_classes"],
                                iou_threshold=cfg.get("map_iou", 0.5))
     return AccuracyEvaluator()

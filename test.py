@@ -31,6 +31,10 @@ def main():
                          "(requires optimizer.ema_decay in the config)")
     ap.add_argument("--topk", type=int, default=1,
                     help="score top-k accuracy (classification)")
+    ap.add_argument("--coco", action="store_true",
+                    help="detection: report COCO-style mAP@[.5:.95] "
+                         "(plus the per-threshold curve) instead of "
+                         "VOC mAP@0.5")
     ap.add_argument("--report", action="store_true",
                     help="print the per-class precision/recall/F1 report "
                          "(classification)")
@@ -217,10 +221,17 @@ def eval_detection(cfg, args):
         path = best
     restored = ckpt_lib.restore_checkpoint(path, state._asdict())
     state = type(state)(**restored)
+    if args.coco:
+        cfg = dict(cfg, map_style="coco")
     evaluator = recipes.build_evaluator(cfg)
     score = recipes.evaluate_detection(state, predict, val_set,
                                        cfg["batch_size"], evaluator)
-    print(f"mAP@{evaluator.iou_threshold:g}: {score:.4f}")
+    if args.coco:
+        print(f"mAP@[.5:.95]: {score:.4f}")
+        for t, v in evaluator.per_threshold().items():
+            print(f"  mAP@{t:.2f}  {v:.4f}")
+    else:
+        print(f"mAP@{evaluator.iou_threshold:g}: {score:.4f}")
     if args.report:
         names = getattr(val_set.source, "class_names", None)
         for c, ap in sorted(evaluator.per_class_ap().items()):

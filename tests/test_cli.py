@@ -328,3 +328,8 @@ def test_detection_cli_train_and_score(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "mAP@0.5:" in r2.stdout
     assert "AP" in r2.stdout
+    r3 = _run(["test.py", "--config", str(cfg_path), "--ckpt", out,
+               "--synthetic", "--coco", "--platform", "cpu"])
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    assert "mAP@[.5:.95]:" in r3.stdout
+    assert "mAP@0.75" in r3.stdout  # the per-threshold curve

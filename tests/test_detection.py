@@ -177,3 +177,24 @@ def test_detection_step_trains_toy_detector():
     ev = MeanAPEvaluator(num_classes=4)
     ev.update((boxes, scores, labels, valid), (gt_boxes, gt_labels))
     assert 0.0 <= ev.score() <= 1.0
+
+
+def test_coco_map_evaluator_threshold_average():
+    from myconvnet_tpu.eval.detection import COCOMeanAPEvaluator
+    ev = COCOMeanAPEvaluator(num_classes=3)
+    # one image, one gt of class 1; the detection is CONTAINED in the
+    # gt with exactly 70% of its area -> IoU 0.7: matches at thresholds
+    # 0.50..0.70 (5 of 10), misses 0.75..0.95 -> mAP@[.5:.95] = 0.5
+    gt_b = np.array([[[0.0, 0.0, 0.4, 0.4]]], np.float32)
+    gt_l = np.array([[1]], np.int32)
+    det_b = np.array([[[0.0, 0.0, 0.4, 0.28]]], np.float32)
+    ev.update((det_b, np.array([[0.9]]), np.array([[1]]),
+               np.array([[True]])), (gt_b, gt_l))
+    per = ev.per_threshold()
+    assert per[0.5] == 1.0 and per[0.7] == 1.0 and per[0.75] == 0.0
+    np.testing.assert_allclose(ev.score(), 0.5)
+    # a perfect detection scores 1.0 across the whole sweep
+    ev.reset()
+    ev.update((gt_b, np.array([[0.9]]), np.array([[1]]),
+               np.array([[True]])), (gt_b, gt_l))
+    np.testing.assert_allclose(ev.score(), 1.0)
