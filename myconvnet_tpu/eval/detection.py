@@ -149,12 +149,28 @@ class COCOMeanAPEvaluator(MeanAPEvaluator):
     name = "mAP@[.5:.95]"
     IOU_THRESHOLDS = tuple(np.arange(0.5, 1.0, 0.05).round(2))
 
+    def reset(self):
+        super().reset()
+        self._sweep_rev = 0
+        self._sweep_cache: tuple[int, dict] | None = None
+
+    def update(self, preds, targets):
+        super().update(preds, targets)
+        self._sweep_rev += 1
+
     def per_threshold(self) -> dict[float, float]:
+        """The mAP-vs-IoU curve.  The 10-threshold matching sweep is the
+        expensive part, so it is cached per accumulation revision —
+        score() and a subsequent curve printout share one sweep."""
+        if self._sweep_cache is not None and \
+                self._sweep_cache[0] == self._sweep_rev:
+            return self._sweep_cache[1]
         out = {}
         for t in self.IOU_THRESHOLDS:
             aps = self.per_class_ap(float(t))
             out[float(t)] = (float(np.mean(list(aps.values())))
                              if aps else 0.0)
+        self._sweep_cache = (self._sweep_rev, out)
         return out
 
     def score(self) -> float:

@@ -36,8 +36,8 @@ ANCHORS_PER_CELL = 9  # 3 octaves x 3 ratios, all levels
 _PRIOR_BIAS = -log((1.0 - 0.01) / 0.01)  # pi = 0.01
 
 
-def _fpn(c3, c4, c5, ch):
-    """Feature pyramid: [P3, P4, P5, P6, P7]."""
+def _fpn(c3, c4, c5, ch, levels: int = 5):
+    """Feature pyramid: [P3, P4, P5] (+ P6, P7 when ``levels == 5``)."""
     with nn.scope_named("fpn"):
         p5 = nn.conv(c5, ch, 1, name="lat5")
         p4 = nn.conv(c4, ch, 1, name="lat4") + upsample2x_nearest(p5)
@@ -45,13 +45,16 @@ def _fpn(c3, c4, c5, ch):
         p3 = nn.conv(p3, ch, 3, name="smooth3")
         p4 = nn.conv(p4, ch, 3, name="smooth4")
         p5 = nn.conv(p5, ch, 3, name="smooth5")
+        if levels == 3:
+            return [p3, p4, p5]
         # the paper: P6 = 3x3 s2 conv on C5; P7 = relu then 3x3 s2
         p6 = nn.conv(c5, ch, 3, stride=2, name="p6")
         p7 = nn.conv(nn.relu(p6), ch, 3, stride=2, name="p7")
     return [p3, p4, p5, p6, p7]
 
 
-def _shared_head(fm, out_per_anchor, depth, ch, name, final_bias=0.0):
+def _shared_head(fm, out_per_anchor, depth, ch, name, final_bias=0.0,
+                 anchors_per_cell: int = ANCHORS_PER_CELL):
     """One weight-tied head applied to a pyramid level -> [B, H*W*a, k].
 
     No normalization layers (the paper's heads are plain conv+ReLU;
@@ -60,11 +63,11 @@ def _shared_head(fm, out_per_anchor, depth, ch, name, final_bias=0.0):
         y = fm
         for i in range(depth):
             y = nn.relu(nn.conv(y, ch, 3, name=f"conv{i + 1}"))
-        y = nn.conv(y, ANCHORS_PER_CELL * out_per_anchor, 3, name="out",
+        y = nn.conv(y, anchors_per_cell * out_per_anchor, 3, name="out",
                     w_init=init.normal(0.01),
                     b_init=init.constant(final_bias))
     b, h, w, _ = y.shape
-    return y.reshape(b, h * w * ANCHORS_PER_CELL, out_per_anchor)
+    return y.reshape(b, h * w * anchors_per_cell, out_per_anchor)
 
 
 def retinanet(x: jax.Array, num_classes: int = 21, *, train: bool = False,
@@ -122,24 +125,18 @@ def tinyretina(x: jax.Array, num_classes: int = 21, *,
         c3 = nn.relu(nn.conv(c2, width * 2, 3, stride=2, name="c3"))  # 16
         c4 = nn.relu(nn.conv(c3, width * 2, 3, stride=2, name="c4"))  # 8
         c5 = nn.relu(nn.conv(c4, width * 4, 3, stride=2, name="c5"))  # 4
-    feats = _fpn(c3, c4, c5, width * 2)[:3]  # P3..P5 only
+    feats = _fpn(c3, c4, c5, width * 2, levels=3)
     sizes = tuple(f.shape[1] for f in feats)
     if sizes != tuple(s[0] for s in TINYRETINA_SPEC):
         raise ValueError(f"feature pyramid {sizes} does not match "
                          "TINYRETINA_SPEC — input must be 128x128")
-
-    def head(fm, k, name, bias=0.0):
-        with nn.scope_shared(name):
-            y = nn.relu(nn.conv(fm, width * 2, 3, name="conv1"))
-            y = nn.conv(y, _TINY_APC * k, 3, name="out",
-                        w_init=init.normal(0.01),
-                        b_init=init.constant(bias))
-        b, h, w, _ = y.shape
-        return y.reshape(b, h * w * _TINY_APC, k)
-
-    cls_out = [head(f, num_classes - 1, "cls_head", _PRIOR_BIAS)
+    cls_out = [_shared_head(f, num_classes - 1, 1, width * 2, "cls_head",
+                            final_bias=_PRIOR_BIAS,
+                            anchors_per_cell=_TINY_APC)
                for f in feats]
-    loc_out = [head(f, 4, "box_head") for f in feats]
+    loc_out = [_shared_head(f, 4, 1, width * 2, "box_head",
+                            anchors_per_cell=_TINY_APC)
+               for f in feats]
     return (jnp.concatenate(cls_out, axis=1),
             jnp.concatenate(loc_out, axis=1))
 

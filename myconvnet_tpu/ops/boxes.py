@@ -91,6 +91,21 @@ SSD300_SPEC = (
 )
 
 
+def _cell_grid(fm: int, whs) -> np.ndarray:
+    """One pyramid level's anchors -> [fm*fm*len(whs), 4] xyxy.
+
+    Cell-major — [row, col, variant] — the ordering contract every
+    detection head relies on: a head's [H, W, a*k] output reshaped to
+    [H*W*a, k] lines up with this grid element-for-element.
+    """
+    centers = (np.arange(fm, dtype=np.float32) + 0.5) / fm
+    cx, cy = np.meshgrid(centers, centers)  # [row, col] grids
+    cxy = np.stack([cx, cy], axis=-1)[:, :, None, :]  # [fm, fm, 1, 2]
+    wh = np.asarray(whs, np.float32)[None, None, :, :]  # [1, 1, k, 2]
+    boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], axis=-1)
+    return boxes.reshape(-1, 4)
+
+
 @lru_cache(maxsize=8)
 def ssd_anchors(spec=SSD300_SPEC, clip: bool = True) -> np.ndarray:
     """Anchor grid for an SSD feature pyramid -> [A, 4] normalized xyxy.
@@ -98,10 +113,7 @@ def ssd_anchors(spec=SSD300_SPEC, clip: bool = True) -> np.ndarray:
     Per cell: one s×s square, one sqrt(s·s')×… square, and a ±aspect
     pair per ratio — 4 or 6 anchors per cell as in the paper (8732 for
     the SSD300 spec).  Host-side numpy; a compile-time constant.
-
-    Ordering is cell-major — [row, col, variant] within each map — to
-    line up with a detection head's [H, W, a*k] channel layout after
-    ``reshape(H*W*a, k)``.
+    Cell-major (see :func:`_cell_grid`).
     """
     out = []
     for fm, s, s_next, ratios in spec:
@@ -109,12 +121,7 @@ def ssd_anchors(spec=SSD300_SPEC, clip: bool = True) -> np.ndarray:
         for r in ratios:
             whs.append((s * sqrt(r), s / sqrt(r)))
             whs.append((s / sqrt(r), s * sqrt(r)))
-        centers = (np.arange(fm, dtype=np.float32) + 0.5) / fm
-        cx, cy = np.meshgrid(centers, centers)  # [row, col] grids
-        cxy = np.stack([cx, cy], axis=-1)[:, :, None, :]  # [fm, fm, 1, 2]
-        wh = np.asarray(whs, np.float32)[None, None, :, :]  # [1, 1, k, 2]
-        boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], axis=-1)
-        out.append(boxes.reshape(-1, 4))  # [fm*fm*k, 4], cell-major
+        out.append(_cell_grid(fm, whs))
     anchors = np.concatenate(out, axis=0).astype(np.float32)
     if clip:
         anchors = np.clip(anchors, 0.0, 1.0)
@@ -139,19 +146,14 @@ def retina_anchors(spec=RETINA512_SPEC, clip: bool = False) -> np.ndarray:
     ``wh = base * 2^octave * (sqrt(r), 1/sqrt(r))`` — octave-major,
     ratio-minor variant order, which must match the head's channel
     layout (models/retinanet.py emits [H, W, a*k] in the same order).
-    Cell-major like :func:`ssd_anchors`; unclipped by default (the
+    Cell-major (see :func:`_cell_grid`); unclipped by default (the
     paper keeps out-of-frame anchors and lets matching handle them).
     """
     out = []
     for fm, base, octaves, ratios in spec:
         whs = [(base * 2.0 ** o * sqrt(r), base * 2.0 ** o / sqrt(r))
                for o in octaves for r in ratios]
-        centers = (np.arange(fm, dtype=np.float32) + 0.5) / fm
-        cx, cy = np.meshgrid(centers, centers)
-        cxy = np.stack([cx, cy], axis=-1)[:, :, None, :]
-        wh = np.asarray(whs, np.float32)[None, None, :, :]
-        boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], axis=-1)
-        out.append(boxes.reshape(-1, 4))
+        out.append(_cell_grid(fm, whs))
     anchors = np.concatenate(out, axis=0).astype(np.float32)
     if clip:
         anchors = np.clip(anchors, 0.0, 1.0)

@@ -344,7 +344,8 @@ def build_detector(cfg: dict, synthetic: bool = False, mesh=None):
         score_threshold=cfg.get("score_threshold", 0.05),
         iou_threshold=cfg.get("nms_iou", 0.45),
         max_detections=cfg.get("max_detections", 100),
-        score_activation="sigmoid" if focal_head else "softmax")
+        score_activation="sigmoid" if focal_head else "softmax",
+        pre_nms_topk=cfg.get("pre_nms_topk", 1000))
 
     @jax.jit
     def predict(st, images):

@@ -40,27 +40,14 @@ def match_anchors(anchors: jax.Array, gt_boxes: jax.Array,
     Returns (matched_boxes [A, 4], matched_labels [A] — 0 is background,
     positives) where positives = IoU >= threshold, plus every gt's
     single best anchor (so no ground truth goes unmatched).
+
+    The degenerate band [t, t) makes this :func:`match_anchors_band`
+    with an empty ignore zone — one matching implementation serves both
+    detector families.
     """
-    valid = gt_labels >= 0  # [M]
-    iou = box_ops.box_iou(anchors, gt_boxes)  # [A, M]
-    iou = jnp.where(valid[None, :], iou, -1.0)
-    best_gt = jnp.argmax(iou, axis=1)  # [A]
-    best_iou = jnp.max(iou, axis=1)
-    # force-match: gt m's best anchor. [M, A] compare, no scatter.
-    best_anchor = jnp.argmax(iou, axis=0)  # [M]
-    a_range = jnp.arange(anchors.shape[0])
-    forced_oh = (best_anchor[:, None] == a_range[None, :]) & valid[:, None]
-    forced = forced_oh.any(axis=0)  # [A]
-    forced_gt = jnp.argmax(forced_oh, axis=0)  # [A] (first gt on ties)
-    positive = (best_iou >= iou_threshold) | forced
-    gt_idx = jnp.where(forced, forced_gt, best_gt)  # [A]
-    one_hot = jax.nn.one_hot(gt_idx, gt_boxes.shape[0],
-                             dtype=gt_boxes.dtype)  # [A, M]
-    matched_boxes = one_hot @ gt_boxes  # [A, 4]
-    labels_f = jnp.maximum(gt_labels, 0).astype(gt_boxes.dtype)
-    matched_labels = jnp.where(
-        positive, (one_hot @ labels_f).astype(jnp.int32), 0)
-    return matched_boxes, matched_labels, positive
+    mb, ml, pos, _ = match_anchors_band(anchors, gt_boxes, gt_labels,
+                                        iou_threshold, iou_threshold)
+    return mb, ml, pos
 
 
 def _smooth_l1(x: jax.Array) -> jax.Array:
@@ -190,6 +177,21 @@ def focal_det_loss(cls_logits: jax.Array, loc: jax.Array,
     return loss, metrics
 
 
+def _hflip_batch(key: jax.Array, x: jax.Array, boxes: jax.Array
+                 ) -> tuple[jax.Array, jax.Array]:
+    """Per-image random horizontal flip of pixels AND boxes together
+    (x1' = 1-x2, x2' = 1-x1; padded all-zero rows become (1,0,1,0)
+    degenerate boxes, which stay inert — their label is -1 and the
+    matchers mask on labels, not geometry).  Branch-free: where(), not
+    cond."""
+    flip = jax.random.bernoulli(key, 0.5, (x.shape[0],))
+    x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+    flipped = jnp.stack([1.0 - boxes[..., 2], boxes[..., 1],
+                         1.0 - boxes[..., 0], boxes[..., 3]], axis=-1)
+    boxes = jnp.where(flip[:, None, None], flipped, boxes)
+    return x, boxes
+
+
 def preprocess_batch(images: jax.Array, boxes: jax.Array,
                      key: jax.Array | None, *,
                      mean: tuple | None = None, std: tuple | None = None,
@@ -197,11 +199,8 @@ def preprocess_batch(images: jax.Array, boxes: jax.Array,
     """On-device detection preprocessing (the framework's augmentation
     stance — data/pipeline.py ships uint8, the step owns the math).
 
-    uint8 [B,H,W,3] -> normalized float; optional per-image random
-    horizontal flip applied to pixels AND boxes together (x1' = 1-x2,
-    x2' = 1-x1; padded all-zero rows become (1,0,1,0) degenerate boxes,
-    which stay inert — their label is -1 and match_anchors masks on
-    labels, not geometry).  Branch-free: flip via where(), not cond.
+    uint8 [B,H,W,3] -> normalized float; optional box-aware random
+    horizontal flip (:func:`_hflip_batch`).
     """
     x = images.astype(jnp.float32)
     if images.dtype == jnp.uint8:
@@ -209,11 +208,7 @@ def preprocess_batch(images: jax.Array, boxes: jax.Array,
     if mean is not None:
         x = (x - jnp.asarray(mean, x.dtype)) / jnp.asarray(std, x.dtype)
     if hflip and key is not None:
-        flip = jax.random.bernoulli(key, 0.5, (x.shape[0],))
-        x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
-        flipped = jnp.stack([1.0 - boxes[..., 2], boxes[..., 1],
-                             1.0 - boxes[..., 0], boxes[..., 3]], axis=-1)
-        boxes = jnp.where(flip[:, None, None], flipped, boxes)
+        x, boxes = _hflip_batch(key, x, boxes)
     return x, boxes
 
 
@@ -378,11 +373,7 @@ def augment_detection_batch(images: jax.Array, boxes: jax.Array,
                              contrast=cfg.contrast,
                              saturation=cfg.saturation, hue=cfg.hue)
     if cfg.hflip:
-        flip = jax.random.bernoulli(k_flip, 0.5, (x.shape[0],))
-        x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
-        flipped = jnp.stack([1.0 - boxes[..., 2], boxes[..., 1],
-                             1.0 - boxes[..., 0], boxes[..., 3]], axis=-1)
-        boxes = jnp.where(flip[:, None, None], flipped, boxes)
+        x, boxes = _hflip_batch(k_flip, x, boxes)
     if cfg.mean is not None:
         x = (x - jnp.asarray(cfg.mean, x.dtype)) / jnp.asarray(
             cfg.std, x.dtype)
@@ -464,16 +455,25 @@ def make_postprocess(anchors: jax.Array, num_classes: int, *,
                      score_threshold: float = 0.05,
                      iou_threshold: float = 0.45,
                      max_detections: int = 100,
-                     score_activation: str = "softmax") -> Callable:
+                     score_activation: str = "softmax",
+                     pre_nms_topk: int = 1000) -> Callable:
     """Jittable (cls_logits [B,A,C], loc [B,A,4]) ->
     (boxes [B,D,4], scores [B,D], labels [B,D], valid [B,D]).
 
-    Class scores, best non-background class per anchor, then class-aware
-    NMS.  ``score_activation``: "softmax" for SSD heads ([B,A,C] with
-    background column 0, dropped); "sigmoid" for RetinaNet heads
-    ([B,A,C-1] foreground-only logits).  Static output size
-    D = max_detections; mask on ``valid`` before use.  Labels use the
-    ground-truth id space: 1..C-1 (0 is background and never emitted).
+    Class scores, best non-background class per anchor, top-k candidate
+    pre-selection, then class-aware NMS.  ``score_activation``:
+    "softmax" for SSD heads ([B,A,C] with background column 0,
+    dropped); "sigmoid" for RetinaNet heads ([B,A,C-1] foreground-only
+    logits).  Static output size D = max_detections; mask on ``valid``
+    before use.  Labels use the ground-truth id space: 1..C-1 (0 is
+    background and never emitted).
+
+    ``pre_nms_topk`` bounds NMS's [N, N] IoU matrix: at SSD300's
+    A=8732 the full matrix is ~305 MB/image (19 GB for a b32 eval
+    batch — exceeds HBM); keeping the usual top 1000 candidates (the
+    torchvision/Detectron convention) makes it 4 MB/image with no
+    effect on mAP (anchors past rank 1000 are sub-threshold noise).
+    The selection is lax.top_k + a [K]-row gather — small, eval-only.
     """
     if score_activation not in ("softmax", "sigmoid"):
         raise ValueError(f"unknown score_activation {score_activation!r}")
@@ -487,12 +487,16 @@ def make_postprocess(anchors: jax.Array, num_classes: int, *,
         labels = probs.argmax(axis=-1) + 1  # [B, A] gt id space
         decoded = box_ops.decode_boxes(loc, anchors[None])
         decoded = jnp.clip(decoded, 0.0, 1.0)
+        if pre_nms_topk and pre_nms_topk < scores.shape[1]:
+            scores, idx = jax.lax.top_k(scores, pre_nms_topk)  # [B,K]
+            decoded = jnp.take_along_axis(decoded, idx[..., None], axis=1)
+            labels = jnp.take_along_axis(labels, idx, axis=1)
 
         def one(b, s, l):
             idx, valid = box_ops.batched_nms(
                 b, s, l, iou_threshold=iou_threshold,
                 max_out=max_detections, score_threshold=score_threshold)
-            oh = jax.nn.one_hot(idx, b.shape[0], dtype=b.dtype)  # [D, A]
+            oh = jax.nn.one_hot(idx, b.shape[0], dtype=b.dtype)  # [D, K]
             return (oh @ b, oh @ s, (oh @ l.astype(b.dtype)).astype(
                 jnp.int32), valid)
 

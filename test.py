@@ -221,12 +221,16 @@ def eval_detection(cfg, args):
         path = best
     restored = ckpt_lib.restore_checkpoint(path, state._asdict())
     state = type(state)(**restored)
+    from myconvnet_tpu.eval.detection import COCOMeanAPEvaluator
     if args.coco:
         cfg = dict(cfg, map_style="coco")
     evaluator = recipes.build_evaluator(cfg)
     score = recipes.evaluate_detection(state, predict, val_set,
                                        cfg["batch_size"], evaluator)
-    if args.coco:
+    # label by what the evaluator actually computed (--coco OR a
+    # map_style="coco" config); the threshold sweep behind score() is
+    # cached, so the curve printout costs nothing extra
+    if isinstance(evaluator, COCOMeanAPEvaluator):
         print(f"mAP@[.5:.95]: {score:.4f}")
         for t, v in evaluator.per_threshold().items():
             print(f"  mAP@{t:.2f}  {v:.4f}")

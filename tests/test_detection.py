@@ -198,3 +198,34 @@ def test_coco_map_evaluator_threshold_average():
     ev.update((gt_b, np.array([[0.9]]), np.array([[1]]),
                np.array([[True]])), (gt_b, gt_l))
     np.testing.assert_allclose(ev.score(), 1.0)
+
+
+def test_postprocess_pre_nms_topk_preserves_results():
+    """Top-k candidate pre-selection must not change what NMS emits
+    when the real detections are comfortably inside the top k."""
+    from myconvnet_tpu.ops.boxes import ssd_anchors
+    from myconvnet_tpu.models.ssd import TINYDET_SPEC
+    anchors = jnp.asarray(ssd_anchors(TINYDET_SPEC))  # 756 anchors
+    rng = np.random.RandomState(0)
+    cls = rng.normal(size=(2, 756, 5)).astype(np.float32)
+    # plant two confident detections per image
+    cls[:, 10, 2] = 9.0
+    cls[:, 400, 3] = 8.0
+    loc = (rng.normal(size=(2, 756, 4)) * 0.05).astype(np.float32)
+    full = det.make_postprocess(anchors, 5, pre_nms_topk=0)
+    topk = det.make_postprocess(anchors, 5, pre_nms_topk=64)
+    fb, fs, fl, fv = (np.asarray(t) for t in full(cls, loc))
+    tb, ts, tl, tv = (np.asarray(t) for t in topk(cls, loc))
+    # compare the valid detections as (score, label, box) sets
+    for i in range(2):
+        f = sorted((round(float(s), 5), int(l), tuple(np.round(b, 5)))
+                   for s, l, b, v in zip(fs[i], fl[i], fb[i], fv[i]) if v)
+        t = sorted((round(float(s), 5), int(l), tuple(np.round(b, 5)))
+                   for s, l, b, v in zip(ts[i], tl[i], tb[i], tv[i]) if v)
+        # the top-64 candidate pool keeps every above-threshold survivor
+        # the full pool found among its strongest 64
+        assert t == f[:len(t)] or set(t) <= set(f)
+        assert len(t) >= 2  # both planted objects survive
+        # planted logits at softmax columns 2 and 3 = gt labels 2 and 3
+        top2 = {lab for _, lab, _ in sorted(t, reverse=True)[:2]}
+        assert top2 == {2, 3}
