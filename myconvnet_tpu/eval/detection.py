@@ -76,6 +76,9 @@ class MeanAPEvaluator(Evaluator):
         self._n_img = 0
 
     def update(self, preds, targets):
+        """Labels <= -2 in the targets mark VOC ``difficult`` objects
+        (encoded -(class_id + 1), subsets/voc.py) — kept as ignore
+        zones: a detection matched to one is neither TP nor FP."""
         boxes, scores, labels, valid = (np.asarray(t) for t in preds)
         gt_boxes, gt_labels = (np.asarray(t) for t in targets)
         for b in range(boxes.shape[0]):
@@ -86,9 +89,12 @@ class MeanAPEvaluator(Evaluator):
                     self._dets.append((img, int(labels[b, d]),
                                        float(scores[b, d]), boxes[b, d]))
             for m in range(gt_boxes.shape[1]):
-                if gt_labels[b, m] >= 1:
-                    self._gts.append((img, int(gt_labels[b, m]),
-                                      gt_boxes[b, m]))
+                lab = int(gt_labels[b, m])
+                if lab >= 1:
+                    self._gts.append((img, lab, gt_boxes[b, m], False))
+                elif lab <= -2:  # difficult: -(class_id + 1)
+                    self._gts.append((img, -lab - 1, gt_boxes[b, m],
+                                      True))
 
     def per_class_ap(self, iou_threshold: float | None = None
                      ) -> dict[int, float]:
@@ -97,36 +103,45 @@ class MeanAPEvaluator(Evaluator):
         thr = self.iou_threshold if iou_threshold is None else iou_threshold
         aps = {}
         for c in range(1, self.num_classes):
-            gts = [(i, box) for i, lab, box in self._gts if lab == c]
-            if not gts:
+            gts = [(i, box, diff) for i, lab, box, diff in self._gts
+                   if lab == c]
+            n_real = sum(1 for _, _, diff in gts if not diff)
+            if not n_real:
                 continue
             dets = sorted((d for d in self._dets if d[1] == c),
                           key=lambda d: -d[2])
-            # per image: gt boxes + matched flags
+            # per image: gt boxes + difficult flags + matched flags
             by_img: dict[int, list] = {}
-            for i, box in gts:
-                by_img.setdefault(i, []).append(box)
+            for i, box, diff in gts:
+                by_img.setdefault(i, []).append((box, diff))
             matched = {i: np.zeros(len(v), bool) for i, v in by_img.items()}
             tp = np.zeros(len(dets))
             fp = np.zeros(len(dets))
+            ign = np.zeros(len(dets), bool)
             for k, (img, _, _, box) in enumerate(dets):
                 cand = by_img.get(img)
                 if cand is None:
                     fp[k] = 1
                     continue
-                ious = _iou_matrix(box[None], np.stack(cand))[0]
+                ious = _iou_matrix(
+                    box[None], np.stack([b for b, _ in cand]))[0]
                 best = int(np.argmax(ious))
-                if ious[best] >= thr and \
-                        not matched[img][best]:
-                    matched[img][best] = True
-                    tp[k] = 1
+                if ious[best] >= thr:
+                    if cand[best][1]:          # difficult: devkit-style
+                        ign[k] = 1             # ignore — no TP, no FP
+                    elif not matched[img][best]:
+                        matched[img][best] = True
+                        tp[k] = 1
+                    else:
+                        fp[k] = 1
                 else:
                     fp[k] = 1
             if not dets:
                 aps[c] = 0.0
                 continue
-            ctp, cfp = np.cumsum(tp), np.cumsum(fp)
-            recall = ctp / len(gts)
+            keep = ~ign
+            ctp, cfp = np.cumsum(tp[keep]), np.cumsum(fp[keep])
+            recall = ctp / n_real
             precision = ctp / np.maximum(ctp + cfp, 1e-9)
             aps[c] = average_precision(recall, precision,
                                        self.interpolation)

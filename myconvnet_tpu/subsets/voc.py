@@ -96,12 +96,19 @@ DET_IMAGE_HW = (300, 300)  # SSD300 input
 MAX_BOXES = 64  # >= VOC2012's densest image (56 objects)
 
 
-def _parse_voc_xml(path: str, keep_difficult: bool = False
+def _parse_voc_xml(path: str, keep_difficult: bool | str = False
                    ) -> tuple[np.ndarray, np.ndarray]:
     """One Annotations/*.xml -> (boxes [m,4] normalized xyxy float32,
-    labels [m] int32 in 1..20).  VOC pixel coords are 1-based inclusive;
-    ``difficult`` objects are dropped by default (the VOC train
-    convention)."""
+    labels [m] int32 in 1..20).  VOC pixel coords are 1-based inclusive.
+
+    ``keep_difficult``: False drops ``difficult`` objects (the VOC
+    train convention); True keeps them as normal labels; ``"mark"``
+    keeps them encoded as ``-(class_id + 1)`` (<= -2, distinct from the
+    -1 padding) — the matchers/augmentation already exclude anything
+    < 0 from training, and MeanAPEvaluator decodes the marks into the
+    VOC eval protocol's ignore zones (a detection on a difficult object
+    is neither a TP nor an FP).
+    """
     import xml.etree.ElementTree as ET
     root = ET.parse(path).getroot()
     size = root.find("size")
@@ -110,8 +117,8 @@ def _parse_voc_xml(path: str, keep_difficult: bool = False
     name_to_id = {n: i + 1 for i, n in enumerate(DET_CLASS_NAMES)}
     boxes, labels = [], []
     for obj in root.iter("object"):
-        if not keep_difficult and \
-                (obj.findtext("difficult") or "0").strip() == "1":
+        difficult = (obj.findtext("difficult") or "0").strip() == "1"
+        if difficult and not keep_difficult:
             continue
         name = (obj.findtext("name") or "").strip()
         if name not in name_to_id:
@@ -122,13 +129,15 @@ def _parse_voc_xml(path: str, keep_difficult: bool = False
         x2 = (float(bb.findtext("xmax")) - 1.0) / w
         y2 = (float(bb.findtext("ymax")) - 1.0) / h
         boxes.append([x1, y1, x2, y2])
-        labels.append(name_to_id[name])
+        cid = name_to_id[name]
+        labels.append(-(cid + 1) if difficult and keep_difficult == "mark"
+                      else cid)
     boxes = np.clip(np.asarray(boxes, np.float32).reshape(-1, 4), 0.0, 1.0)
     return boxes, np.asarray(labels, np.int32)
 
 
 def read_detection_subset(data_dir: str, split: str = "train",
-                          keep_difficult: bool = False
+                          keep_difficult: bool | str = False
                           ) -> tuple[list[str], list[tuple]]:
     """Returns (image_paths, annotations) where each annotation is an
     unpadded (boxes [m,4], labels [m]) pair from _parse_voc_xml."""
@@ -249,11 +258,17 @@ def synthetic_detection_subset(n: int = 64,
 def make_detection_source(data_dir: str | None, split: str = "train",
                           synthetic: bool = False, synthetic_n: int = 64,
                           raw_hw: tuple[int, int] = DET_IMAGE_HW,
-                          max_boxes: int = MAX_BOXES, workers: int = 8):
+                          max_boxes: int = MAX_BOXES, workers: int = 8,
+                          keep_difficult: bool | str | None = None):
+    """``keep_difficult`` defaults to the VOC protocol: drop difficult
+    objects for training, "mark" them (ignore-zone encoding) for any
+    other split so eval scores them the devkit way."""
+    if keep_difficult is None:
+        keep_difficult = False if split == "train" else "mark"
     if synthetic or data_dir is None:
         seed = 0 if split == "train" else 1
         return DetectionArraySource(
             *synthetic_detection_subset(synthetic_n, raw_hw, seed,
                                         min(max_boxes, 8)))
-    imgs, annos = read_detection_subset(data_dir, split)
+    imgs, annos = read_detection_subset(data_dir, split, keep_difficult)
     return DetectionFileSource(imgs, annos, raw_hw, max_boxes, workers)

@@ -169,3 +169,63 @@ def test_detection_sources_reject_unknown_dataset():
     with pytest.raises(ValueError, match="detection dataset"):
         recipes.make_detection_sources(dict(TINY_CFG, dataset="cifar10"),
                                        synthetic=True)
+
+
+def test_parse_voc_xml_mark_difficult(tmp_path):
+    p = tmp_path / "a.xml"
+    p.write_text(VOC_XML)
+    boxes, labels = voc._parse_voc_xml(str(p), keep_difficult="mark")
+    cat = voc.DET_CLASS_NAMES.index("cat") + 1
+    dog = voc.DET_CLASS_NAMES.index("dog") + 1
+    # the difficult cat is kept, encoded -(id+1); the dog stays positive
+    assert sorted(labels.tolist()) == sorted([dog, -(cat + 1)])
+    # the encoding survives padding and stays distinct from -1
+    b, l = voc.pad_annotations([(boxes, labels)], max_boxes=4)
+    assert set(l[0].tolist()) == {dog, -(cat + 1), -1}
+
+
+def test_mean_ap_difficult_is_ignore_zone():
+    """VOC devkit protocol: a detection matched to a difficult object
+    is neither TP nor FP, and difficult objects don't count in the
+    recall denominator."""
+    from myconvnet_tpu.eval.detection import MeanAPEvaluator
+    gt_b = np.array([[[0.0, 0.0, 0.4, 0.4],     # normal A, class 1
+                      [0.6, 0.6, 0.9, 0.9],     # DIFFICULT, class 1
+                      [0.0, 0.5, 0.3, 0.9]]],   # normal B, class 1
+                    np.float32)
+    gt_l = np.array([[1, -2, 1]], np.int32)     # -2 == -(1 + 1)
+    det_b = np.array([[[0.0, 0.0, 0.4, 0.4],    # rank 0: hits A
+                       [0.6, 0.6, 0.9, 0.9],    # rank 1: hits difficult
+                       [0.0, 0.5, 0.3, 0.9]]],  # rank 2: hits B
+                     np.float32)
+    det_s = np.array([[0.9, 0.8, 0.7]], np.float32)
+    det_l = np.array([[1, 1, 1]], np.int32)
+    det_v = np.array([[True, True, True]])
+    ev = MeanAPEvaluator(num_classes=2)
+    ev.update((det_b, det_s, det_l, det_v), (gt_b, gt_l))
+    # TP, IGNORED, TP: the ignored middle detection vanishes from the
+    # ranking and the difficult gt is out of the recall denominator ->
+    # a perfect PR curve
+    np.testing.assert_allclose(ev.score(), 1.0)
+    # control: with the difficult row simply dropped from the targets,
+    # the middle detection is an FP between the two TPs ->
+    # AP = 0.5 * 1 + 0.5 * (2/3)
+    ev2 = MeanAPEvaluator(num_classes=2)
+    ev2.update((det_b, det_s, det_l, det_v),
+               (gt_b[:, ::2], gt_l[:, ::2]))
+    np.testing.assert_allclose(ev2.score(), 0.5 + 0.5 * 2 / 3, atol=1e-6)
+
+
+def test_make_detection_source_marks_difficult_for_val(tmp_path):
+    _write_voc_tree(str(tmp_path))
+    # val-ish split file reusing the same ids
+    base = os.path.join(str(tmp_path), "VOC2012", "ImageSets", "Main")
+    with open(os.path.join(base, "val.txt"), "w") as f:
+        f.write("img0\n")
+    src = voc.make_detection_source(str(tmp_path), "val")
+    _x, _b, l = src.get_batch(np.array([0]))
+    cat = voc.DET_CLASS_NAMES.index("cat") + 1
+    assert -(cat + 1) in l[0].tolist()  # difficult marked, not dropped
+    src_tr = voc.make_detection_source(str(tmp_path), "train")
+    _x, _b, lt = src_tr.get_batch(np.array([0]))
+    assert (lt[0] >= -1).all()  # train drops difficult entirely
