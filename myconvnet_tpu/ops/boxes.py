@@ -46,6 +46,26 @@ def box_iou(a: jax.Array, b: jax.Array) -> jax.Array:
     return inter / jnp.maximum(union, 1e-9)
 
 
+def aligned_giou(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Elementwise generalized IoU of paired boxes (Rezatofighi et al.
+    2019).  a, b: [..., 4] xyxy -> [...] in [-1, 1]: IoU minus the
+    fraction of the smallest enclosing box not covered by the union —
+    a gradient signal even for disjoint boxes, which is why ``1 -
+    giou`` works as a regression loss where IoU alone saturates.
+    """
+    lt = jnp.maximum(a[..., :2], b[..., :2])
+    rb = jnp.minimum(a[..., 2:], b[..., 2:])
+    wh = jnp.maximum(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = box_area(a) + box_area(b) - inter
+    iou = inter / jnp.maximum(union, 1e-9)
+    elt = jnp.minimum(a[..., :2], b[..., :2])
+    erb = jnp.maximum(a[..., 2:], b[..., 2:])
+    ewh = jnp.maximum(erb - elt, 0.0)
+    enclose = jnp.maximum(ewh[..., 0] * ewh[..., 1], 1e-9)
+    return iou - (enclose - union) / enclose
+
+
 def _to_center(boxes: jax.Array) -> tuple[jax.Array, jax.Array]:
     """xyxy -> (center [.., 2], size [.., 2])."""
     size = boxes[..., 2:] - boxes[..., :2]

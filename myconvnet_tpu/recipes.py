@@ -331,7 +331,9 @@ def build_detector(cfg: dict, synthetic: bool = False, mesh=None):
                           alpha=cfg.get("focal_alpha", 0.25),
                           gamma=cfg.get("focal_gamma", 2.0),
                           pos_threshold=cfg.get("match_iou", 0.5),
-                          neg_threshold=cfg.get("neg_iou", 0.4))
+                          neg_threshold=cfg.get("neg_iou", 0.4),
+                          loc_loss_kind=cfg.get("loc_loss", "smooth_l1"),
+                          giou_weight=cfg.get("giou_weight", 2.0))
     else:
         loss_fn = None  # make_detection_step's multibox default
     step = jax.jit(det_lib.make_detection_step(

@@ -136,23 +136,37 @@ def focal_det_loss(cls_logits: jax.Array, loc: jax.Array,
                    gt_boxes: jax.Array, gt_labels: jax.Array,
                    anchors: jax.Array, *, alpha: float = 0.25,
                    gamma: float = 2.0, pos_threshold: float = 0.5,
-                   neg_threshold: float = 0.4
+                   neg_threshold: float = 0.4,
+                   loc_loss_kind: str = "smooth_l1",
+                   giou_weight: float = 2.0
                    ) -> tuple[jax.Array, dict[str, jax.Array]]:
     """RetinaNet loss (Lin et al. 2017): sigmoid focal classification
-    over FOREGROUND classes + smooth-L1 box regression on positives.
+    over FOREGROUND classes + box regression on positives.
 
     cls_logits [B, A, C-1] — per-foreground-class sigmoid logits, NO
     background column (background = all-zero targets); gt id space is
     still 1..C-1.  Focal loss needs no hard-negative mining — that is
     its point — so every non-ignored anchor contributes.  Normalized by
     the number of positive anchors.
+
+    ``loc_loss_kind``: "smooth_l1" on encoded deltas (the paper), or
+    "giou" — ``giou_weight * (1 - GIoU)`` on DECODED boxes
+    (ops.boxes.aligned_giou; the modern choice — scale-invariant, and
+    the gradient survives disjoint predictions).
     """
     m_boxes, m_labels, positive, ignore = jax.vmap(
         lambda b, l: match_anchors_band(anchors, b, l, pos_threshold,
                                         neg_threshold))(gt_boxes, gt_labels)
 
-    loc_t = box_ops.encode_boxes(m_boxes, anchors[None])
-    loc_err = _smooth_l1(loc - jax.lax.stop_gradient(loc_t)).sum(-1)
+    if loc_loss_kind == "giou":
+        pred = box_ops.decode_boxes(loc, anchors[None])
+        loc_err = giou_weight * (1.0 - box_ops.aligned_giou(
+            pred, jax.lax.stop_gradient(m_boxes)))
+    elif loc_loss_kind == "smooth_l1":
+        loc_t = box_ops.encode_boxes(m_boxes, anchors[None])
+        loc_err = _smooth_l1(loc - jax.lax.stop_gradient(loc_t)).sum(-1)
+    else:
+        raise ValueError(f"unknown loc_loss_kind {loc_loss_kind!r}")
     loc_loss = jnp.where(positive, loc_err, 0.0).sum()
 
     k = cls_logits.shape[-1]

@@ -211,3 +211,47 @@ def test_retinanet_recipe_builds_and_steps():
     assert np.isfinite(float(m["loss"]))
     out = predict(state, jnp.asarray(batch[0]))
     assert out[0].shape[1] == 100  # max_detections default
+
+
+def test_aligned_giou_goldens():
+    from myconvnet_tpu.ops.boxes import aligned_giou
+    a = jnp.asarray([[0.0, 0.0, 0.4, 0.4],
+                     [0.0, 0.0, 0.2, 0.2],
+                     [0.0, 0.0, 0.2, 0.2]])
+    b = jnp.asarray([[0.0, 0.0, 0.4, 0.4],    # identical -> 1
+                     [0.2, 0.0, 0.4, 0.2],    # adjacent -> iou 0,
+                                              # enclose 0.4x0.2 fully
+                                              # covered by union -> 0
+                     [0.8, 0.8, 1.0, 1.0]])   # far apart -> negative
+    g = np.asarray(aligned_giou(a, b))
+    np.testing.assert_allclose(g[0], 1.0, atol=1e-6)
+    np.testing.assert_allclose(g[1], 0.0, atol=1e-6)
+    assert g[2] < -0.5
+    # gradient exists for disjoint boxes (the point of GIoU)
+    grad = jax.grad(lambda x: aligned_giou(x, b[2]).sum())(a[2])
+    assert float(jnp.abs(grad).sum()) > 0
+
+
+def test_focal_loss_giou_variant_trains():
+    net = transform(lambda x, c, train=False: models.tinyretina(
+        x, c, train=train, width=8))
+    anchors = jnp.asarray(retina_anchors(models.tinyretina.anchor_spec))
+    opt = adam(1e-3)
+    loss_fn = lambda c, l, gb, gl, a: det.focal_det_loss(  # noqa: E731
+        c, l, gb, gl, a, loc_loss_kind="giou")
+    step = jax.jit(det.make_detection_step(net, opt, anchors, 4,
+                                           loss_fn=loss_fn))
+    st = det.init_det_state(net, opt, jax.random.key(0),
+                            jnp.zeros((2, 128, 128, 3)), 4)
+    rng = np.random.RandomState(5)
+    imgs = jnp.asarray(rng.uniform(
+        0, 1, size=(2, 128, 128, 3)).astype(np.float32))
+    gt_b = jnp.asarray([[[0.2, 0.2, 0.6, 0.6], [0.0, 0.0, 0.0, 0.0]],
+                        [[0.5, 0.1, 0.9, 0.5], [0.0, 0.0, 0.0, 0.0]]])
+    gt_l = jnp.asarray([[1, -1], [2, -1]], dtype=jnp.int32)
+    losses = []
+    for _ in range(25):
+        st, m = step(st, (imgs, gt_b, gt_l))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.5 * losses[0]
