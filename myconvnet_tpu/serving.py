@@ -90,6 +90,30 @@ def export_inference(model: Transformed, params: Params, state: State,
     return len(blob)
 
 
+def export_detection(predict, state, sample_images, path: str) -> int:
+    """Serialize a detection recipe's fused predict chain to ``path``.
+
+    ``predict(state, images)`` is recipes.build_detector's closure —
+    normalize -> forward -> decode -> top-k -> NMS — so the artifact
+    takes raw float [0, 1] images (normalization is BAKED IN; serve.py
+    --detect must not normalize again) and returns the padded pytree
+    ``(boxes [B,D,4], scores [B,D], labels [B,D], valid [B,D])``.
+    Weights travel as constants, same as export_inference.  Returns the
+    artifact size in bytes.
+    """
+    from jax import export as jexport
+
+    def fn(x):
+        return predict(state, x)
+
+    exported = jexport.export(jax.jit(fn))(
+        jax.ShapeDtypeStruct(np.shape(sample_images), jnp.float32))
+    blob = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(blob)
+    return len(blob)
+
+
 def load_inference(path: str):
     """Load an exported artifact; returns ``fn(x) -> logits`` with the
     artifact's expected input shapes attached as ``fn.input_shapes``

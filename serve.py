@@ -32,6 +32,12 @@ def main():
     ap.add_argument("--calibration", default=None,
                     help="calibration.json from test.py --calibrate "
                          "(applies the fitted softmax temperature)")
+    ap.add_argument("--detect", action="store_true",
+                    help="the artifact is a detection export (test.py "
+                         "--export): feed raw [0,1] images (it "
+                         "normalizes internally) and print boxes")
+    ap.add_argument("--det_threshold", type=float, default=0.5,
+                    help="--detect: minimum score to print")
     ap.add_argument("--latency", action="store_true",
                     help="measure p50/p95/p99 + throughput instead")
     ap.add_argument("--sizes", default="1,8,32",
@@ -51,6 +57,9 @@ def main():
 
     fn = serving.load_inference(args.artifact)
     art_shape = fn.input_shapes[0]          # (B, H, W, C) — fixed
+
+    if args.detect:
+        return run_detect(fn, art_shape, args)
     # the artifact is compiled for one shape: the only valid bucket is
     # its batch (requests pad up / chunk through it)
     buckets = (art_shape[0],)
@@ -139,6 +148,61 @@ def main():
                          decode_predictions(logits, names, args.topk)):
         pretty = ", ".join(f"{n}:{p:.2f}" for n, p in row)
         print(f"{os.path.basename(path)}: {pretty}")
+
+
+def run_detect(fn, art_shape, args):
+    """Serve a detection artifact: chunk/pad the request through its
+    fixed batch, print per-image boxes above --det_threshold.
+
+    The artifact normalizes internally (serving.export_detection) —
+    images go in as raw [0, 1] floats at the artifact's resolution.
+    """
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    if not args.images:
+        raise SystemExit("--detect needs --images DIR")
+    paths = sorted(
+        os.path.join(args.images, f) for f in os.listdir(args.images)
+        if f.lower().endswith((".jpg", ".jpeg", ".png")))
+    if not paths:
+        raise SystemExit(f"no images under {args.images!r}")
+    names = None
+    if args.config:
+        from myconvnet_tpu import recipes
+        cfg = recipes.load_config(args.config)
+        if cfg.get("dataset") == "voc":
+            from myconvnet_tpu.subsets.voc import DET_CLASS_NAMES
+            names = DET_CLASS_NAMES
+    batch, h, w = art_shape[0], art_shape[1], art_shape[2]
+    raw = np.stack([
+        np.asarray(Image.open(p).convert("RGB").resize(
+            (w, h), Image.BILINEAR), np.float32) / 255.0
+        for p in paths])
+    for start in range(0, len(paths), batch):
+        chunk = raw[start:start + batch]
+        n = len(chunk)
+        if n < batch:
+            chunk = np.concatenate(
+                [chunk, np.zeros((batch - n, h, w, 3), np.float32)])
+        boxes, scores, labels, valid = (np.asarray(t)
+                                        for t in fn(chunk))
+        for i in range(n):
+            path = os.path.basename(paths[start + i])
+            kept = [(float(s), int(l), b)
+                    for b, s, l, v in zip(boxes[i], scores[i], labels[i],
+                                          valid[i])
+                    if v and s >= args.det_threshold]
+            if not kept:
+                print(f"{path}: no detections >= {args.det_threshold:g}")
+                continue
+            for s, l, b in kept:
+                name = names[l - 1] if names and 1 <= l <= len(names) \
+                    else str(l)
+                print(f"{path}: {name} {s:.2f} "
+                      f"[{b[0]:.3f},{b[1]:.3f},{b[2]:.3f},{b[3]:.3f}]")
 
 
 if __name__ == "__main__":

@@ -31,6 +31,11 @@ def main():
                          "(requires optimizer.ema_decay in the config)")
     ap.add_argument("--topk", type=int, default=1,
                     help="score top-k accuracy (classification)")
+    ap.add_argument("--export", default=None, metavar="PATH",
+                    help="detection: export the fused predict chain "
+                         "(normalize -> forward -> decode -> NMS) as a "
+                         "StableHLO artifact for serve.py --detect, "
+                         "then exit (no scoring)")
     ap.add_argument("--coco", action="store_true",
                     help="detection: report COCO-style mAP@[.5:.95] "
                          "(plus the per-threshold curve) instead of "
@@ -221,6 +226,22 @@ def eval_detection(cfg, args):
         path = best
     restored = ckpt_lib.restore_checkpoint(path, state._asdict())
     state = type(state)(**restored)
+    if args.export:
+        import numpy as np
+
+        from myconvnet_tpu import models, serving
+
+        # resolve the input size exactly as build_detector does: config
+        # override, else the architecture's own input_hw
+        model_fn = models.get_model(cfg.get("model", "ssd300"))
+        hw = tuple(cfg.get("input_hw", model_fn.input_hw))
+        sample = np.zeros((cfg.get("export_batch", 8), *hw, 3),
+                          np.float32)
+        size = serving.export_detection(predict, state, sample,
+                                        args.export)
+        print(f"exported detection artifact: {args.export} "
+              f"({size / 1e6:.1f} MB, input {sample.shape})")
+        return
     from myconvnet_tpu.eval.detection import COCOMeanAPEvaluator
     if args.coco:
         cfg = dict(cfg, map_style="coco")

@@ -333,3 +333,22 @@ def test_detection_cli_train_and_score(tmp_path):
     assert r3.returncode == 0, r3.stderr[-2000:]
     assert "mAP@[.5:.95]:" in r3.stdout
     assert "mAP@0.75" in r3.stdout  # the per-threshold curve
+    # export the fused predict chain and serve it on image files
+    art = str(tmp_path / "det.hlo")
+    r4 = _run(["test.py", "--config", str(cfg_path), "--ckpt", out,
+               "--synthetic", "--export", art, "--platform", "cpu"])
+    assert r4.returncode == 0, r4.stderr[-2000:]
+    assert "exported detection artifact" in r4.stdout
+    from PIL import Image
+    imgdir = tmp_path / "imgs"
+    imgdir.mkdir()
+    import numpy as np
+    from myconvnet_tpu.subsets.voc import synthetic_detection_subset
+    imgs, _b, _l = synthetic_detection_subset(2, (96, 96), seed=0)
+    for i, im in enumerate(imgs):
+        Image.fromarray(im).save(imgdir / f"s{i}.png")
+    r5 = _run(["serve.py", "--artifact", art, "--detect",
+               "--images", str(imgdir), "--config", str(cfg_path),
+               "--det_threshold", "0.01", "--platform", "cpu"])
+    assert r5.returncode == 0, r5.stderr[-2000:]
+    assert "s0.png:" in r5.stdout and "s1.png:" in r5.stdout
