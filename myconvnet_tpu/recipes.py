@@ -234,17 +234,27 @@ def build_evaluator(cfg: dict):
 
 def make_detection_sources(cfg: dict, synthetic: bool,
                            splits=("train", "val")):
-    """Detection sources (VOC Annotations/*.xml layout or synthetic
-    rectangles; subsets/voc.py)."""
-    if cfg["dataset"] != "voc":
-        raise ValueError(f"detection dataset {cfg['dataset']!r}; "
-                         "valid: ['voc']")
+    """Detection sources (VOC Annotations/*.xml layout, COCO instances
+    JSON, or synthetic rectangles; subsets/voc.py, subsets/coco.py)."""
     data_dir = cfg.get("data_dir")
     hw = tuple(cfg.get("input_hw", voc.DET_IMAGE_HW))
-    return [voc.make_detection_source(
-        data_dir, split, synthetic=synthetic or data_dir is None,
-        raw_hw=hw, max_boxes=cfg.get("max_boxes", voc.MAX_BOXES))
-        for split in splits]
+    if cfg["dataset"] == "voc":
+        return [voc.make_detection_source(
+            data_dir, split, synthetic=synthetic or data_dir is None,
+            raw_hw=hw, max_boxes=cfg.get("max_boxes", voc.MAX_BOXES))
+            for split in splits]
+    if cfg["dataset"] == "coco":
+        from myconvnet_tpu.subsets import coco
+        split_map = dict(zip(("train", "val"),
+                             cfg.get("coco_splits",
+                                     ("train2017", "val2017"))))
+        return [coco.make_detection_source(
+            data_dir, split_map.get(split, split),
+            synthetic=synthetic or data_dir is None, raw_hw=hw,
+            max_boxes=cfg.get("max_boxes", 100))
+            for split in splits]
+    raise ValueError(f"detection dataset {cfg['dataset']!r}; "
+                     "valid: ['voc', 'coco']")
 
 
 def build_detector(cfg: dict, synthetic: bool = False, mesh=None):
