@@ -125,10 +125,18 @@ def match_anchors_band(anchors: jax.Array, gt_boxes: jax.Array,
     gt_idx = jnp.where(forced, forced_gt, best_gt)
     one_hot = jax.nn.one_hot(gt_idx, gt_boxes.shape[0],
                              dtype=gt_boxes.dtype)
-    matched_boxes = one_hot @ gt_boxes
+    # true-f32 row selection: these matmuls carry box COORDINATES, and
+    # some backends lower default-precision f32 dots through bf16
+    # passes — which rounds the regression targets to ~3 digits and
+    # makes numerics depend on fusion layout (sharded vs unsharded
+    # programs then disagree at 1e-4)
+    matched_boxes = jnp.einsum("am,mk->ak", one_hot, gt_boxes,
+                               precision="highest")
     labels_f = jnp.maximum(gt_labels, 0).astype(gt_boxes.dtype)
     matched_labels = jnp.where(
-        positive, (one_hot @ labels_f).astype(jnp.int32), 0)
+        positive,
+        jnp.einsum("am,m->a", one_hot, labels_f,
+                   precision="highest").astype(jnp.int32), 0)
     return matched_boxes, matched_labels, positive, ignore
 
 
@@ -511,8 +519,12 @@ def make_postprocess(anchors: jax.Array, num_classes: int, *,
                 b, s, l, iou_threshold=iou_threshold,
                 max_out=max_detections, score_threshold=score_threshold)
             oh = jax.nn.one_hot(idx, b.shape[0], dtype=b.dtype)  # [D, K]
-            return (oh @ b, oh @ s, (oh @ l.astype(b.dtype)).astype(
-                jnp.int32), valid)
+            # true-f32 row selection (box coordinates; see
+            # match_anchors_band on bf16-lowered default dots)
+            sel = lambda m, v: jnp.einsum(  # noqa: E731
+                "da,a...->d...", m, v, precision="highest")
+            return (sel(oh, b), sel(oh, s),
+                    sel(oh, l.astype(b.dtype)).astype(jnp.int32), valid)
 
         return jax.vmap(one)(decoded, scores, labels)
 
