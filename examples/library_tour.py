@@ -292,6 +292,25 @@ def main():
         print("[pipeline] skipped (needs >=2 devices; set XLA_FLAGS="
               "--xla_force_host_platform_device_count=2)")
 
+    # --- detection: the fourth task family in six lines -------------
+    from myconvnet_tpu import recipes
+    det_cfg = dict(task="detection", model="tinydet", dataset="voc",
+                   data_dir=None, num_classes=21, max_boxes=8,
+                   batch_size=4, total_steps=4,
+                   optimizer=dict(name="momentum", momentum_coef=0.9,
+                                  lr=dict(kind="constant", lr=0.05)),
+                   augment=dict(flip=True, iou_crop=True,
+                                expand_prob=0.5), seed=0)
+    dstate, dstep, dpredict, dtrain, dval = recipes.build_detector(
+        det_cfg, synthetic=True)
+    for batch in dtrain.train_iter(4, prefetch=0):
+        dstate, dmetrics = dstep(dstate, batch)
+        break
+    ev = recipes.build_evaluator(det_cfg)
+    dmap = recipes.evaluate_detection(dstate, dpredict, dval, 4, ev)
+    print(f"[detection] fused SSD step (expand/IoU-crop/flip on-device) "
+          f"loss {float(dmetrics['loss']):.2f}, mAP {dmap:.4f}")
+
     print("tour complete")
 
 
