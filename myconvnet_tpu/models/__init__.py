@@ -43,7 +43,7 @@ from myconvnet_tpu.models.resnet import (resnet, resnet18, resnet34,
                                          resnext101_32x8d, se_resnet50,
                                          se_resnet101, se_resnext50_32x4d)
 from myconvnet_tpu.models.fcn import fcn
-from myconvnet_tpu.models.ssd import ssd300, tinydet
+from myconvnet_tpu.models.ssd import ssd300, ssd512, tinydet
 from myconvnet_tpu.models.retinanet import retinanet, tinyretina
 from myconvnet_tpu.models.shufflenet import shufflenet_v2
 from myconvnet_tpu.models.smallnet import smallnet
@@ -96,6 +96,7 @@ SEGMENTERS = {
 
 DETECTORS = {
     "ssd300": ssd300,
+    "ssd512": ssd512,
     "tinydet": tinydet,
     "retinanet": retinanet,
     "tinyretina": tinyretina,

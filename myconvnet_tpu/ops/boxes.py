@@ -148,6 +148,20 @@ def ssd_anchors(spec=SSD300_SPEC, clip: bool = True) -> np.ndarray:
     return anchors
 
 
+# SSD512 spec (the paper's larger model): seven maps, the conventional
+# Caffe-SSD scale progression (0.04 stem, 0.1 -> 0.9 over the rest);
+# 4/6/6/6/6/4/4 anchors per cell -> 24564 total.
+SSD512_SPEC = (
+    (64, 0.04, 0.10, (2.0,)),
+    (32, 0.10, 0.26, (2.0, 3.0)),
+    (16, 0.26, 0.42, (2.0, 3.0)),
+    (8, 0.42, 0.58, (2.0, 3.0)),
+    (4, 0.58, 0.74, (2.0, 3.0)),
+    (2, 0.74, 0.90, (2.0,)),
+    (1, 0.90, 1.06, (2.0,)),
+)
+
+
 # RetinaNet-style FPN anchor spec: (feature-map size, base size,
 # octave fractions, aspect ratios) per pyramid level.  Base sizes are
 # normalized (4 * stride / image_size, the paper's 32..512 px areas on

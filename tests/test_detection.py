@@ -229,3 +229,24 @@ def test_postprocess_pre_nms_topk_preserves_results():
         # planted logits at softmax columns 2 and 3 = gt labels 2 and 3
         top2 = {lab for _, lab, _ in sorted(t, reverse=True)[:2]}
         assert top2 == {2, 3}
+
+
+def test_ssd512_pyramid_and_anchor_agreement():
+    """ssd512's seven-map pyramid must line up with SSD512_SPEC: the
+    head emits exactly as many rows as the spec generates anchors."""
+    from myconvnet_tpu.core import transform
+    from myconvnet_tpu import models
+    from myconvnet_tpu.ops.boxes import SSD512_SPEC, ssd_anchors
+    anchors = ssd_anchors(SSD512_SPEC)
+    per_cell = (4, 6, 6, 6, 6, 4, 4)
+    want = sum(a * fm * fm
+               for a, (fm, *_r) in zip(per_cell, SSD512_SPEC))
+    assert anchors.shape == (want, 4) and want == 24564
+    net = transform(lambda x, c, train=False: models.ssd512(
+        x, c, train=train))
+    params, state = net.init(jax.random.key(0),
+                             jnp.zeros((1, 512, 512, 3)), 21)
+    (cls, loc), _ = net.apply(params, state, None,
+                              jnp.zeros((1, 512, 512, 3)), 21,
+                              train=False)
+    assert cls.shape == (1, 24564, 21) and loc.shape == (1, 24564, 4)
