@@ -128,6 +128,80 @@ def import_torch_resnet_file(path: str, params: Params, state: State,
                                prefix=prefix)
 
 
+# torchvision VGG16 `features` conv indices (the SSD trunk's 13 convs,
+# conv1_1 .. conv5_3); the _bn variant interleaves BatchNorm at +1
+_VGG16_CONV_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+_VGG16_BN_CONV_IDX = (0, 3, 7, 10, 14, 17, 20, 24, 27, 30, 34, 37, 40)
+
+
+def import_torch_vgg16(state_dict: Mapping[str, Any], params: Params,
+                       state: State, prefix: str = "backbone/"
+                       ) -> tuple[Params, State]:
+    """Map a torchvision vgg16/vgg16_bn state_dict onto an SSD trunk.
+
+    The SSD detectors (models/ssd.py) start from the 13 VGG16 convs
+    (conv1_1..conv5_3) — the reference workflow warm-starts them from
+    ImageNet weights and trains fc6/fc7/extras/heads fresh (the paper's
+    fc6/fc7 are *subsampled* classifier weights; we initialize them
+    fresh instead, a standard simplification).  Auto-detects the _bn
+    layout ("features.1.weight" present) and loads running stats into
+    our `bn..bn_12` scopes; with the plain vgg16 layout only conv
+    weights/biases load (build the model with use_bn=False to match).
+    Returns new (params, state); raises on shape mismatch.
+    """
+
+    def arr(key):
+        v = state_dict[key]
+        return v if isinstance(v, np.ndarray) else v.detach().numpy()
+
+    has_bn = "features.1.weight" in state_dict
+    idxs = _VGG16_BN_CONV_IDX if has_bn else _VGG16_CONV_IDX
+    new_p = {k: dict(v) for k, v in params.items()}
+    new_s = {k: dict(v) for k, v in state.items()}
+    for i, t_idx in enumerate(idxs):
+        scope = f"{prefix}conv" + ("" if i == 0 else f"_{i}")
+        w = np.transpose(arr(f"features.{t_idx}.weight"),
+                         (2, 3, 1, 0))  # OIHW -> HWIO
+        want = new_p[scope]["w"].shape
+        if tuple(w.shape) != tuple(want):
+            raise ValueError(f"{scope}: {w.shape} != {want}")
+        new_p[scope]["w"] = w.astype(np.float32)
+        t_bias = f"features.{t_idx}.bias"
+        bias = (arr(t_bias).astype(np.float32)
+                if t_bias in state_dict else None)
+        if bias is not None and "b" in new_p[scope]:
+            new_p[scope]["b"] = bias
+            bias = None  # consumed
+        if has_bn:
+            bn_scope = f"{prefix}bn" + ("" if i == 0 else f"_{i}")
+            if bn_scope in new_p:
+                t_bn = f"features.{t_idx + 1}"
+                new_p[bn_scope]["gamma"] = arr(
+                    f"{t_bn}.weight").astype(np.float32)
+                new_p[bn_scope]["beta"] = arr(
+                    f"{t_bn}.bias").astype(np.float32)
+                mean = arr(f"{t_bn}.running_mean").astype(np.float32)
+                if bias is not None:
+                    # our BN convs are bias-free; torch's conv bias is
+                    # a constant pre-BN shift, so it folds EXACTLY into
+                    # the running mean: BN(conv + b) == BN'(conv) with
+                    # mean' = mean - b
+                    mean = mean - bias
+                new_s[bn_scope]["moving_mean"] = mean
+                new_s[bn_scope]["moving_var"] = arr(
+                    f"{t_bn}.running_var").astype(np.float32)
+    return new_p, new_s
+
+
+def import_torch_vgg16_file(path: str, params: Params, state: State,
+                            prefix: str = "backbone/"):
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return import_torch_vgg16(sd, params, state, prefix=prefix)
+
+
 def export_torch_resnet(params: Params, state: State, depth: int = 50
                         ) -> dict[str, np.ndarray]:
     """Inverse of :func:`import_torch_resnet`: emit a torchvision-style

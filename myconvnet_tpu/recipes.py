@@ -308,6 +308,27 @@ def build_detector(cfg: dict, synthetic: bool = False, mesh=None):
     state = det_lib.init_det_state(
         net, opt, jax.random.key(cfg.get("seed", 0)),
         jnp.zeros((cfg["batch_size"], *hw, 3)), num_classes)
+    if cfg.get("pretrained"):
+        # detection warm start (the paper workflow: ImageNet backbone,
+        # fresh heads): pretrained=dict(path=..., arch="vgg16"|"resnet",
+        # prefix="backbone/", depth=50)
+        from myconvnet_tpu.models.pretrained import (
+            import_torch_resnet_file, import_torch_vgg16_file)
+        pcfg = dict(cfg["pretrained"])
+        arch = pcfg.get("arch",
+                        "vgg16" if "ssd" in cfg.get("model", "ssd300")
+                        else "resnet")
+        if arch == "vgg16":
+            new_p, new_s = import_torch_vgg16_file(
+                pcfg["path"], state.params, state.state,
+                prefix=pcfg.get("prefix", "backbone/"))
+        else:
+            new_p, new_s = import_torch_resnet_file(
+                pcfg["path"], state.params, state.state,
+                depth=int(pcfg.get("depth", 50)), load_head=False,
+                prefix=pcfg.get("prefix", "backbone/"))
+        state = state._replace(params=new_p, state=new_s)
+        print(f"warm-started detector backbone from {pcfg['path']}")
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
         from myconvnet_tpu.parallel import param_sharding

@@ -229,3 +229,41 @@ def test_make_detection_source_marks_difficult_for_val(tmp_path):
     src_tr = voc.make_detection_source(str(tmp_path), "train")
     _x, _b, lt = src_tr.get_batch(np.array([0]))
     assert (lt[0] >= -1).all()  # train drops difficult entirely
+
+
+@pytest.mark.slow
+def test_build_detector_pretrained_vgg_warm_start(tmp_path):
+    """Config-level detection warm start: a torch-saved vgg16_bn
+    state_dict lands in the SSD300 trunk through build_detector's
+    pretrained= block."""
+    import torch
+    torch.manual_seed(0)
+    cfg_t = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+             512, 512, 512, "M", 512, 512, 512, "M"]
+    layers, c_in = [], 3
+    for v in cfg_t:
+        if v == "M":
+            layers.append(torch.nn.MaxPool2d(2, 2))
+        else:
+            layers += [torch.nn.Conv2d(c_in, v, 3, padding=1),
+                       torch.nn.BatchNorm2d(v),
+                       torch.nn.ReLU(inplace=True)]
+            c_in = v
+    tv = torch.nn.Module()
+    tv.features = torch.nn.Sequential(*layers)
+    path = str(tmp_path / "vgg.pt")
+    torch.save(tv.state_dict(), path)
+
+    cfg = dict(task="detection", model="ssd300", dataset="voc",
+               data_dir=None, num_classes=21, max_boxes=8, batch_size=1,
+               total_steps=1, pretrained=dict(path=path),
+               optimizer=dict(name="momentum", momentum_coef=0.9,
+                              lr=dict(kind="constant", lr=0.01)),
+               augment=dict(flip=True), seed=0)
+    state, _step, _pred, _t, _v = recipes.build_detector(cfg,
+                                                         synthetic=True)
+    want = np.transpose(
+        tv.features[14].weight.detach().numpy(), (2, 3, 1, 0))
+    np.testing.assert_allclose(
+        np.asarray(state.params["backbone/conv_4"]["w"]), want,
+        atol=1e-6)

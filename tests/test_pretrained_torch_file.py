@@ -234,3 +234,74 @@ def test_deeplab_finetune_from_torch_backbone(tmp_path):
         np.asarray(params["backbone/stem/conv"]["w"]), stem_imported)
     # decoder actually moved
     assert np.abs(np.asarray(params[dec_key]["w"]) - dec_before).max() > 0
+
+
+@pytest.mark.slow
+def test_import_torch_vgg16_bn_into_ssd_trunk(tmp_path):
+    """torchvision vgg16_bn -> SSD trunk warm start: a real torch-saved
+    state_dict maps onto backbone/conv..conv_12 (+bn stats), and the
+    first conv-bn-relu block agrees numerically with torch (before any
+    pooling, where ceil-mode conventions cannot diverge)."""
+    import torch
+
+    # byte-faithful torchvision vgg16_bn `features` replica (no
+    # torchvision in-env): Conv-BN-ReLU stacks + MaxPools in the exact
+    # module order, so state_dict keys are features.0.weight,
+    # features.1.running_mean, ... as the real checkpoint has them
+    torch.manual_seed(0)
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+           512, 512, 512, "M", 512, 512, 512, "M"]
+    layers, c_in = [], 3
+    for v in cfg:
+        if v == "M":
+            layers.append(torch.nn.MaxPool2d(2, 2))
+        else:
+            layers += [torch.nn.Conv2d(c_in, v, 3, padding=1),
+                       torch.nn.BatchNorm2d(v),
+                       torch.nn.ReLU(inplace=True)]
+            c_in = v
+    tv = torch.nn.Module()
+    tv.features = torch.nn.Sequential(*layers)
+    # randomize running stats so the import is distinguishable
+    for m in tv.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.uniform_(-0.5, 0.5)
+            m.running_var.uniform_(0.5, 1.5)
+    path = str(tmp_path / "vgg16_bn.pt")
+    torch.save(tv.state_dict(), path)
+
+    from myconvnet_tpu import models
+    from myconvnet_tpu.core import transform
+    from myconvnet_tpu.models.pretrained import import_torch_vgg16_file
+
+    net = transform(lambda x, c, train=False: models.ssd300(
+        x, c, train=train))
+    params, state = net.init(jax.random.key(0),
+                             jnp.zeros((1, 300, 300, 3)), 21)
+    new_p, new_s = import_torch_vgg16_file(path, params, state)
+    # every trunk conv landed (weights differ from init)
+    for i in range(13):
+        scope = "backbone/conv" + ("" if i == 0 else f"_{i}")
+        assert not np.allclose(np.asarray(params[scope]["w"]),
+                               new_p[scope]["w"])
+    # first block agreement: conv1_1 + bn + relu on shared input
+    x = np.random.RandomState(1).rand(1, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        tv.eval()
+        ref = tv.features[:3](torch.from_numpy(
+            x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    # the SSD trunk's convs are bias-free — the importer folds torch's
+    # conv bias into the BN running mean exactly; verify against torch
+    # with the same bias-free block + imported (folded) stats
+    from myconvnet_tpu import nn as mnn
+    block = transform(lambda z: mnn.relu(mnn.batch_norm(
+        mnn.conv(z, 64, 3, use_bias=False), train=False, eps=1e-5)))
+    block.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    bp = {"conv": {"w": new_p["backbone/conv"]["w"]},
+          "bn": {"gamma": new_p["backbone/bn"]["gamma"],
+                 "beta": new_p["backbone/bn"]["beta"]}}
+    bs = {"bn": {"moving_mean": new_s["backbone/bn"]["moving_mean"],
+                 "moving_var": new_s["backbone/bn"]["moving_var"]}}
+    out, _ = block.apply(bp, bs, None, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4,
+                               rtol=2e-3)
