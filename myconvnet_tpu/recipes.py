@@ -393,6 +393,77 @@ def build_detector(cfg: dict, synthetic: bool = False, mesh=None):
     return state, step, predict, DataSet(train_src), DataSet(val_src)
 
 
+def make_detector_inference(cfg: dict, state, *, int8: bool = False,
+                            calibrate_with=None):
+    """Rebuild a detection recipe's fused eval chain as a pure
+    ``fn(images01 [B,H,W,3] float) -> (boxes, scores, labels, valid)``
+    with the weights closed over — the export/serving form.
+
+    ``int8=True`` traces the backbone's convs through the int8 MXU path
+    (core.quantize, same machinery as classifier serving);
+    ``calibrate_with`` (an iterable of [0,1]-float batches) bakes
+    static activation scales for deterministic latency.  Normalization
+    is folded in — feed RAW [0,1] images.
+    """
+    import jax.numpy as jnp
+
+    from myconvnet_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
+    from myconvnet_tpu.ops.boxes import retina_anchors, ssd_anchors
+    from myconvnet_tpu.train import detection as det_lib
+
+    model_fn = models.get_model(cfg.get("model", "ssd300"))
+    policy = get_policy(cfg.get("precision", "f32"))
+    kwargs = dict(cfg.get("model_kwargs", {}))
+    num_classes = cfg["num_classes"]
+
+    def fwd(x, n, train=False):
+        with policy_scope(policy):
+            return model_fn(x, n, train=train, **kwargs)
+
+    net = transform(fwd)
+    if getattr(model_fn, "anchor_kind", "ssd") == "retina":
+        anchors = jnp.asarray(retina_anchors(model_fn.anchor_spec))
+    else:
+        anchors = jnp.asarray(ssd_anchors(model_fn.anchor_spec))
+    focal = getattr(model_fn, "head", "softmax") == "sigmoid_focal"
+    post = det_lib.make_postprocess(
+        anchors, num_classes,
+        score_threshold=cfg.get("score_threshold", 0.05),
+        iou_threshold=cfg.get("nms_iou", 0.45),
+        max_detections=cfg.get("max_detections", 100),
+        score_activation="sigmoid" if focal else "softmax",
+        pre_nms_topk=cfg.get("pre_nms_topk", 1000))
+    aug = cfg.get("augment", {}) or {}
+    mean = jnp.asarray(aug.get("mean", IMAGENET_MEAN), jnp.float32)
+    std = jnp.asarray(aug.get("std", IMAGENET_STD), jnp.float32)
+
+    scales = None
+    if int8 and calibrate_with is not None:
+        from myconvnet_tpu.core.quantize import calibration_scope
+        scales = {}
+        with calibration_scope(scales):
+            for batch in calibrate_with:
+                net.apply(state.params, state.state, None,
+                          (jnp.asarray(batch) - mean) / std,
+                          num_classes, train=False)
+
+    def fn(x):
+        x = (jnp.asarray(x, jnp.float32) - mean) / std
+        if int8:
+            from myconvnet_tpu.core.quantize import int8_scope
+            with int8_scope(scales=scales):
+                (cls_logits, loc), _ = net.apply(
+                    state.params, state.state, None, x, num_classes,
+                    train=False)
+        else:
+            (cls_logits, loc), _ = net.apply(
+                state.params, state.state, None, x, num_classes,
+                train=False)
+        return post(cls_logits, loc)
+
+    return fn
+
+
 def evaluate_detection(state, predict, val_set: DataSet, batch_size: int,
                        evaluator, mesh=None) -> float:
     """Score a detection state on a val split: predict every batch, feed

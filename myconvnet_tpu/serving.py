@@ -99,12 +99,17 @@ def export_detection(predict, state, sample_images, path: str) -> int:
     --detect must not normalize again) and returns the padded pytree
     ``(boxes [B,D,4], scores [B,D], labels [B,D], valid [B,D])``.
     Weights travel as constants, same as export_inference.  Returns the
-    artifact size in bytes.
+    artifact size in bytes.  ``state=None`` means ``predict`` is
+    already a closed-over single-arg ``fn(images)`` (e.g.
+    recipes.make_detector_inference, possibly int8-calibrated).
     """
     from jax import export as jexport
 
-    def fn(x):
-        return predict(state, x)
+    if state is None:
+        fn = predict
+    else:
+        def fn(x):
+            return predict(state, x)
 
     exported = jexport.export(jax.jit(fn))(
         jax.ShapeDtypeStruct(np.shape(sample_images), jnp.float32))

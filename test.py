@@ -36,6 +36,10 @@ def main():
                          "(normalize -> forward -> decode -> NMS) as a "
                          "StableHLO artifact for serve.py --detect, "
                          "then exit (no scoring)")
+    ap.add_argument("--int8", action="store_true",
+                    help="with --export: quantize the backbone through "
+                         "the int8 MXU path, calibrating static "
+                         "activation scales on val batches")
     ap.add_argument("--coco", action="store_true",
                     help="detection: report COCO-style mAP@[.5:.95] "
                          "(plus the per-threshold curve) instead of "
@@ -237,10 +241,20 @@ def eval_detection(cfg, args):
         hw = tuple(cfg.get("input_hw", model_fn.input_hw))
         sample = np.zeros((cfg.get("export_batch", 8), *hw, 3),
                           np.float32)
-        size = serving.export_detection(predict, state, sample,
-                                        args.export)
+        if args.int8:
+            cal = [np.asarray(imgs, np.float32) / 255.0
+                   for imgs, _b, _l in [val_set.source.get_batch(
+                       np.arange(min(8, len(val_set.source))))]]
+            fn = recipes.make_detector_inference(
+                cfg, state, int8=True, calibrate_with=cal)
+            size = serving.export_detection(fn, None, sample,
+                                            args.export)
+        else:
+            size = serving.export_detection(predict, state, sample,
+                                            args.export)
         print(f"exported detection artifact: {args.export} "
-              f"({size / 1e6:.1f} MB, input {sample.shape})")
+              f"({size / 1e6:.1f} MB, input {sample.shape}"
+              f"{', int8 calibrated' if args.int8 else ''})")
         return
     from myconvnet_tpu.eval.detection import COCOMeanAPEvaluator
     if args.coco:

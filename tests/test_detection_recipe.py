@@ -267,3 +267,29 @@ def test_build_detector_pretrained_vgg_warm_start(tmp_path):
     np.testing.assert_allclose(
         np.asarray(state.params["backbone/conv_4"]["w"]), want,
         atol=1e-6)
+
+
+def test_make_detector_inference_int8_agrees_with_f32():
+    """The int8 serving chain (calibrated static scales) must keep the
+    bf16/f32 chain's detections: same top label, close score."""
+    import jax.numpy as jnp
+    cfg = dict(TINY_CFG, total_steps=8)
+    state, step, _p, train_set, _v = recipes.build_detector(
+        cfg, synthetic=True)
+    for i, batch in enumerate(train_set.train_iter(4, prefetch=0)):
+        state, _m = step(state, batch)
+        if i >= 7:
+            break
+    imgs = np.asarray(train_set.source.get_batch(np.arange(4))[0],
+                      np.float32) / 255.0
+    f32_fn = recipes.make_detector_inference(cfg, state)
+    i8_fn = recipes.make_detector_inference(cfg, state, int8=True,
+                                            calibrate_with=[imgs])
+    fb, fs, fl, fv = (np.asarray(t) for t in f32_fn(jnp.asarray(imgs)))
+    ib, is_, il, iv = (np.asarray(t) for t in i8_fn(jnp.asarray(imgs)))
+    assert fv.any() and iv.any()
+    # top detection agrees per image where both emit something
+    for i in range(4):
+        if fv[i, 0] and iv[i, 0]:
+            assert fl[i, 0] == il[i, 0]
+            np.testing.assert_allclose(is_[i, 0], fs[i, 0], atol=0.25)
