@@ -342,6 +342,7 @@ def build_detector(cfg: dict, synthetic: bool = False, mesh=None):
             rng=jax.device_put(state.rng, rep))
     det_aug = det_lib.DetAugment(
         hflip=aug.get("flip", aug.get("hflip", True)),
+        mosaic_prob=aug.get("mosaic_prob", 0.0),
         expand_prob=aug.get("expand_prob", 0.0),
         expand_max=aug.get("expand_max", 4.0),
         iou_crop=aug.get("iou_crop", False),

@@ -248,6 +248,9 @@ class DetAugment(NamedTuple):
     matmul, with the whole (expanded) canvas as the fallback.
     """
     hflip: bool = True
+    # 4-image mosaic (YOLO-style, :func:`mosaic_batch`) applied FIRST;
+    # grows the target axis to 4*max_boxes
+    mosaic_prob: float = 0.0
     # zoom-out: with prob expand_prob place the image on a canvas of
     # ratio r ~ U[1, expand_max] at a uniform offset, mean-filled
     expand_prob: float = 0.0
@@ -384,7 +387,10 @@ def augment_detection_batch(images: jax.Array, boxes: jax.Array,
     x = images.astype(jnp.float32)
     if images.dtype == jnp.uint8:
         x = x / 255.0
-    k_geo, k_col, k_flip = jax.random.split(key, 3)
+    k_mos, k_geo, k_col, k_flip = jax.random.split(key, 4)
+    if cfg.mosaic_prob > 0.0:
+        x, boxes, labels = mosaic_batch(k_mos, x, boxes, labels,
+                                        cfg.mosaic_prob)
     if cfg.has_geometry:
         window = sample_detection_windows(k_geo, boxes, labels, cfg)
         fill = cfg.mean if cfg.mean is not None else (0.5, 0.5, 0.5)
@@ -400,6 +406,91 @@ def augment_detection_batch(images: jax.Array, boxes: jax.Array,
         x = (x - jnp.asarray(cfg.mean, x.dtype)) / jnp.asarray(
             cfg.std, x.dtype)
     return x, boxes, labels
+
+
+def mosaic_batch(key: jax.Array, images01: jax.Array, boxes: jax.Array,
+                 labels: jax.Array, prob: float = 1.0
+                 ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """YOLO-style 4-image mosaic, TPU-formulated (static shapes).
+
+    Each output image composites four batch neighbors (batch rolls — no
+    gathers) into quadrants split at a random center (cx, cy) ~
+    U[0.25, 0.75]²: every quadrant is the full source image warped into
+    it by the gather-free matmul resampler (out-of-quadrant rows are
+    masked, so the four warps sum disjointly).  Boxes map affinely into
+    their quadrant; the target axis grows to 4M so every source object
+    survives (padding label -1 as usual).  With probability ``1 -
+    prob`` per image the original image/boxes pass through in the
+    first M slots.
+
+    images01 [B,H,W,3] float in [0,1] -> (images [B,H,W,3],
+    boxes [B,4M,4], labels [B,4M]).
+    """
+    from myconvnet_tpu.data.augment import _axis_matrix
+
+    b, h, w, _ = images01.shape
+    m = boxes.shape[1]
+    k_c, k_p = jax.random.split(key)
+    c = jax.random.uniform(k_c, (b, 2), minval=0.25, maxval=0.75)
+    cx, cy = c[:, 0], c[:, 1]
+    use = jax.random.bernoulli(k_p, prob, (b,))
+
+    srcs = [(jnp.roll(images01, -q, axis=0), jnp.roll(boxes, -q, axis=0),
+             jnp.roll(labels, -q, axis=0)) for q in range(4)]
+
+    xg = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w  # [W]
+    yg = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h  # [H]
+    out = jnp.zeros_like(images01)
+    out_boxes, out_labels = [], []
+    for q, (img, bx, lb) in enumerate(srcs):
+        left = q % 2 == 0     # TL, BL fill x in [0, cx)
+        top = q < 2           # TL, TR fill y in [0, cy)
+        # horizontal span of the quadrant in output coords
+        fx0 = jnp.zeros_like(cx) if left else cx
+        fx1 = cx if left else jnp.ones_like(cx)
+        fy0 = jnp.zeros_like(cy) if top else cy
+        fy1 = cy if top else jnp.ones_like(cy)
+        # warp the FULL source into that span: output pixel x maps to
+        # source coord (x - fx0) / (fx1 - fx0); as an _axis_matrix
+        # (start, extent) pair over the whole output axis this is
+        # extent = W / span, start = -fx0 * extent
+        ex = w / jnp.maximum(fx1 - fx0, 1e-6)
+        ey = h / jnp.maximum(fy1 - fy0, 1e-6)
+        mh = _axis_matrix(-fy0 * ey, ey, h, h, clamp=False)  # [B,H,H]
+        mw = _axis_matrix(-fx0 * ex, ex, w, w, clamp=False)  # [B,W,W]
+        warped = jnp.einsum("nih,nhwc->niwc", mh, img,
+                            preferred_element_type=jnp.float32,
+                            precision="highest")
+        warped = jnp.einsum("njw,niwc->nijc", mw, warped,
+                            preferred_element_type=jnp.float32,
+                            precision="highest")
+        mask = ((xg[None, :] >= fx0[:, None])
+                & (xg[None, :] < fx1[:, None]))[:, None, :] \
+            & ((yg[None, :] >= fy0[:, None])
+               & (yg[None, :] < fy1[:, None]))[:, :, None]  # [B,H,W]
+        out = out + warped * mask[..., None]
+        # boxes: affine into the quadrant
+        sx = (fx1 - fx0)[:, None]
+        sy = (fy1 - fy0)[:, None]
+        nb = jnp.stack([fx0[:, None] + bx[..., 0] * sx,
+                        fy0[:, None] + bx[..., 1] * sy,
+                        fx0[:, None] + bx[..., 2] * sx,
+                        fy0[:, None] + bx[..., 3] * sy], axis=-1)
+        out_boxes.append(nb)
+        out_labels.append(lb)
+    mos_boxes = jnp.concatenate(out_boxes, axis=1)    # [B, 4M, 4]
+    mos_labels = jnp.concatenate(out_labels, axis=1)  # [B, 4M]
+
+    # pass-through slots for non-mosaic images: original boxes in the
+    # first M rows, padding elsewhere
+    pad_boxes = jnp.concatenate(
+        [boxes, jnp.zeros((b, 3 * m, 4), boxes.dtype)], axis=1)
+    pad_labels = jnp.concatenate(
+        [labels, -jnp.ones((b, 3 * m), labels.dtype)], axis=1)
+    images_out = jnp.where(use[:, None, None, None], out, images01)
+    boxes_out = jnp.where(use[:, None, None], mos_boxes, pad_boxes)
+    labels_out = jnp.where(use[:, None], mos_labels, pad_labels)
+    return images_out, boxes_out, labels_out
 
 
 class DetState(NamedTuple):
