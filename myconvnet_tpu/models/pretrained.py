@@ -156,6 +156,17 @@ def import_torch_vgg16(state_dict: Mapping[str, Any], params: Params,
 
     has_bn = "features.1.weight" in state_dict
     idxs = _VGG16_BN_CONV_IDX if has_bn else _VGG16_CONV_IDX
+    model_has_bn = f"{prefix}bn" in params
+    if has_bn != model_has_bn:
+        # a silent mismatch here is a numerically CORRUPT warm start:
+        # vgg16_bn -> use_bn=False model would drop every BN tensor;
+        # plain vgg16 -> use_bn=True model would discard conv biases
+        # against random-init BN stats
+        raise ValueError(
+            "vgg16 checkpoint/model BN mismatch: checkpoint "
+            f"{'has' if has_bn else 'lacks'} BatchNorm but the target "
+            f"model {'has' if model_has_bn else 'lacks'} it — build the "
+            f"SSD trunk with use_bn={has_bn} to match")
     new_p = {k: dict(v) for k, v in params.items()}
     new_s = {k: dict(v) for k, v in state.items()}
     for i, t_idx in enumerate(idxs):

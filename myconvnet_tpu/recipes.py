@@ -277,34 +277,13 @@ def build_detector(cfg: dict, synthetic: bool = False, mesh=None):
     """
     import jax.numpy as jnp
 
-    from myconvnet_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
-    from myconvnet_tpu.ops.boxes import ssd_anchors
     from myconvnet_tpu.train import detection as det_lib
 
-    model_fn = models.get_model(cfg.get("model", "ssd300"))
-    policy = get_policy(cfg.get("precision", "f32"))
-    kwargs = dict(cfg.get("model_kwargs", {}))
+    (net, anchors, focal_head, post, mean, std,
+     hw) = _detector_chain(cfg)
     num_classes = cfg["num_classes"]
-
-    def fwd(x, n, train=False):
-        with policy_scope(policy):
-            return model_fn(x, n, train=train, **kwargs)
-
-    net = transform(fwd)
-    opt = make_optimizer(cfg["optimizer"])
-    # the anchor grid + input size + head convention are properties of
-    # the detector architecture (models/ssd.py, models/retinanet.py
-    # attach them to the model fn)
-    if getattr(model_fn, "anchor_kind", "ssd") == "retina":
-        from myconvnet_tpu.ops.boxes import retina_anchors
-        anchors = jnp.asarray(retina_anchors(model_fn.anchor_spec))
-    else:
-        anchors = jnp.asarray(ssd_anchors(model_fn.anchor_spec))
-    focal_head = getattr(model_fn, "head", "softmax") == "sigmoid_focal"
-    hw = tuple(cfg.get("input_hw", model_fn.input_hw))
     aug = cfg.get("augment", {}) or {}
-    mean = tuple(aug.get("mean", IMAGENET_MEAN))
-    std = tuple(aug.get("std", IMAGENET_STD))
+    opt = make_optimizer(cfg["optimizer"])
     state = det_lib.init_det_state(
         net, opt, jax.random.key(cfg.get("seed", 0)),
         jnp.zeros((cfg["batch_size"], *hw, 3)), num_classes)
@@ -373,13 +352,6 @@ def build_detector(cfg: dict, synthetic: bool = False, mesh=None):
         iou_threshold=cfg.get("match_iou", 0.5),
         neg_pos_ratio=cfg.get("neg_pos_ratio", 3.0),
         augment=det_aug, loss_fn=loss_fn))
-    post = det_lib.make_postprocess(
-        anchors, num_classes,
-        score_threshold=cfg.get("score_threshold", 0.05),
-        iou_threshold=cfg.get("nms_iou", 0.45),
-        max_detections=cfg.get("max_detections", 100),
-        score_activation="sigmoid" if focal_head else "softmax",
-        pre_nms_topk=cfg.get("pre_nms_topk", 1000))
 
     @jax.jit
     def predict(st, images):
@@ -394,17 +366,15 @@ def build_detector(cfg: dict, synthetic: bool = False, mesh=None):
     return state, step, predict, DataSet(train_src), DataSet(val_src)
 
 
-def make_detector_inference(cfg: dict, state, *, int8: bool = False,
-                            calibrate_with=None):
-    """Rebuild a detection recipe's fused eval chain as a pure
-    ``fn(images01 [B,H,W,3] float) -> (boxes, scores, labels, valid)``
-    with the weights closed over — the export/serving form.
+def _detector_chain(cfg: dict):
+    """Shared recipe resolution for the detection family — ONE source
+    of truth for the architecture, anchor grid, head convention,
+    postprocess knobs and normalization stats, used by BOTH
+    build_detector (training/eval) and make_detector_inference
+    (export/serving) so the serving artifact can never silently drift
+    from the eval chain.
 
-    ``int8=True`` traces the backbone's convs through the int8 MXU path
-    (core.quantize, same machinery as classifier serving);
-    ``calibrate_with`` (an iterable of [0,1]-float batches) bakes
-    static activation scales for deterministic latency.  Normalization
-    is folded in — feed RAW [0,1] images.
+    Returns (net, anchors, focal_head, post, mean, std, input_hw).
     """
     import jax.numpy as jnp
 
@@ -422,6 +392,9 @@ def make_detector_inference(cfg: dict, state, *, int8: bool = False,
             return model_fn(x, n, train=train, **kwargs)
 
     net = transform(fwd)
+    # the anchor grid + input size + head convention are properties of
+    # the detector architecture (models/ssd.py, models/retinanet.py
+    # attach them to the model fn)
     if getattr(model_fn, "anchor_kind", "ssd") == "retina":
         anchors = jnp.asarray(retina_anchors(model_fn.anchor_spec))
     else:
@@ -435,8 +408,31 @@ def make_detector_inference(cfg: dict, state, *, int8: bool = False,
         score_activation="sigmoid" if focal else "softmax",
         pre_nms_topk=cfg.get("pre_nms_topk", 1000))
     aug = cfg.get("augment", {}) or {}
-    mean = jnp.asarray(aug.get("mean", IMAGENET_MEAN), jnp.float32)
-    std = jnp.asarray(aug.get("std", IMAGENET_STD), jnp.float32)
+    mean = tuple(aug.get("mean", IMAGENET_MEAN))
+    std = tuple(aug.get("std", IMAGENET_STD))
+    hw = tuple(cfg.get("input_hw", model_fn.input_hw))
+    return net, anchors, focal, post, mean, std, hw
+
+
+def make_detector_inference(cfg: dict, state, *, int8: bool = False,
+                            calibrate_with=None):
+    """Rebuild a detection recipe's fused eval chain as a pure
+    ``fn(images01 [B,H,W,3] float) -> (boxes, scores, labels, valid)``
+    with the weights closed over — the export/serving form.
+
+    ``int8=True`` traces the backbone's convs through the int8 MXU path
+    (core.quantize, same machinery as classifier serving);
+    ``calibrate_with`` (an iterable of [0,1]-float batches) bakes
+    static activation scales for deterministic latency.  Normalization
+    is folded in — feed RAW [0,1] images.  The whole chain comes from
+    :func:`_detector_chain`, the same resolution build_detector uses.
+    """
+    import jax.numpy as jnp
+
+    net, _anchors, _focal, post, mean, std, _hw = _detector_chain(cfg)
+    num_classes = cfg["num_classes"]
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
 
     scales = None
     if int8 and calibrate_with is not None:

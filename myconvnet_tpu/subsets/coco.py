@@ -63,6 +63,11 @@ def load_instances(ann_path: str, keep_crowd: bool | str = False
         if im is None:
             continue
         x, y, w, h = ann["bbox"]
+        if w <= 0 or h <= 0:
+            # COCO train2017 carries a handful of degenerate zero-area
+            # annotations; kept, they would force-match an anchor onto
+            # a log(0) regression target (pycocotools filters them too)
+            continue
         iw, ih = float(im["width"]), float(im["height"])
         box = (x / iw, y / ih, (x + w) / iw, (y + h) / ih)
         label = cat_to_label[ann["category_id"]]
@@ -108,6 +113,9 @@ def make_detection_source(data_dir: str | None, split: str = "train2017",
         src = DetectionArraySource(
             *synthetic_detection_subset(synthetic_n, raw_hw, seed,
                                         min(max_boxes, 8)))
+        # the synthetic scenes use generic ids, not the 80 COCO
+        # categories — don't advertise VOC's class-name table
+        src.class_names = None
         return src
     paths, annos, class_names = read_detection_subset(
         data_dir, split, keep_crowd)

@@ -264,7 +264,9 @@ def make_detection_source(data_dir: str | None, split: str = "train",
     objects for training, "mark" them (ignore-zone encoding) for any
     other split so eval scores them the devkit way."""
     if keep_difficult is None:
-        keep_difficult = False if split == "train" else "mark"
+        # prefix test: "train", "trainval" etc. all train (matches
+        # subsets/coco.py); everything else is an eval split
+        keep_difficult = False if split.startswith("train") else "mark"
     if synthetic or data_dir is None:
         seed = 0 if split == "train" else 1
         return DetectionArraySource(

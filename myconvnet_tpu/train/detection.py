@@ -167,7 +167,13 @@ def focal_det_loss(cls_logits: jax.Array, loc: jax.Array,
                                         neg_threshold))(gt_boxes, gt_labels)
 
     if loc_loss_kind == "giou":
-        pred = box_ops.decode_boxes(loc, anchors[None])
+        # double-where guard: decode applies exp() to every anchor's
+        # deltas BEFORE the positive mask, and grad(where(mask, f, 0))
+        # propagates 0 * inf = NaN from masked-out anchors — so mask
+        # (and clamp) the inputs first, not just the output
+        safe_loc = jnp.where(positive[..., None],
+                             jnp.clip(loc, -40.0, 40.0), 0.0)
+        pred = box_ops.decode_boxes(safe_loc, anchors[None])
         loc_err = giou_weight * (1.0 - box_ops.aligned_giou(
             pred, jax.lax.stop_gradient(m_boxes)))
     elif loc_loss_kind == "smooth_l1":

@@ -177,12 +177,15 @@ def run_detect(fn, art_shape, args):
             from myconvnet_tpu.subsets.voc import DET_CLASS_NAMES
             names = DET_CLASS_NAMES
     batch, h, w = art_shape[0], art_shape[1], art_shape[2]
-    raw = np.stack([
-        np.asarray(Image.open(p).convert("RGB").resize(
+
+    def load(p):
+        return np.asarray(Image.open(p).convert("RGB").resize(
             (w, h), Image.BILINEAR), np.float32) / 255.0
-        for p in paths])
+
     for start in range(0, len(paths), batch):
-        chunk = raw[start:start + batch]
+        # decode per chunk: memory stays at one batch, not the whole
+        # directory
+        chunk = np.stack([load(p) for p in paths[start:start + batch]])
         n = len(chunk)
         if n < batch:
             chunk = np.concatenate(

@@ -103,3 +103,28 @@ def test_coco_recipe_builds_and_steps_synthetic():
     # map_style=coco -> the threshold-sweep evaluator
     ev = recipes.build_evaluator(cfg)
     assert type(ev).__name__ == "COCOMeanAPEvaluator"
+
+
+def test_load_instances_filters_degenerate_boxes(tmp_path):
+    import json
+    os.makedirs(os.path.join(str(tmp_path), "annotations"))
+    doc = {"images": [{"id": 1, "file_name": "a.jpg",
+                       "width": 100, "height": 100}],
+           "categories": [{"id": 1, "name": "person"}],
+           "annotations": [
+               {"image_id": 1, "category_id": 1, "iscrowd": 0,
+                "bbox": [10.0, 10.0, 0.0, 30.0]},   # zero width
+               {"image_id": 1, "category_id": 1, "iscrowd": 0,
+                "bbox": [10.0, 10.0, 30.0, 30.0]}]}  # fine
+    ann = os.path.join(str(tmp_path), "annotations",
+                       "instances_val2017.json")
+    with open(ann, "w") as f:
+        json.dump(doc, f)
+    _, annos, _ = coco.load_instances(ann)
+    assert len(annos[0][1]) == 1  # the degenerate one is gone
+
+
+def test_synthetic_coco_source_has_no_voc_names():
+    src = coco.make_detection_source(None, "val2017", synthetic=True,
+                                     synthetic_n=4, raw_hw=(64, 64))
+    assert src.class_names is None

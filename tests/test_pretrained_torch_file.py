@@ -305,3 +305,32 @@ def test_import_torch_vgg16_bn_into_ssd_trunk(tmp_path):
     out, _ = block.apply(bp, bs, None, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4,
                                rtol=2e-3)
+
+
+def test_import_torch_vgg16_bn_mismatch_raises(tmp_path):
+    """A BN-layout checkpoint into a BN-free model (or vice versa) is a
+    numerically corrupt warm start — the importer must refuse."""
+    import torch
+    conv = torch.nn.Conv2d(3, 64, 3, padding=1)
+    plain = torch.nn.Module()
+    plain.features = torch.nn.Sequential(conv)  # no BN at features.1
+    sd = plain.state_dict()
+
+    from myconvnet_tpu import models
+    from myconvnet_tpu.core import transform
+    from myconvnet_tpu.models.pretrained import import_torch_vgg16
+
+    net = transform(lambda x, c, train=False: models.tinydet(
+        x, c, train=train, width=8))
+    params, state = net.init(jax.random.key(0),
+                             jnp.zeros((1, 96, 96, 3)), 4)
+    # tinydet's backbone HAS BN scopes under a different naming; use an
+    # ssd-like fake: params with a backbone/bn scope present
+    fake_params = {"backbone/conv": {"w": np.zeros((3, 3, 3, 64),
+                                                   np.float32)},
+                   "backbone/bn": {"gamma": np.ones(64, np.float32),
+                                   "beta": np.zeros(64, np.float32)}}
+    fake_state = {"backbone/bn": {"moving_mean": np.zeros(64),
+                                  "moving_var": np.ones(64)}}
+    with pytest.raises(ValueError, match="BN mismatch"):
+        import_torch_vgg16(sd, fake_params, fake_state)
