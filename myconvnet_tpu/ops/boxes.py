@@ -197,16 +197,114 @@ def retina_anchors(spec=RETINA512_SPEC, clip: bool = False) -> np.ndarray:
 # ------------------------------------------------------------------- NMS
 
 def nms(boxes: jax.Array, scores: jax.Array, iou_threshold: float = 0.45,
-        max_out: int = 100,
-        score_threshold: float = -jnp.inf) -> tuple[jax.Array, jax.Array]:
+        max_out: int = 100, score_threshold: float = -jnp.inf,
+        method: str = "jacobi") -> tuple[jax.Array, jax.Array]:
     """Static-shape non-maximum suppression.
 
     boxes [N, 4] xyxy, scores [N] -> (indices [max_out], valid [max_out]).
-    Exactly ``max_out`` fixed iterations of: take the highest-scoring
+    Semantics are the classic greedy sweep: take the highest-scoring
     surviving box, emit it, kill every box with IoU above the threshold.
     Entries past the surviving count have ``valid == False`` (their index
-    repeats the last argmax — always mask before use).
+    is arbitrary — always mask before use).
+
+    ``method="jacobi"`` (default) computes the SAME keep-set without the
+    per-box sequential loop — blocked Jacobi fixpoint iteration over
+
+        keep[i] = live[i] and not any(keep[j] and iou[j, i] > t, j < i)
+
+    Sort by score, split into 128-wide blocks.  Blocks resolve in
+    order: one matmul stripe suppresses a block by the (final) decided
+    prefix, then whole-vector sweeps iterate the recursion WITHIN the
+    block to fixpoint.  The recursion's strict triangular dependency
+    gives a unique solution, so any fixpoint is the exact greedy
+    answer; a block converges in its suppression-chain depth (a flat
+    single-block Jacobi is also exact but re-reads the full [N, N]
+    matrix once per chain link — measured slower than sequential at
+    N=1000 on dense candidates, PERF_NOTES.md).  The block loop stops
+    early once ``max_out`` boxes are kept: every kept prefix box
+    outranks the unprocessed tail, so the emission cut never reaches an
+    undecided block — on detector outputs that is usually after ONE
+    block.  ``method="sequential"`` keeps the fori-loop form as the
+    reference/fallback.
     """
+    if method == "sequential":
+        return _nms_sequential(boxes, scores, iou_threshold, max_out,
+                               score_threshold)
+    n = boxes.shape[0]
+    k = min(max_out, n)
+    G = min(128, n)               # block width (lane-register friendly)
+    nb = -(-n // G)               # blocks over the sorted candidates
+    N = nb * G
+    order = jnp.argsort(-scores)  # stable: equal scores keep index order,
+    # matching the sequential argmax's first-occurrence tie-break
+    s = scores[order]
+    iou = box_iou(boxes[order], boxes[order])  # [n, n] once
+    live = s > score_threshold
+    if N > n:                     # pad to whole blocks: dead, no overlap
+        s = jnp.pad(s, (0, N - n), constant_values=-jnp.inf)
+        live = jnp.pad(live, (0, N - n))
+        iou = jnp.pad(iou, ((0, N - n), (0, N - n)))
+    # sup[j, i]: candidate j (higher-scored, j < i) overlaps i enough to
+    # suppress it if j itself survives.  Strictly upper-triangular.
+    # bf16 storage (0/1 exact; the einsums accumulate f32): the matrix
+    # is the loop's whole HBM traffic.
+    sup = jnp.triu(iou > iou_threshold, 1).astype(jnp.bfloat16)
+
+    def _hits(vec, mat):          # any higher-scored keeper overlaps?
+        return jnp.einsum("j,jg->g", vec, mat,
+                          preferred_element_type=jnp.float32) > 0
+
+    def block(carry):
+        keep_f, b, kept = carry
+        lo = b * G
+        blk_live = jax.lax.dynamic_slice(live, (lo,), (G,))
+        # suppression by the decided prefix (final — keep_f is zero past
+        # it), one [N, G] stripe:
+        stripe = jax.lax.dynamic_slice(sup, (0, lo), (N, G))
+        blk_live &= ~_hits(keep_f, stripe)
+        # within-block fixpoint: the greedy recursion restricted to the
+        # block (strict triangular dependency -> unique solution, so any
+        # fixpoint is the exact greedy answer; converges in the block's
+        # suppression-chain depth)
+        sup_blk = jax.lax.dynamic_slice(sup, (lo, lo), (G, G))
+
+        def sweep(c):
+            kb, _ = c
+            new = blk_live & ~_hits(kb.astype(jnp.bfloat16), sup_blk)
+            return new.astype(jnp.float32), jnp.any(new != (kb > 0))
+
+        kb, _ = jax.lax.while_loop(
+            lambda c: c[1], sweep,
+            (blk_live.astype(jnp.float32), jnp.array(True)))
+        keep_f = jax.lax.dynamic_update_slice(
+            keep_f, kb.astype(jnp.bfloat16), (lo,))
+        return keep_f, b + 1, kept + jnp.sum(kb).astype(jnp.int32)
+
+    def more(carry):
+        _, b, kept = carry
+        # stop early once max_out boxes are decided-kept: every kept box
+        # in the prefix outranks anything in the unprocessed tail, so
+        # the emission cut below never reaches an undecided block
+        return (b < nb) & (kept < max_out)
+
+    keep_f, _, _ = jax.lax.while_loop(
+        more, block, (jnp.zeros((N,), jnp.bfloat16), 0, 0))
+    keep = keep_f > 0
+    # emit kept entries in score order (s is sorted descending, so
+    # top_k over the keep-masked scores preserves emission order and
+    # breaks score ties by lowest sorted index, like the greedy sweep)
+    vals, pos = jax.lax.top_k(jnp.where(keep, s, -jnp.inf), k)
+    valid = vals > -jnp.inf
+    idxs = jnp.pad(order, (0, N - n))[pos].astype(jnp.int32)
+    if k < max_out:
+        idxs = jnp.pad(idxs, (0, max_out - k))
+        valid = jnp.pad(valid, (0, max_out - k))
+    return idxs, valid
+
+
+def _nms_sequential(boxes, scores, iou_threshold, max_out,
+                    score_threshold):
+    """The fori-loop greedy sweep (reference form for the Jacobi path)."""
     n = boxes.shape[0]
     iou = box_iou(boxes, boxes)  # [N, N] once, reused every iteration
     live = scores > score_threshold

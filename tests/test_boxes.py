@@ -86,6 +86,70 @@ def test_ssd_anchors_cell_major_order():
                                [1.0 / 38, 0.0], atol=1e-6)
 
 
+def test_nms_jacobi_matches_sequential_many_seeds():
+    """The parallel fixpoint NMS must reproduce the greedy sweep's keep
+    set AND emission order exactly — random scatters and dense clusters
+    (deep suppression chains) alike."""
+    for seed in range(8):
+        rng = np.random.RandomState(seed)
+        n = 80
+        bx = _random_boxes(n, seed)
+        if seed % 2:  # clustered: many overlaps, deeper chains
+            base = _random_boxes(8, seed + 100)
+            bx = np.clip(base[rng.randint(0, 8, n)]
+                         + rng.uniform(-0.05, 0.05, (n, 4)).astype(
+                             np.float32), 0, 1)
+        sc = rng.uniform(0.05, 1.0, n).astype(np.float32)
+        for thr in (0.3, 0.5, 0.7):
+            ji, jv = B.nms(jnp.asarray(bx), jnp.asarray(sc),
+                           iou_threshold=thr, max_out=n)
+            si, sv = B.nms(jnp.asarray(bx), jnp.asarray(sc),
+                           iou_threshold=thr, max_out=n,
+                           method="sequential")
+            np.testing.assert_array_equal(
+                np.asarray(ji)[np.asarray(jv)],
+                np.asarray(si)[np.asarray(sv)])
+
+
+def test_nms_jacobi_exact_on_alternating_chain():
+    """A left-to-right chain where each box only overlaps its neighbors:
+    greedy keeps every other box (0, 2, 4, ...).  The one-pass 'fast
+    NMS' relaxation over-suppresses here (box 2 is suppressed by the
+    already-dead box 1); the fixpoint iteration must NOT."""
+    n = 31
+    # unit-height boxes of width 0.1 stepping 0.06: IoU(i, i+1) ~ 0.29,
+    # IoU(i, i+2) = 0 -> with thr 0.2 neighbors suppress, skips don't
+    x0 = np.arange(n, dtype=np.float32) * 0.018
+    bx = np.stack([x0, np.zeros(n, np.float32),
+                   x0 + 0.03, np.ones(n, np.float32)], axis=1)
+    sc = np.linspace(1.0, 0.5, n).astype(np.float32)  # descending
+    idxs, valid = B.nms(jnp.asarray(bx), jnp.asarray(sc),
+                        iou_threshold=0.2, max_out=n)
+    kept = np.asarray(idxs)[np.asarray(valid)]
+    np.testing.assert_array_equal(kept, np.arange(0, n, 2))
+
+
+def test_nms_jacobi_score_ties_match_sequential():
+    bx = _random_boxes(30, 3)
+    sc = np.repeat(np.linspace(0.9, 0.3, 6), 5).astype(np.float32)
+    ji, jv = B.nms(jnp.asarray(bx), jnp.asarray(sc), iou_threshold=0.5,
+                   max_out=30)
+    si, sv = B.nms(jnp.asarray(bx), jnp.asarray(sc), iou_threshold=0.5,
+                   max_out=30, method="sequential")
+    np.testing.assert_array_equal(np.asarray(ji)[np.asarray(jv)],
+                                  np.asarray(si)[np.asarray(sv)])
+
+
+def test_nms_jacobi_max_out_exceeds_n_pads():
+    bx = _random_boxes(5, 11)
+    sc = np.linspace(0.9, 0.5, 5).astype(np.float32)
+    idxs, valid = B.nms(jnp.asarray(bx), jnp.asarray(sc),
+                        iou_threshold=1.1, max_out=12)
+    assert idxs.shape == (12,) and valid.shape == (12,)
+    assert int(np.asarray(valid).sum()) == 5
+    assert not np.asarray(valid)[5:].any()
+
+
 def test_nms_matches_scalar_reference():
     bx = _random_boxes(60, 4)
     rng = np.random.RandomState(5)
