@@ -1,0 +1,273 @@
+"""Multi-artifact HTTP model server on the Python stdlib.
+
+The reference framework stops at file-level inference (its test.py
+prints predictions for a directory — SURVEY.md §2 #9); deployment
+surfaces are this rebuild's extension of that entry point.  Several
+exported StableHLO artifacts load behind ONE process, each at a named
+route, speaking a JSON/HTTP protocol shaped like the common serving
+conventions (health, model list, ``:predict``):
+
+    GET  /healthz                    -> {"status": "ok"}
+    GET  /v1/models                  -> {"models": [{name, kind, ...}]}
+    POST /v1/models/<name>:predict
+         body: a JPEG/PNG (Content-Type image/*), or JSON
+         {"instances": [[H,W,C float rows], ...]} in [0, 1].
+         classify -> {"predictions": [[{"label","prob"} x topk], ...]}
+         detect   -> {"detections": [[{"box","score","label"}, ...]]}
+
+No web framework — ``http.server.ThreadingHTTPServer`` plus one
+dispatch lock: request decode/encode runs on handler threads, the
+device executes one program at a time (honest per-request latency, no
+interleaving).  Arbitrary request sizes pad/chunk through each
+artifact's fixed compiled batch, pytree-aware (detection outputs are
+4-tuples, so the classifier-only ``make_batched_server`` slice does
+not apply here).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+
+@dataclass
+class Route:
+    """One served artifact: the loaded program plus its request codec."""
+
+    name: str
+    kind: str                      # "classify" | "detect"
+    fn: Callable                   # load_inference product (fixed shapes)
+    input_shape: tuple             # (B, H, W, C)
+    mean: np.ndarray = None        # classify: normalization applied here
+    std: np.ndarray = None         # (detect artifacts normalize inside)
+    class_names: Optional[Sequence[str]] = None
+    topk: int = 5
+    threshold: float = 0.5         # detect: default score floor
+
+    def describe(self) -> dict:
+        return {"name": self.name, "kind": self.kind,
+                "input": list(self.input_shape),
+                "classes": len(self.class_names)
+                if self.class_names else None}
+
+
+def build_route(name: str, kind: str, artifact: str,
+                config: Optional[str] = None, topk: int = 5,
+                threshold: float = 0.5) -> Route:
+    """Load an artifact and resolve its codec the way serve.py's
+    one-shot path does: normalization through make_augment +
+    AugmentConfig defaults (never silently unnormalized — ADVICE r1),
+    class names from the recipe's dataset when known."""
+    from myconvnet_tpu import serving
+
+    if kind not in ("classify", "detect"):
+        raise ValueError(f"route {name!r}: unknown kind {kind!r}")
+    fn = serving.load_inference(artifact)
+    shape = fn.input_shapes[0]
+    mean = std = None
+    names = None
+    if config:
+        from myconvnet_tpu import recipes
+        cfg = recipes.load_config(config)
+        names = _dataset_class_names(cfg)
+    if kind == "classify":
+        from myconvnet_tpu.data.augment import AugmentConfig
+        acfg = AugmentConfig()
+        if config:
+            from myconvnet_tpu import recipes
+            cfg = recipes.load_config(config)
+            acfg = recipes.make_augment(cfg.get("augment")) or acfg
+        nch = shape[3] if len(shape) > 3 else 3
+        mean = np.asarray(acfg.mean, np.float32)
+        std = np.asarray(acfg.std, np.float32)
+        if mean.ndim and mean.shape[0] != nch:
+            mean = np.full((nch,), float(mean.mean()), np.float32)
+            std = np.full((nch,), float(std.mean()), np.float32)
+    return Route(name=name, kind=kind, fn=fn, input_shape=shape,
+                 mean=mean, std=std, class_names=names, topk=topk,
+                 threshold=threshold)
+
+
+def _dataset_class_names(cfg: dict):
+    ds = cfg.get("dataset")
+    if ds == "fashion_mnist":
+        from myconvnet_tpu.subsets.mnist import FASHION_CLASS_NAMES
+        return FASHION_CLASS_NAMES
+    if ds == "voc":
+        from myconvnet_tpu.subsets.voc import DET_CLASS_NAMES
+        return DET_CLASS_NAMES
+    return None
+
+
+def _run_chunked(fn, x: np.ndarray, batch: int):
+    """Pad/chunk a request of any size through the artifact's fixed
+    batch; pytree-aware output reassembly (classify: array; detect:
+    tuple of arrays)."""
+    import jax
+
+    outs = []
+    for i in range(0, len(x), batch):
+        chunk = x[i:i + batch]
+        n = len(chunk)
+        if n < batch:
+            chunk = np.concatenate(
+                [chunk, np.zeros((batch - n, *x.shape[1:]), x.dtype)])
+        out = fn(chunk)
+        outs.append(jax.tree.map(lambda t: np.asarray(t)[:n], out))
+    return jax.tree.map(lambda *ts: np.concatenate(ts), *outs)
+
+
+class ModelServer:
+    """The route table + device lock; http handlers delegate here."""
+
+    def __init__(self, routes: Sequence[Route]):
+        if not routes:
+            raise ValueError("no routes")
+        self.routes = {r.name: r for r in routes}
+        if len(self.routes) != len(routes):
+            raise ValueError("duplicate route names")
+        self._lock = threading.Lock()
+
+    # ---------------------------------------------------------- codecs
+
+    def _decode_body(self, route: Route, body: bytes,
+                     content_type: str) -> np.ndarray:
+        h, w = route.input_shape[1], route.input_shape[2]
+        nch = route.input_shape[3] if len(route.input_shape) > 3 else 3
+        if content_type.startswith("image/"):
+            import io
+
+            from PIL import Image
+            mode = "L" if nch == 1 else "RGB"
+            img = Image.open(io.BytesIO(body)).convert(mode).resize(
+                (w, h), Image.BILINEAR)
+            x = np.asarray(img, np.float32)[None] / 255.0
+            if nch == 1:
+                x = x[..., None]
+            return x
+        payload = json.loads(body.decode("utf-8"))
+        x = np.asarray(payload["instances"], np.float32)
+        if x.ndim == 3:
+            x = x[None]
+        want = (h, w, nch)
+        if x.ndim != 4 or x.shape[1:] != want:
+            raise ValueError(
+                f"instances shape {x.shape} != [N, {h}, {w}, {nch}]")
+        return x
+
+    def predict(self, name: str, body: bytes,
+                content_type: str = "application/json",
+                threshold: Optional[float] = None) -> dict:
+        route = self.routes.get(name)
+        if route is None:
+            raise KeyError(name)
+        x = self._decode_body(route, body, content_type)
+        batch = route.input_shape[0]
+        if route.kind == "classify":
+            x = (x - route.mean) / route.std
+            with self._lock:
+                logits = _run_chunked(route.fn, x, batch)
+            from myconvnet_tpu.eval.evaluators import decode_predictions
+            names = route.class_names or [
+                str(i) for i in range(logits.shape[-1])]
+            rows = decode_predictions(logits, names, route.topk)
+            return {"predictions": [
+                [{"label": n, "prob": round(float(p), 6)} for n, p in row]
+                for row in rows]}
+        # detect: artifact normalizes internally — raw [0, 1] in
+        with self._lock:
+            boxes, scores, labels, valid = _run_chunked(route.fn, x,
+                                                        batch)
+        thr = route.threshold if threshold is None else threshold
+        out = []
+        for i in range(len(x)):
+            dets = []
+            for b, s, l, v in zip(boxes[i], scores[i], labels[i],
+                                  valid[i]):
+                if not v or s < thr:
+                    continue
+                name_l = (route.class_names[int(l) - 1]
+                          if route.class_names
+                          and 1 <= int(l) <= len(route.class_names)
+                          else str(int(l)))
+                dets.append({"box": [round(float(c), 5) for c in b],
+                             "score": round(float(s), 5),
+                             "label": name_l})
+            out.append(dets)
+        return {"detections": out}
+
+    def models(self) -> dict:
+        return {"models": [r.describe()
+                           for r in self.routes.values()]}
+
+
+def make_http_server(server: ModelServer, host: str = "127.0.0.1",
+                     port: int = 0) -> ThreadingHTTPServer:
+    """Bind the route table to a ThreadingHTTPServer (port 0 = ephemeral;
+    read the bound port off ``httpd.server_address``).  Caller owns the
+    serve_forever thread and shutdown."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet: the CLI prints its own line
+            pass
+
+        def _send(self, code: int, payload: dict):
+            blob = json.dumps(payload).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(blob)))
+            self.end_headers()
+            self.wfile.write(blob)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                return self._send(200, {"status": "ok"})
+            if self.path == "/v1/models":
+                return self._send(200, server.models())
+            return self._send(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            from urllib.parse import parse_qs, urlparse
+            parsed = urlparse(self.path)
+            path = parsed.path
+            if not (path.startswith("/v1/models/")
+                    and path.endswith(":predict")):
+                return self._send(404, {"error": f"no route {path}"})
+            name = path[len("/v1/models/"):-len(":predict")]
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n)
+            ctype = self.headers.get("Content-Type",
+                                     "application/json")
+            qs = parse_qs(parsed.query)
+            thr = (float(qs["threshold"][0])
+                   if "threshold" in qs else None)
+            try:
+                result = server.predict(name, body, ctype, threshold=thr)
+            except KeyError:
+                return self._send(404, {"error": f"no model {name!r}"})
+            except Exception as e:  # bad payload -> client error
+                return self._send(400, {"error": str(e)})
+            return self._send(200, result)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def parse_route_spec(spec: str, topk: int = 5,
+                     threshold: float = 0.5) -> Route:
+    """CLI form: NAME=KIND:ARTIFACT[:CONFIG] (e.g.
+    ``cls=classify:resnet.stablehlo:configs/imagenet_resnet50.py``)."""
+    if "=" not in spec:
+        raise ValueError(f"route spec {spec!r}: want NAME=KIND:ARTIFACT")
+    name, rest = spec.split("=", 1)
+    parts = rest.split(":")
+    if len(parts) < 2:
+        raise ValueError(f"route spec {spec!r}: want NAME=KIND:ARTIFACT")
+    kind, artifact = parts[0], parts[1]
+    config = parts[2] if len(parts) > 2 else None
+    return build_route(name, kind, artifact, config=config, topk=topk,
+                       threshold=threshold)

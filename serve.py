@@ -8,10 +8,15 @@
         [--config C --topk 5]          # classify files
     python serve.py --artifact model.stablehlo --latency \
         [--sizes 1,8,32] [--hw 224,224]  # SLO numbers
+    python serve.py --serve 127.0.0.1:8080 \
+        --route cls=classify:resnet.stablehlo:configs/r50.py \
+        --route det=detect:ssd.stablehlo   # multi-artifact HTTP server
 
 The artifact reloads WITHOUT model code or weights (serving.py); the
 bucketing wrapper serves arbitrary request sizes on fixed compiled
-shapes.
+shapes.  ``--serve`` starts the stdlib HTTP model server
+(serving_http.py): several artifacts behind one process, JSON
+protocol, health/list/:predict endpoints.
 """
 
 from __future__ import annotations
@@ -21,8 +26,17 @@ import argparse
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--artifact", required=True,
+    ap.add_argument("--artifact", default=None,
                     help="StableHLO file from serving.export_inference")
+    ap.add_argument("--serve", default=None, metavar="HOST:PORT",
+                    help="start the multi-artifact HTTP model server "
+                         "(serving_http.py) instead of one-shot "
+                         "inference; artifacts come from --route (or "
+                         "--artifact as the single 'default' route)")
+    ap.add_argument("--route", action="append", default=[],
+                    metavar="NAME=KIND:ARTIFACT[:CONFIG]",
+                    help="--serve route, repeatable; KIND is classify "
+                         "or detect (e.g. det=detect:ssd.stablehlo)")
     ap.add_argument("--images", default=None,
                     help="directory of images to classify")
     ap.add_argument("--config", default=None,
@@ -55,6 +69,11 @@ def main():
 
     from myconvnet_tpu import serving
 
+    if args.serve:
+        return run_server(args)
+    if not args.artifact:
+        raise SystemExit("pass --artifact FILE (or --serve HOST:PORT "
+                         "with --route specs)")
     fn = serving.load_inference(args.artifact)
     art_shape = fn.input_shapes[0]          # (B, H, W, C) — fixed
 
@@ -148,6 +167,39 @@ def main():
                          decode_predictions(logits, names, args.topk)):
         pretty = ", ".join(f"{n}:{p:.2f}" for n, p in row)
         print(f"{os.path.basename(path)}: {pretty}")
+
+
+def run_server(args):
+    """--serve HOST:PORT: load every --route artifact into one process
+    and block on the stdlib HTTP server (serving_http.py)."""
+    from myconvnet_tpu import serving_http
+
+    specs = list(args.route)
+    if not specs and args.artifact:
+        kind = "detect" if args.detect else "classify"
+        spec = f"default={kind}:{args.artifact}"
+        if args.config:
+            spec += f":{args.config}"
+        specs = [spec]
+    if not specs:
+        raise SystemExit("--serve needs --route specs (or --artifact)")
+    routes = [serving_http.parse_route_spec(
+        s, topk=args.topk, threshold=args.det_threshold) for s in specs]
+    server = serving_http.ModelServer(routes)
+    host, _, port = args.serve.rpartition(":")
+    httpd = serving_http.make_http_server(server, host or "127.0.0.1",
+                                          int(port))
+    bound = httpd.server_address
+    names = ", ".join(server.routes)
+    print(f"serving {len(routes)} route(s) [{names}] on "
+          f"http://{bound[0]}:{bound[1]}  (GET /v1/models; "
+          f"POST /v1/models/<name>:predict)", flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
 
 
 def run_detect(fn, art_shape, args):

@@ -1,0 +1,172 @@
+"""Multi-artifact HTTP serving (serving_http.py): route table, request
+codecs, pytree-aware chunking, and a live in-process server round-trip
+over both a classifier and a detector artifact."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from myconvnet_tpu import serving, serving_http
+from myconvnet_tpu.core import transform
+
+
+def _classifier_artifact(tmp_path, hw=24, classes=7):
+    from myconvnet_tpu import models
+    net = transform(lambda x, train=False: models.smallnet(
+        x, classes, train=train, width=8, dropout_rate=0.0))
+    x = jax.random.normal(jax.random.key(0), (2, hw, hw, 3))
+    params, state = net.init(jax.random.key(1), x, True)
+    path = str(tmp_path / "cls.stablehlo")
+    serving.export_inference(net, params, state, x, path)
+    return path
+
+
+def _detector_artifact(tmp_path):
+    from myconvnet_tpu import recipes
+    cfg = dict(task="detection", model="tinydet", dataset="voc",
+               data_dir=None, num_classes=21, max_boxes=8, batch_size=2,
+               total_steps=1,
+               optimizer=dict(name="momentum", momentum_coef=0.9,
+                              lr=dict(kind="constant", lr=0.05)),
+               augment=dict(flip=True), seed=0)
+    state, _step, predict, _t, _v = recipes.build_detector(
+        cfg, synthetic=True)
+    sample = np.zeros((2, 96, 96, 3), np.float32)
+    path = str(tmp_path / "det.stablehlo")
+    serving.export_detection(predict, state, sample, path)
+    return path
+
+
+def test_parse_route_spec_errors():
+    with pytest.raises(ValueError):
+        serving_http.parse_route_spec("noequals")
+    with pytest.raises(ValueError):
+        serving_http.parse_route_spec("name=onlykind")
+
+
+def test_build_route_rejects_unknown_kind(tmp_path):
+    with pytest.raises(ValueError):
+        serving_http.build_route("x", "segment", "whatever")
+
+
+def test_run_chunked_is_pytree_aware():
+    calls = []
+
+    def fn(x):
+        calls.append(x.shape[0])
+        return (x.sum(axis=(1,)), x * 2)
+
+    x = np.arange(10 * 3, dtype=np.float32).reshape(10, 3)
+    s, d = serving_http._run_chunked(fn, x, batch=4)
+    assert set(calls) == {4}          # every call padded to the bucket
+    assert s.shape == (10,) and d.shape == (10, 3)
+    np.testing.assert_allclose(s, x.sum(1))
+    np.testing.assert_allclose(d, x * 2)
+
+
+@pytest.fixture(scope="module")
+def live_server(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("artifacts")
+    cls_path = _classifier_artifact(tmp_path)
+    det_path = _detector_artifact(tmp_path)
+    routes = [
+        serving_http.build_route("cls", "classify", cls_path, topk=3),
+        serving_http.build_route("det", "detect", det_path,
+                                 threshold=0.0),
+    ]
+    server = serving_http.ModelServer(routes)
+    httpd = serving_http.make_http_server(server)  # port 0 = ephemeral
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    host, port = httpd.server_address
+    yield f"http://{host}:{port}"
+    httpd.shutdown()
+    httpd.server_close()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def _post(url, payload, ctype="application/json"):
+    body = (json.dumps(payload).encode()
+            if ctype == "application/json" else payload)
+    req = urllib.request.Request(url, data=body,
+                                 headers={"Content-Type": ctype})
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return json.loads(r.read())
+
+
+def test_health_and_model_list(live_server):
+    assert _get(f"{live_server}/healthz") == {"status": "ok"}
+    models = _get(f"{live_server}/v1/models")["models"]
+    assert {m["name"] for m in models} == {"cls", "det"}
+    cls = next(m for m in models if m["name"] == "cls")
+    assert cls["kind"] == "classify" and cls["input"][1:3] == [24, 24]
+
+
+def test_classify_json_instances(live_server):
+    rng = np.random.default_rng(0)
+    x = rng.random((3, 24, 24, 3)).astype(np.float32)
+    out = _post(f"{live_server}/v1/models/cls:predict",
+                {"instances": x.tolist()})
+    preds = out["predictions"]
+    assert len(preds) == 3 and all(len(row) == 3 for row in preds)
+    for row in preds:
+        probs = [e["prob"] for e in row]
+        assert probs == sorted(probs, reverse=True)
+        assert 0.0 <= probs[0] <= 1.0
+
+
+def test_classify_image_bytes(live_server):
+    import io
+
+    from PIL import Image
+    img = Image.fromarray(
+        (np.random.default_rng(1).random((40, 40, 3)) * 255).astype(
+            np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    out = _post(f"{live_server}/v1/models/cls:predict", buf.getvalue(),
+                ctype="image/png")
+    assert len(out["predictions"]) == 1
+
+
+def test_detect_json_instances(live_server):
+    rng = np.random.default_rng(2)
+    x = rng.random((2, 96, 96, 3)).astype(np.float32)
+    out = _post(f"{live_server}/v1/models/det:predict?threshold=0.0",
+                {"instances": x.tolist()})
+    dets = out["detections"]
+    assert len(dets) == 2
+    for per_image in dets:
+        for d in per_image:
+            assert len(d["box"]) == 4
+            assert isinstance(d["label"], str)
+
+
+def test_unknown_model_404(live_server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{live_server}/v1/models/nope:predict", {"instances": []})
+    assert e.value.code == 404
+
+
+def test_bad_shape_400(live_server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{live_server}/v1/models/cls:predict",
+              {"instances": np.zeros((1, 8, 8, 3)).tolist()})
+    assert e.value.code == 400
+
+
+def test_duplicate_route_names_rejected(tmp_path):
+    path = _classifier_artifact(tmp_path)
+    r = serving_http.build_route("a", "classify", path)
+    r2 = serving_http.build_route("a", "classify", path)
+    with pytest.raises(ValueError):
+        serving_http.ModelServer([r, r2])
