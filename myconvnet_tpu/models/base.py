@@ -64,6 +64,7 @@ class ConvNet:
                  paired_targets: bool = False,
                  mesh=None, use_mesh: bool = False,
                  remat: bool = False, accum_steps: int = 1,
+                 accum_dtype: str = "float32",
                  debug_checks: bool = False, spatial: bool = False,
                  zero_sharding: bool = False, sam_rho: float = 0.0,
                  seed: int = 0, ckpt_dir: str | None = None,
@@ -89,6 +90,7 @@ class ConvNet:
             mesh_lib.make_mesh() if use_mesh else None)
         self.remat = remat
         self.accum_steps = accum_steps
+        self.accum_dtype = accum_dtype
         self.debug_checks = debug_checks
         self.spatial = spatial
         self.zero_sharding = zero_sharding
@@ -174,6 +176,7 @@ class ConvNet:
             eval_augment_fn=eval_aug_fn, predict_augment_fn=predict_fn,
             evaluator=evaluator, ckpt_dir=self.ckpt_dir,
             remat=self.remat, accum_steps=self.accum_steps,
+            accum_dtype=self.accum_dtype,
             debug_checks=self.debug_checks, spatial=self.spatial,
             zero_sharding=self.zero_sharding, sam_rho=self.sam_rho,
             preemption_guard=self.preemption_guard,

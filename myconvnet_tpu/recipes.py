@@ -172,6 +172,7 @@ def build_classifier(cfg: dict, synthetic: bool = False,
                   mesh=mesh, seed=cfg.get("seed", 0),
                   remat=cfg.get("remat", False),
                   accum_steps=cfg.get("accum_steps", 1),
+                  accum_dtype=cfg.get("accum_dtype", "float32"),
                   zero_sharding=cfg.get("zero_sharding", False),
                   sam_rho=cfg.get("sam_rho", 0.0),
                   ckpt_dir=ckpt_dir, log_dir=log_dir, **kwargs)
@@ -211,6 +212,7 @@ def build_segmenter(cfg: dict, synthetic: bool = False,
                   mesh=mesh, seed=cfg.get("seed", 0),
                   remat=cfg.get("remat", False),
                   accum_steps=cfg.get("accum_steps", 1),
+                  accum_dtype=cfg.get("accum_dtype", "float32"),
                   spatial=cfg.get("spatial", False),
                   zero_sharding=cfg.get("zero_sharding", False),
                   ckpt_dir=ckpt_dir, log_dir=log_dir, **kwargs)

@@ -88,6 +88,13 @@ class Trainer:
     # sequentially per microbatch, matching the semantics of running the
     # microbatches as separate steps.
     accum_steps: int = 1
+    # dtype of the accumulated-gradient carry. f32 (default) is the
+    # safe standard; "bfloat16" halves the accumulator's HBM traffic
+    # (the carry is read+written once per microbatch — ~1.2 GB/step for
+    # ResNet-50 at accum 6), at ~3 fewer mantissa digits on the summed
+    # gradient. Measured effect on the bench step + a trajectory-delta
+    # test gate the option; it is opt-in, never a silent default.
+    accum_dtype: str = "float32"
     # debug sanitizer (SURVEY §5): check the post-step state for NaN/inf
     # on-device and raise a named NonFiniteError host-side. One fused
     # reduction per tensor — a debug switch, not a production default.
@@ -200,17 +207,19 @@ class Trainer:
                 ym = y.reshape(accum, n // accum, *y.shape[1:])
                 keys = jax.random.split(k_model, accum)
 
+                acc_dt = jnp.dtype(self.accum_dtype)
+
                 def micro(carry, xyk):
                     mstate, gacc, lacc = carry
                     xi, yi, ki = xyk
                     (l, (mstate, logits)), g = grad_fn(
                         state.params, mstate, ki, xi, yi)
                     gacc = jax.tree.map(
-                        lambda a, b: a + b.astype(jnp.float32), gacc, g)
+                        lambda a, b: a + b.astype(acc_dt), gacc, g)
                     return (mstate, gacc, lacc + l), logits
 
                 zeros = jax.tree.map(
-                    lambda p: jnp.zeros(p.shape, jnp.float32),
+                    lambda p: jnp.zeros(p.shape, acc_dt),
                     state.params)
                 (new_mstate, gsum, lsum), logits_m = jax.lax.scan(
                     micro, (state.model_state, zeros, 0.0),

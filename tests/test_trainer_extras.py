@@ -196,6 +196,29 @@ def test_gradient_accumulation_matches_full_batch():
                 atol=1e-6, err_msg=f"{scope}/{name}")
 
 
+def test_gradient_accumulation_bf16_buffers_close_to_f32():
+    """accum_dtype='bfloat16' (the HBM-traffic probe knob) must stay
+    within bf16 rounding of the f32 accumulator over real update steps
+    — same trajectory to ~2 decimal digits, exactness not expected."""
+    x = np.random.RandomState(1).rand(8, 8, 8, 3).astype(np.float32)
+    y = np.arange(8) % 10
+    tf32, sf32 = _setup_accum(4)
+    tb16, sb16 = _setup_accum(4)
+    tb16.accum_dtype = "bfloat16"
+    batch = (jnp.asarray(x), jnp.asarray(y))
+    for _ in range(5):
+        sf32, mf = tf32._train_step(sf32, batch)
+        sb16, mb = tb16._train_step(sb16, batch)
+    np.testing.assert_allclose(float(mb["loss"]), float(mf["loss"]),
+                               rtol=2e-2)
+    for scope in sf32.params:
+        for name in sf32.params[scope]:
+            np.testing.assert_allclose(
+                np.asarray(sb16.params[scope][name]),
+                np.asarray(sf32.params[scope][name]), rtol=0.05,
+                atol=5e-3, err_msg=f"{scope}/{name}")
+
+
 def test_gradient_accumulation_with_bn_trains():
     """With BN the semantics are sequential microbatch steps — just
     verify it runs, updates stats, and the loss is finite."""
