@@ -44,6 +44,7 @@ from myconvnet_tpu.models.resnet import (resnet, resnet18, resnet34,
                                          se_resnet101, se_resnext50_32x4d)
 from myconvnet_tpu.models.fcn import fcn
 from myconvnet_tpu.models.ssd import ssd300, ssd512, tinydet
+from myconvnet_tpu.models.faster_rcnn import faster_rcnn, tinyfrcnn
 from myconvnet_tpu.models.retinanet import retinanet, tinyretina
 from myconvnet_tpu.models.shufflenet import shufflenet_v2
 from myconvnet_tpu.models.smallnet import smallnet
@@ -99,6 +100,8 @@ DETECTORS = {
     "ssd512": ssd512,
     "tinydet": tinydet,
     "retinanet": retinanet,
+    "faster_rcnn": faster_rcnn,
+    "tinyfrcnn": tinyfrcnn,
     "tinyretina": tinyretina,
 }
 

@@ -281,8 +281,8 @@ def build_detector(cfg: dict, synthetic: bool = False, mesh=None):
 
     from myconvnet_tpu.train import detection as det_lib
 
-    (net, anchors, focal_head, post, mean, std,
-     hw) = _detector_chain(cfg)
+    (net, anchors, focal_head, post, mean, std, hw,
+     two_stage) = _detector_chain(cfg)
     num_classes = cfg["num_classes"]
     aug = cfg.get("augment", {}) or {}
     opt = make_optimizer(cfg["optimizer"])
@@ -338,6 +338,25 @@ def build_detector(cfg: dict, synthetic: bool = False, mesh=None):
         saturation=aug.get("saturation", 0.0),
         hue=aug.get("hue", 0.0),
         mean=mean, std=std)
+    if two_stage:
+        from myconvnet_tpu.train import rcnn as rcnn_lib
+        step = jax.jit(rcnn_lib.make_rcnn_step(
+            net, opt, anchors, num_classes, augment=det_aug,
+            rpn_pos_iou=cfg.get("rpn_pos_iou", 0.7),
+            rpn_neg_iou=cfg.get("rpn_neg_iou", 0.3),
+            rpn_samples=cfg.get("rpn_samples", 256)))
+
+        @jax.jit
+        def predict(st, images):
+            x, _ = det_lib.preprocess_batch(
+                images, jnp.zeros((1, 1, 4)), None, mean=mean, std=std)
+            out, _ = net.apply(st.params, st.state, None, x,
+                               num_classes, train=False)
+            return post(out)
+
+        train_src, val_src = make_detection_sources(
+            dict(cfg, input_hw=hw), synthetic)
+        return state, step, predict, DataSet(train_src), DataSet(val_src)
     if focal_head:
         from functools import partial
         loss_fn = partial(det_lib.focal_det_loss,
@@ -376,7 +395,11 @@ def _detector_chain(cfg: dict):
     (export/serving) so the serving artifact can never silently drift
     from the eval chain.
 
-    Returns (net, anchors, focal_head, post, mean, std, input_hw).
+    Returns (net, anchors, focal_head, post, mean, std, input_hw,
+    two_stage).  For the two-stage family (models/faster_rcnn.py,
+    ``model_fn.family == "two_stage"``) ``anchors`` is the RPN grid,
+    ``post`` consumes the model's FRCNNOut, and ``net.apply`` accepts
+    the extra ``gt_boxes``/``gt_labels`` kwargs train/rcnn.py passes.
     """
     import jax.numpy as jnp
 
@@ -388,32 +411,44 @@ def _detector_chain(cfg: dict):
     policy = get_policy(cfg.get("precision", "f32"))
     kwargs = dict(cfg.get("model_kwargs", {}))
     num_classes = cfg["num_classes"]
+    two_stage = getattr(model_fn, "family", "") == "two_stage"
 
-    def fwd(x, n, train=False):
+    def fwd(x, n, train=False, **det_kw):
         with policy_scope(policy):
-            return model_fn(x, n, train=train, **kwargs)
+            return model_fn(x, n, train=train, **det_kw, **kwargs)
 
     net = transform(fwd)
     # the anchor grid + input size + head convention are properties of
-    # the detector architecture (models/ssd.py, models/retinanet.py
-    # attach them to the model fn)
-    if getattr(model_fn, "anchor_kind", "ssd") == "retina":
-        anchors = jnp.asarray(retina_anchors(model_fn.anchor_spec))
+    # the detector architecture (models/ssd.py, models/retinanet.py,
+    # models/faster_rcnn.py attach them to the model fn)
+    if two_stage:
+        from myconvnet_tpu.train import rcnn as rcnn_lib
+        anchors = jnp.asarray(retina_anchors(model_fn.rpn_spec))
+        post = rcnn_lib.make_rcnn_postprocess(
+            num_classes,
+            score_threshold=cfg.get("score_threshold", 0.05),
+            iou_threshold=cfg.get("nms_iou", 0.5),
+            max_detections=cfg.get("max_detections", 100),
+            pre_nms_topk=cfg.get("pre_nms_topk", 1000))
+        focal = False
     else:
-        anchors = jnp.asarray(ssd_anchors(model_fn.anchor_spec))
-    focal = getattr(model_fn, "head", "softmax") == "sigmoid_focal"
-    post = det_lib.make_postprocess(
-        anchors, num_classes,
-        score_threshold=cfg.get("score_threshold", 0.05),
-        iou_threshold=cfg.get("nms_iou", 0.45),
-        max_detections=cfg.get("max_detections", 100),
-        score_activation="sigmoid" if focal else "softmax",
-        pre_nms_topk=cfg.get("pre_nms_topk", 1000))
+        if getattr(model_fn, "anchor_kind", "ssd") == "retina":
+            anchors = jnp.asarray(retina_anchors(model_fn.anchor_spec))
+        else:
+            anchors = jnp.asarray(ssd_anchors(model_fn.anchor_spec))
+        focal = getattr(model_fn, "head", "softmax") == "sigmoid_focal"
+        post = det_lib.make_postprocess(
+            anchors, num_classes,
+            score_threshold=cfg.get("score_threshold", 0.05),
+            iou_threshold=cfg.get("nms_iou", 0.45),
+            max_detections=cfg.get("max_detections", 100),
+            score_activation="sigmoid" if focal else "softmax",
+            pre_nms_topk=cfg.get("pre_nms_topk", 1000))
     aug = cfg.get("augment", {}) or {}
     mean = tuple(aug.get("mean", IMAGENET_MEAN))
     std = tuple(aug.get("std", IMAGENET_STD))
     hw = tuple(cfg.get("input_hw", model_fn.input_hw))
-    return net, anchors, focal, post, mean, std, hw
+    return net, anchors, focal, post, mean, std, hw, two_stage
 
 
 def make_detector_inference(cfg: dict, state, *, int8: bool = False,
@@ -431,7 +466,8 @@ def make_detector_inference(cfg: dict, state, *, int8: bool = False,
     """
     import jax.numpy as jnp
 
-    net, _anchors, _focal, post, mean, std, _hw = _detector_chain(cfg)
+    (net, _anchors, _focal, post, mean, std, _hw,
+     two_stage) = _detector_chain(cfg)
     num_classes = cfg["num_classes"]
     mean = jnp.asarray(mean, jnp.float32)
     std = jnp.asarray(std, jnp.float32)
@@ -451,14 +487,12 @@ def make_detector_inference(cfg: dict, state, *, int8: bool = False,
         if int8:
             from myconvnet_tpu.core.quantize import int8_scope
             with int8_scope(scales=scales):
-                (cls_logits, loc), _ = net.apply(
-                    state.params, state.state, None, x, num_classes,
-                    train=False)
+                out, _ = net.apply(state.params, state.state, None, x,
+                                   num_classes, train=False)
         else:
-            (cls_logits, loc), _ = net.apply(
-                state.params, state.state, None, x, num_classes,
-                train=False)
-        return post(cls_logits, loc)
+            out, _ = net.apply(state.params, state.state, None, x,
+                               num_classes, train=False)
+        return post(out) if two_stage else post(*out)
 
     return fn
 

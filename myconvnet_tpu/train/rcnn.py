@@ -1,0 +1,214 @@
+"""Faster R-CNN training + eval: losses, ONE fused step, postprocess.
+
+Same discipline as train/detection.py (the single-shot family): the
+uint8 batch normalizes/augments on-device inside the SAME XLA program
+as the model and both losses; every shape is static.  The two stages
+train jointly (the paper's "approximate joint" scheme — proposals are
+stop_gradient'ed in the model, so RPN gradients come only from its own
+objectness/box losses).
+
+Losses follow the torchvision normalization conventions:
+* RPN: 256 sampled anchors/image (<=50% foreground) via the same
+  top-k-of-boosted-priorities trick as the RoI subsample; binary
+  cross-entropy mean over sampled, smooth-L1 summed over foreground /
+  num sampled.  Matching is train/detection.match_anchors_band with
+  the RPN's 0.7/0.3 band.
+* RoI head: softmax cross-entropy mean over sampled RoIs; smooth-L1 on
+  the TARGET class's deltas, summed over foreground / num sampled.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from myconvnet_tpu.core.module import Transformed
+from myconvnet_tpu.ops import boxes as box_ops
+from myconvnet_tpu.train import detection as det_lib
+from myconvnet_tpu.train.detection import (DetAugment, DetState,
+                                           _smooth_l1,
+                                           augment_detection_batch,
+                                           match_anchors_band)
+from myconvnet_tpu.train.optim import Optimizer
+
+# ------------------------------------------------------------------ losses
+
+
+def _bce_logits(z, y):
+    """Numerically-stable sigmoid binary cross-entropy."""
+    return jnp.maximum(z, 0.0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z)))
+
+
+def rpn_loss(key: jax.Array, rpn_logits: jax.Array, rpn_loc: jax.Array,
+             gt_boxes: jax.Array, gt_labels: jax.Array,
+             anchors: jax.Array, *, num_samples: int = 256,
+             fg_fraction: float = 0.5, pos_iou: float = 0.7,
+             neg_iou: float = 0.3
+             ) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """RPN objectness + box loss over a batch.
+
+    rpn_logits [B,A], rpn_loc [B,A,4], gt_boxes [B,M,4], gt_labels
+    [B,M] (-1 padding), anchors [A,4].
+    """
+    B = rpn_logits.shape[0]
+    m_boxes, _, positive, ignore = jax.vmap(
+        lambda b, l: match_anchors_band(anchors, b, l, pos_iou, neg_iou)
+    )(gt_boxes, gt_labels)
+    negative = ~positive & ~ignore
+
+    def sample(k, fg, bg):
+        rand = jax.random.uniform(k, fg.shape)
+        n_fg_max = int(round(num_samples * fg_fraction))
+        fg_rand = jnp.where(fg, rand, -jnp.inf)
+        fg_rank = jnp.argsort(jnp.argsort(-fg_rand))
+        prio = jnp.where(fg & (fg_rank < n_fg_max), rand + 2.0,
+                         jnp.where(bg, rand, -jnp.inf))
+        vals, sel = jax.lax.top_k(prio, num_samples)
+        return sel, vals > -jnp.inf
+
+    sel, sel_valid = jax.vmap(sample)(jax.random.split(key, B),
+                                      positive, negative)
+
+    take = lambda t: jnp.take_along_axis(t, sel, axis=1)  # noqa: E731
+    z = take(rpn_logits)
+    is_pos = take(positive) & sel_valid
+    y = is_pos.astype(z.dtype)
+    obj = jnp.where(sel_valid, _bce_logits(z, y), 0.0)
+    n_sampled = jnp.maximum(sel_valid.sum(), 1).astype(z.dtype)
+    obj_loss = obj.sum() / n_sampled
+
+    targets = box_ops.encode_boxes(m_boxes, anchors[None],
+                                   variances=(1.0, 1.0))
+    t_sel = jnp.take_along_axis(targets, sel[..., None], axis=1)
+    l_sel = jnp.take_along_axis(rpn_loc, sel[..., None], axis=1)
+    reg = _smooth_l1(l_sel - jax.lax.stop_gradient(t_sel)).sum(-1)
+    reg_loss = jnp.where(is_pos, reg, 0.0).sum() / n_sampled
+
+    loss = obj_loss + reg_loss
+    return loss, {"rpn_obj": obj_loss, "rpn_reg": reg_loss,
+                  "rpn_pos": is_pos.sum()}
+
+
+def roi_head_loss(roi_cls: jax.Array, roi_reg: jax.Array,
+                  labels: jax.Array, targets: jax.Array,
+                  pos: jax.Array, valid: jax.Array
+                  ) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """Second-stage loss: roi_cls [B,S,C], roi_reg [B,S,C,4],
+    labels/targets/pos/valid from the model's in-forward sampling."""
+    ce = -jnp.take_along_axis(jax.nn.log_softmax(roi_cls),
+                              labels[..., None], axis=-1)[..., 0]
+    n = jnp.maximum(valid.sum(), 1).astype(roi_cls.dtype)
+    cls_loss = jnp.where(valid, ce, 0.0).sum() / n
+
+    # deltas of the TARGET class only (per-class regression)
+    reg_t = jnp.take_along_axis(
+        roi_reg, labels[..., None, None].astype(jnp.int32)
+        .repeat(4, axis=-1), axis=2)[:, :, 0]          # [B,S,4]
+    reg = _smooth_l1(reg_t - jax.lax.stop_gradient(targets)).sum(-1)
+    reg_loss = jnp.where(pos, reg, 0.0).sum() / n
+
+    acc = jnp.where(valid, (roi_cls.argmax(-1) == labels), False)
+    metrics = {"roi_cls": cls_loss, "roi_reg": reg_loss,
+               "roi_acc": acc.sum() / n, "roi_pos": pos.sum()}
+    return cls_loss + reg_loss, metrics
+
+# -------------------------------------------------------------------- step
+
+
+def make_rcnn_step(net: Transformed, opt: Optimizer,
+                   rpn_anchors: jax.Array, num_classes: int, *,
+                   augment: DetAugment | None = None,
+                   rpn_pos_iou: float = 0.7, rpn_neg_iou: float = 0.3,
+                   rpn_samples: int = 256) -> Callable:
+    """One fused two-stage step:
+    (state, (images, gt_boxes, gt_labels)) -> (state, metrics).
+
+    ``net`` is a transform of models/faster_rcnn.* — its apply takes
+    (x, num_classes, train=, gt_boxes=, gt_labels=) and returns
+    FRCNNOut with the RoI targets sampled in-forward.
+    """
+
+    def step(state: DetState, batch):
+        images, gt_boxes, gt_labels = batch
+        key = jax.random.fold_in(jax.random.wrap_key_data(state.rng),
+                                 state.step)
+        aug_key, rpn_key, model_key = jax.random.split(key, 3)
+        if augment is not None:
+            images, gt_boxes, gt_labels = augment_detection_batch(
+                images, gt_boxes, gt_labels, aug_key, augment)
+
+        def objective(params):
+            out, new_state = net.apply(
+                params, state.state, model_key, images, num_classes,
+                train=True, gt_boxes=gt_boxes, gt_labels=gt_labels)
+            l_rpn, m_rpn = rpn_loss(
+                rpn_key, out.rpn_logits, out.rpn_loc, gt_boxes,
+                gt_labels, rpn_anchors, num_samples=rpn_samples,
+                pos_iou=rpn_pos_iou, neg_iou=rpn_neg_iou)
+            l_roi, m_roi = roi_head_loss(
+                out.roi_cls, out.roi_reg, out.roi_labels,
+                out.roi_targets, out.roi_pos, out.roi_valid)
+            loss = l_rpn + l_roi
+            metrics = {"loss": loss, **m_rpn, **m_roi}
+            return loss, (new_state, metrics)
+
+        (_, (new_state, metrics)), grads = jax.value_and_grad(
+            objective, has_aux=True)(state.params)
+        new_params, new_opt = opt.update(grads, state.opt, state.params,
+                                         state.step)
+        return DetState(new_params, new_state, new_opt, state.step + 1,
+                        state.rng), metrics
+
+    return step
+
+# ------------------------------------------------------------- postprocess
+
+
+def make_rcnn_postprocess(num_classes: int, *,
+                          score_threshold: float = 0.05,
+                          iou_threshold: float = 0.5,
+                          max_detections: int = 100,
+                          pre_nms_topk: int = 1000) -> Callable:
+    """Jittable FRCNNOut (eval mode) -> (boxes [B,D,4], scores [B,D],
+    labels [B,D], valid [B,D]) — the same contract as
+    train.detection.make_postprocess, so every evaluator, TTA merge and
+    serving surface downstream works unchanged.
+
+    Per image: softmax over the head, per-class decode against the
+    proposals, flatten [S, C-1] candidates, top-k, class-aware NMS.
+    """
+
+    def postprocess(out):
+        rois, roi_valid = out.rois, out.roi_valid
+        probs = jax.nn.softmax(out.roi_cls, axis=-1)[..., 1:]  # [B,S,F]
+        deltas = out.roi_reg[..., 1:, :]                       # [B,S,F,4]
+        boxes = box_ops.decode_boxes(deltas, rois[:, :, None, :])
+        boxes = jnp.clip(boxes, 0.0, 1.0)
+        B, S, F = probs.shape
+        scores = jnp.where(roi_valid[..., None], probs, 0.0)
+        flat_scores = scores.reshape(B, S * F)
+        flat_boxes = boxes.reshape(B, S * F, 4)
+        flat_labels = jnp.broadcast_to(
+            jnp.arange(1, F + 1, dtype=jnp.int32)[None, None, :],
+            (B, S, F)).reshape(B, S * F)
+        k = min(pre_nms_topk, S * F)
+        top_scores, idx = jax.lax.top_k(flat_scores, k)
+        top_boxes = jnp.take_along_axis(flat_boxes, idx[..., None],
+                                        axis=1)
+        top_labels = jnp.take_along_axis(flat_labels, idx, axis=1)
+
+        def one(b, s, l):
+            sel, valid = box_ops.batched_nms(
+                b, s, l, iou_threshold=iou_threshold,
+                max_out=max_detections, score_threshold=score_threshold)
+            oh = jax.nn.one_hot(sel, b.shape[0], dtype=b.dtype)
+            pick = lambda m, v: jnp.einsum(  # noqa: E731
+                "da,a...->d...", m, v, precision="highest")
+            return (pick(oh, b), pick(oh, s),
+                    pick(oh, l.astype(b.dtype)).astype(jnp.int32), valid)
+
+        return jax.vmap(one)(top_boxes, top_scores, top_labels)
+
+    return postprocess
