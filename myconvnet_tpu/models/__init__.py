@@ -45,6 +45,7 @@ from myconvnet_tpu.models.resnet import (resnet, resnet18, resnet34,
 from myconvnet_tpu.models.fcn import fcn
 from myconvnet_tpu.models.ssd import ssd300, ssd512, tinydet
 from myconvnet_tpu.models.faster_rcnn import faster_rcnn, tinyfrcnn
+from myconvnet_tpu.models.mask_rcnn import mask_rcnn, tinymask
 from myconvnet_tpu.models.retinanet import retinanet, tinyretina
 from myconvnet_tpu.models.shufflenet import shufflenet_v2
 from myconvnet_tpu.models.smallnet import smallnet
@@ -102,6 +103,8 @@ DETECTORS = {
     "retinanet": retinanet,
     "faster_rcnn": faster_rcnn,
     "tinyfrcnn": tinyfrcnn,
+    "mask_rcnn": mask_rcnn,
+    "tinymask": tinymask,
     "tinyretina": tinyretina,
 }
 

@@ -75,6 +75,7 @@ class FRCNNOut(NamedTuple):
     roi_labels: jax.Array      # [B, S]     train targets (eval: zeros)
     roi_targets: jax.Array     # [B, S, 4]  train targets (eval: zeros)
     roi_pos: jax.Array         # [B, S]     train fg mask (eval: False)
+    roi_gt: jax.Array          # [B, S]     matched gt row (eval: zeros)
 
 
 def _rpn_heads(feats, ch):
@@ -135,7 +136,7 @@ def _two_stage(x, num_classes, *, train, gt_boxes, gt_labels, feats,
     B = x.shape[0]
     if train and gt_boxes is not None:
         keys = jax.random.split(next_rng_key(), B)
-        rois, labels, targets, pos, valid = jax.vmap(
+        rois, labels, targets, pos, valid, roi_gt = jax.vmap(
             lambda k, p, v, gb, gl: roi_ops.match_and_sample_rois(
                 k, p, v, gb, gl, num_samples=num_samples,
                 fg_fraction=fg_fraction, fg_iou=fg_iou)
@@ -147,30 +148,20 @@ def _two_stage(x, num_classes, *, train, gt_boxes, gt_labels, feats,
         labels = jnp.zeros((B, S), jnp.int32)
         targets = jnp.zeros((B, S, 4), rois.dtype)
         pos = jnp.zeros((B, S), bool)
+        roi_gt = jnp.zeros((B, S), jnp.int32)
 
     crops = roi_ops.multilevel_roi_align(
         feats[:align_levels], rois, out_size=out_size, chunk=chunk)
     roi_cls, roi_reg = _box_head(crops, num_classes, fc_dim)
     return FRCNNOut(rpn_logits, rpn_loc, rois, valid, scores,
-                    roi_cls, roi_reg, labels, targets, pos)
+                    roi_cls, roi_reg, labels, targets, pos, roi_gt)
 
 
-def faster_rcnn(x: jax.Array, num_classes: int = 21, *,
-                train: bool = False, gt_boxes=None, gt_labels=None,
-                depth: int = 50, fpn_channels: int = 256,
-                fc_dim: int = 1024, stem: str = "conv7",
-                pre_topk: int = 2000, post_train: int = 1000,
-                post_eval: int = 300, rpn_nms_iou: float = 0.7,
-                num_samples: int = 512, fg_fraction: float = 0.25,
-                fg_iou: float = 0.5, roi_chunk: int = 128) -> FRCNNOut:
-    """Faster R-CNN, ResNet-FPN trunk, 512x512 input.
-
-    Pyramid: P3-P5 from C3-C5 laterals (models/retinanet._fpn,
-    levels=3) + P6 = stride-2 subsample of P5 for the RPN only (the
-    FPN paper's RPN convention); RoIAlign pools from P3-P5 by RoI
-    scale.  Pair with train.rcnn.make_rcnn_step /
-    make_rcnn_postprocess.
-    """
+def _frcnn512_trunk(x, *, train, depth, fpn_channels, stem):
+    """ResNet-FPN trunk for the 512x512 two-stage family: P3-P5 from
+    C3-C5 laterals (models/retinanet._fpn, levels=3) + P6 = stride-2
+    subsample of P5 for the RPN only (the FPN paper's RPN
+    convention)."""
     with nn.scope_named("backbone"):
         _, c3, c4, c5 = resnet_backbone(x, depth, train=train, stem=stem,
                                         return_stages=True)
@@ -182,6 +173,40 @@ def faster_rcnn(x: jax.Array, num_classes: int = 21, *,
     if sizes != want:
         raise ValueError(f"pyramid {sizes} != RPN spec {want} — input "
                          "must be 512x512")
+    return feats
+
+
+def _tiny_trunk(x, *, width):
+    """CPU-smoke trunk: 5 stride-2 convs -> 3-level FPN (16/8/4@128²)."""
+    with nn.scope_named("backbone"):
+        c1 = nn.relu(nn.conv(x, width, 3, stride=2, name="c1"))
+        c2 = nn.relu(nn.conv(c1, width, 3, stride=2, name="c2"))
+        c3 = nn.relu(nn.conv(c2, width * 2, 3, stride=2, name="c3"))
+        c4 = nn.relu(nn.conv(c3, width * 2, 3, stride=2, name="c4"))
+        c5 = nn.relu(nn.conv(c4, width * 4, 3, stride=2, name="c5"))
+    feats = list(_fpn(c3, c4, c5, width * 2, levels=3))
+    sizes = tuple(f.shape[1] for f in feats)
+    want = tuple(s[0] for s in TINYFRCNN_RPN_SPEC)
+    if sizes != want:
+        raise ValueError(f"pyramid {sizes} != RPN spec {want} — input "
+                         "must be 128x128")
+    return feats
+
+
+def faster_rcnn(x: jax.Array, num_classes: int = 21, *,
+                train: bool = False, gt_boxes=None, gt_labels=None,
+                depth: int = 50, fpn_channels: int = 256,
+                fc_dim: int = 1024, stem: str = "conv7",
+                pre_topk: int = 2000, post_train: int = 1000,
+                post_eval: int = 300, rpn_nms_iou: float = 0.7,
+                num_samples: int = 512, fg_fraction: float = 0.25,
+                fg_iou: float = 0.5, roi_chunk: int = 128) -> FRCNNOut:
+    """Faster R-CNN, ResNet-FPN trunk (_frcnn512_trunk), 512x512 input;
+    RoIAlign pools from P3-P5 by RoI scale.  Pair with
+    train.rcnn.make_rcnn_step / make_rcnn_postprocess.
+    """
+    feats = _frcnn512_trunk(x, train=train, depth=depth,
+                            fpn_channels=fpn_channels, stem=stem)
     return _two_stage(
         x, num_classes, train=train, gt_boxes=gt_boxes,
         gt_labels=gt_labels, feats=feats, rpn_spec=FRCNN512_RPN_SPEC,
@@ -205,18 +230,7 @@ def tinyfrcnn(x: jax.Array, num_classes: int = 21, *,
               fg_fraction: float = 0.25) -> FRCNNOut:
     """CPU-runnable two-stage smoke variant: 128x128 input, 3-level
     pyramid (16/8/4), tiny trunk and head, 5x5 RoIAlign."""
-    with nn.scope_named("backbone"):
-        c1 = nn.relu(nn.conv(x, width, 3, stride=2, name="c1"))
-        c2 = nn.relu(nn.conv(c1, width, 3, stride=2, name="c2"))
-        c3 = nn.relu(nn.conv(c2, width * 2, 3, stride=2, name="c3"))
-        c4 = nn.relu(nn.conv(c3, width * 2, 3, stride=2, name="c4"))
-        c5 = nn.relu(nn.conv(c4, width * 4, 3, stride=2, name="c5"))
-    feats = list(_fpn(c3, c4, c5, width * 2, levels=3))
-    sizes = tuple(f.shape[1] for f in feats)
-    want = tuple(s[0] for s in TINYFRCNN_RPN_SPEC)
-    if sizes != want:
-        raise ValueError(f"pyramid {sizes} != RPN spec {want} — input "
-                         "must be 128x128")
+    feats = _tiny_trunk(x, width=width)
     return _two_stage(
         x, num_classes, train=train, gt_boxes=gt_boxes,
         gt_labels=gt_labels, feats=feats, rpn_spec=TINYFRCNN_RPN_SPEC,

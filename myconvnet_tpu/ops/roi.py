@@ -169,7 +169,9 @@ def match_and_sample_rois(key: jax.Array, proposals: jax.Array,
 
     Returns (rois [S,4], labels [S] int32 — 0 is background,
     reg_targets [S,4] encode_boxes vs the roi, pos [S] bool,
-    valid [S] bool).
+    valid [S] bool, matched_gt [S] int32 — the best-IoU gt row per
+    RoI, meaningful where ``pos``; the mask branch crops its training
+    targets from the instance this index names).
     """
     m = gt_boxes.shape[0]
     gt_valid = gt_labels >= 0
@@ -204,4 +206,96 @@ def match_and_sample_rois(key: jax.Array, proposals: jax.Array,
                           jnp.array([0.0, 0.0, 1.0, 1.0], rois.dtype))
     targets = box_ops.encode_boxes(matched_boxes, safe_rois)
     targets = jnp.where(pos[:, None], targets, 0.0)
-    return rois, labels, targets, pos, valid
+    return rois, labels, targets, pos, valid, matched_gt.astype(jnp.int32)
+
+# ------------------------------------------------------------ mask crops
+
+
+def crop_instance_masks(inst_map: jax.Array, rois: jax.Array,
+                        inst_idx: jax.Array, out_size: int = 28,
+                        samples: int = 2, chunk: int = 32) -> jax.Array:
+    """Per-RoI mask-training targets from an instance-id map, as matmuls.
+
+    inst_map [B,H,W] int (0 background, instance ``k`` stored as
+    ``k+1`` — the VOC SegmentationObject convention), rois [B,S,4]
+    normalized xyxy, inst_idx [B,S] matched instance per RoI ->
+    [B,S,out,out] float32 soft indicators in [0,1] (bilinear crop of
+    the per-RoI binary mask; threshold at 0.5 for hard targets).
+
+    Same design as :func:`roi_align`: the crop operator is linear, so
+    each RoI is two einsums against pooled interpolation weights; the
+    per-RoI [chunk,H,W] indicator bounds HBM through ``lax.map``.
+    """
+    B, H, W = inst_map.shape
+    S = rois.shape[1]
+    ch = min(chunk, S)
+    nch = -(-S // ch)
+    pad = nch * ch - S
+
+    def one_image(m, r, ix):
+        if pad:
+            r = jnp.concatenate([r, jnp.zeros((pad, 4), r.dtype)])
+            ix = jnp.concatenate([ix, jnp.zeros((pad,), ix.dtype)])
+
+        def one_chunk(args):
+            rc, ic = args
+            ind = (m[None] == (ic[:, None, None] + 1)).astype(jnp.float32)
+            rw = _pooled_axis_weights(rc[:, 1], rc[:, 3], H, out_size,
+                                      samples)
+            cw = _pooled_axis_weights(rc[:, 0], rc[:, 2], W, out_size,
+                                      samples)
+            t = jnp.einsum("pih,phw->piw", rw, ind)
+            return jnp.einsum("pjw,piw->pij", cw, t)
+
+        out = jax.lax.map(one_chunk, (r.reshape(nch, ch, 4),
+                                      ix.reshape(nch, ch)))
+        return out.reshape(nch * ch, out_size, out_size)[:S]
+
+    return jax.vmap(one_image)(inst_map, rois, inst_idx)
+
+
+def _paste_axis_weights(lo: jax.Array, hi: jax.Array, size: int,
+                        msize: int) -> jax.Array:
+    """Paste-operator weights [D, size, msize] for one axis: output
+    pixel centers inside [lo, hi] sample the mask bilinearly at the
+    box-relative coordinate; pixels outside the box get zero rows.
+    The adjoint view of :func:`_pooled_axis_weights`."""
+    pix = (jnp.arange(size, dtype=jnp.float32) + 0.5) / size
+    span = jnp.maximum(hi - lo, 1e-9)
+    mc = (pix[None, :] - lo[:, None]) / span[:, None] * msize - 0.5
+    grid = jnp.arange(msize, dtype=mc.dtype)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(mc[..., None] - grid))
+    inside = (pix[None, :] >= lo[:, None]) & (pix[None, :] <= hi[:, None])
+    return w * inside[..., None]
+
+
+def paste_masks(masks: jax.Array, boxes: jax.Array,
+                out_hw: tuple[int, int], chunk: int = 32) -> jax.Array:
+    """Detection-box mask paste: masks [B,D,s,s] (probabilities) +
+    boxes [B,D,4] normalized xyxy -> [B,D,H,W] soft full-frame masks
+    (zero outside each box).  Two einsums per chunk; threshold at 0.5
+    for binary output.  Mind the output size: [D,H,W] floats per image
+    — paste at eval resolution, not print resolution."""
+    H, W = out_hw
+    B, D, s, _ = masks.shape
+    ch = min(chunk, D)
+    nch = -(-D // ch)
+    pad = nch * ch - D
+
+    def one_image(m, b):
+        if pad:
+            m = jnp.concatenate([m, jnp.zeros((pad, s, s), m.dtype)])
+            b = jnp.concatenate([b, jnp.zeros((pad, 4), b.dtype)])
+
+        def one_chunk(args):
+            mc, bc = args
+            rw = _paste_axis_weights(bc[:, 1], bc[:, 3], H, s)
+            cw = _paste_axis_weights(bc[:, 0], bc[:, 2], W, s)
+            t = jnp.einsum("dhs,dst->dht", rw, mc)
+            return jnp.einsum("dwt,dht->dhw", cw, t)
+
+        out = jax.lax.map(one_chunk, (m.reshape(nch, ch, s, s),
+                                      b.reshape(nch, ch, 4)))
+        return out.reshape(nch * ch, H, W)[:D]
+
+    return jax.vmap(one_image)(masks, boxes)

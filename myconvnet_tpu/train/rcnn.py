@@ -114,6 +114,26 @@ def roi_head_loss(roi_cls: jax.Array, roi_reg: jax.Array,
                "roi_acc": acc.sum() / n, "roi_pos": pos.sum()}
     return cls_loss + reg_loss, metrics
 
+def mask_head_loss(mask_logits: jax.Array, mask_labels: jax.Array,
+                   mask_valid: jax.Array, mask_targets: jax.Array
+                   ) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """Mask R-CNN mask loss: binary cross-entropy on the TARGET class's
+    channel only (He et al. 2017 — no inter-class mask competition),
+    mean over pixels, mean over positive mask RoIs.
+
+    mask_logits [B,Sm,p,p,F] (F = num_classes - 1, class c reads
+    channel c-1), mask_labels [B,Sm] in 1..C-1 where valid,
+    mask_valid [B,Sm], mask_targets [B,Sm,p,p] in [0,1].
+    """
+    ch = jnp.clip(mask_labels - 1, 0, mask_logits.shape[-1] - 1)
+    z = jnp.take_along_axis(
+        mask_logits, ch[:, :, None, None, None], axis=-1)[..., 0]
+    bce = _bce_logits(z, jax.lax.stop_gradient(mask_targets))
+    per_roi = bce.mean(axis=(-2, -1))                     # [B,Sm]
+    n = jnp.maximum(mask_valid.sum(), 1).astype(z.dtype)
+    loss = jnp.where(mask_valid, per_roi, 0.0).sum() / n
+    return loss, {"mask_loss": loss, "mask_pos": mask_valid.sum()}
+
 # -------------------------------------------------------------------- step
 
 
@@ -162,6 +182,126 @@ def make_rcnn_step(net: Transformed, opt: Optimizer,
                         state.rng), metrics
 
     return step
+
+# ------------------------------------------------------------ mask branch
+
+
+def augment_instance_batch(images: jax.Array, boxes: jax.Array,
+                           labels: jax.Array, inst: jax.Array,
+                           key: jax.Array, cfg: DetAugment):
+    """Instance-segmentation augmentation: the detection chain with the
+    instance-id map [B,H,W] carried through geometry.
+
+    Supported: photometric distortion + box/mask-aware hflip +
+    normalize (the Mask R-CNN paper's train-time augmentation is flips
+    only).  The window-warp/mosaic options would need a nearest-
+    neighbor map warp — rejected explicitly rather than silently
+    desynchronizing boxes from masks.
+    """
+    if cfg.has_geometry or cfg.mosaic_prob > 0.0:
+        raise ValueError("expand/IoU-crop/mosaic are box-only; the "
+                         "instance-mask chain supports hflip + "
+                         "photometric (set expand_prob=0, "
+                         "iou_crop=False, mosaic_prob=0)")
+    from myconvnet_tpu.data import augment as aug
+
+    x = images.astype(jnp.float32)
+    if images.dtype == jnp.uint8:
+        x = x / 255.0
+    k_col, k_flip = jax.random.split(key)
+    if cfg.has_photometric:
+        x = aug.color_jitter(k_col, x, brightness=cfg.brightness,
+                             contrast=cfg.contrast,
+                             saturation=cfg.saturation, hue=cfg.hue)
+    if cfg.hflip:
+        flip = jax.random.bernoulli(k_flip, 0.5, (x.shape[0],))
+        x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+        inst = jnp.where(flip[:, None, None], inst[:, :, ::-1], inst)
+        flipped = jnp.stack([1.0 - boxes[..., 2], boxes[..., 1],
+                             1.0 - boxes[..., 0], boxes[..., 3]],
+                            axis=-1)
+        boxes = jnp.where(flip[:, None, None], flipped, boxes)
+    if cfg.mean is not None:
+        x = (x - jnp.asarray(cfg.mean, x.dtype)) / jnp.asarray(
+            cfg.std, x.dtype)
+    return x, boxes, labels, inst
+
+
+def make_mask_rcnn_step(net: Transformed, opt: Optimizer,
+                        rpn_anchors: jax.Array, num_classes: int, *,
+                        augment: DetAugment | None = None,
+                        rpn_pos_iou: float = 0.7,
+                        rpn_neg_iou: float = 0.3,
+                        rpn_samples: int = 256) -> Callable:
+    """One fused Mask R-CNN step:
+    (state, (images, gt_boxes, gt_labels, gt_inst)) -> (state, metrics).
+
+    ``gt_inst`` is the instance-id map [B,H,W] (0 background, gt row k
+    stored as k+1 — subsets/voc.py instance sources).  Mask targets
+    crop inside the program (ops/roi.crop_instance_masks) from the
+    instances the in-forward RoI sampling matched; all three losses
+    (RPN, box head, mask head) backprop in ONE XLA program.
+    """
+    from myconvnet_tpu.ops import roi as roi_ops
+
+    def step(state: DetState, batch):
+        images, gt_boxes, gt_labels, gt_inst = batch
+        key = jax.random.fold_in(jax.random.wrap_key_data(state.rng),
+                                 state.step)
+        aug_key, rpn_key, model_key = jax.random.split(key, 3)
+        if augment is not None:
+            images, gt_boxes, gt_labels, gt_inst = augment_instance_batch(
+                images, gt_boxes, gt_labels, gt_inst, aug_key, augment)
+
+        def objective(params):
+            out, new_state = net.apply(
+                params, state.state, model_key, images, num_classes,
+                train=True, gt_boxes=gt_boxes, gt_labels=gt_labels)
+            l_rpn, m_rpn = rpn_loss(
+                rpn_key, out.rpn_logits, out.rpn_loc, gt_boxes,
+                gt_labels, rpn_anchors, num_samples=rpn_samples,
+                pos_iou=rpn_pos_iou, neg_iou=rpn_neg_iou)
+            l_roi, m_roi = roi_head_loss(
+                out.roi_cls, out.roi_reg, out.roi_labels,
+                out.roi_targets, out.roi_pos, out.roi_valid)
+            soft = roi_ops.crop_instance_masks(
+                gt_inst, jax.lax.stop_gradient(out.mask_rois),
+                out.mask_gt, out_size=out.mask_logits.shape[2])
+            targets = (soft >= 0.5).astype(out.mask_logits.dtype)
+            l_mask, m_mask = mask_head_loss(
+                out.mask_logits, out.mask_labels, out.mask_valid,
+                targets)
+            loss = l_rpn + l_roi + l_mask
+            metrics = {"loss": loss, **m_rpn, **m_roi, **m_mask}
+            return loss, (new_state, metrics)
+
+        (_, (new_state, metrics)), grads = jax.value_and_grad(
+            objective, has_aux=True)(state.params)
+        new_params, new_opt = opt.update(grads, state.opt, state.params,
+                                         state.step)
+        return DetState(new_params, new_state, new_opt, state.step + 1,
+                        state.rng), metrics
+
+    return step
+
+
+def make_mask_predict(net: Transformed, num_classes: int) -> Callable:
+    """Jittable detection-time mask pass: (params, state, key, images,
+    det_boxes [B,D,4], det_labels [B,D]) -> masks [B,D,p,p] in [0,1]
+    — the model's ``mask_rois=`` mode on the POST-NMS boxes, reading
+    each detection's own class channel.  Paste to the frame with
+    ops/roi.paste_masks."""
+
+    def predict(params, state, key, images, det_boxes, det_labels):
+        logits, _ = net.apply(params, state, key, images, num_classes,
+                              mask_rois=det_boxes)
+        ch = jnp.clip(det_labels.astype(jnp.int32) - 1, 0,
+                      logits.shape[-1] - 1)
+        z = jnp.take_along_axis(
+            logits, ch[:, :, None, None, None], axis=-1)[..., 0]
+        return jax.nn.sigmoid(z)
+
+    return predict
 
 # ------------------------------------------------------------- postprocess
 

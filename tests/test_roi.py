@@ -113,14 +113,16 @@ def test_match_and_sample_rois_quota_and_targets():
     bg_props = jnp.asarray([[0.0, 0.5, 0.1, 0.6]] * 24)   # 24 bg
     props = jnp.concatenate([fg_props, bg_props])
     valid = jnp.ones((32,), bool)
-    rois, labels, targets, pos, ok = R.match_and_sample_rois(
+    rois, labels, targets, pos, ok, mgt = R.match_and_sample_rois(
         key, props, valid, gt, gt_labels, num_samples=16,
         fg_fraction=0.25)
-    labels, pos, ok = (np.asarray(t) for t in (labels, pos, ok))
+    labels, pos, ok, mgt = (np.asarray(t) for t in (labels, pos, ok, mgt))
     assert rois.shape == (16, 4) and ok.all()
     assert pos.sum() == 4                       # fg quota = 16 * 0.25
     assert set(labels[pos]) <= {3, 7}
     assert (labels[~pos] == 0).all()
+    # matched gt row agrees with the label each positive RoI carries
+    assert (labels[pos] == np.asarray([3, 7])[mgt[pos]]).all()
     # exact-overlap fg rois encode to ~zero targets
     t = np.asarray(targets)[pos]
     np.testing.assert_allclose(t, 0.0, atol=1e-5)
@@ -133,9 +135,66 @@ def test_match_and_sample_rois_no_gt_is_all_background():
     props = props.at[:, 2:].set(props[:, :2] + 0.2)
     gt = jnp.zeros((4, 4))
     gt_labels = jnp.full((4,), -1, jnp.int32)
-    _, labels, _, pos, ok = R.match_and_sample_rois(
+    _, labels, _, pos, ok, _ = R.match_and_sample_rois(
         key, props, jnp.ones((16,), bool), gt, gt_labels,
         num_samples=8)
     assert not np.asarray(pos).any()
     assert (np.asarray(labels) == 0).all()
     assert np.asarray(ok).any()
+
+
+def test_crop_instance_masks_axis_aligned_rectangles():
+    # instance 1 fills rows 4..11, cols 2..9 of a 16x16 map; cropping
+    # exactly that box must give an (almost) all-ones 4x4 target, and
+    # a background box all zeros
+    inst = np.zeros((1, 16, 16), np.int32)
+    inst[0, 4:12, 2:10] = 1
+    inst[0, 0:2, 12:16] = 2
+    rois = jnp.asarray([[[2 / 16, 4 / 16, 10 / 16, 12 / 16],
+                         [12 / 16, 0 / 16, 16 / 16, 2 / 16],
+                         [0.6, 0.6, 0.9, 0.9]]])
+    idx = jnp.asarray([[0, 1, 0]], jnp.int32)
+    out = np.asarray(R.crop_instance_masks(jnp.asarray(inst), rois, idx,
+                                           out_size=4, chunk=2))
+    assert out.shape == (1, 3, 4, 4)
+    # bilinear sampling softens instance edges; the training loss
+    # thresholds targets at 0.5, so assert at that operating point
+    assert (out[0, 0] > 0.5).all()        # interior of instance 1
+    assert (out[0, 1] > 0.5).all()        # interior of instance 2
+    assert (out[0, 2] < 0.5).all()        # empty region, wrong id
+
+
+def test_crop_instance_masks_selects_by_index():
+    # two instances side by side; the same roi crops different content
+    # depending on which instance index it carries
+    inst = np.zeros((1, 8, 8), np.int32)
+    inst[0, :, :4] = 1
+    inst[0, :, 4:] = 2
+    roi = jnp.asarray([[[0.0, 0.0, 1.0, 1.0],
+                        [0.0, 0.0, 1.0, 1.0]]])
+    idx = jnp.asarray([[0, 1]], jnp.int32)
+    out = np.asarray(R.crop_instance_masks(jnp.asarray(inst), roi, idx,
+                                           out_size=8))
+    # left half hot for instance 1, right half hot for instance 2
+    assert out[0, 0, :, :3].min() > 0.9 and out[0, 0, :, 5:].max() < 0.1
+    assert out[0, 1, :, 5:].min() > 0.9 and out[0, 1, :, :3].max() < 0.1
+
+
+def test_paste_masks_roundtrip_and_outside_zero():
+    # paste a solid 4x4 mask into a box: inside ~1, outside exactly 0
+    masks = jnp.ones((1, 1, 4, 4))
+    boxes = jnp.asarray([[[0.25, 0.25, 0.75, 0.75]]])
+    out = np.asarray(R.paste_masks(masks, boxes, (16, 16)))
+    assert out.shape == (1, 1, 16, 16)
+    assert out[0, 0, 8, 8] > 0.99                  # box interior
+    assert out[0, 0, 0, 0] == 0.0                  # far outside
+    assert out[0, 0, 2, 8] == 0.0                  # above the box
+    # crop-then-paste of an axis-aligned rectangle roughly recovers it
+    inst = np.zeros((1, 16, 16), np.int32)
+    inst[0, 4:12, 4:12] = 1
+    box = jnp.asarray([[[4 / 16, 4 / 16, 12 / 16, 12 / 16]]])
+    crop = R.crop_instance_masks(jnp.asarray(inst), box,
+                                 jnp.zeros((1, 1), jnp.int32), out_size=8)
+    pasted = np.asarray(R.paste_masks(crop, box, (16, 16)))[0, 0]
+    assert pasted[6:10, 6:10].min() > 0.9          # instance interior
+    assert pasted[:3, :].max() < 0.1               # background stays off
