@@ -103,28 +103,30 @@ class MeanAPEvaluator(Evaluator):
         thr = self.iou_threshold if iou_threshold is None else iou_threshold
         aps = {}
         for c in range(1, self.num_classes):
-            gts = [(i, box, diff) for i, lab, box, diff in self._gts
-                   if lab == c]
-            n_real = sum(1 for _, _, diff in gts if not diff)
+            # gt rows are (img, lab, box, diff, *extra) — subclasses may
+            # carry payload past the devkit fields (mask evaluators
+            # append the instance id); same for det rows past index 3
+            gts = [(g[0], g[2:]) for g in self._gts if g[1] == c]
+            n_real = sum(1 for _, cand in gts if not cand[1])
             if not n_real:
                 continue
             dets = sorted((d for d in self._dets if d[1] == c),
                           key=lambda d: -d[2])
-            # per image: gt boxes + difficult flags + matched flags
+            # per image: gt (box, diff, *extra) rows + matched flags
             by_img: dict[int, list] = {}
-            for i, box, diff in gts:
-                by_img.setdefault(i, []).append((box, diff))
+            for i, cand in gts:
+                by_img.setdefault(i, []).append(cand)
             matched = {i: np.zeros(len(v), bool) for i, v in by_img.items()}
             tp = np.zeros(len(dets))
             fp = np.zeros(len(dets))
             ign = np.zeros(len(dets), bool)
-            for k, (img, _, _, box) in enumerate(dets):
+            for k, det in enumerate(dets):
+                img = det[0]
                 cand = by_img.get(img)
                 if cand is None:
                     fp[k] = 1
                     continue
-                ious = _iou_matrix(
-                    box[None], np.stack([b for b, _ in cand]))[0]
+                ious = self._candidate_ious(det, cand)
                 best = int(np.argmax(ious))
                 if ious[best] >= thr:
                     if cand[best][1]:          # difficult: devkit-style
@@ -146,6 +148,12 @@ class MeanAPEvaluator(Evaluator):
             aps[c] = average_precision(recall, precision,
                                        self.interpolation)
         return aps
+
+    def _candidate_ious(self, det: tuple, cand: list) -> np.ndarray:
+        """IoU of one detection row against an image's candidate gt rows
+        ((box, diff, *extra) tuples).  The box-overlap default; mask
+        evaluators override this with mask overlap."""
+        return _iou_matrix(det[3][None], np.stack([c[0] for c in cand]))[0]
 
     def score(self) -> float:
         aps = self.per_class_ap()
@@ -191,3 +199,98 @@ class COCOMeanAPEvaluator(MeanAPEvaluator):
     def score(self) -> float:
         per = self.per_threshold()
         return float(np.mean(list(per.values()))) if per else 0.0
+
+
+# ------------------------------------------------------- instance masks
+
+
+def _paste_det_mask(box: np.ndarray, mask: np.ndarray,
+                    hw: tuple[int, int]) -> tuple[slice, slice, np.ndarray]:
+    """Rasterize a box-local [s,s] bool mask onto the image pixel grid:
+    returns (row_slice, col_slice, window bool array) covering exactly
+    the box extent — the host-side nearest-sample counterpart of
+    ops/roi.paste_masks, windowed so eval never allocates [D,H,W]."""
+    H, W = hw
+    s = mask.shape[0]
+    x1, y1, x2, y2 = np.clip(box, 0.0, 1.0)
+    r0, r1 = int(np.floor(y1 * H)), int(np.ceil(y2 * H))
+    c0, c1 = int(np.floor(x1 * W)), int(np.ceil(x2 * W))
+    r1, c1 = min(max(r1, r0), H), min(max(c1, c0), W)
+    if r1 == r0 or c1 == c0:
+        return slice(r0, r0), slice(c0, c0), np.zeros((0, 0), bool)
+    ys = (np.arange(r0, r1) + 0.5) / H
+    xs = (np.arange(c0, c1) + 0.5) / W
+    my = (ys - y1) / max(y2 - y1, 1e-9) * s - 0.5
+    mx = (xs - x1) / max(x2 - x1, 1e-9) * s - 0.5
+    iy = np.clip(np.round(my).astype(int), 0, s - 1)
+    ix = np.clip(np.round(mx).astype(int), 0, s - 1)
+    win = mask[np.ix_(iy, ix)]
+    win &= ((ys >= y1) & (ys <= y2))[:, None]
+    win &= ((xs >= x1) & (xs <= x2))[None, :]
+    return slice(r0, r1), slice(c0, c1), win
+
+
+class MaskMeanAPEvaluator(MeanAPEvaluator):
+    """Instance-segmentation mAP: the VOC matching protocol with MASK
+    IoU (pasted detection mask vs gt instance pixels) instead of box
+    IoU — the Mask R-CNN paper's metric.
+
+    ``update(preds, targets)``:
+      preds   = (boxes [B,D,4], scores [B,D], labels [B,D], valid [B,D],
+                 masks [B,D,s,s] probabilities in [0,1]) — the detection
+                 postprocess output + train/rcnn.make_mask_predict;
+      targets = (gt_boxes [B,M,4], gt_labels [B,M], gt_inst [B,H,W])
+                where gt_inst stores gt row k as id k+1 (subsets/voc.py
+                instance sources).
+    Each image keeps ONE instance-id map; per-detection masks stay in
+    box-local [s,s] form and overlap is computed inside the union
+    window, so eval memory is O(images * H * W), not O(dets * H * W).
+    """
+
+    name = "mask mAP"
+
+    def reset(self):
+        super().reset()
+        self._inst: dict[int, np.ndarray] = {}   # img -> [H,W] id map
+        self._gt_area: dict[tuple[int, int], int] = {}
+
+    def update(self, preds, targets):
+        boxes, scores, labels, valid, masks = (np.asarray(t)
+                                               for t in preds)
+        gt_boxes, gt_labels, gt_inst = (np.asarray(t) for t in targets)
+        for b in range(boxes.shape[0]):
+            img = self._n_img
+            self._n_img += 1
+            self._inst[img] = gt_inst[b].astype(np.int32)
+            for d in range(boxes.shape[1]):
+                if valid[b, d]:
+                    self._dets.append((img, int(labels[b, d]),
+                                       float(scores[b, d]), boxes[b, d],
+                                       masks[b, d] >= 0.5))
+            for m in range(gt_boxes.shape[1]):
+                lab = int(gt_labels[b, m])
+                if lab >= 1:
+                    self._gts.append((img, lab, gt_boxes[b, m], False, m))
+                    self._gt_area[(img, m)] = int(
+                        (gt_inst[b] == m + 1).sum())
+
+    def _candidate_ious(self, det: tuple, cand: list) -> np.ndarray:
+        img, box, mask = det[0], det[3], det[4]
+        inst = self._inst[img]
+        rs, cs, win = _paste_det_mask(box, mask, inst.shape)
+        det_area = int(win.sum())
+        ious = np.zeros(len(cand))
+        for j, (_, _, row) in enumerate(cand):
+            gt_area = self._gt_area[(img, row)]
+            inter = int((win & (inst[rs, cs] == row + 1)).sum())
+            union = det_area + gt_area - inter
+            ious[j] = inter / union if union > 0 else 0.0
+        return ious
+
+
+class COCOMaskMeanAPEvaluator(MaskMeanAPEvaluator, COCOMeanAPEvaluator):
+    """Mask mAP averaged over IoU thresholds 0.50:0.05:0.95 — mask-IoU
+    accumulation (MaskMeanAPEvaluator) under the COCO threshold sweep
+    (COCOMeanAPEvaluator's per_threshold/score via the MRO)."""
+
+    name = "mask mAP@[.5:.95]"

@@ -225,9 +225,19 @@ def build_evaluator(cfg: dict):
         return MeanIoUEvaluator(cfg["num_classes"],
                                 cfg.get("ignore_label", 255))
     if cfg["task"] == "detection":
-        from myconvnet_tpu.eval.detection import (COCOMeanAPEvaluator,
-                                                  MeanAPEvaluator)
-        if cfg.get("map_style", "voc") == "coco":
+        from myconvnet_tpu.eval.detection import (
+            COCOMaskMeanAPEvaluator, COCOMeanAPEvaluator,
+            MaskMeanAPEvaluator, MeanAPEvaluator)
+        coco_style = cfg.get("map_style", "voc") == "coco"
+        fam = getattr(models.get_model(cfg.get("model", "ssd300")),
+                      "family", "")
+        if fam == "two_stage_mask":  # score MASK overlap, not boxes
+            if coco_style:
+                return COCOMaskMeanAPEvaluator(cfg["num_classes"])
+            return MaskMeanAPEvaluator(cfg["num_classes"],
+                                       iou_threshold=cfg.get("map_iou",
+                                                             0.5))
+        if coco_style:
             return COCOMeanAPEvaluator(cfg["num_classes"])
         return MeanAPEvaluator(cfg["num_classes"],
                                iou_threshold=cfg.get("map_iou", 0.5))
@@ -257,6 +267,22 @@ def make_detection_sources(cfg: dict, synthetic: bool,
             for split in splits]
     raise ValueError(f"detection dataset {cfg['dataset']!r}; "
                      "valid: ['voc', 'coco']")
+
+
+def make_instance_sources(cfg: dict, synthetic: bool,
+                          splits=("train", "val")):
+    """Instance-segmentation sources (VOC SegmentationObject layout or
+    synthetic rectangles with exact instance maps; subsets/voc.py).
+    Batches are (images, boxes, labels, inst_map) quadruplets."""
+    data_dir = cfg.get("data_dir")
+    hw = tuple(cfg.get("input_hw", (512, 512)))
+    if cfg["dataset"] != "voc":
+        raise ValueError(f"instance dataset {cfg['dataset']!r}; "
+                         "valid: ['voc'] (SegmentationObject layout)")
+    return [voc.make_instance_source(
+        data_dir, split, synthetic=synthetic or data_dir is None,
+        raw_hw=hw, max_boxes=cfg.get("max_boxes", voc.MAX_BOXES))
+        for split in splits]
 
 
 def build_detector(cfg: dict, synthetic: bool = False, mesh=None):
@@ -338,6 +364,36 @@ def build_detector(cfg: dict, synthetic: bool = False, mesh=None):
         saturation=aug.get("saturation", 0.0),
         hue=aug.get("hue", 0.0),
         mean=mean, std=std)
+    if two_stage == "two_stage_mask":
+        from myconvnet_tpu.train import rcnn as rcnn_lib
+        step = jax.jit(rcnn_lib.make_mask_rcnn_step(
+            net, opt, anchors, num_classes, augment=det_aug,
+            rpn_pos_iou=cfg.get("rpn_pos_iou", 0.7),
+            rpn_neg_iou=cfg.get("rpn_neg_iou", 0.3),
+            rpn_samples=cfg.get("rpn_samples", 256)))
+
+        @jax.jit
+        def predict(st, images):
+            # detect, then re-run the mask branch on the POST-NMS boxes
+            # (the Detectron convention).  Both net.apply calls sit in
+            # one jit over the same params + input, so XLA CSEs the
+            # shared trunk — the mask pass costs only its own branch.
+            x, _ = det_lib.preprocess_batch(
+                images, jnp.zeros((1, 1, 4)), None, mean=mean, std=std)
+            out, _ = net.apply(st.params, st.state, None, x,
+                               num_classes, train=False)
+            boxes, scores, labels, valid = post(out)
+            logits, _ = net.apply(st.params, st.state, None, x,
+                                  num_classes, mask_rois=boxes)
+            ch = jnp.clip(labels.astype(jnp.int32) - 1, 0,
+                          logits.shape[-1] - 1)
+            z = jnp.take_along_axis(
+                logits, ch[:, :, None, None, None], axis=-1)[..., 0]
+            return boxes, scores, labels, valid, jax.nn.sigmoid(z)
+
+        train_src, val_src = make_instance_sources(
+            dict(cfg, input_hw=hw), synthetic)
+        return state, step, predict, DataSet(train_src), DataSet(val_src)
     if two_stage:
         from myconvnet_tpu.train import rcnn as rcnn_lib
         step = jax.jit(rcnn_lib.make_rcnn_step(
@@ -411,7 +467,12 @@ def _detector_chain(cfg: dict):
     policy = get_policy(cfg.get("precision", "f32"))
     kwargs = dict(cfg.get("model_kwargs", {}))
     num_classes = cfg["num_classes"]
-    two_stage = getattr(model_fn, "family", "") == "two_stage"
+    # "" (one-stage) / "two_stage" / "two_stage_mask" — returned in the
+    # two_stage slot; both two-stage families are truthy, so existing
+    # `if two_stage:` consumers keep working
+    two_stage = getattr(model_fn, "family", "")
+    if not two_stage.startswith("two_stage"):
+        two_stage = ""
 
     def fwd(x, n, train=False, **det_kw):
         with policy_scope(policy):
@@ -506,8 +567,10 @@ def evaluate_detection(state, predict, val_set: DataSet, batch_size: int,
     the padded batch is sharded over the data axis so eval scales like
     training."""
     evaluator.reset()
-    for images, gt_boxes, gt_labels in val_set.eval_iter(batch_size,
-                                                         prefetch=0):
+    # targets are (gt_boxes, gt_labels) for detection sources and
+    # (gt_boxes, gt_labels, gt_inst) for instance-mask sources — the
+    # evaluator's update contract follows the source family
+    for images, *targets in val_set.eval_iter(batch_size, prefetch=0):
         images = np.asarray(images)
         n = len(images)
         if n < batch_size:
@@ -519,8 +582,7 @@ def evaluate_detection(state, predict, val_set: DataSet, batch_size: int,
             from myconvnet_tpu.parallel import shard_batch
             images = shard_batch(mesh, (images,))[0]
         preds = [np.asarray(t)[:n] for t in predict(state, images)]
-        evaluator.update(preds, (np.asarray(gt_boxes),
-                                 np.asarray(gt_labels)))
+        evaluator.update(preds, tuple(np.asarray(t) for t in targets))
     return evaluator.score()
 
 

@@ -274,3 +274,168 @@ def make_detection_source(data_dir: str | None, split: str = "train",
                                         min(max_boxes, 8)))
     imgs, annos = read_detection_subset(data_dir, split, keep_difficult)
     return DetectionFileSource(imgs, annos, raw_hw, max_boxes, workers)
+
+
+# --------------------------------------------------- instance segmentation
+
+def _decode_instance_png_warp(path: str, raw_hw: tuple[int, int]
+                              ) -> np.ndarray:
+    """SegmentationObject/*.png -> [h,w] int32 instance ids, warp-resized
+    with NEAREST to match decode_image_warp's full-frame geometry.
+    Palette index k is instance k (aligned with the Annotations XML
+    object order — the VOC convention); 255 (instance boundaries) maps
+    to 0 so border pixels train as background rather than as a phantom
+    256th instance."""
+    from PIL import Image
+    th, tw = raw_hw
+    img = Image.open(path)
+    if img.mode not in ("P", "L", "I"):
+        img = img.convert("L")
+    img = img.resize((tw, th), Image.NEAREST)
+    ids = np.asarray(img, np.int32)
+    return np.where(ids == 255, 0, ids)
+
+
+class InstanceArraySource:
+    """In-memory instance-segmentation source: detection triplets plus
+    the instance-id map [N,H,W] int32 (0 background, gt row k stored as
+    k+1 — the contract of train/rcnn.make_mask_rcnn_step)."""
+
+    class_names = DET_CLASS_NAMES
+
+    def __init__(self, images: np.ndarray, boxes: np.ndarray,
+                 labels: np.ndarray, inst: np.ndarray):
+        assert len(images) == len(boxes) == len(labels) == len(inst)
+        self.images = images
+        self.boxes = boxes
+        self.labels = labels
+        self.inst = inst
+
+    def __len__(self):
+        return len(self.images)
+
+    def get_batch(self, idx: np.ndarray):
+        idx = np.asarray(idx)
+        return (self.images[idx], self.boxes[idx], self.labels[idx],
+                self.inst[idx])
+
+
+def synthetic_instance_subset(n: int = 64,
+                              raw_hw: tuple[int, int] = (128, 128),
+                              seed: int = 0, max_boxes: int = 8):
+    """Fake instance quadruplets: the detection rectangles with an exact
+    instance-id map.  Later rectangles occlude earlier ones in both the
+    pixels and the map (boxes keep their full amodal extent — the
+    occluded instance's visible mask shrinks, like real data)."""
+    rng = np.random.RandomState(seed)
+    h, w = raw_hw
+    imgs = rng.rand(n, h, w, 3).astype(np.float32) * 0.15
+    boxes = np.zeros((n, max_boxes, 4), np.float32)
+    labels = np.full((n, max_boxes), -1, np.int32)
+    inst = np.zeros((n, h, w), np.int32)
+    for i in range(n):
+        for k in range(rng.randint(1, 4)):
+            c = rng.randint(1, DET_NUM_CLASSES)
+            bw = rng.uniform(0.25, 0.5)
+            bh = rng.uniform(0.25, 0.5)
+            x1 = rng.uniform(0.0, 1.0 - bw)
+            y1 = rng.uniform(0.0, 1.0 - bh)
+            color = np.asarray([c / DET_NUM_CLASSES, (c % 5) / 5.0,
+                                (c % 7) / 7.0])
+            ys, xs = int(y1 * h), int(x1 * w)
+            ye, xe = int((y1 + bh) * h), int((x1 + bw) * w)
+            imgs[i, ys:ye, xs:xe] = color
+            inst[i, ys:ye, xs:xe] = k + 1
+            boxes[i, k] = (x1, y1, x1 + bw, y1 + bh)
+            labels[i, k] = c
+    imgs = (np.clip(imgs, 0, 1) * 255).astype(np.uint8)
+    return imgs, boxes, labels, inst
+
+
+def read_instance_subset(data_dir: str, split: str = "train"
+                         ) -> tuple[list[str], list[str], list[tuple]]:
+    """Instance-segmentation split: ImageSets/Segmentation ids that have
+    a SegmentationObject mask, with their Annotations boxes.
+
+    Returns (image_paths, object_mask_paths, annotations).  The XML is
+    parsed with ALL objects kept in file order (difficult included) —
+    instance id k in the PNG is the k-th <object> element, so any
+    filtering would desynchronize boxes from mask ids.
+    """
+    for sub in ("VOC2012", "VOCdevkit/VOC2012", "."):
+        root = os.path.normpath(os.path.join(data_dir, sub))
+        lst = os.path.join(root, "ImageSets", "Segmentation",
+                           f"{split}.txt")
+        if os.path.exists(lst):
+            break
+    else:
+        raise FileNotFoundError(
+            f"no VOC ImageSets/Segmentation/{split}.txt under {data_dir!r}")
+    with open(lst) as f:
+        ids = [line.strip() for line in f if line.strip()]
+    ids = [i for i in ids if os.path.exists(
+        os.path.join(root, "SegmentationObject", f"{i}.png"))]
+    imgs = [os.path.join(root, "JPEGImages", f"{i}.jpg") for i in ids]
+    masks = [os.path.join(root, "SegmentationObject", f"{i}.png")
+             for i in ids]
+    annos = [_parse_voc_xml(os.path.join(root, "Annotations", f"{i}.xml"),
+                            keep_difficult=True) for i in ids]
+    return imgs, masks, annos
+
+
+class InstanceFileSource:
+    """File-backed instance-segmentation source: warp-resized images,
+    NEAREST warp-resized SegmentationObject maps, padded annotations.
+
+    Objects past ``max_boxes`` are truncated in FILE ORDER (not by
+    area — order carries the box<->instance-id alignment) and their
+    pixels cleared from the map.
+    """
+
+    class_names = DET_CLASS_NAMES
+
+    def __init__(self, paths: list[str], mask_paths: list[str],
+                 annos: list[tuple],
+                 raw_hw: tuple[int, int] = (512, 512),
+                 max_boxes: int = MAX_BOXES, workers: int = 8):
+        self.paths = list(paths)
+        self.mask_paths = list(mask_paths)
+        self.raw_hw = raw_hw
+        self.max_boxes = max_boxes
+        n = len(annos)
+        self.boxes = np.zeros((n, max_boxes, 4), np.float32)
+        self.labels = np.full((n, max_boxes), -1, np.int32)
+        for i, (b, l) in enumerate(annos):
+            m = min(len(b), max_boxes)
+            self.boxes[i, :m] = b[:m]
+            self.labels[i, :m] = l[:m]
+        self._pool = ThreadPoolExecutor(max_workers=workers)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def _load_one(self, i: int):
+        img = decode_image_warp(self.paths[i], self.raw_hw)
+        inst = _decode_instance_png_warp(self.mask_paths[i], self.raw_hw)
+        return img, np.where(inst > self.max_boxes, 0, inst)
+
+    def get_batch(self, idx: np.ndarray):
+        idx = np.asarray(idx)
+        pairs = list(self._pool.map(self._load_one, idx))
+        return (np.stack([p[0] for p in pairs]),
+                self.boxes[idx], self.labels[idx],
+                np.stack([p[1] for p in pairs]))
+
+
+def make_instance_source(data_dir: str | None, split: str = "train",
+                         synthetic: bool = False, synthetic_n: int = 64,
+                         raw_hw: tuple[int, int] = (512, 512),
+                         max_boxes: int = MAX_BOXES, workers: int = 8):
+    if synthetic or data_dir is None:
+        seed = 0 if split == "train" else 1
+        return InstanceArraySource(
+            *synthetic_instance_subset(synthetic_n, raw_hw, seed,
+                                       min(max_boxes, 8)))
+    imgs, masks, annos = read_instance_subset(data_dir, split)
+    return InstanceFileSource(imgs, masks, annos, raw_hw, max_boxes,
+                              workers)
