@@ -184,6 +184,58 @@ def in_init() -> bool:
     return frame is not None and frame.creating
 
 
+def remat(fn: Callable[..., Any], *args) -> Any:
+    """Run a module-using block under ``jax.checkpoint``: its
+    intermediates are recomputed during backprop instead of being
+    written to and re-read from HBM — the bandwidth-for-FLOPs trade
+    that pays on TPU, at BLOCK granularity (full-forward remat was
+    measured slower, PERF_NOTES.md; per-block keeps the recompute
+    local while still dropping the saved-activation traffic).
+
+    ``fn(*args)`` may create/read params and read/write state through
+    the frame like any layer code.  The frame's side channels cannot
+    legally cross a checkpoint boundary (inner tracers would leak), so
+    this wrapper makes them explicit: params/state/pending state writes
+    go in as pytree arguments, state writes come back out, and the
+    Python-level bookkeeping (auto-name counters, rng count) is
+    captured from the single trace and replayed onto the caller's
+    frame.  During init it calls ``fn`` directly — param creation is
+    eager and init is never differentiated.
+    """
+    f = _frame()
+    if f.creating:
+        return fn(*args)
+    path0 = list(f.path)
+    counters0 = dict(f.counters)
+    rng_count0 = f.rng_count
+    book: dict[str, Any] = {}
+
+    def inner(params, state, new_state, rng, inner_args):
+        g = _Frame(params, state, rng, creating=False)
+        g.new_state = {k: dict(v) for k, v in new_state.items()}
+        g.rng_count = rng_count0
+        g.path = list(path0)
+        g.counters = dict(counters0)
+        prev = getattr(_local, "frame", None)
+        _local.frame = g
+        try:
+            out = fn(*inner_args)
+        finally:
+            _local.frame = prev
+        # trace-time bookkeeping, captured once (jax replays the jaxpr
+        # for the backward recompute — Python runs only here)
+        book["rng_count"] = g.rng_count
+        book["counters"] = g.counters
+        return out, g.new_state
+
+    out, new_state = jax.checkpoint(inner)(f.params, f.state,
+                                           f.new_state, f.rng, args)
+    f.new_state = new_state
+    f.rng_count = book["rng_count"]
+    f.counters = book["counters"]
+    return out
+
+
 def current_scope_in_params() -> bool:
     """True when the current scope path exists in the param tree (or we
     are creating).  Lets layers detect graph-optimization removals, e.g.

@@ -21,6 +21,7 @@ import jax
 
 from myconvnet_tpu import nn
 from myconvnet_tpu.core import initializers as init
+from myconvnet_tpu.core import module
 
 STAGE_BLOCKS = {
     18: (2, 2, 2, 2),
@@ -123,7 +124,8 @@ def resnet_backbone(x: jax.Array, depth: int = 50, *, train: bool = False,
                     return_stages: bool = False, stem: str = "conv7",
                     groups: int = 1, width_per_group: int = 64,
                     se_ratio: int = 0, norm: str = "batch",
-                    ws: bool = False, torch_padding: bool = False):
+                    ws: bool = False, torch_padding: bool = False,
+                    remat_blocks: bool = False):
     """Feature extractor. Returns final feature map (and the end-of-stage-1
     low-level features when ``return_low_level`` — DeepLab decoder input).
     ``return_stages`` instead returns the list of all four stage outputs
@@ -199,13 +201,18 @@ def resnet_backbone(x: jax.Array, depth: int = 50, *, train: bool = False,
                 # Stage 1 of ResNet-18/34 keeps identity shortcuts
                 # (64 -> 64, stride 1) — torchvision parity.
                 with nn.scope_named(f"block{b + 1}"):
-                    x = block_fn(
-                        x, features,
+                    blk = partial(
+                        block_fn, features=features,
                         stride=stage_stride if b == 0 else 1,
                         dilation=dilation, train=train,
                         projection=(b == 0 and
                                     (stage_stride != 1
                                      or x.shape[-1] != out_ch)))
+                    # per-block remat: recompute this block's
+                    # intermediates in backward instead of storing them
+                    # — cuts saved-activation HBM traffic (the step's
+                    # bandwidth floor) at local recompute cost
+                    x = module.remat(blk, x) if remat_blocks else blk(x)
         current_stride *= stage_stride
         stages.append(x)
         if stage == 0:
@@ -223,7 +230,8 @@ def resnet(x: jax.Array, num_classes: int = 1000, depth: int = 50, *,
            stem: str = "conv7", groups: int = 1,
            width_per_group: int = 64, se_ratio: int = 0,
            norm: str = "batch", ws: bool = False,
-           torch_padding: bool = False) -> jax.Array:
+           torch_padding: bool = False,
+           remat_blocks: bool = False) -> jax.Array:
     """``norm="group"`` + ``ws=True`` is the BiT/big-transfer recipe:
     fully batch-independent training.  ``torch_padding=True`` swaps the
     strided ops' TF-SAME padding for torch's symmetric padding —
@@ -232,7 +240,8 @@ def resnet(x: jax.Array, num_classes: int = 1000, depth: int = 50, *,
     x = resnet_backbone(x, depth, train=train, width=width, stem=stem,
                         groups=groups, width_per_group=width_per_group,
                         se_ratio=se_ratio, norm=norm, ws=ws,
-                        torch_padding=torch_padding)
+                        torch_padding=torch_padding,
+                        remat_blocks=remat_blocks)
     x = nn.gap(x)
     return nn.dense(x, num_classes, w_init=init.glorot_uniform(),
                     name="logits")
