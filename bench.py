@@ -62,12 +62,17 @@ def build_step(batch, hw, num_classes, smoke=False):
                 out = models.smallnet(x, num_classes, train=train, width=8,
                                       dropout_rate=0.0)
             else:
-                # BENCH_REMAT=block: per-residual-block rematerialization
-                # (core.module.remat) — recompute block intermediates in
-                # backward instead of round-tripping them through HBM
+                # BENCH_REMAT=block|conv: per-residual-block
+                # rematerialization (core.module.remat) — "block"
+                # recomputes everything in backward (measured LOSS:
+                # 2172 vs 2716 img/s — recompute flops beat the saved
+                # bandwidth); "conv" keeps the MXU outputs and
+                # recomputes only elementwise BN/ReLU tensors
+                rm = {"block": True, "conv": "conv"}.get(
+                    os.environ.get("BENCH_REMAT", ""), False)
                 out = models.resnet50(
                     x, num_classes, train=train, stem=stem,
-                    remat_blocks=os.environ.get("BENCH_REMAT") == "block")
+                    remat_blocks=rm)
             return out.astype(jnp.float32)
 
     model = transform(fwd)

@@ -184,13 +184,24 @@ def in_init() -> bool:
     return frame is not None and frame.creating
 
 
-def remat(fn: Callable[..., Any], *args) -> Any:
+def remat(fn: Callable[..., Any], *args,
+          policy: Any = None) -> Any:
     """Run a module-using block under ``jax.checkpoint``: its
     intermediates are recomputed during backprop instead of being
     written to and re-read from HBM — the bandwidth-for-FLOPs trade
     that pays on TPU, at BLOCK granularity (full-forward remat was
     measured slower, PERF_NOTES.md; per-block keeps the recompute
     local while still dropping the saved-activation traffic).
+
+    ``policy`` selects WHAT gets recomputed:
+      * ``None`` — save only the block boundary; recompute everything
+        (max memory saving, full recompute cost — measured a
+        throughput LOSS on the v5e bench, PERF_NOTES.md);
+      * ``"conv"`` — save the MXU results (nn.conv outputs are tagged
+        ``checkpoint_name("conv_out")``), recompute only the
+        elementwise norm/activation tensors between them — near-zero
+        recompute FLOPs for roughly half the saved-activation traffic;
+      * any ``jax.checkpoint_policies`` callable — passed through.
 
     ``fn(*args)`` may create/read params and read/write state through
     the frame like any layer code.  The frame's side channels cannot
@@ -228,8 +239,10 @@ def remat(fn: Callable[..., Any], *args) -> Any:
         book["counters"] = g.counters
         return out, g.new_state
 
-    out, new_state = jax.checkpoint(inner)(f.params, f.state,
-                                           f.new_state, f.rng, args)
+    if policy == "conv":
+        policy = jax.checkpoint_policies.save_only_these_names("conv_out")
+    out, new_state = jax.checkpoint(inner, policy=policy)(
+        f.params, f.state, f.new_state, f.rng, args)
     f.new_state = new_state
     f.rng_count = book["rng_count"]
     f.counters = book["counters"]

@@ -125,7 +125,7 @@ def resnet_backbone(x: jax.Array, depth: int = 50, *, train: bool = False,
                     groups: int = 1, width_per_group: int = 64,
                     se_ratio: int = 0, norm: str = "batch",
                     ws: bool = False, torch_padding: bool = False,
-                    remat_blocks: bool = False):
+                    remat_blocks: bool | str = False):
     """Feature extractor. Returns final feature map (and the end-of-stage-1
     low-level features when ``return_low_level`` — DeepLab decoder input).
     ``return_stages`` instead returns the list of all four stage outputs
@@ -211,8 +211,15 @@ def resnet_backbone(x: jax.Array, depth: int = 50, *, train: bool = False,
                     # per-block remat: recompute this block's
                     # intermediates in backward instead of storing them
                     # — cuts saved-activation HBM traffic (the step's
-                    # bandwidth floor) at local recompute cost
-                    x = module.remat(blk, x) if remat_blocks else blk(x)
+                    # bandwidth floor) at local recompute cost.  True =
+                    # recompute everything; "conv" = keep conv outputs,
+                    # recompute only elementwise BN/ReLU tensors
+                    if remat_blocks:
+                        pol = remat_blocks if isinstance(remat_blocks,
+                                                         str) else None
+                        x = module.remat(blk, x, policy=pol)
+                    else:
+                        x = blk(x)
         current_stride *= stage_stride
         stages.append(x)
         if stage == 0:
@@ -231,7 +238,7 @@ def resnet(x: jax.Array, num_classes: int = 1000, depth: int = 50, *,
            width_per_group: int = 64, se_ratio: int = 0,
            norm: str = "batch", ws: bool = False,
            torch_padding: bool = False,
-           remat_blocks: bool = False) -> jax.Array:
+           remat_blocks: bool | str = False) -> jax.Array:
     """``norm="group"`` + ``ws=True`` is the BiT/big-transfer recipe:
     fully batch-independent training.  ``torch_padding=True`` swaps the
     strided ops' TF-SAME padding for torch's symmetric padding —

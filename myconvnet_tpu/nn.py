@@ -18,6 +18,7 @@ from typing import Callable, Sequence, Union
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from myconvnet_tpu.core import initializers as init
 from myconvnet_tpu.core.module import (auto_name, current_scope_in_params,
@@ -102,7 +103,11 @@ def conv(x: jax.Array, features: int, kernel_size: _IntOrPair, *,
             b = param("b", (features,), pol.param_dtype,
                       b_init or init.zeros)
             y = y + pol.cast_to_compute(b)
-    return y
+    # named so selective rematerialization policies can pin conv
+    # outputs as the saved set (core.module.remat(policy="conv"):
+    # keep the MXU results, recompute the elementwise BN/act tensors
+    # in backward).  Identity outside a checkpoint region.
+    return checkpoint_name(y, "conv_out")
 
 
 def conv_transpose(x: jax.Array, features: int, kernel_size: _IntOrPair, *,

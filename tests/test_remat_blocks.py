@@ -12,17 +12,21 @@ from myconvnet_tpu.core import module, transform
 from myconvnet_tpu.models.resnet import resnet
 
 
+import pytest
+
+
 def _net(remat_blocks):
     return transform(lambda x, train=False: resnet(
         x, 10, depth=18, train=train, width=8,
         remat_blocks=remat_blocks))
 
 
-def test_resnet_remat_blocks_matches_plain():
+@pytest.mark.parametrize("mode", [True, "conv"])
+def test_resnet_remat_blocks_matches_plain(mode):
     x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3),
                     jnp.float32)
     y = jnp.asarray([3, 7], jnp.int32)
-    plain, ckpt = _net(False), _net(True)
+    plain, ckpt = _net(False), _net(mode)
     p0, s0 = plain.init(jax.random.key(0), x, train=True)
     p1, s1 = ckpt.init(jax.random.key(0), x, train=True)
     # init is untouched by remat: identical trees, identical leaves
