@@ -545,15 +545,31 @@ def make_detector_inference(cfg: dict, state, *, int8: bool = False,
 
     def fn(x):
         x = (jnp.asarray(x, jnp.float32) - mean) / std
+        from contextlib import nullcontext
         if int8:
             from myconvnet_tpu.core.quantize import int8_scope
-            with int8_scope(scales=scales):
-                out, _ = net.apply(state.params, state.state, None, x,
-                                   num_classes, train=False)
+            scope = lambda: int8_scope(scales=scales)  # noqa: E731
         else:
+            scope = nullcontext
+        with scope():
             out, _ = net.apply(state.params, state.state, None, x,
                                num_classes, train=False)
-        return post(out) if two_stage else post(*out)
+        if not two_stage:
+            return post(*out)
+        dets = post(out)
+        if two_stage != "two_stage_mask":
+            return dets
+        # mask family: re-run the mask branch on the post-NMS boxes
+        # (trunk CSEd inside one jit) and serve per-detection masks
+        boxes, _scores, labels, _valid = dets
+        with scope():
+            logits, _ = net.apply(state.params, state.state, None, x,
+                                  num_classes, mask_rois=boxes)
+        ch = jnp.clip(labels.astype(jnp.int32) - 1, 0,
+                      logits.shape[-1] - 1)
+        z = jnp.take_along_axis(
+            logits, ch[:, :, None, None, None], axis=-1)[..., 0]
+        return (*dets, jax.nn.sigmoid(z))
 
     return fn
 

@@ -242,9 +242,9 @@ def eval_detection(cfg, args):
         sample = np.zeros((cfg.get("export_batch", 8), *hw, 3),
                           np.float32)
         if args.int8:
-            cal = [np.asarray(imgs, np.float32) / 255.0
-                   for imgs, _b, _l in [val_set.source.get_batch(
-                       np.arange(min(8, len(val_set.source))))]]
+            cal = [np.asarray(val_set.source.get_batch(
+                np.arange(min(8, len(val_set.source))))[0],
+                np.float32) / 255.0]
             fn = recipes.make_detector_inference(
                 cfg, state, int8=True, calibrate_with=cal)
             size = serving.export_detection(fn, None, sample,

@@ -194,6 +194,24 @@ def test_instance_source_and_recipe_roundtrip():
     assert np.isfinite(mAP) and 0.0 <= mAP <= 1.0
 
 
+def test_make_detector_inference_serves_masks():
+    cfg = dict(TINY_CFG, total_steps=2)
+    state, step, predict, train_set, _ = recipes.build_detector(
+        cfg, synthetic=True)
+    for i, batch in enumerate(train_set.train_iter(4, prefetch=0)):
+        state, _ = step(state, batch)
+        if i >= 1:
+            break
+    imgs = train_set.source.get_batch(np.arange(4))[0]
+    fn = recipes.make_detector_inference(cfg, state)
+    want = predict(state, imgs)
+    got = fn(jnp.asarray(np.asarray(imgs), np.float32) / 255.0)
+    assert len(got) == 5  # boxes, scores, labels, valid, masks
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=2e-3)
+
+
 def test_predict_contract():
     cfg = dict(TINY_CFG, total_steps=1)
     state, step, predict, train_set, _ = recipes.build_detector(
