@@ -294,3 +294,88 @@ class COCOMaskMeanAPEvaluator(MaskMeanAPEvaluator, COCOMeanAPEvaluator):
     (COCOMeanAPEvaluator's per_threshold/score via the MRO)."""
 
     name = "mask mAP@[.5:.95]"
+
+
+# ----------------------------------------------------------- keypoints
+
+
+class KeypointMeanAPEvaluator(MeanAPEvaluator):
+    """Keypoint mAP: the VOC matching protocol with OKS (object
+    keypoint similarity — the COCO keypoints metric) in place of box
+    IoU.
+
+    ``update(preds, targets)``:
+      preds   = (boxes [B,D,4], scores [B,D], labels [B,D], valid
+                 [B,D], kps [B,D,K,3]) — the detection postprocess
+                 output + train/rcnn.decode_keypoints;
+      targets = (gt_boxes [B,M,4], gt_labels [B,M], gt_kps [B,M,K,3]
+                 with the COCO visibility flag in channel 2).
+    OKS = mean over labeled gt keypoints of exp(-d^2 / (2 s^2 k_i^2)),
+    s^2 = gt box area, k_i the per-keypoint falloff (``sigmas``;
+    uniform 0.079 when None — pass subsets.coco.COCO_KP_SIGMAS for the
+    person skeleton).  Instances with zero labeled keypoints are
+    ignore zones (neither TP nor FP), matching pycocotools.
+    """
+
+    name = "keypoint mAP"
+
+    def __init__(self, num_classes: int = 2, iou_threshold: float = 0.5,
+                 interpolation: str = "all", sigmas=None):
+        self.sigmas = None if sigmas is None else np.asarray(
+            sigmas, np.float64)
+        super().__init__(num_classes, iou_threshold, interpolation)
+
+    def update(self, preds, targets):
+        boxes, scores, labels, valid, kps = (np.asarray(t)
+                                             for t in preds)
+        gt_boxes, gt_labels, gt_kps = (np.asarray(t) for t in targets)
+        for b in range(boxes.shape[0]):
+            img = self._n_img
+            self._n_img += 1
+            for d in range(boxes.shape[1]):
+                if valid[b, d]:
+                    self._dets.append((img, int(labels[b, d]),
+                                       float(scores[b, d]), boxes[b, d],
+                                       kps[b, d]))
+            for m in range(gt_boxes.shape[1]):
+                if int(gt_labels[b, m]) >= 1:
+                    # zero labeled keypoints -> devkit-style ignore
+                    diff = not bool((gt_kps[b, m, :, 2] > 0).any())
+                    self._gts.append((img, int(gt_labels[b, m]),
+                                      gt_boxes[b, m], diff,
+                                      gt_kps[b, m]))
+
+    def _candidate_ious(self, det: tuple, cand: list) -> np.ndarray:
+        kp = det[4]
+        oks = np.zeros(len(cand))
+        for j, (gbox, _, gkp) in enumerate(cand):
+            vis = gkp[:, 2] > 0
+            if not vis.any():
+                # ignore-zone rows still need a matchable score: fall
+                # back to box IoU (pycocotools uses the annotation
+                # area similarly for crowd rows)
+                oks[j] = _iou_matrix(det[3][None], gbox[None])[0, 0]
+                continue
+            s2 = max((gbox[2] - gbox[0]) * (gbox[3] - gbox[1]), 1e-9)
+            k = (self.sigmas if self.sigmas is not None
+                 else np.full(gkp.shape[0], 0.079))
+            d2 = ((kp[:, 0] - gkp[:, 0]) ** 2
+                  + (kp[:, 1] - gkp[:, 1]) ** 2)
+            e = d2 / (2.0 * s2 * k ** 2 + 1e-12)
+            oks[j] = float(np.exp(-e)[vis].mean())
+        return oks
+
+
+class COCOKeypointMeanAPEvaluator(KeypointMeanAPEvaluator,
+                                  COCOMeanAPEvaluator):
+    """Keypoint mAP averaged over OKS thresholds 0.50:0.05:0.95 —
+    OKS accumulation under the COCO threshold sweep (via the MRO,
+    like COCOMaskMeanAPEvaluator)."""
+
+    name = "keypoint mAP@[.5:.95]"
+
+    def __init__(self, num_classes: int = 2,
+                 interpolation: str = "all", sigmas=None):
+        KeypointMeanAPEvaluator.__init__(
+            self, num_classes, iou_threshold=0.5,
+            interpolation=interpolation, sigmas=sigmas)

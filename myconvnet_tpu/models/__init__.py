@@ -45,6 +45,7 @@ from myconvnet_tpu.models.resnet import (resnet, resnet18, resnet34,
 from myconvnet_tpu.models.fcn import fcn
 from myconvnet_tpu.models.ssd import ssd300, ssd512, tinydet
 from myconvnet_tpu.models.faster_rcnn import faster_rcnn, tinyfrcnn
+from myconvnet_tpu.models.keypoint_rcnn import keypoint_rcnn, tinykp
 from myconvnet_tpu.models.mask_rcnn import mask_rcnn, tinymask
 from myconvnet_tpu.models.retinanet import retinanet, tinyretina
 from myconvnet_tpu.models.shufflenet import shufflenet_v2
@@ -105,6 +106,8 @@ DETECTORS = {
     "tinyfrcnn": tinyfrcnn,
     "mask_rcnn": mask_rcnn,
     "tinymask": tinymask,
+    "keypoint_rcnn": keypoint_rcnn,
+    "tinykp": tinykp,
     "tinyretina": tinyretina,
 }
 

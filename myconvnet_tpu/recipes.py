@@ -237,6 +237,18 @@ def build_evaluator(cfg: dict):
             return MaskMeanAPEvaluator(cfg["num_classes"],
                                        iou_threshold=cfg.get("map_iou",
                                                              0.5))
+        if fam == "two_stage_kp":    # score OKS, not box IoU
+            from myconvnet_tpu.eval.detection import (
+                COCOKeypointMeanAPEvaluator, KeypointMeanAPEvaluator)
+            from myconvnet_tpu.subsets.coco import COCO_KP_SIGMAS
+            k = cfg.get("model_kwargs", {}).get("num_keypoints", 17)
+            sig = COCO_KP_SIGMAS if k == len(COCO_KP_SIGMAS) else None
+            if coco_style:
+                return COCOKeypointMeanAPEvaluator(cfg["num_classes"],
+                                                   sigmas=sig)
+            return KeypointMeanAPEvaluator(
+                cfg["num_classes"], sigmas=sig,
+                iou_threshold=cfg.get("map_iou", 0.5))
         if coco_style:
             return COCOMeanAPEvaluator(cfg["num_classes"])
         return MeanAPEvaluator(cfg["num_classes"],
@@ -267,6 +279,22 @@ def make_detection_sources(cfg: dict, synthetic: bool,
             for split in splits]
     raise ValueError(f"detection dataset {cfg['dataset']!r}; "
                      "valid: ['voc', 'coco']")
+
+
+def make_keypoint_sources(cfg: dict, synthetic: bool):
+    """Keypoint sources (COCO person_keypoints layout or synthetic
+    corner-marker rectangles; subsets/coco.py).  Batches are
+    (images, boxes, labels, keypoints) quadruplets."""
+    from myconvnet_tpu.subsets import coco as coco_lib
+    data_dir = cfg.get("data_dir")
+    hw = tuple(cfg.get("input_hw", (512, 512)))
+    k = cfg.get("model_kwargs", {}).get("num_keypoints", 17)
+    splits = (cfg.get("train_split", "train2017"),
+              cfg.get("val_split", "val2017"))
+    return [coco_lib.make_keypoint_source(
+        data_dir, split, synthetic=synthetic or data_dir is None,
+        raw_hw=hw, max_boxes=cfg.get("max_boxes", 32), num_keypoints=k)
+        for split in splits]
 
 
 def make_instance_sources(cfg: dict, synthetic: bool,
@@ -364,6 +392,43 @@ def build_detector(cfg: dict, synthetic: bool = False, mesh=None):
         saturation=aug.get("saturation", 0.0),
         hue=aug.get("hue", 0.0),
         mean=mean, std=std)
+    if two_stage == "two_stage_kp":
+        from myconvnet_tpu.train import rcnn as rcnn_lib
+        k = cfg.get("model_kwargs", {}).get("num_keypoints", 17)
+        if "flip_perm" in cfg:
+            flip_perm = tuple(cfg["flip_perm"])
+        elif k == 17:
+            from myconvnet_tpu.subsets.coco import COCO_KP_FLIP_PERM
+            flip_perm = COCO_KP_FLIP_PERM
+        elif k == 4:
+            flip_perm = (1, 0, 3, 2)  # synthetic corner markers
+        else:
+            flip_perm = None
+        step = jax.jit(rcnn_lib.make_keypoint_rcnn_step(
+            net, opt, anchors, num_classes, augment=det_aug,
+            flip_perm=flip_perm,
+            rpn_pos_iou=cfg.get("rpn_pos_iou", 0.7),
+            rpn_neg_iou=cfg.get("rpn_neg_iou", 0.3),
+            rpn_samples=cfg.get("rpn_samples", 256)))
+
+        @jax.jit
+        def predict(st, images):
+            # detect, then the keypoint branch on the POST-NMS boxes
+            # (kp_rois= mode; trunk CSEd inside one jit), argmax-decoded
+            # to normalized image coordinates
+            x, _ = det_lib.preprocess_batch(
+                images, jnp.zeros((1, 1, 4)), None, mean=mean, std=std)
+            out, _ = net.apply(st.params, st.state, None, x,
+                               num_classes, train=False)
+            boxes, scores, labels, valid = post(out)
+            logits, _ = net.apply(st.params, st.state, None, x,
+                                  num_classes, kp_rois=boxes)
+            kps = rcnn_lib.decode_keypoints(logits, boxes)
+            return boxes, scores, labels, valid, kps
+
+        train_src, val_src = make_keypoint_sources(
+            dict(cfg, input_hw=hw), synthetic)
+        return state, step, predict, DataSet(train_src), DataSet(val_src)
     if two_stage == "two_stage_mask":
         from myconvnet_tpu.train import rcnn as rcnn_lib
         step = jax.jit(rcnn_lib.make_mask_rcnn_step(
@@ -557,11 +622,18 @@ def make_detector_inference(cfg: dict, state, *, int8: bool = False,
         if not two_stage:
             return post(*out)
         dets = post(out)
+        boxes, _scores, labels, _valid = dets
+        if two_stage == "two_stage_kp":
+            # keypoint family: the kp branch on post-NMS boxes, decoded
+            from myconvnet_tpu.train import rcnn as rcnn_lib
+            with scope():
+                logits, _ = net.apply(state.params, state.state, None,
+                                      x, num_classes, kp_rois=boxes)
+            return (*dets, rcnn_lib.decode_keypoints(logits, boxes))
         if two_stage != "two_stage_mask":
             return dets
         # mask family: re-run the mask branch on the post-NMS boxes
         # (trunk CSEd inside one jit) and serve per-detection masks
-        boxes, _scores, labels, _valid = dets
         with scope():
             logits, _ = net.apply(state.params, state.state, None, x,
                                   num_classes, mask_rois=boxes)

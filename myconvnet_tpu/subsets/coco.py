@@ -122,3 +122,183 @@ def make_detection_source(data_dir: str | None, split: str = "train2017",
     src = DetectionFileSource(paths, annos, raw_hw, max_boxes, workers)
     src.class_names = class_names
     return src
+
+
+# ------------------------------------------------------------ keypoints
+
+# COCO person-skeleton constants (the person_keypoints annotation
+# convention): 17 keypoints in the canonical order; the flip
+# permutation swaps every left<->right pair under horizontal flip;
+# the OKS per-keypoint falloff constants are pycocotools' sigmas.
+COCO_NUM_KEYPOINTS = 17
+COCO_KP_FLIP_PERM = (0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13,
+                     16, 15)
+COCO_KP_SIGMAS = (0.026, 0.025, 0.025, 0.035, 0.035, 0.079, 0.079,
+                  0.072, 0.072, 0.062, 0.062, 0.107, 0.107, 0.087,
+                  0.087, 0.089, 0.089)
+
+
+def load_keypoints(ann_path: str) -> tuple[list[str], list[tuple]]:
+    """Parse a person_keypoints_*.json -> (file_names, annotations).
+
+    Annotations per image: (boxes [m,4] normalized xyxy, labels [m]
+    all 1 = person, kps [m,K,3] with x,y normalized to the image and
+    the COCO visibility flag in channel 2).  Crowd regions and
+    zero-keypoint instances are dropped (the Keypoint R-CNN training
+    protocol — they carry no heatmap supervision).
+    """
+    with open(ann_path) as f:
+        doc = json.load(f)
+    images = {im["id"]: im for im in doc["images"]}
+    per_img: dict[int, list] = {im_id: [] for im_id in images}
+    for ann in doc.get("annotations", []):
+        if ann.get("iscrowd", 0) or ann.get("num_keypoints", 0) == 0:
+            continue
+        im = images.get(ann["image_id"])
+        if im is None:
+            continue
+        x, y, w, h = ann["bbox"]
+        if w <= 0 or h <= 0:
+            continue
+        iw, ih = float(im["width"]), float(im["height"])
+        kp = np.asarray(ann["keypoints"],
+                        np.float32).reshape(-1, 3)
+        kp[:, 0] /= iw
+        kp[:, 1] /= ih
+        box = (x / iw, y / ih, (x + w) / iw, (y + h) / ih)
+        per_img[ann["image_id"]].append((box, kp))
+    names, annos = [], []
+    for im_id, im in images.items():
+        rows = per_img[im_id]
+        boxes = np.clip(np.asarray([r[0] for r in rows],
+                                   np.float32).reshape(-1, 4), 0.0, 1.0)
+        labels = np.ones((len(rows),), np.int32)
+        kps = (np.stack([r[1] for r in rows])
+               if rows else np.zeros((0, COCO_NUM_KEYPOINTS, 3),
+                                     np.float32))
+        names.append(im["file_name"])
+        annos.append((boxes, labels, kps))
+    return names, annos
+
+
+def synthetic_keypoint_subset(n: int = 64,
+                              raw_hw: tuple[int, int] = (128, 128),
+                              seed: int = 0, max_boxes: int = 8,
+                              num_keypoints: int = 4):
+    """Fake keypoint quadruplets: single-class rectangles whose 4
+    corner markers (TL, TR, BL, BR — flip_perm (1,0,3,2)) are drawn as
+    bright dots, so keypoint localization is learnable from pixels.
+    Extra keypoint channels beyond 4 stay unlabeled (visibility 0)."""
+    rng = np.random.RandomState(seed)
+    h, w = raw_hw
+    imgs = rng.rand(n, h, w, 3).astype(np.float32) * 0.15
+    boxes = np.zeros((n, max_boxes, 4), np.float32)
+    labels = np.full((n, max_boxes), -1, np.int32)
+    kps = np.zeros((n, max_boxes, num_keypoints, 3), np.float32)
+    dot = max(h // 42, 1)
+    for i in range(n):
+        for k in range(rng.randint(1, 3)):
+            bw = rng.uniform(0.3, 0.5)
+            bh = rng.uniform(0.3, 0.5)
+            x1 = rng.uniform(0.02, 0.98 - bw)
+            y1 = rng.uniform(0.02, 0.98 - bh)
+            x2, y2 = x1 + bw, y1 + bh
+            imgs[i, int(y1 * h):int(y2 * h),
+                 int(x1 * w):int(x2 * w)] = (0.35, 0.35, 0.35)
+            corners = ((x1, y1), (x2, y1), (x1, y2), (x2, y2))
+            colors = ((1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 0))
+            for j in range(min(4, num_keypoints)):
+                cx, cy = corners[j]
+                r0 = int(np.clip(cy * h - dot, 0, h - 1))
+                c0 = int(np.clip(cx * w - dot, 0, w - 1))
+                imgs[i, r0:r0 + 2 * dot, c0:c0 + 2 * dot] = colors[j]
+                kps[i, k, j] = (cx, cy, 2.0)
+            boxes[i, k] = (x1, y1, x2, y2)
+            labels[i, k] = 1
+    imgs = (np.clip(imgs, 0, 1) * 255).astype(np.uint8)
+    return imgs, boxes, labels, kps
+
+
+class KeypointArraySource:
+    """In-memory keypoint source: detection triplets + keypoint rows
+    [N,M,K,3] aligned with the boxes."""
+
+    class_names = ["person"]
+
+    def __init__(self, images, boxes, labels, kps):
+        assert len(images) == len(boxes) == len(labels) == len(kps)
+        self.images = images
+        self.boxes = boxes
+        self.labels = labels
+        self.kps = kps
+
+    def __len__(self):
+        return len(self.images)
+
+    def get_batch(self, idx):
+        idx = np.asarray(idx)
+        return (self.images[idx], self.boxes[idx], self.labels[idx],
+                self.kps[idx])
+
+
+class KeypointFileSource:
+    """File-backed keypoint source: warp-resized images + padded
+    (boxes, labels, keypoints).  Normalized coordinates are invariant
+    under the full-frame warp, keypoints included."""
+
+    class_names = ["person"]
+
+    def __init__(self, paths: list[str], annos: list[tuple],
+                 raw_hw: tuple[int, int] = (512, 512),
+                 max_boxes: int = 32, workers: int = 8,
+                 num_keypoints: int = COCO_NUM_KEYPOINTS):
+        from myconvnet_tpu.data.pipeline import decode_image_warp
+        self._decode = decode_image_warp
+        self.paths = list(paths)
+        self.raw_hw = raw_hw
+        n = len(annos)
+        self.boxes = np.zeros((n, max_boxes, 4), np.float32)
+        self.labels = np.full((n, max_boxes), -1, np.int32)
+        self.kps = np.zeros((n, max_boxes, num_keypoints, 3),
+                            np.float32)
+        for i, (b, l, kp) in enumerate(annos):
+            m = min(len(b), max_boxes)
+            if m:
+                self.boxes[i, :m] = b[:m]
+                self.labels[i, :m] = l[:m]
+                self.kps[i, :m] = kp[:m]
+        from concurrent.futures import ThreadPoolExecutor
+        self._pool = ThreadPoolExecutor(max_workers=workers)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def get_batch(self, idx):
+        idx = np.asarray(idx)
+        imgs = list(self._pool.map(
+            lambda i: self._decode(self.paths[i], self.raw_hw), idx))
+        return (np.stack(imgs), self.boxes[idx], self.labels[idx],
+                self.kps[idx])
+
+
+def make_keypoint_source(data_dir: str | None, split: str = "train2017",
+                         synthetic: bool = False, synthetic_n: int = 64,
+                         raw_hw: tuple[int, int] = (512, 512),
+                         max_boxes: int = 32, workers: int = 8,
+                         num_keypoints: int = COCO_NUM_KEYPOINTS):
+    """COCO person-keypoints source; synthetic corner-marker scenes
+    (4 keypoints) when no corpus is mounted."""
+    if synthetic or data_dir is None:
+        seed = 0 if split.startswith("train") else 1
+        return KeypointArraySource(*synthetic_keypoint_subset(
+            synthetic_n, raw_hw, seed, min(max_boxes, 8),
+            num_keypoints))
+    ann = os.path.join(data_dir, "annotations",
+                       f"person_keypoints_{split}.json")
+    if not os.path.exists(ann):
+        raise FileNotFoundError(f"no {ann!r}")
+    names, annos = load_keypoints(ann)
+    img_dir = os.path.join(data_dir, split)
+    return KeypointFileSource([os.path.join(img_dir, n) for n in names],
+                              annos, raw_hw, max_boxes, workers,
+                              num_keypoints)

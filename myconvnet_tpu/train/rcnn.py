@@ -285,6 +285,176 @@ def make_mask_rcnn_step(net: Transformed, opt: Optimizer,
     return step
 
 
+# ---------------------------------------------------------- keypoint branch
+
+
+def keypoint_targets(gt_kps: jax.Array, rois: jax.Array,
+                     kp_gt: jax.Array, heat_size: int
+                     ) -> tuple[jax.Array, jax.Array]:
+    """Grid targets for the keypoint head, pure arithmetic.
+
+    gt_kps [B,M,K,3] (x, y in normalized image coords, visibility —
+    COCO convention: 0 unlabeled, 1 occluded, 2 visible; >0 trains),
+    rois [B,Sk,4], kp_gt [B,Sk] matched gt row -> (uv [B,Sk,K] int32
+    flat grid index, valid [B,Sk,K] bool).  A keypoint is a target only
+    if labeled AND inside its RoI (the paper drops outside keypoints).
+    Row selection is a one-hot matmul — no gathers.
+    """
+    B, M = gt_kps.shape[:2]
+    sel = jax.nn.one_hot(kp_gt, M, dtype=gt_kps.dtype)      # [B,Sk,M]
+    kps = jnp.einsum("bsm,bmkc->bskc", sel, gt_kps)          # [B,Sk,K,3]
+    x1, y1 = rois[..., 0], rois[..., 1]
+    w = jnp.maximum(rois[..., 2] - x1, 1e-9)
+    h = jnp.maximum(rois[..., 3] - y1, 1e-9)
+    fx = (kps[..., 0] - x1[..., None]) / w[..., None]
+    fy = (kps[..., 1] - y1[..., None]) / h[..., None]
+    inside = (fx >= 0.0) & (fx < 1.0) & (fy >= 0.0) & (fy < 1.0)
+    u = jnp.clip((fx * heat_size).astype(jnp.int32), 0, heat_size - 1)
+    v = jnp.clip((fy * heat_size).astype(jnp.int32), 0, heat_size - 1)
+    valid = inside & (kps[..., 2] > 0.0)
+    return v * heat_size + u, valid
+
+
+def keypoint_head_loss(kp_logits: jax.Array, uv: jax.Array,
+                       kp_point_valid: jax.Array, kp_valid: jax.Array
+                       ) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """Keypoint R-CNN loss: softmax cross-entropy over the p*p GRID
+    POSITIONS, one distribution per keypoint channel (He et al. 2017),
+    mean over visible keypoints of positive RoIs.
+
+    kp_logits [B,Sk,p,p,K], uv [B,Sk,K] flat target index,
+    kp_point_valid [B,Sk,K], kp_valid [B,Sk].
+    """
+    B, S, p, _, K = kp_logits.shape
+    flat = kp_logits.reshape(B, S, p * p, K)
+    logz = jax.nn.log_softmax(flat, axis=2)
+    oh = jax.nn.one_hot(uv, p * p, dtype=logz.dtype)         # [B,Sk,K,pp]
+    ce = -jnp.einsum("bskp,bspk->bsk", oh, logz)
+    valid = kp_point_valid & kp_valid[..., None]
+    n = jnp.maximum(valid.sum(), 1).astype(ce.dtype)
+    loss = jnp.where(valid, ce, 0.0).sum() / n
+    return loss, {"kp_loss": loss, "kp_vis": valid.sum()}
+
+
+def augment_keypoint_batch(images: jax.Array, boxes: jax.Array,
+                           labels: jax.Array, kps: jax.Array,
+                           key: jax.Array, cfg: DetAugment,
+                           flip_perm=None):
+    """Keypoint augmentation: the detection chain with keypoints
+    carried through geometry.  Supported: photometric + hflip +
+    normalize (like the instance-mask chain — window warps would need
+    per-keypoint visibility updates; rejected rather than silently
+    wrong).  ``flip_perm`` is the left<->right channel permutation
+    applied when an image flips (COCO_KP_FLIP_PERM for the 17-keypoint
+    person skeleton); identity when None.
+    """
+    if cfg.has_geometry or cfg.mosaic_prob > 0.0:
+        raise ValueError("expand/IoU-crop/mosaic are box-only; the "
+                         "keypoint chain supports hflip + photometric")
+    from myconvnet_tpu.data import augment as aug
+
+    x = images.astype(jnp.float32)
+    if images.dtype == jnp.uint8:
+        x = x / 255.0
+    k_col, k_flip = jax.random.split(key)
+    if cfg.has_photometric:
+        x = aug.color_jitter(k_col, x, brightness=cfg.brightness,
+                             contrast=cfg.contrast,
+                             saturation=cfg.saturation, hue=cfg.hue)
+    if cfg.hflip:
+        flip = jax.random.bernoulli(k_flip, 0.5, (x.shape[0],))
+        x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+        fboxes = jnp.stack([1.0 - boxes[..., 2], boxes[..., 1],
+                            1.0 - boxes[..., 0], boxes[..., 3]],
+                           axis=-1)
+        boxes = jnp.where(flip[:, None, None], fboxes, boxes)
+        fkps = jnp.stack([1.0 - kps[..., 0], kps[..., 1],
+                          kps[..., 2]], axis=-1)
+        if flip_perm is not None:
+            fkps = fkps[:, :, jnp.asarray(flip_perm)]
+        kps = jnp.where(flip[:, None, None, None], fkps, kps)
+    if cfg.mean is not None:
+        x = (x - jnp.asarray(cfg.mean, x.dtype)) / jnp.asarray(
+            cfg.std, x.dtype)
+    return x, boxes, labels, kps
+
+
+def make_keypoint_rcnn_step(net: Transformed, opt: Optimizer,
+                            rpn_anchors: jax.Array, num_classes: int, *,
+                            augment: DetAugment | None = None,
+                            flip_perm=None, rpn_pos_iou: float = 0.7,
+                            rpn_neg_iou: float = 0.3,
+                            rpn_samples: int = 256) -> Callable:
+    """One fused Keypoint R-CNN step:
+    (state, (images, gt_boxes, gt_labels, gt_kps)) -> (state, metrics).
+
+    ``gt_kps`` [B,M,K,3] normalized (x, y, visibility) rows aligned
+    with gt_boxes.  All three losses (RPN, box head, keypoint head)
+    backprop in ONE XLA program; keypoint grid targets are computed
+    in-program from the RoIs the in-forward sampling matched.
+    """
+
+    def step(state: DetState, batch):
+        images, gt_boxes, gt_labels, gt_kps = batch
+        key = jax.random.fold_in(jax.random.wrap_key_data(state.rng),
+                                 state.step)
+        aug_key, rpn_key, model_key = jax.random.split(key, 3)
+        if augment is not None:
+            images, gt_boxes, gt_labels, gt_kps = augment_keypoint_batch(
+                images, gt_boxes, gt_labels, gt_kps, aug_key, augment,
+                flip_perm=flip_perm)
+
+        def objective(params):
+            out, new_state = net.apply(
+                params, state.state, model_key, images, num_classes,
+                train=True, gt_boxes=gt_boxes, gt_labels=gt_labels)
+            l_rpn, m_rpn = rpn_loss(
+                rpn_key, out.rpn_logits, out.rpn_loc, gt_boxes,
+                gt_labels, rpn_anchors, num_samples=rpn_samples,
+                pos_iou=rpn_pos_iou, neg_iou=rpn_neg_iou)
+            l_roi, m_roi = roi_head_loss(
+                out.roi_cls, out.roi_reg, out.roi_labels,
+                out.roi_targets, out.roi_pos, out.roi_valid)
+            uv, pt_valid = keypoint_targets(
+                gt_kps, jax.lax.stop_gradient(out.kp_rois), out.kp_gt,
+                out.kp_logits.shape[2])
+            l_kp, m_kp = keypoint_head_loss(out.kp_logits, uv, pt_valid,
+                                            out.kp_valid)
+            loss = l_rpn + l_roi + l_kp
+            metrics = {"loss": loss, **m_rpn, **m_roi, **m_kp}
+            return loss, (new_state, metrics)
+
+        (_, (new_state, metrics)), grads = jax.value_and_grad(
+            objective, has_aux=True)(state.params)
+        new_params, new_opt = opt.update(grads, state.opt, state.params,
+                                         state.step)
+        return DetState(new_params, new_state, new_opt, state.step + 1,
+                        state.rng), metrics
+
+    return step
+
+
+def decode_keypoints(kp_logits: jax.Array, boxes: jax.Array
+                     ) -> jax.Array:
+    """Heatmap logits [B,D,p,p,K] + boxes [B,D,4] -> keypoints
+    [B,D,K,3] (x, y in normalized image coords, confidence = softmax
+    peak probability).  Argmax decode — the paper's inference rule —
+    as pure arithmetic (argmax + index math, no gathers)."""
+    B, D, p, _, K = kp_logits.shape
+    flat = kp_logits.reshape(B, D, p * p, K)
+    probs = jax.nn.softmax(flat, axis=2)
+    idx = jnp.argmax(flat, axis=2)                           # [B,D,K]
+    conf = jnp.max(probs, axis=2)
+    u = (idx % p).astype(jnp.float32) + 0.5
+    v = (idx // p).astype(jnp.float32) + 0.5
+    x1, y1 = boxes[..., 0], boxes[..., 1]
+    w = jnp.maximum(boxes[..., 2] - x1, 1e-9)
+    h = jnp.maximum(boxes[..., 3] - y1, 1e-9)
+    kx = x1[..., None] + u / p * w[..., None]
+    ky = y1[..., None] + v / p * h[..., None]
+    return jnp.stack([kx, ky, conf], axis=-1)
+
+
 def make_mask_predict(net: Transformed, num_classes: int) -> Callable:
     """Jittable detection-time mask pass: (params, state, key, images,
     det_boxes [B,D,4], det_labels [B,D]) -> masks [B,D,p,p] in [0,1]
