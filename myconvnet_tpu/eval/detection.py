@@ -59,6 +59,9 @@ class MeanAPEvaluator(Evaluator):
     """
 
     name = "mAP"
+    # devkit matching (single argmax over real + ignore rows) unless a
+    # subclass opts into pycocotools' real-gts-first order
+    match_real_first = False
 
     def __init__(self, num_classes: int, iou_threshold: float = 0.5,
                  interpolation: str = "all"):
@@ -127,6 +130,28 @@ class MeanAPEvaluator(Evaluator):
                     fp[k] = 1
                     continue
                 ious = self._candidate_ious(det, cand)
+                if self.match_real_first:
+                    # pycocotools order: real gts absorb matches first;
+                    # ignore rows only take leftovers.  Needed when the
+                    # ignore-row similarity lives on a different scale
+                    # than the real one (keypoint OKS vs the box-IoU
+                    # fallback) — a single argmax would let an ignore
+                    # row hijack a should-be TP.
+                    real = np.asarray([not cc[1] for cc in cand])
+                    riou = np.where(real, ious, -np.inf)
+                    if real.any() and riou.max() >= thr:
+                        best = int(np.argmax(riou))
+                        if not matched[img][best]:
+                            matched[img][best] = True
+                            tp[k] = 1
+                        else:
+                            fp[k] = 1
+                    elif (~real).any() and \
+                            np.where(~real, ious, -np.inf).max() >= thr:
+                        ign[k] = 1
+                    else:
+                        fp[k] = 1
+                    continue
                 best = int(np.argmax(ious))
                 if ious[best] >= thr:
                     if cand[best][1]:          # difficult: devkit-style
@@ -174,26 +199,25 @@ class COCOMeanAPEvaluator(MeanAPEvaluator):
 
     def reset(self):
         super().reset()
-        self._sweep_rev = 0
-        self._sweep_cache: tuple[int, dict] | None = None
-
-    def update(self, preds, targets):
-        super().update(preds, targets)
-        self._sweep_rev += 1
+        self._sweep_cache: tuple[tuple, dict] | None = None
 
     def per_threshold(self) -> dict[float, float]:
         """The mAP-vs-IoU curve.  The 10-threshold matching sweep is the
-        expensive part, so it is cached per accumulation revision —
-        score() and a subsequent curve printout share one sweep."""
+        expensive part, so it is cached per accumulation state — keyed
+        on the accumulator sizes rather than an update-counter so that
+        SUBCLASS update() overrides (mask/keypoint evaluators) also
+        invalidate it; score() and a subsequent curve printout share
+        one sweep."""
+        key = (self._n_img, len(self._dets), len(self._gts))
         if self._sweep_cache is not None and \
-                self._sweep_cache[0] == self._sweep_rev:
+                self._sweep_cache[0] == key:
             return self._sweep_cache[1]
         out = {}
         for t in self.IOU_THRESHOLDS:
             aps = self.per_class_ap(float(t))
             out[float(t)] = (float(np.mean(list(aps.values())))
                              if aps else 0.0)
-        self._sweep_cache = (self._sweep_rev, out)
+        self._sweep_cache = (key, out)
         return out
 
     def score(self) -> float:
@@ -253,8 +277,15 @@ class MaskMeanAPEvaluator(MeanAPEvaluator):
         super().reset()
         self._inst: dict[int, np.ndarray] = {}   # img -> [H,W] id map
         self._gt_area: dict[tuple[int, int], int] = {}
+        # pasted windows are threshold-independent; cache them per det
+        # row so the COCO 10-threshold sweep pastes each mask ONCE
+        # (keyed by the det tuple's identity — rows live in self._dets)
+        self._paste_cache: dict[int, tuple] = {}
 
     def update(self, preds, targets):
+        """Negative gt labels <= -2 mark VOC ``difficult`` instances
+        (encoded -(class_id + 1), subsets/voc.py "mark" convention) —
+        scored as ignore zones like the box-detection path."""
         boxes, scores, labels, valid, masks = (np.asarray(t)
                                                for t in preds)
         gt_boxes, gt_labels, gt_inst = (np.asarray(t) for t in targets)
@@ -269,16 +300,27 @@ class MaskMeanAPEvaluator(MeanAPEvaluator):
                                        masks[b, d] >= 0.5))
             for m in range(gt_boxes.shape[1]):
                 lab = int(gt_labels[b, m])
-                if lab >= 1:
-                    self._gts.append((img, lab, gt_boxes[b, m], False, m))
-                    self._gt_area[(img, m)] = int(
-                        (gt_inst[b] == m + 1).sum())
+                if lab == -1:
+                    continue
+                diff = lab <= -2
+                self._gts.append((img, -lab - 1 if diff else lab,
+                                  gt_boxes[b, m], diff, m))
+                self._gt_area[(img, m)] = int(
+                    (gt_inst[b] == m + 1).sum())
+
+    def _pasted(self, det: tuple):
+        got = self._paste_cache.get(id(det))
+        if got is None:
+            rs, cs, win = _paste_det_mask(det[3], det[4],
+                                          self._inst[det[0]].shape)
+            got = (rs, cs, win, int(win.sum()))
+            self._paste_cache[id(det)] = got
+        return got
 
     def _candidate_ious(self, det: tuple, cand: list) -> np.ndarray:
-        img, box, mask = det[0], det[3], det[4]
+        img = det[0]
         inst = self._inst[img]
-        rs, cs, win = _paste_det_mask(box, mask, inst.shape)
-        det_area = int(win.sum())
+        rs, cs, win, det_area = self._pasted(det)
         ious = np.zeros(len(cand))
         for j, (_, _, row) in enumerate(cand):
             gt_area = self._gt_area[(img, row)]
@@ -310,14 +352,20 @@ class KeypointMeanAPEvaluator(MeanAPEvaluator):
                  output + train/rcnn.decode_keypoints;
       targets = (gt_boxes [B,M,4], gt_labels [B,M], gt_kps [B,M,K,3]
                  with the COCO visibility flag in channel 2).
-    OKS = mean over labeled gt keypoints of exp(-d^2 / (2 s^2 k_i^2)),
-    s^2 = gt box area, k_i the per-keypoint falloff (``sigmas``;
-    uniform 0.079 when None — pass subsets.coco.COCO_KP_SIGMAS for the
-    person skeleton).  Instances with zero labeled keypoints are
-    ignore zones (neither TP nor FP), matching pycocotools.
+    OKS = mean over labeled gt keypoints of
+    exp(-d^2 / (2 s^2 (2 sigma_i)^2)) — pycocotools' formula, with
+    per-keypoint ``sigmas`` (uniform 0.079 when None — pass
+    subsets.coco.COCO_KP_SIGMAS for the person skeleton) and s^2 = gt
+    BOX area (the sources carry no segmentation area; COCO proper uses
+    the segmentation area, which is smaller, so thresholds here are
+    mildly stricter).  Instances with zero labeled keypoints are
+    ignore zones (neither TP nor FP); matching follows pycocotools'
+    real-gts-first order so a box-IoU-scored ignore row can never
+    hijack a detection whose OKS clears the threshold on a real gt.
     """
 
     name = "keypoint mAP"
+    match_real_first = True
 
     def __init__(self, num_classes: int = 2, iou_threshold: float = 0.5,
                  interpolation: str = "all", sigmas=None):
@@ -357,11 +405,12 @@ class KeypointMeanAPEvaluator(MeanAPEvaluator):
                 oks[j] = _iou_matrix(det[3][None], gbox[None])[0, 0]
                 continue
             s2 = max((gbox[2] - gbox[0]) * (gbox[3] - gbox[1]), 1e-9)
-            k = (self.sigmas if self.sigmas is not None
-                 else np.full(gkp.shape[0], 0.079))
+            sig = (self.sigmas if self.sigmas is not None
+                   else np.full(gkp.shape[0], 0.079))
+            k2 = (2.0 * sig) ** 2  # pycocotools: kappa_i = 2 sigma_i
             d2 = ((kp[:, 0] - gkp[:, 0]) ** 2
                   + (kp[:, 1] - gkp[:, 1]) ** 2)
-            e = d2 / (2.0 * s2 * k ** 2 + 1e-12)
+            e = d2 / (2.0 * s2 * k2 + 1e-12)
             oks[j] = float(np.exp(-e)[vis].mean())
         return oks
 

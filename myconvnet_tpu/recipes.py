@@ -241,8 +241,10 @@ def build_evaluator(cfg: dict):
             from myconvnet_tpu.eval.detection import (
                 COCOKeypointMeanAPEvaluator, KeypointMeanAPEvaluator)
             from myconvnet_tpu.subsets.coco import COCO_KP_SIGMAS
-            k = cfg.get("model_kwargs", {}).get("num_keypoints", 17)
-            sig = COCO_KP_SIGMAS if k == len(COCO_KP_SIGMAS) else None
+            k = resolve_num_keypoints(cfg)
+            sig = cfg.get("kp_sigmas",
+                          COCO_KP_SIGMAS if k == len(COCO_KP_SIGMAS)
+                          else None)
             if coco_style:
                 return COCOKeypointMeanAPEvaluator(cfg["num_classes"],
                                                    sigmas=sig)
@@ -281,6 +283,23 @@ def make_detection_sources(cfg: dict, synthetic: bool,
                      "valid: ['voc', 'coco']")
 
 
+def resolve_num_keypoints(cfg: dict) -> int:
+    """The keypoint count the BUILT MODEL will use: the model_kwargs
+    override when present, else the model function's own default —
+    evaluator, sources and augmentation must all agree with the model,
+    not with a blanket 17."""
+    mk = cfg.get("model_kwargs", {}) or {}
+    if "num_keypoints" in mk:
+        return int(mk["num_keypoints"])
+    import inspect
+    fn = models.get_model(cfg.get("model", "keypoint_rcnn"))
+    p = inspect.signature(fn).parameters.get("num_keypoints")
+    if p is None or p.default is inspect.Parameter.empty:
+        raise ValueError(f"model {cfg.get('model')!r} exposes no "
+                         "num_keypoints; set model_kwargs.num_keypoints")
+    return int(p.default)
+
+
 def make_keypoint_sources(cfg: dict, synthetic: bool):
     """Keypoint sources (COCO person_keypoints layout or synthetic
     corner-marker rectangles; subsets/coco.py).  Batches are
@@ -288,7 +307,7 @@ def make_keypoint_sources(cfg: dict, synthetic: bool):
     from myconvnet_tpu.subsets import coco as coco_lib
     data_dir = cfg.get("data_dir")
     hw = tuple(cfg.get("input_hw", (512, 512)))
-    k = cfg.get("model_kwargs", {}).get("num_keypoints", 17)
+    k = resolve_num_keypoints(cfg)
     splits = (cfg.get("train_split", "train2017"),
               cfg.get("val_split", "val2017"))
     return [coco_lib.make_keypoint_source(
@@ -394,14 +413,24 @@ def build_detector(cfg: dict, synthetic: bool = False, mesh=None):
         mean=mean, std=std)
     if two_stage == "two_stage_kp":
         from myconvnet_tpu.train import rcnn as rcnn_lib
-        k = cfg.get("model_kwargs", {}).get("num_keypoints", 17)
+        k = resolve_num_keypoints(cfg)
+        use_synth = synthetic or cfg.get("data_dir") is None
         if "flip_perm" in cfg:
             flip_perm = tuple(cfg["flip_perm"])
+            if len(flip_perm) != k:
+                raise ValueError(f"flip_perm has {len(flip_perm)} "
+                                 f"entries for {k} keypoints")
         elif k == 17:
             from myconvnet_tpu.subsets.coco import COCO_KP_FLIP_PERM
             flip_perm = COCO_KP_FLIP_PERM
-        elif k == 4:
-            flip_perm = (1, 0, 3, 2)  # synthetic corner markers
+        elif use_synth and k == 4:
+            flip_perm = (1, 0, 3, 2)  # the synthetic corner markers
+        elif det_aug.hflip:
+            # a silent identity permutation would mislabel left/right
+            # channels on every flipped image — demand an explicit one
+            raise ValueError(
+                f"augment.flip with a {k}-keypoint skeleton needs an "
+                "explicit flip_perm= in the config (or flip=False)")
         else:
             flip_perm = None
         step = jax.jit(rcnn_lib.make_keypoint_rcnn_step(

@@ -138,21 +138,29 @@ COCO_KP_SIGMAS = (0.026, 0.025, 0.025, 0.035, 0.035, 0.079, 0.079,
                   0.087, 0.089, 0.089)
 
 
-def load_keypoints(ann_path: str) -> tuple[list[str], list[tuple]]:
+def load_keypoints(ann_path: str, keep_unlabeled: bool = False
+                   ) -> tuple[list[str], list[tuple]]:
     """Parse a person_keypoints_*.json -> (file_names, annotations).
 
     Annotations per image: (boxes [m,4] normalized xyxy, labels [m]
     all 1 = person, kps [m,K,3] with x,y normalized to the image and
-    the COCO visibility flag in channel 2).  Crowd regions and
-    zero-keypoint instances are dropped (the Keypoint R-CNN training
-    protocol — they carry no heatmap supervision).
+    the COCO visibility flag in channel 2).
+
+    Crowd regions and zero-keypoint instances carry no heatmap
+    supervision: with ``keep_unlabeled=False`` (the training protocol)
+    they are dropped; with True (eval splits) they are KEPT with all
+    visibilities forced to 0, which KeypointMeanAPEvaluator scores as
+    ignore zones — a detection on one is neither TP nor FP, matching
+    pycocotools' crowd/ignore handling.
     """
     with open(ann_path) as f:
         doc = json.load(f)
     images = {im["id"]: im for im in doc["images"]}
     per_img: dict[int, list] = {im_id: [] for im_id in images}
     for ann in doc.get("annotations", []):
-        if ann.get("iscrowd", 0) or ann.get("num_keypoints", 0) == 0:
+        unlabeled = (ann.get("iscrowd", 0)
+                     or ann.get("num_keypoints", 0) == 0)
+        if unlabeled and not keep_unlabeled:
             continue
         im = images.get(ann["image_id"])
         if im is None:
@@ -165,6 +173,8 @@ def load_keypoints(ann_path: str) -> tuple[list[str], list[tuple]]:
                         np.float32).reshape(-1, 3)
         kp[:, 0] /= iw
         kp[:, 1] /= ih
+        if unlabeled:
+            kp[:, 2] = 0.0  # ignore-zone marker for the evaluator
         box = (x / iw, y / ih, (x + w) / iw, (y + h) / ih)
         per_img[ann["image_id"]].append((box, kp))
     names, annos = [], []
@@ -285,9 +295,14 @@ def make_keypoint_source(data_dir: str | None, split: str = "train2017",
                          synthetic: bool = False, synthetic_n: int = 64,
                          raw_hw: tuple[int, int] = (512, 512),
                          max_boxes: int = 32, workers: int = 8,
-                         num_keypoints: int = COCO_NUM_KEYPOINTS):
+                         num_keypoints: int = COCO_NUM_KEYPOINTS,
+                         keep_unlabeled: bool | None = None):
     """COCO person-keypoints source; synthetic corner-marker scenes
-    (4 keypoints) when no corpus is mounted."""
+    (4 keypoints) when no corpus is mounted.  ``keep_unlabeled``
+    defaults to the protocol: drop crowd/zero-keypoint persons for
+    train splits, keep them as ignore zones otherwise."""
+    if keep_unlabeled is None:
+        keep_unlabeled = not split.startswith("train")
     if synthetic or data_dir is None:
         seed = 0 if split.startswith("train") else 1
         return KeypointArraySource(*synthetic_keypoint_subset(
@@ -297,7 +312,7 @@ def make_keypoint_source(data_dir: str | None, split: str = "train2017",
                        f"person_keypoints_{split}.json")
     if not os.path.exists(ann):
         raise FileNotFoundError(f"no {ann!r}")
-    names, annos = load_keypoints(ann)
+    names, annos = load_keypoints(ann, keep_unlabeled)
     img_dir = os.path.join(data_dir, split)
     return KeypointFileSource([os.path.join(img_dir, n) for n in names],
                               annos, raw_hw, max_boxes, workers,

@@ -358,9 +358,13 @@ def read_instance_subset(data_dir: str, split: str = "train"
     a SegmentationObject mask, with their Annotations boxes.
 
     Returns (image_paths, object_mask_paths, annotations).  The XML is
-    parsed with ALL objects kept in file order (difficult included) —
-    instance id k in the PNG is the k-th <object> element, so any
-    filtering would desynchronize boxes from mask ids.
+    parsed with ALL objects kept in file order — instance id k in the
+    PNG is the k-th <object> element, so any filtering would
+    desynchronize boxes from mask ids.  ``difficult`` objects keep
+    their row but carry the ``-(class_id + 1)`` mark encoding: the
+    matchers exclude labels < 1 from training and
+    MaskMeanAPEvaluator scores them as devkit-style ignore zones —
+    the same protocol as the box-detection path.
     """
     for sub in ("VOC2012", "VOCdevkit/VOC2012", "."):
         root = os.path.normpath(os.path.join(data_dir, sub))
@@ -379,7 +383,7 @@ def read_instance_subset(data_dir: str, split: str = "train"
     masks = [os.path.join(root, "SegmentationObject", f"{i}.png")
              for i in ids]
     annos = [_parse_voc_xml(os.path.join(root, "Annotations", f"{i}.xml"),
-                            keep_difficult=True) for i in ids]
+                            keep_difficult="mark") for i in ids]
     return imgs, masks, annos
 
 

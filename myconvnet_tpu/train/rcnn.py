@@ -186,23 +186,23 @@ def make_rcnn_step(net: Transformed, opt: Optimizer,
 # ------------------------------------------------------------ mask branch
 
 
-def augment_instance_batch(images: jax.Array, boxes: jax.Array,
-                           labels: jax.Array, inst: jax.Array,
-                           key: jax.Array, cfg: DetAugment):
-    """Instance-segmentation augmentation: the detection chain with the
-    instance-id map [B,H,W] carried through geometry.
+def _augment_with_payload(images: jax.Array, boxes: jax.Array,
+                          labels: jax.Array, payload, key: jax.Array,
+                          cfg: DetAugment, flip_payload, what: str):
+    """Shared flips-only augmentation chain for the R-CNN branches:
+    photometric distortion + box-aware hflip + normalize, with a
+    per-task ``flip_payload(flip_mask, payload)`` hook mirroring the
+    extra target (instance map / keypoints) alongside the boxes.
 
-    Supported: photometric distortion + box/mask-aware hflip +
-    normalize (the Mask R-CNN paper's train-time augmentation is flips
-    only).  The window-warp/mosaic options would need a nearest-
-    neighbor map warp — rejected explicitly rather than silently
-    desynchronizing boxes from masks.
+    The window-warp/mosaic options are box-only transforms — they would
+    need payload-aware warps, so they are rejected explicitly rather
+    than silently desynchronizing boxes from the payload.
     """
     if cfg.has_geometry or cfg.mosaic_prob > 0.0:
-        raise ValueError("expand/IoU-crop/mosaic are box-only; the "
-                         "instance-mask chain supports hflip + "
-                         "photometric (set expand_prob=0, "
-                         "iou_crop=False, mosaic_prob=0)")
+        raise ValueError(f"expand/IoU-crop/mosaic are box-only; the "
+                         f"{what} chain supports hflip + photometric "
+                         "(set expand_prob=0, iou_crop=False, "
+                         "mosaic_prob=0)")
     from myconvnet_tpu.data import augment as aug
 
     x = images.astype(jnp.float32)
@@ -216,15 +216,27 @@ def augment_instance_batch(images: jax.Array, boxes: jax.Array,
     if cfg.hflip:
         flip = jax.random.bernoulli(k_flip, 0.5, (x.shape[0],))
         x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
-        inst = jnp.where(flip[:, None, None], inst[:, :, ::-1], inst)
-        flipped = jnp.stack([1.0 - boxes[..., 2], boxes[..., 1],
-                             1.0 - boxes[..., 0], boxes[..., 3]],
-                            axis=-1)
-        boxes = jnp.where(flip[:, None, None], flipped, boxes)
+        fboxes = jnp.stack([1.0 - boxes[..., 2], boxes[..., 1],
+                            1.0 - boxes[..., 0], boxes[..., 3]],
+                           axis=-1)
+        boxes = jnp.where(flip[:, None, None], fboxes, boxes)
+        payload = flip_payload(flip, payload)
     if cfg.mean is not None:
         x = (x - jnp.asarray(cfg.mean, x.dtype)) / jnp.asarray(
             cfg.std, x.dtype)
-    return x, boxes, labels, inst
+    return x, boxes, labels, payload
+
+
+def augment_instance_batch(images: jax.Array, boxes: jax.Array,
+                           labels: jax.Array, inst: jax.Array,
+                           key: jax.Array, cfg: DetAugment):
+    """Instance-segmentation augmentation: the detection chain with the
+    instance-id map [B,H,W] carried through geometry (the Mask R-CNN
+    paper's train-time augmentation is flips only)."""
+    return _augment_with_payload(
+        images, boxes, labels, inst, key, cfg,
+        lambda flip, m: jnp.where(flip[:, None, None], m[:, :, ::-1], m),
+        "instance-mask")
 
 
 def make_mask_rcnn_step(net: Transformed, opt: Optimizer,
@@ -341,42 +353,20 @@ def augment_keypoint_batch(images: jax.Array, boxes: jax.Array,
                            key: jax.Array, cfg: DetAugment,
                            flip_perm=None):
     """Keypoint augmentation: the detection chain with keypoints
-    carried through geometry.  Supported: photometric + hflip +
-    normalize (like the instance-mask chain — window warps would need
-    per-keypoint visibility updates; rejected rather than silently
-    wrong).  ``flip_perm`` is the left<->right channel permutation
-    applied when an image flips (COCO_KP_FLIP_PERM for the 17-keypoint
-    person skeleton); identity when None.
-    """
-    if cfg.has_geometry or cfg.mosaic_prob > 0.0:
-        raise ValueError("expand/IoU-crop/mosaic are box-only; the "
-                         "keypoint chain supports hflip + photometric")
-    from myconvnet_tpu.data import augment as aug
+    carried through geometry.  ``flip_perm`` is the left<->right
+    channel permutation applied when an image flips (COCO_KP_FLIP_PERM
+    for the 17-keypoint person skeleton); identity when None —
+    correct only for skeletons with no left/right pairs."""
 
-    x = images.astype(jnp.float32)
-    if images.dtype == jnp.uint8:
-        x = x / 255.0
-    k_col, k_flip = jax.random.split(key)
-    if cfg.has_photometric:
-        x = aug.color_jitter(k_col, x, brightness=cfg.brightness,
-                             contrast=cfg.contrast,
-                             saturation=cfg.saturation, hue=cfg.hue)
-    if cfg.hflip:
-        flip = jax.random.bernoulli(k_flip, 0.5, (x.shape[0],))
-        x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
-        fboxes = jnp.stack([1.0 - boxes[..., 2], boxes[..., 1],
-                            1.0 - boxes[..., 0], boxes[..., 3]],
-                           axis=-1)
-        boxes = jnp.where(flip[:, None, None], fboxes, boxes)
-        fkps = jnp.stack([1.0 - kps[..., 0], kps[..., 1],
-                          kps[..., 2]], axis=-1)
+    def flip_kps(flip, kp):
+        fkps = jnp.stack([1.0 - kp[..., 0], kp[..., 1], kp[..., 2]],
+                         axis=-1)
         if flip_perm is not None:
             fkps = fkps[:, :, jnp.asarray(flip_perm)]
-        kps = jnp.where(flip[:, None, None, None], fkps, kps)
-    if cfg.mean is not None:
-        x = (x - jnp.asarray(cfg.mean, x.dtype)) / jnp.asarray(
-            cfg.std, x.dtype)
-    return x, boxes, labels, kps
+        return jnp.where(flip[:, None, None, None], fkps, kp)
+
+    return _augment_with_payload(images, boxes, labels, kps, key, cfg,
+                                 flip_kps, "keypoint")
 
 
 def make_keypoint_rcnn_step(net: Transformed, opt: Optimizer,

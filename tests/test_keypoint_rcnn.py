@@ -242,3 +242,94 @@ def test_predict_and_inference_contract():
     assert len(got) == 5
     for w, g in zip((boxes, scores, labels, valid, kps), got):
         np.testing.assert_allclose(np.asarray(g), w, atol=2e-3)
+
+
+def test_oks_matches_pycocotools_formula():
+    """OKS exponent uses kappa_i = 2*sigma_i (the pycocotools vars)."""
+    sig = np.asarray([0.05, 0.1], np.float64)
+    gkp = np.asarray([[0.5, 0.5, 2.0], [0.6, 0.6, 2.0]], np.float32)
+    kp = gkp.copy()
+    kp[0, 0] += 0.03
+    kp[1, 1] -= 0.04
+    box = np.asarray([0.3, 0.3, 0.8, 0.8], np.float32)
+    ev = KeypointMeanAPEvaluator(2, sigmas=sig)
+    got = ev._candidate_ious((0, 1, 0.9, box, kp), [(box, False, gkp)])
+    area = 0.5 * 0.5
+    d2 = np.asarray([0.03 ** 2, 0.04 ** 2])
+    want = np.exp(-d2 / (2.0 * area * (2.0 * sig) ** 2 + 1e-12)).mean()
+    np.testing.assert_allclose(got[0], want, rtol=1e-6)
+
+
+def test_ignore_rows_do_not_hijack_real_matches():
+    """A zero-labeled gt whose box IoU beats the real gt's OKS must not
+    steal the detection (pycocotools real-first matching)."""
+    kp = np.zeros((1, 1, 4, 3), np.float32)
+    kp[..., 0] = [0.32, 0.48, 0.32, 0.48]
+    kp[..., 1] = [0.32, 0.32, 0.48, 0.48]
+    kp[..., 2] = 1.0
+    det_box = np.asarray([[[0.3, 0.3, 0.5, 0.5]]], np.float32)
+    # real gt: same box, keypoints slightly off (OKS in (thr, 1));
+    # ignore row: the det box EXACTLY (box IoU 1.0)
+    gkp = kp.copy()
+    gkp[..., 0] += 0.01
+    gt_boxes = np.concatenate([det_box, det_box], axis=1)
+    gt_labels = np.asarray([[1, 1]], np.int32)
+    gt_kps = np.concatenate([gkp, np.zeros_like(gkp)], axis=1)
+    ev = KeypointMeanAPEvaluator(2, iou_threshold=0.5)
+    ev.update((det_box, np.asarray([[0.9]]), np.asarray([[1]]),
+               np.asarray([[True]]), kp),
+              (gt_boxes, gt_labels, gt_kps))
+    # OKS vs the real row clears 0.5 -> must be a TP, not ignored
+    assert ev.score() == 1.0
+
+
+def test_coco_sweep_cache_invalidated_by_subclass_update():
+    preds, kp, targets = _one_kp_scene()
+    ev = COCOKeypointMeanAPEvaluator(2)
+    ev.update(preds + (kp,), targets)
+    assert ev.score() == 1.0
+    # second image: a confident detection with garbage keypoints on a
+    # fresh gt -> the sweep must change
+    far = kp.copy()
+    far[..., 0] = 0.99
+    ev.update((preds[0], np.asarray([[0.95]], np.float32), preds[2],
+               preds[3], far), targets)
+    assert ev.score() < 1.0
+
+
+def test_load_keypoints_marks_unlabeled_as_ignore(tmp_path):
+    import json
+    doc = dict(
+        images=[dict(id=1, file_name="a.jpg", width=100, height=100)],
+        annotations=[
+            dict(image_id=1, bbox=[10, 10, 40, 40], iscrowd=0,
+                 num_keypoints=2,
+                 keypoints=[20, 20, 2, 40, 40, 1, 0, 0, 0]),
+            dict(image_id=1, bbox=[50, 50, 30, 30], iscrowd=1,
+                 num_keypoints=0, keypoints=[0] * 9),
+        ],
+        categories=[dict(id=1, name="person")])
+    p = tmp_path / "kp.json"
+    p.write_text(json.dumps(doc))
+    from myconvnet_tpu.subsets.coco import load_keypoints
+    names, annos = load_keypoints(str(p), keep_unlabeled=False)
+    assert len(annos[0][0]) == 1          # crowd dropped for training
+    names, annos = load_keypoints(str(p), keep_unlabeled=True)
+    boxes, labels, kps = annos[0]
+    assert len(boxes) == 2                # kept for eval...
+    assert (kps[1][:, 2] == 0).all()      # ...as an ignore row
+
+
+def test_flip_perm_required_for_odd_skeletons():
+    import pytest
+    cfg = dict(TINY_CFG, total_steps=1,
+               model_kwargs=dict(num_keypoints=3))
+    with pytest.raises(ValueError, match="flip_perm"):
+        recipes.build_detector(cfg, synthetic=True)
+    # explicit perm of the right length passes config validation
+    cfg2 = dict(cfg, flip_perm=(0, 2, 1))
+    state, *_ = recipes.build_detector(cfg2, synthetic=True)
+    # wrong length is rejected
+    with pytest.raises(ValueError, match="entries"):
+        recipes.build_detector(dict(cfg, flip_perm=(1, 0)),
+                               synthetic=True)

@@ -222,3 +222,31 @@ def test_predict_contract():
     assert boxes.shape == (4, 100, 4)       # max_detections
     assert masks.shape == (4, 100, 10, 10)  # 2 * mask_pool
     assert ((masks >= 0.0) & (masks <= 1.0)).all()
+
+
+def test_difficult_instances_are_ignore_zones():
+    """Mark-encoded labels (-(class+1)) score as devkit ignore: a
+    detection on one is neither TP nor FP and it never counts toward
+    recall."""
+    inst = np.zeros((1, 32, 32), np.int32)
+    inst[0, 2:14, 2:14] = 1     # difficult instance, row 0
+    inst[0, 18:30, 18:30] = 2   # real instance, row 1
+    gt_boxes = np.asarray([[[2 / 32, 2 / 32, 14 / 32, 14 / 32],
+                            [18 / 32, 18 / 32, 30 / 32, 30 / 32]]],
+                          np.float32)
+    gt_labels = np.asarray([[-(5 + 1), 5]], np.int32)
+    ones = np.ones((1, 1, 8, 8), np.float32)
+    # one detection on the REAL instance -> AP 1.0 (difficult row does
+    # not cap recall)
+    ev = MaskMeanAPEvaluator(21)
+    ev.update((gt_boxes[:, 1:2], np.asarray([[0.9]]),
+               np.asarray([[5]]), np.asarray([[True]]), ones),
+              (gt_boxes, gt_labels, inst))
+    assert ev.score() == 1.0
+    # one detection on the DIFFICULT instance -> ignored, AP 0 but the
+    # detection is not an FP (precision curve stays empty)
+    ev2 = MaskMeanAPEvaluator(21)
+    ev2.update((gt_boxes[:, 0:1], np.asarray([[0.9]]),
+                np.asarray([[5]]), np.asarray([[True]]), ones),
+               (gt_boxes, gt_labels, inst))
+    assert ev2.score() == 0.0
