@@ -47,6 +47,7 @@ from myconvnet_tpu.models.ssd import ssd300, ssd512, tinydet
 from myconvnet_tpu.models.faster_rcnn import faster_rcnn, tinyfrcnn
 from myconvnet_tpu.models.keypoint_rcnn import keypoint_rcnn, tinykp
 from myconvnet_tpu.models.mask_rcnn import mask_rcnn, tinymask
+from myconvnet_tpu.models.panoptic import panoptic_fpn, tinypan
 from myconvnet_tpu.models.retinanet import retinanet, tinyretina
 from myconvnet_tpu.models.shufflenet import shufflenet_v2
 from myconvnet_tpu.models.smallnet import smallnet
@@ -108,6 +109,8 @@ DETECTORS = {
     "tinymask": tinymask,
     "keypoint_rcnn": keypoint_rcnn,
     "tinykp": tinykp,
+    "panoptic_fpn": panoptic_fpn,
+    "tinypan": tinypan,
     "tinyretina": tinyretina,
 }
 

@@ -237,6 +237,14 @@ def build_evaluator(cfg: dict):
             return MaskMeanAPEvaluator(cfg["num_classes"],
                                        iou_threshold=cfg.get("map_iou",
                                                              0.5))
+        if fam == "two_stage_panoptic":  # score PQ over merged segments
+            from myconvnet_tpu.eval.panoptic import \
+                PanopticQualityEvaluator
+            return PanopticQualityEvaluator(
+                cfg["num_classes"],
+                cfg.get("model_kwargs", {}).get("num_stuff", 2),
+                stuff_min_area=cfg.get("stuff_min_area", 64),
+                score_threshold=cfg.get("panoptic_score", 0.5))
         if fam == "two_stage_kp":    # score OKS, not box IoU
             from myconvnet_tpu.eval.detection import (
                 COCOKeypointMeanAPEvaluator, KeypointMeanAPEvaluator)
@@ -411,6 +419,50 @@ def build_detector(cfg: dict, synthetic: bool = False, mesh=None):
         saturation=aug.get("saturation", 0.0),
         hue=aug.get("hue", 0.0),
         mean=mean, std=std)
+    if two_stage == "two_stage_panoptic":
+        from myconvnet_tpu.subsets.voc import make_panoptic_source
+        from myconvnet_tpu.train import rcnn as rcnn_lib
+        step = jax.jit(rcnn_lib.make_panoptic_step(
+            net, opt, anchors, num_classes, augment=det_aug,
+            sem_weight=cfg.get("sem_weight", 0.5),
+            rpn_pos_iou=cfg.get("rpn_pos_iou", 0.7),
+            rpn_neg_iou=cfg.get("rpn_neg_iou", 0.3),
+            rpn_samples=cfg.get("rpn_samples", 256)))
+
+        @jax.jit
+        def predict(st, images):
+            # detect -> masks on the post-NMS boxes (trunk CSEd) +
+            # the semantic argmax nearest-expanded to full resolution
+            # (integer scale, exact)
+            x, _ = det_lib.preprocess_batch(
+                images, jnp.zeros((1, 1, 4)), None, mean=mean, std=std)
+            out, _ = net.apply(st.params, st.state, None, x,
+                               num_classes, train=False)
+            boxes, scores, labels, valid = post(out)
+            logits, _ = net.apply(st.params, st.state, None, x,
+                                  num_classes, mask_rois=boxes)
+            ch = jnp.clip(labels.astype(jnp.int32) - 1, 0,
+                          logits.shape[-1] - 1)
+            z = jnp.take_along_axis(
+                logits, ch[:, :, None, None, None], axis=-1)[..., 0]
+            sem = out.sem_logits.argmax(-1).astype(jnp.int32)
+            H, W = images.shape[1:3]
+            sem = jnp.repeat(jnp.repeat(sem, H // sem.shape[1], 1),
+                             W // sem.shape[2], 2)
+            return (boxes, scores, labels, valid, jax.nn.sigmoid(z),
+                    sem)
+
+        if cfg["dataset"] != "voc":
+            raise ValueError(f"panoptic dataset {cfg['dataset']!r}; "
+                             "valid: ['voc'] (SegmentationObject + "
+                             "SegmentationClass pairing)")
+        srcs = [make_panoptic_source(
+            cfg.get("data_dir"), split,
+            synthetic=synthetic or cfg.get("data_dir") is None,
+            raw_hw=hw, max_boxes=cfg.get("max_boxes", 64))
+            for split in ("train", "val")]
+        return (state, step, predict, DataSet(srcs[0]),
+                DataSet(srcs[1]))
     if two_stage == "two_stage_kp":
         from myconvnet_tpu.train import rcnn as rcnn_lib
         k = resolve_num_keypoints(cfg)
@@ -659,10 +711,11 @@ def make_detector_inference(cfg: dict, state, *, int8: bool = False,
                 logits, _ = net.apply(state.params, state.state, None,
                                       x, num_classes, kp_rois=boxes)
             return (*dets, rcnn_lib.decode_keypoints(logits, boxes))
-        if two_stage != "two_stage_mask":
+        if two_stage not in ("two_stage_mask", "two_stage_panoptic"):
             return dets
-        # mask family: re-run the mask branch on the post-NMS boxes
-        # (trunk CSEd inside one jit) and serve per-detection masks
+        # mask/panoptic families: re-run the mask branch on the
+        # post-NMS boxes (trunk CSEd inside one jit) and serve
+        # per-detection masks (+ the full-res semantic map)
         with scope():
             logits, _ = net.apply(state.params, state.state, None, x,
                                   num_classes, mask_rois=boxes)
@@ -670,6 +723,12 @@ def make_detector_inference(cfg: dict, state, *, int8: bool = False,
                       logits.shape[-1] - 1)
         z = jnp.take_along_axis(
             logits, ch[:, :, None, None, None], axis=-1)[..., 0]
+        if two_stage == "two_stage_panoptic":
+            sem = out.sem_logits.argmax(-1).astype(jnp.int32)
+            H, W = x.shape[1:3]
+            sem = jnp.repeat(jnp.repeat(sem, H // sem.shape[1], 1),
+                             W // sem.shape[2], 2)
+            return (*dets, jax.nn.sigmoid(z), sem)
         return (*dets, jax.nn.sigmoid(z))
 
     return fn

@@ -443,3 +443,79 @@ def make_instance_source(data_dir: str | None, split: str = "train",
     imgs, masks, annos = read_instance_subset(data_dir, split)
     return InstanceFileSource(imgs, masks, annos, raw_hw, max_boxes,
                               workers)
+
+
+# ------------------------------------------------------------- panoptic
+
+def synthetic_panoptic_subset(n: int = 64,
+                              raw_hw: tuple[int, int] = (128, 128),
+                              seed: int = 0, max_boxes: int = 8):
+    """Instance quadruplets + the semantic map in models/panoptic.py's
+    channel convention: 0 = thing pixels, 1 = background stuff."""
+    imgs, boxes, labels, inst = synthetic_instance_subset(
+        n, raw_hw, seed, max_boxes)
+    sem = np.where(inst > 0, 0, 1).astype(np.int32)
+    return imgs, boxes, labels, inst, sem
+
+
+class PanopticArraySource(InstanceArraySource):
+    """Instance source + semantic map [N,H,W] int32."""
+
+    def __init__(self, images, boxes, labels, inst, sem):
+        super().__init__(images, boxes, labels, inst)
+        self.sem = sem
+
+    def get_batch(self, idx: np.ndarray):
+        idx = np.asarray(idx)
+        return (*super().get_batch(idx), self.sem[idx])
+
+
+class PanopticFileSource(InstanceFileSource):
+    """VOC panoptic pairing: SegmentationObject instances +
+    SegmentationClass semantics.  All 20 VOC classes are things, so
+    the semantic map collapses to {0: thing pixels, 1: background
+    stuff, 255: void boundaries} — the tiny-stuff-vocabulary case of
+    the panoptic convention."""
+
+    def __init__(self, paths, mask_paths, cls_paths, annos,
+                 raw_hw=(512, 512), max_boxes=MAX_BOXES, workers=8):
+        super().__init__(paths, mask_paths, annos, raw_hw, max_boxes,
+                         workers)
+        self.cls_paths = list(cls_paths)
+
+    def _load_one(self, i: int):
+        img, inst = super()._load_one(i)
+        from PIL import Image
+        th, tw = self.raw_hw
+        cls = Image.open(self.cls_paths[i])
+        cls = np.asarray(cls.resize((tw, th), Image.NEAREST), np.int32)
+        sem = np.where(inst > 0, 0, np.where(cls == 255, 255, 1))
+        return img, inst, sem.astype(np.int32)
+
+    def get_batch(self, idx: np.ndarray):
+        idx = np.asarray(idx)
+        trip = list(self._pool.map(self._load_one, idx))
+        return (np.stack([t[0] for t in trip]), self.boxes[idx],
+                self.labels[idx], np.stack([t[1] for t in trip]),
+                np.stack([t[2] for t in trip]))
+
+
+def make_panoptic_source(data_dir: str | None, split: str = "train",
+                         synthetic: bool = False, synthetic_n: int = 64,
+                         raw_hw: tuple[int, int] = (512, 512),
+                         max_boxes: int = MAX_BOXES, workers: int = 8):
+    if synthetic or data_dir is None:
+        seed = 0 if split == "train" else 1
+        return PanopticArraySource(
+            *synthetic_panoptic_subset(synthetic_n, raw_hw, seed,
+                                       min(max_boxes, 8)))
+    imgs, masks, annos = read_instance_subset(data_dir, split)
+    cls_paths = [m.replace("SegmentationObject", "SegmentationClass")
+                 for m in masks]
+    missing = [p for p in cls_paths if not os.path.exists(p)]
+    if missing:
+        raise FileNotFoundError(
+            f"{len(missing)} SegmentationClass masks missing "
+            f"(first: {missing[0]!r})")
+    return PanopticFileSource(imgs, masks, cls_paths, annos, raw_hw,
+                              max_boxes, workers)

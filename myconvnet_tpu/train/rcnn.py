@@ -297,6 +297,99 @@ def make_mask_rcnn_step(net: Transformed, opt: Optimizer,
     return step
 
 
+# ---------------------------------------------------------- semantic branch
+
+
+def semantic_loss(sem_logits: jax.Array, sem_labels: jax.Array,
+                  ignore_label: int = 255
+                  ) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """Panoptic FPN's semantic cross-entropy at the LOGITS' resolution:
+    the full-res gt [B,H,W] int is nearest-subsampled to the semantic
+    grid (cheaper than upsampling logits; same gradient signal at the
+    1/8 scale the head predicts).  ``ignore_label`` pixels drop out.
+    """
+    B, h, w, S = sem_logits.shape
+    H, W = sem_labels.shape[1:3]
+    ry = (jnp.arange(h) * H) // h + H // (2 * h)
+    rx = (jnp.arange(w) * W) // w + W // (2 * w)
+    small = sem_labels[:, ry][:, :, rx]                    # [B,h,w]
+    valid = small != ignore_label
+    cls = jnp.clip(small, 0, S - 1)
+    logz = jax.nn.log_softmax(sem_logits, axis=-1)
+    oh = jax.nn.one_hot(cls, S, dtype=logz.dtype)
+    ce = -jnp.einsum("bhwc,bhwc->bhw", oh, logz)
+    n = jnp.maximum(valid.sum(), 1).astype(ce.dtype)
+    loss = jnp.where(valid, ce, 0.0).sum() / n
+    acc = jnp.where(valid, sem_logits.argmax(-1) == cls, False)
+    return loss, {"sem_loss": loss, "sem_acc": acc.sum() / n}
+
+
+def make_panoptic_step(net: Transformed, opt: Optimizer,
+                       rpn_anchors: jax.Array, num_classes: int, *,
+                       augment: DetAugment | None = None,
+                       sem_weight: float = 0.5,
+                       rpn_pos_iou: float = 0.7,
+                       rpn_neg_iou: float = 0.3,
+                       rpn_samples: int = 256) -> Callable:
+    """One fused Panoptic FPN step: (state, (images, gt_boxes,
+    gt_labels, gt_inst, gt_sem)) -> (state, metrics).
+
+    ``gt_sem`` [B,H,W] int semantic classes (channel convention in
+    models/panoptic.py; 255 = ignore).  The paper's joint objective:
+    instance losses + ``sem_weight`` x semantic CE (lambda = 0.5), all
+    four in ONE XLA program.
+    """
+    from myconvnet_tpu.ops import roi as roi_ops
+
+    def step(state: DetState, batch):
+        images, gt_boxes, gt_labels, gt_inst, gt_sem = batch
+        key = jax.random.fold_in(jax.random.wrap_key_data(state.rng),
+                                 state.step)
+        aug_key, rpn_key, model_key = jax.random.split(key, 3)
+        if augment is not None:
+            images, gt_boxes, gt_labels, (gt_inst, gt_sem) = \
+                _augment_with_payload(
+                    images, gt_boxes, gt_labels, (gt_inst, gt_sem),
+                    aug_key, augment,
+                    lambda flip, ms: tuple(
+                        jnp.where(flip[:, None, None], m[:, :, ::-1], m)
+                        for m in ms),
+                    "panoptic")
+
+        def objective(params):
+            out, new_state = net.apply(
+                params, state.state, model_key, images, num_classes,
+                train=True, gt_boxes=gt_boxes, gt_labels=gt_labels)
+            l_rpn, m_rpn = rpn_loss(
+                rpn_key, out.rpn_logits, out.rpn_loc, gt_boxes,
+                gt_labels, rpn_anchors, num_samples=rpn_samples,
+                pos_iou=rpn_pos_iou, neg_iou=rpn_neg_iou)
+            l_roi, m_roi = roi_head_loss(
+                out.roi_cls, out.roi_reg, out.roi_labels,
+                out.roi_targets, out.roi_pos, out.roi_valid)
+            soft = roi_ops.crop_instance_masks(
+                gt_inst, jax.lax.stop_gradient(out.mask_rois),
+                out.mask_gt, out_size=out.mask_logits.shape[2])
+            targets = (soft >= 0.5).astype(out.mask_logits.dtype)
+            l_mask, m_mask = mask_head_loss(
+                out.mask_logits, out.mask_labels, out.mask_valid,
+                targets)
+            l_sem, m_sem = semantic_loss(out.sem_logits, gt_sem)
+            loss = l_rpn + l_roi + l_mask + sem_weight * l_sem
+            metrics = {"loss": loss, **m_rpn, **m_roi, **m_mask,
+                       **m_sem}
+            return loss, (new_state, metrics)
+
+        (_, (new_state, metrics)), grads = jax.value_and_grad(
+            objective, has_aux=True)(state.params)
+        new_params, new_opt = opt.update(grads, state.opt, state.params,
+                                         state.step)
+        return DetState(new_params, new_state, new_opt, state.step + 1,
+                        state.rng), metrics
+
+    return step
+
+
 # ---------------------------------------------------------- keypoint branch
 
 

@@ -257,6 +257,7 @@ def eval_detection(cfg, args):
               f"{', int8 calibrated' if args.int8 else ''})")
         return
     from myconvnet_tpu.eval.detection import COCOMeanAPEvaluator
+    from myconvnet_tpu.eval.panoptic import PanopticQualityEvaluator
     if args.coco:
         cfg = dict(cfg, map_style="coco")
     evaluator = recipes.build_evaluator(cfg)
@@ -265,6 +266,16 @@ def eval_detection(cfg, args):
     # label by what the evaluator actually computed (--coco OR a
     # map_style="coco" config); the threshold sweep behind score() is
     # cached, so the curve printout costs nothing extra
+    if isinstance(evaluator, PanopticQualityEvaluator):
+        print(f"PQ: {score:.4f}")
+        if args.report:
+            names = getattr(val_set.source, "class_names", None)
+            for (kind, c), v in evaluator.per_class().items():
+                label = (names[c - 1] if names and kind == "thing"
+                         else f"{kind} {c}")
+                print(f"  {label:<14} PQ {v['pq']:.4f} SQ {v['sq']:.4f}"
+                      f" RQ {v['rq']:.4f}")
+        return score
     if isinstance(evaluator, COCOMeanAPEvaluator):
         print(f"mAP@[.5:.95]: {score:.4f}")
         for t, v in evaluator.per_threshold().items():
