@@ -45,6 +45,7 @@ from myconvnet_tpu.models.resnet import (resnet, resnet18, resnet34,
 from myconvnet_tpu.models.fcn import fcn
 from myconvnet_tpu.models.ssd import ssd300, ssd512, tinydet
 from myconvnet_tpu.models.faster_rcnn import faster_rcnn, tinyfrcnn
+from myconvnet_tpu.models.fcos import fcos, tinyfcos
 from myconvnet_tpu.models.keypoint_rcnn import keypoint_rcnn, tinykp
 from myconvnet_tpu.models.mask_rcnn import mask_rcnn, tinymask
 from myconvnet_tpu.models.panoptic import panoptic_fpn, tinypan
@@ -111,6 +112,8 @@ DETECTORS = {
     "tinykp": tinykp,
     "panoptic_fpn": panoptic_fpn,
     "tinypan": tinypan,
+    "fcos": fcos,
+    "tinyfcos": tinyfcos,
     "tinyretina": tinyretina,
 }
 

@@ -540,6 +540,26 @@ def build_detector(cfg: dict, synthetic: bool = False, mesh=None):
         train_src, val_src = make_instance_sources(
             dict(cfg, input_hw=hw), synthetic)
         return state, step, predict, DataSet(train_src), DataSet(val_src)
+    if two_stage == "fcos":
+        from myconvnet_tpu.train import fcos as fcos_lib
+        points, bands = anchors
+        step = jax.jit(fcos_lib.make_fcos_step(
+            net, opt, points, bands, num_classes, augment=det_aug,
+            alpha=cfg.get("focal_alpha", 0.25),
+            gamma=cfg.get("focal_gamma", 2.0),
+            reg_weight=cfg.get("reg_weight", 1.0)))
+
+        @jax.jit
+        def predict(st, images):
+            x, _ = det_lib.preprocess_batch(
+                images, jnp.zeros((1, 1, 4)), None, mean=mean, std=std)
+            out, _ = net.apply(st.params, st.state, None, x,
+                               num_classes, train=False)
+            return post(*out)
+
+        train_src, val_src = make_detection_sources(
+            dict(cfg, input_hw=hw), synthetic)
+        return state, step, predict, DataSet(train_src), DataSet(val_src)
     if two_stage:
         from myconvnet_tpu.train import rcnn as rcnn_lib
         step = jax.jit(rcnn_lib.make_rcnn_step(
@@ -613,11 +633,12 @@ def _detector_chain(cfg: dict):
     policy = get_policy(cfg.get("precision", "f32"))
     kwargs = dict(cfg.get("model_kwargs", {}))
     num_classes = cfg["num_classes"]
-    # "" (one-stage) / "two_stage" / "two_stage_mask" — returned in the
-    # two_stage slot; both two-stage families are truthy, so existing
-    # `if two_stage:` consumers keep working
+    # "" (anchored one-stage) / "fcos" (anchor-free) / "two_stage*" —
+    # returned in the two_stage slot; the two-stage families and fcos
+    # are truthy strings, so `if two_stage:` consumers that only need
+    # "not the plain SSD/Retina path" keep working
     two_stage = getattr(model_fn, "family", "")
-    if not two_stage.startswith("two_stage"):
+    if not two_stage.startswith("two_stage") and two_stage != "fcos":
         two_stage = ""
 
     def fwd(x, n, train=False, **det_kw):
@@ -628,7 +649,20 @@ def _detector_chain(cfg: dict):
     # the anchor grid + input size + head convention are properties of
     # the detector architecture (models/ssd.py, models/retinanet.py,
     # models/faster_rcnn.py attach them to the model fn)
-    if two_stage:
+    if two_stage == "fcos":
+        from myconvnet_tpu.models.fcos import fcos_points
+        from myconvnet_tpu.train import fcos as fcos_lib
+        pts, bands, _strides = fcos_points(model_fn.point_spec)
+        # "anchors" carries (points, ranges) for the fcos step builder
+        anchors = (jnp.asarray(pts), jnp.asarray(bands))
+        post = fcos_lib.make_fcos_postprocess(
+            anchors[0], num_classes,
+            score_threshold=cfg.get("score_threshold", 0.05),
+            iou_threshold=cfg.get("nms_iou", 0.45),
+            max_detections=cfg.get("max_detections", 100),
+            pre_nms_topk=cfg.get("pre_nms_topk", 1000))
+        focal = False
+    elif two_stage:
         from myconvnet_tpu.train import rcnn as rcnn_lib
         anchors = jnp.asarray(retina_anchors(model_fn.rpn_spec))
         post = rcnn_lib.make_rcnn_postprocess(
@@ -700,8 +734,8 @@ def make_detector_inference(cfg: dict, state, *, int8: bool = False,
         with scope():
             out, _ = net.apply(state.params, state.state, None, x,
                                num_classes, train=False)
-        if not two_stage:
-            return post(*out)
+        if not two_stage or two_stage == "fcos":
+            return post(*out)  # (cls, loc) or fcos's (cls, ctr, dists)
         dets = post(out)
         boxes, _scores, labels, _valid = dets
         if two_stage == "two_stage_kp":
