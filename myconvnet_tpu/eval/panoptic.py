@@ -37,6 +37,7 @@ IGNORE = 255
 def merge_panoptic(boxes: np.ndarray, scores: np.ndarray,
                    labels: np.ndarray, valid: np.ndarray,
                    masks: np.ndarray, sem: np.ndarray, *,
+                   num_stuff: int = 2,
                    overlap_threshold: float = 0.5,
                    stuff_min_area: int = 64,
                    score_threshold: float = 0.5):
@@ -62,10 +63,8 @@ def merge_panoptic(boxes: np.ndarray, scores: np.ndarray,
         if int(free.sum()) / area < overlap_threshold:
             continue  # mostly claimed by higher-scored instances
         segments.append(("thing", int(labels[d])))
-        patch = seg_map[rs, cs]
-        patch[free] = len(segments)
-        seg_map[rs, cs] = patch
-    for s in range(1, int(sem.max(initial=0)) + 1):
+        seg_map[rs, cs][free] = len(segments)  # slice view: in place
+    for s in range(1, num_stuff):
         region = (sem == s) & (seg_map == 0)
         if int(region.sum()) >= stuff_min_area:
             segments.append(("stuff", s))
@@ -105,10 +104,12 @@ class PanopticQualityEvaluator(Evaluator):
                  sem [B,H,W] semantic argmax) — the panoptic recipe's
                  predict output;
       targets = (gt_boxes, gt_labels, gt_inst [B,H,W], gt_sem [B,H,W]).
+    ``num_stuff`` bounds the stuff channels the merge scans;
+    ``num_classes`` is stored for constructor uniformity with the
+    other detection evaluators (class keys come from the data).
     """
 
     name = "PQ"
-    worst = 0.0
 
     def __init__(self, num_classes: int, num_stuff: int = 2, *,
                  stuff_min_area: int = 64,
@@ -142,6 +143,7 @@ class PanopticQualityEvaluator(Evaluator):
                    gt_labels, gt_inst, gt_sem):
         pmap, psegs = merge_panoptic(
             boxes, scores, labels, valid, masks, sem,
+            num_stuff=self.num_stuff,
             stuff_min_area=self.stuff_min_area,
             score_threshold=self.score_threshold)
         gmap, gsegs, void = _gt_panoptic(gt_labels, gt_inst, gt_sem)
@@ -199,9 +201,3 @@ class PanopticQualityEvaluator(Evaluator):
         per = self.per_class()
         return (float(np.mean([v["pq"] for v in per.values()]))
                 if per else 0.0)
-
-    def is_better(self, a: float, b: float) -> bool:
-        return a > b
-
-    def worst_score(self) -> float:
-        return 0.0

@@ -11,16 +11,19 @@ the R-CNN family; anchor-free: this).  TPU notes:
   [L, M] broadcast arithmetic (train/fcos.py), no IoU matching;
 * per-level scale ownership replaces anchor scales: a location only
   takes objects whose LONGEST regression distance falls in its
-  level's band (the paper's m_i thresholds, here 8x the level stride
-  so they generalize to any input size);
+  level's band (the paper's m_i thresholds, here 4x the level stride
+  so they generalize to any input size — with the paper's 8x and this
+  model's stride-to-input ratios the coarsest band's lower bound
+  would be 1.0 normalized, unreachable by any box, starving the
+  coarsest level of positives);
 * the heads are the RetinaNet towers with anchors_per_cell=1 plus a
   CENTERNESS logit on the regression tower (the v2 placement) — at
   inference the class score is multiplied by centerness, suppressing
   the low-quality far-from-center boxes that anchor-free heads
   otherwise emit;
-* distances are predicted as softplus(raw) * 8 * stride * scale_i
+* distances are predicted as softplus(raw) * 4 * stride * scale_i
   (a learnable per-level scalar, init 1) — positive by construction,
-  stride-normalized init, no exp blow-ups in bf16.
+  initialized inside the level's band, no exp blow-ups in bf16.
 
 Returns (cls_logits [B, L, C-1], ctr_logits [B, L], dists [B, L, 4]);
 pair with train.fcos.make_fcos_step / make_fcos_postprocess.
@@ -35,12 +38,13 @@ import numpy as np
 from myconvnet_tpu import nn
 from myconvnet_tpu.core import initializers as init
 from myconvnet_tpu.core.module import param
+from myconvnet_tpu.models.faster_rcnn import _tiny_trunk
 from myconvnet_tpu.models.resnet import resnet_backbone
 from myconvnet_tpu.models.retinanet import (_PRIOR_BIAS, _fpn,
                                             _shared_head)
 
 # (feature map size, normalized stride) per level; level i owns
-# objects with max regression distance in (8*stride_{i-1}, 8*stride_i]
+# objects with max regression distance in (4*stride_{i-1}, 4*stride_i]
 FCOS512_SPEC = ((64, 1 / 64), (32, 1 / 32), (16, 1 / 16), (8, 1 / 8),
                 (4, 1 / 4))
 TINYFCOS_SPEC = ((16, 1 / 16), (8, 1 / 8), (4, 1 / 4))
@@ -55,7 +59,7 @@ def fcos_points(spec) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         c = (np.arange(fm, dtype=np.float32) + 0.5) * s
         xx, yy = np.meshgrid(c, c)
         p = np.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1)
-        hi = np.inf if i == len(spec) - 1 else 8.0 * s
+        hi = np.inf if i == len(spec) - 1 else 4.0 * s
         pts.append(p)
         ranges.append(np.tile([[prev_hi, hi]], (fm * fm, 1)))
         strides.append(np.full(fm * fm, s, np.float32))
@@ -79,7 +83,7 @@ def _fcos_heads(feats, spec, num_fg, head_depth, ch):
         with nn.scope_named(f"scale{i + 1}"):
             s = param("s", (), jnp.float32, init.ones)
         stride = spec[i][1]
-        dist_out.append(jax.nn.softplus(raw) * (8.0 * stride) * s)
+        dist_out.append(jax.nn.softplus(raw) * (4.0 * stride) * s)
         ctr_out.append(ctr)
     return (jnp.concatenate(cls_out, axis=1),
             jnp.concatenate(ctr_out, axis=1),
@@ -111,17 +115,7 @@ def tinyfcos(x: jax.Array, num_classes: int = 21, *,
              train: bool = False, width: int = 32):
     """CPU-runnable anchor-free smoke variant: 128x128, 3 levels
     (16/8/4), L = 336 locations."""
-    with nn.scope_named("backbone"):
-        c1 = nn.relu(nn.conv(x, width, 3, stride=2, name="c1"))
-        c2 = nn.relu(nn.conv(c1, width, 3, stride=2, name="c2"))
-        c3 = nn.relu(nn.conv(c2, width * 2, 3, stride=2, name="c3"))
-        c4 = nn.relu(nn.conv(c3, width * 2, 3, stride=2, name="c4"))
-        c5 = nn.relu(nn.conv(c4, width * 4, 3, stride=2, name="c5"))
-    feats = _fpn(c3, c4, c5, width * 2, levels=3)
-    sizes = tuple(f.shape[1] for f in feats)
-    if sizes != tuple(s[0] for s in TINYFCOS_SPEC):
-        raise ValueError(f"pyramid {sizes} != tiny FCOS spec — input "
-                         "must be 128x128")
+    feats = _tiny_trunk(x, width=width)  # checked 16/8/4 pyramid
     return _fcos_heads(feats, TINYFCOS_SPEC, num_classes - 1, 2,
                        width * 2)
 

@@ -308,6 +308,27 @@ def resolve_num_keypoints(cfg: dict) -> int:
     return int(p.default)
 
 
+def _take_mask_channel(logits, labels):
+    """Per-detection mask probabilities: read each detection's own
+    class channel from the mask head's [B,D,p,p,C-1] logits — shared
+    by every predict/serving chain of the mask-bearing families so the
+    eval and export paths cannot drift."""
+    import jax.numpy as jnp
+    ch = jnp.clip(labels.astype(jnp.int32) - 1, 0, logits.shape[-1] - 1)
+    z = jnp.take_along_axis(
+        logits, ch[:, :, None, None, None], axis=-1)[..., 0]
+    return jax.nn.sigmoid(z)
+
+
+def _upsample_sem_argmax(sem_logits, hw):
+    """Semantic argmax nearest-expanded to full resolution (integer
+    scale factors, exact)."""
+    import jax.numpy as jnp
+    sem = sem_logits.argmax(-1).astype(jnp.int32)
+    return jnp.repeat(jnp.repeat(sem, hw[0] // sem.shape[1], 1),
+                      hw[1] // sem.shape[2], 2)
+
+
 def make_keypoint_sources(cfg: dict, synthetic: bool):
     """Keypoint sources (COCO person_keypoints layout or synthetic
     corner-marker rectangles; subsets/coco.py).  Batches are
@@ -441,16 +462,10 @@ def build_detector(cfg: dict, synthetic: bool = False, mesh=None):
             boxes, scores, labels, valid = post(out)
             logits, _ = net.apply(st.params, st.state, None, x,
                                   num_classes, mask_rois=boxes)
-            ch = jnp.clip(labels.astype(jnp.int32) - 1, 0,
-                          logits.shape[-1] - 1)
-            z = jnp.take_along_axis(
-                logits, ch[:, :, None, None, None], axis=-1)[..., 0]
-            sem = out.sem_logits.argmax(-1).astype(jnp.int32)
-            H, W = images.shape[1:3]
-            sem = jnp.repeat(jnp.repeat(sem, H // sem.shape[1], 1),
-                             W // sem.shape[2], 2)
-            return (boxes, scores, labels, valid, jax.nn.sigmoid(z),
-                    sem)
+            return (boxes, scores, labels, valid,
+                    _take_mask_channel(logits, labels),
+                    _upsample_sem_argmax(out.sem_logits,
+                                         images.shape[1:3]))
 
         if cfg["dataset"] != "voc":
             raise ValueError(f"panoptic dataset {cfg['dataset']!r}; "
@@ -531,11 +546,8 @@ def build_detector(cfg: dict, synthetic: bool = False, mesh=None):
             boxes, scores, labels, valid = post(out)
             logits, _ = net.apply(st.params, st.state, None, x,
                                   num_classes, mask_rois=boxes)
-            ch = jnp.clip(labels.astype(jnp.int32) - 1, 0,
-                          logits.shape[-1] - 1)
-            z = jnp.take_along_axis(
-                logits, ch[:, :, None, None, None], axis=-1)[..., 0]
-            return boxes, scores, labels, valid, jax.nn.sigmoid(z)
+            return (boxes, scores, labels, valid,
+                    _take_mask_channel(logits, labels))
 
         train_src, val_src = make_instance_sources(
             dict(cfg, input_hw=hw), synthetic)
@@ -753,17 +765,11 @@ def make_detector_inference(cfg: dict, state, *, int8: bool = False,
         with scope():
             logits, _ = net.apply(state.params, state.state, None, x,
                                   num_classes, mask_rois=boxes)
-        ch = jnp.clip(labels.astype(jnp.int32) - 1, 0,
-                      logits.shape[-1] - 1)
-        z = jnp.take_along_axis(
-            logits, ch[:, :, None, None, None], axis=-1)[..., 0]
+        masks = _take_mask_channel(logits, labels)
         if two_stage == "two_stage_panoptic":
-            sem = out.sem_logits.argmax(-1).astype(jnp.int32)
-            H, W = x.shape[1:3]
-            sem = jnp.repeat(jnp.repeat(sem, H // sem.shape[1], 1),
-                             W // sem.shape[2], 2)
-            return (*dets, jax.nn.sigmoid(z), sem)
-        return (*dets, jax.nn.sigmoid(z))
+            return (*dets, masks,
+                    _upsample_sem_argmax(out.sem_logits, x.shape[1:3]))
+        return (*dets, masks)
 
     return fn
 

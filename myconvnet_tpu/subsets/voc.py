@@ -278,21 +278,29 @@ def make_detection_source(data_dir: str | None, split: str = "train",
 
 # --------------------------------------------------- instance segmentation
 
-def _decode_instance_png_warp(path: str, raw_hw: tuple[int, int]
-                              ) -> np.ndarray:
-    """SegmentationObject/*.png -> [h,w] int32 instance ids, warp-resized
-    with NEAREST to match decode_image_warp's full-frame geometry.
-    Palette index k is instance k (aligned with the Annotations XML
-    object order — the VOC convention); 255 (instance boundaries) maps
-    to 0 so border pixels train as background rather than as a phantom
-    256th instance."""
+def _decode_index_png_warp(path: str, raw_hw: tuple[int, int]
+                           ) -> np.ndarray:
+    """Index-valued PNG (palette class/instance ids) -> [h,w] int32,
+    warp-resized with NEAREST to match decode_image_warp's full-frame
+    geometry.  Non-index modes (an RGB re-encode of the dataset) are
+    collapsed to L so the result is always 2-D."""
     from PIL import Image
     th, tw = raw_hw
     img = Image.open(path)
     if img.mode not in ("P", "L", "I"):
         img = img.convert("L")
     img = img.resize((tw, th), Image.NEAREST)
-    ids = np.asarray(img, np.int32)
+    return np.asarray(img, np.int32)
+
+
+def _decode_instance_png_warp(path: str, raw_hw: tuple[int, int]
+                              ) -> np.ndarray:
+    """SegmentationObject/*.png -> [h,w] int32 instance ids.  Palette
+    index k is instance k (aligned with the Annotations XML object
+    order — the VOC convention); 255 (instance boundaries) maps to 0
+    so border pixels train as background rather than as a phantom
+    256th instance."""
+    ids = _decode_index_png_warp(path, raw_hw)
     return np.where(ids == 255, 0, ids)
 
 
@@ -485,10 +493,7 @@ class PanopticFileSource(InstanceFileSource):
 
     def _load_one(self, i: int):
         img, inst = super()._load_one(i)
-        from PIL import Image
-        th, tw = self.raw_hw
-        cls = Image.open(self.cls_paths[i])
-        cls = np.asarray(cls.resize((tw, th), Image.NEAREST), np.int32)
+        cls = _decode_index_png_warp(self.cls_paths[i], self.raw_hw)
         sem = np.where(inst > 0, 0, np.where(cls == 255, 255, 1))
         return img, inst, sem.astype(np.int32)
 

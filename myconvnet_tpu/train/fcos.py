@@ -55,9 +55,13 @@ def fcos_targets(points: jax.Array, ranges: jax.Array,
     pos = cand.any(axis=1)
     oh = jax.nn.one_hot(pick, gt_boxes.shape[0],
                         dtype=dist.dtype)                    # [L,M]
-    d = jnp.einsum("lm,lmk->lk", oh, dist)                   # [L,4]
+    # coordinate/label selection dots must not round through bf16 on
+    # TPU (same guard as train/detection.match_anchors_band)
+    d = jnp.einsum("lm,lmk->lk", oh, dist,
+                   precision="highest")                      # [L,4]
     labels = jnp.where(
-        pos, (oh @ gt_labels.astype(dist.dtype)).astype(jnp.int32), 0)
+        pos, jnp.einsum("lm,m->l", oh, gt_labels.astype(dist.dtype),
+                        precision="highest").astype(jnp.int32), 0)
     lr = jnp.stack([d[:, 0], d[:, 2]], -1)
     tb = jnp.stack([d[:, 1], d[:, 3]], -1)
     ctr = jnp.sqrt(jnp.clip(

@@ -30,7 +30,9 @@ def test_points_cover_levels():
     pts, bands, strides = fcos_points(TINYFCOS_SPEC)
     assert pts.shape == (16 * 16 + 8 * 8 + 4 * 4, 2)
     # finest level owns the smallest band, last band is open
-    assert bands[0, 0] == 0.0 and bands[0, 1] == 8.0 / 16
+    assert bands[0, 0] == 0.0 and bands[0, 1] == 4.0 / 16
+    # every band must be reachable: a normalized box distance is < 1
+    assert (bands[:, 0] < 1.0).all()
     assert np.isinf(bands[-1, 1])
     # centers are inside (0, 1) and stride-spaced
     assert (pts > 0).all() and (pts < 1).all()
