@@ -242,8 +242,11 @@ def run_detect(fn, art_shape, args):
         if n < batch:
             chunk = np.concatenate(
                 [chunk, np.zeros((batch - n, h, w, 3), np.float32)])
-        boxes, scores, labels, valid = (np.asarray(t)
-                                        for t in fn(chunk))
+        # mask/keypoint/panoptic artifacts append extra outputs past
+        # the common 4-tuple (per-detection masks, keypoints, semantic
+        # map) — the box printout reads only the shared prefix
+        boxes, scores, labels, valid, *_extra = (np.asarray(t)
+                                                 for t in fn(chunk))
         for i in range(n):
             path = os.path.basename(paths[start + i])
             kept = [(float(s), int(l), b)

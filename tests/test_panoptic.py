@@ -197,3 +197,25 @@ def test_predict_and_inference_contract():
     assert len(got) == 6
     for w, g in zip(out, got):
         np.testing.assert_allclose(np.asarray(g), w, atol=2e-3)
+
+
+def test_export_reload_six_output_artifact(tmp_path):
+    """The panoptic predict chain (6 outputs incl. the semantic map)
+    exports to StableHLO and reloads with identical outputs — the
+    serving path for the richest detection family."""
+    from myconvnet_tpu import serving
+    cfg = dict(TINY_CFG, total_steps=1)
+    state, step, predict, train_set, _ = recipes.build_detector(
+        cfg, synthetic=True)
+    imgs = train_set.source.get_batch(np.arange(2))[0]
+    x = np.asarray(imgs, np.float32) / 255.0
+    fn = recipes.make_detector_inference(cfg, state)
+    path = str(tmp_path / "pan.stablehlo")
+    serving.export_detection(fn, None, x, path)
+    loaded = serving.load_inference(path)
+    want = fn(jnp.asarray(x))
+    got = loaded(x)
+    assert len(got) == 6
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=1e-5)
