@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: test test-fast tour bench native smoke clean
+.PHONY: test test-fast tour bench bench-detection native smoke clean
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -16,6 +16,9 @@ tour:
 
 bench:
 	$(PY) bench.py
+
+bench-detection:  ## per-architecture detection train-step sweep (TPU)
+	$(PY) bench_detection.py
 
 native:
 	$(MAKE) -C native
