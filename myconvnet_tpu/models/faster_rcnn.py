@@ -200,7 +200,7 @@ def faster_rcnn(x: jax.Array, num_classes: int = 21, *,
                 pre_topk: int = 2000, post_train: int = 1000,
                 post_eval: int = 300, rpn_nms_iou: float = 0.7,
                 num_samples: int = 512, fg_fraction: float = 0.25,
-                fg_iou: float = 0.5, roi_chunk: int = 128) -> FRCNNOut:
+                fg_iou: float = 0.5, roi_chunk: int = 32) -> FRCNNOut:
     """Faster R-CNN, ResNet-FPN trunk (_frcnn512_trunk), 512x512 input;
     RoIAlign pools from P3-P5 by RoI scale.  Pair with
     train.rcnn.make_rcnn_step / make_rcnn_postprocess.

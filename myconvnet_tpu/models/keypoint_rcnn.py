@@ -117,7 +117,7 @@ def keypoint_rcnn(x: jax.Array, num_classes: int = 2, *,
                   pre_topk: int = 2000, post_train: int = 1000,
                   post_eval: int = 300, rpn_nms_iou: float = 0.7,
                   num_samples: int = 512, fg_fraction: float = 0.25,
-                  fg_iou: float = 0.5, roi_chunk: int = 128,
+                  fg_iou: float = 0.5, roi_chunk: int = 32,
                   kp_pool: int = 14, kp_channels: int = 512,
                   kp_convs: int = 8, kp_samples: int = 64,
                   kp_eval_rois: int = 100):

@@ -138,7 +138,7 @@ def mask_rcnn(x: jax.Array, num_classes: int = 21, *,
               pre_topk: int = 2000, post_train: int = 1000,
               post_eval: int = 300, rpn_nms_iou: float = 0.7,
               num_samples: int = 512, fg_fraction: float = 0.25,
-              fg_iou: float = 0.5, roi_chunk: int = 128,
+              fg_iou: float = 0.5, roi_chunk: int = 32,
               mask_pool: int = 14, mask_channels: int = 256,
               mask_convs: int = 4, mask_samples: int = 128,
               mask_eval_rois: int = 100):
