@@ -311,6 +311,24 @@ def main():
     print(f"[detection] fused SSD step (expand/IoU-crop/flip on-device) "
           f"loss {float(dmetrics['loss']):.2f}, mAP {dmap:.4f}")
 
+    # --- panoptic: the richest family, same six-line shape ----------
+    pan_cfg = dict(task="detection", model="tinypan", dataset="voc",
+                   data_dir=None, num_classes=21, max_boxes=8,
+                   batch_size=4, total_steps=2,
+                   optimizer=dict(name="momentum", momentum_coef=0.9,
+                                  lr=dict(kind="constant", lr=0.005)),
+                   augment=dict(flip=True), seed=0)
+    pstate, pstep, ppredict, ptrain, pval = recipes.build_detector(
+        pan_cfg, synthetic=True)
+    for batch in ptrain.train_iter(4, prefetch=0):
+        pstate, pm = pstep(pstate, batch)
+        break
+    pq = recipes.evaluate_detection(
+        pstate, ppredict, pval, 4, recipes.build_evaluator(pan_cfg))
+    print(f"[panoptic] RPN+box+mask+semantic in ONE program: loss "
+          f"{float(pm['loss']):.2f} (sem {float(pm['sem_loss']):.2f}), "
+          f"PQ {pq:.4f}")
+
     print("tour complete")
 
 
