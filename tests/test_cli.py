@@ -352,3 +352,66 @@ def test_detection_cli_train_and_score(tmp_path):
                "--det_threshold", "0.01", "--platform", "cpu"])
     assert r5.returncode == 0, r5.stderr[-2000:]
     assert "s0.png:" in r5.stdout and "s1.png:" in r5.stdout
+
+
+@pytest.mark.slow
+def test_richer_family_cli_roundtrips(tmp_path):
+    """The mask / keypoint / panoptic / anchor-free families through
+    the SAME entry scripts: run_detection is family-agnostic (the
+    recipe picks the step, sources and evaluator), so one loop locks
+    the CLI contract for all of them."""
+    recipes = {
+        "tinymask": ("config = dict(task='detection', model='tinymask',"
+                     " dataset='voc',\n"
+                     "  data_dir=None, num_classes=21, max_boxes=8,\n"
+                     "  batch_size=4, total_steps=4, val_every=0,\n"
+                     "  log_every=2,\n"
+                     "  optimizer=dict(name='momentum',"
+                     " momentum_coef=0.9,\n"
+                     "    lr=dict(kind='constant', lr=0.02)),\n"
+                     "  augment=dict(flip=True), seed=0)\n",
+                     "mAP@0.5:"),
+        "tinykp": ("config = dict(task='detection', model='tinykp',"
+                   " dataset='coco',\n"
+                   "  data_dir=None, num_classes=2, max_boxes=8,\n"
+                   "  batch_size=4, total_steps=4, val_every=0,\n"
+                   "  log_every=2,"
+                   " model_kwargs=dict(num_keypoints=4),\n"
+                   "  optimizer=dict(name='momentum',"
+                   " momentum_coef=0.9,\n"
+                   "    lr=dict(kind='constant', lr=0.02)),\n"
+                   "  augment=dict(flip=True), seed=0)\n",
+                   "mAP@0.5:"),
+        "tinypan": ("config = dict(task='detection', model='tinypan',"
+                    " dataset='voc',\n"
+                    "  data_dir=None, num_classes=21, max_boxes=8,\n"
+                    "  batch_size=4, total_steps=4, val_every=0,\n"
+                    "  log_every=2,\n"
+                    "  optimizer=dict(name='momentum',"
+                    " momentum_coef=0.9,\n"
+                    "    lr=dict(kind='constant', lr=0.005)),\n"
+                    "  augment=dict(flip=True), seed=0)\n",
+                    "PQ:"),
+        "tinyfcos": ("config = dict(task='detection', model='tinyfcos',"
+                     " dataset='voc',\n"
+                     "  data_dir=None, num_classes=21, max_boxes=8,\n"
+                     "  batch_size=4, total_steps=4, val_every=0,\n"
+                     "  log_every=2,\n"
+                     "  optimizer=dict(name='momentum',"
+                     " momentum_coef=0.9,\n"
+                     "    lr=dict(kind='constant', lr=0.002)),\n"
+                     "  augment=dict(flip=True), seed=0)\n",
+                     "mAP@0.5:"),
+    }
+    for name, (cfg_text, marker) in recipes.items():
+        cfg_path = tmp_path / f"{name}.py"
+        cfg_path.write_text(cfg_text)
+        out = str(tmp_path / f"run_{name}")
+        r = _run(["train.py", "--config", str(cfg_path), "--synthetic",
+                  "--platform", "cpu", "--out", out])
+        assert r.returncode == 0, (name, r.stderr[-2000:])
+        assert "final val" in r.stdout, (name, r.stdout[-500:])
+        r2 = _run(["test.py", "--config", str(cfg_path), "--ckpt", out,
+                   "--synthetic", "--platform", "cpu"])
+        assert r2.returncode == 0, (name, r2.stderr[-2000:])
+        assert marker in r2.stdout, (name, r2.stdout[-500:])
