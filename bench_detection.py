@@ -30,7 +30,11 @@ SWEEP = {
     "ssd300": (32, {}),
     "ssd512": (16, {}),
     "retinanet": (16, {}),
-    "fcos": (16, {}),
+    # the shipped FCOS recipe carries clip_norm (it diverges without
+    # warmup+clipping); the bench reproduces that
+    "fcos": (16, dict(optimizer=dict(
+        name="momentum", momentum_coef=0.9, weight_decay=1e-4,
+        clip_norm=1.0, lr=dict(kind="constant", lr=1e-3)))),
     "faster_rcnn": (8, {}),
     "mask_rcnn": (8, {}),
     "keypoint_rcnn": (8, dict(model_kwargs=dict(num_keypoints=17))),

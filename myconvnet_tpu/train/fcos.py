@@ -97,7 +97,15 @@ def fcos_loss(cls_logits: jax.Array, ctr_logits: jax.Array,
               reg_weight: float = 1.0):
     """Batched FCOS objective: focal CE over all locations, GIoU
     regression + centerness BCE over positives, each normalized by the
-    positive count (the paper's normalization)."""
+    positive count (the paper's normalization).
+
+    Computed in f32 regardless of the model policy: the focal term
+    SUMS hundreds of thousands of per-location terms (L x C-1), which
+    loses bf16 mantissa long before the mean — a bf16 recipe's heads
+    stay bf16, only the loss tail upcasts."""
+    cls_logits = cls_logits.astype(jnp.float32)
+    ctr_logits = ctr_logits.astype(jnp.float32)
+    dists = dists.astype(jnp.float32)
     labels, d_tgt, ctr_tgt, pos = jax.vmap(
         lambda gb, gl: fcos_targets(points, ranges, gb, gl)
     )(gt_boxes, gt_labels)
