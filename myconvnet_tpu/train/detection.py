@@ -64,9 +64,14 @@ def multibox_loss(cls_logits: jax.Array, loc: jax.Array,
 
     cls_logits [B, A, C] (class 0 = background), loc [B, A, 4],
     gt_boxes [B, M, 4], gt_labels [B, M] (-1 padding), anchors [A, 4].
+    Computed in f32 regardless of the model policy — the class term
+    sums tens of thousands of per-anchor values, which loses bf16
+    mantissa (the FCOS bf16 recipe measurably diverged from this).
     Returns (scalar loss, metrics).  Normalized by the number of
     positive anchors, per the paper.
     """
+    cls_logits = cls_logits.astype(jnp.float32)
+    loc = loc.astype(jnp.float32)
     m_boxes, m_labels, positive = jax.vmap(
         lambda b, l: match_anchors(anchors, b, l, iou_threshold)
     )(gt_boxes, gt_labels)  # [B,A,4], [B,A], [B,A]
@@ -162,6 +167,10 @@ def focal_det_loss(cls_logits: jax.Array, loc: jax.Array,
     (ops.boxes.aligned_giou; the modern choice — scale-invariant, and
     the gradient survives disjoint predictions).
     """
+    # f32 for the same reason as multibox_loss: the focal term sums
+    # A x (C-1) (up to ~1M) values — bf16 accumulation loses mantissa
+    cls_logits = cls_logits.astype(jnp.float32)
+    loc = loc.astype(jnp.float32)
     m_boxes, m_labels, positive, ignore = jax.vmap(
         lambda b, l: match_anchors_band(anchors, b, l, pos_threshold,
                                         neg_threshold))(gt_boxes, gt_labels)
