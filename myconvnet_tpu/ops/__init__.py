@@ -1,3 +1,5 @@
+from myconvnet_tpu.ops.attention import (attention_reference,
+                                         multi_head_attention)
 from myconvnet_tpu.ops.batch_norm import (batch_norm_inference,
                                           batch_norm_train)
 from myconvnet_tpu.ops.boxes import (batched_nms, box_iou, decode_boxes,
@@ -13,5 +15,5 @@ __all__ = [
     "depthwise_conv2d", "avg_pool2d", "global_avg_pool", "max_pool2d",
     "resize_bilinear", "resize_nearest", "upsample2x_nearest",
     "box_iou", "encode_boxes", "decode_boxes", "ssd_anchors", "nms",
-    "batched_nms",
+    "batched_nms", "attention_reference", "multi_head_attention",
 ]
