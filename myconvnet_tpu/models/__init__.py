@@ -57,6 +57,8 @@ from myconvnet_tpu.models.unet import unet
 from myconvnet_tpu.models.wideresnet import (wide_resnet, wrn_16_8,
                                              wrn_28_10)
 from myconvnet_tpu.models.vgg import vgg, vgg11, vgg16, vgg19
+from myconvnet_tpu.models.vit import (tinyvit, vit, vit_b16, vit_b32,
+                                      vit_l16, vit_s16, vit_ti16)
 from myconvnet_tpu.models.xception import xception65, xception_backbone
 
 # Registry keyed by the config-file model names (reference: model choice in
@@ -90,6 +92,8 @@ CLASSIFIERS = {
     "convnext_small": convnext_small,
     "regnet_x_400mf": regnet_x_400mf, "regnet_y_400mf": regnet_y_400mf,
     "regnet_x_1_6gf": regnet_x_1_6gf, "regnet_y_1_6gf": regnet_y_1_6gf,
+    "vit_ti16": vit_ti16, "vit_s16": vit_s16, "vit_b16": vit_b16,
+    "vit_b32": vit_b32, "vit_l16": vit_l16, "tinyvit": tinyvit,
 }
 
 SEGMENTERS = {

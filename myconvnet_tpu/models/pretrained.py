@@ -273,3 +273,164 @@ def export_torch_resnet(params: Params, state: State, depth: int = 50
             f"(e.g. SE blocks): {extra[:4]}{'...' if len(extra) > 4 else ''}"
             "; export supports plain ResNet/ResNeXt trees only")
     return sd
+
+
+# ------------------------------------------------------- torch ViT mapping
+
+def import_torch_vit(state_dict: Mapping[str, Any], params: Params,
+                     state: State, load_head: bool = True, prefix: str = ""
+                     ) -> tuple[Params, State]:
+    """Map a torchvision-style ViT state_dict onto our tree.
+
+    Key schema (torchvision ``vit_b_16`` et al.): ``conv_proj``,
+    ``class_token``, ``encoder.pos_embedding``,
+    ``encoder.layers.encoder_layer_{i}.{ln_1, self_attention, ln_2,
+    mlp}``, ``encoder.ln``, ``heads.head`` (and optional
+    ``heads.pre_logits``).  Both MLP key layouts are accepted
+    (``mlp.0``/``mlp.3`` sequential indices — torchvision >= 0.13 — and
+    the older ``mlp.linear_1``/``mlp.linear_2``).
+
+    torch packs q, k, v row-blocks in ``in_proj_weight`` exactly like
+    our fused qkv dense packs output features, so the projection maps
+    by plain transpose; no per-head reshuffle is needed.
+
+    If the checkpoint's position-embedding grid differs from the
+    target's (different input resolution), the grid part is bilinearly
+    resized (the standard ViT fine-tuning recipe) and the CLS slot kept.
+    """
+
+    def arr(key):
+        v = state_dict[key]
+        return v if isinstance(v, np.ndarray) else v.detach().numpy()
+
+    new_p = {k: dict(v) for k, v in params.items()}
+    new_s = {k: dict(v) for k, v in state.items()}
+
+    def put(scope, pname, value):
+        want = new_p[scope][pname].shape
+        if tuple(value.shape) != tuple(want):
+            raise ValueError(f"{scope}/{pname}: {value.shape} != {want}")
+        new_p[scope][pname] = value.astype(np.float32)
+
+    def put_dense(scope, w_key, b_key):
+        put(scope, "w", np.transpose(arr(w_key), (1, 0)))
+        put(scope, "b", arr(b_key))
+
+    def put_ln(scope, pre):
+        put(scope, "gamma", arr(f"{pre}.weight"))
+        put(scope, "beta", arr(f"{pre}.bias"))
+
+    put(f"{prefix}patch_embed", "w",
+        np.transpose(arr("conv_proj.weight"), (2, 3, 1, 0)))
+    put(f"{prefix}patch_embed", "b", arr("conv_proj.bias"))
+    put(f"{prefix}~", "cls_token", arr("class_token"))
+
+    pos = arr("encoder.pos_embedding").astype(np.float32)
+    want = new_p[f"{prefix}~"]["pos_embed"].shape
+    if tuple(pos.shape) != tuple(want):
+        from myconvnet_tpu.ops.resize import resize_bilinear
+        g_src = int(round((pos.shape[1] - 1) ** 0.5))
+        g_dst = int(round((want[1] - 1) ** 0.5))
+        if (g_src * g_src + 1, g_dst * g_dst + 1) != (pos.shape[1], want[1]):
+            raise ValueError(f"pos_embed {pos.shape} -> {want}: "
+                             "non-square grids cannot be resized")
+        grid = pos[:, 1:].reshape(1, g_src, g_src, pos.shape[-1])
+        grid = np.asarray(resize_bilinear(grid, (g_dst, g_dst),
+                                          align_corners=True,
+                                          half_pixel=False))
+        pos = np.concatenate(
+            [pos[:, :1], grid.reshape(1, g_dst * g_dst, pos.shape[-1])],
+            axis=1)
+    new_p[f"{prefix}~"]["pos_embed"] = pos
+
+    n_blocks = sum(1 for s in new_p
+                   if s.startswith(f"{prefix}block") and s.endswith("/ln1"))
+    for i in range(n_blocks):
+        t = f"encoder.layers.encoder_layer_{i}"
+        s = f"{prefix}block{i + 1}"
+        put_ln(f"{s}/ln1", f"{t}.ln_1")
+        put(f"{s}/qkv", "w",
+            np.transpose(arr(f"{t}.self_attention.in_proj_weight"), (1, 0)))
+        put(f"{s}/qkv", "b", arr(f"{t}.self_attention.in_proj_bias"))
+        put_dense(f"{s}/proj", f"{t}.self_attention.out_proj.weight",
+                  f"{t}.self_attention.out_proj.bias")
+        put_ln(f"{s}/ln2", f"{t}.ln_2")
+        if f"{t}.mlp.linear_1.weight" in state_dict:
+            fc1, fc2 = f"{t}.mlp.linear_1", f"{t}.mlp.linear_2"
+        else:
+            fc1, fc2 = f"{t}.mlp.0", f"{t}.mlp.3"
+        put_dense(f"{s}/mlp/fc1", f"{fc1}.weight", f"{fc1}.bias")
+        put_dense(f"{s}/mlp/fc2", f"{fc2}.weight", f"{fc2}.bias")
+
+    put_ln(f"{prefix}ln", "encoder.ln")
+    if load_head and "heads.head.weight" in state_dict:
+        head = f"{prefix}head/logits"
+        w = np.transpose(arr("heads.head.weight"), (1, 0))
+        if head in new_p and tuple(w.shape) == tuple(new_p[head]["w"].shape):
+            new_p[head]["w"] = w.astype(np.float32)
+            new_p[head]["b"] = arr("heads.head.bias").astype(np.float32)
+    if load_head and "heads.pre_logits.weight" in state_dict:
+        pre = f"{prefix}head/pre_logits"
+        if pre in new_p:
+            put_dense(pre, "heads.pre_logits.weight",
+                      "heads.pre_logits.bias")
+    return new_p, new_s
+
+
+def import_torch_vit_file(path: str, params: Params, state: State,
+                          load_head: bool = True, prefix: str = ""):
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return import_torch_vit(sd, params, state, load_head, prefix=prefix)
+
+
+def export_torch_vit(params: Params) -> dict[str, np.ndarray]:
+    """Inverse of :func:`import_torch_vit` (torchvision >= 0.13 MLP key
+    layout): emit a torchvision-style ViT state_dict from our tree, for
+    interop round-trip tests and torch-side serving."""
+    sd: dict[str, np.ndarray] = {}
+
+    def a(scope, pname):
+        return np.asarray(params[scope][pname], dtype=np.float32)
+
+    sd["conv_proj.weight"] = np.transpose(a("patch_embed", "w"),
+                                          (3, 2, 0, 1))
+    sd["conv_proj.bias"] = a("patch_embed", "b")
+    sd["class_token"] = a("~", "cls_token")
+    sd["encoder.pos_embedding"] = a("~", "pos_embed")
+    exported = {"patch_embed", "~", "ln", "head/logits"}
+    n_blocks = sum(1 for s in params
+                   if s.startswith("block") and s.endswith("/ln1"))
+    for i in range(n_blocks):
+        t = f"encoder.layers.encoder_layer_{i}"
+        s = f"block{i + 1}"
+        sd[f"{t}.ln_1.weight"] = a(f"{s}/ln1", "gamma")
+        sd[f"{t}.ln_1.bias"] = a(f"{s}/ln1", "beta")
+        sd[f"{t}.self_attention.in_proj_weight"] = np.transpose(
+            a(f"{s}/qkv", "w"), (1, 0))
+        sd[f"{t}.self_attention.in_proj_bias"] = a(f"{s}/qkv", "b")
+        sd[f"{t}.self_attention.out_proj.weight"] = np.transpose(
+            a(f"{s}/proj", "w"), (1, 0))
+        sd[f"{t}.self_attention.out_proj.bias"] = a(f"{s}/proj", "b")
+        sd[f"{t}.ln_2.weight"] = a(f"{s}/ln2", "gamma")
+        sd[f"{t}.ln_2.bias"] = a(f"{s}/ln2", "beta")
+        sd[f"{t}.mlp.0.weight"] = np.transpose(a(f"{s}/mlp/fc1", "w"),
+                                               (1, 0))
+        sd[f"{t}.mlp.0.bias"] = a(f"{s}/mlp/fc1", "b")
+        sd[f"{t}.mlp.3.weight"] = np.transpose(a(f"{s}/mlp/fc2", "w"),
+                                               (1, 0))
+        sd[f"{t}.mlp.3.bias"] = a(f"{s}/mlp/fc2", "b")
+        exported |= {f"{s}/ln1", f"{s}/qkv", f"{s}/proj", f"{s}/ln2",
+                     f"{s}/mlp/fc1", f"{s}/mlp/fc2"}
+    sd["encoder.ln.weight"] = a("ln", "gamma")
+    sd["encoder.ln.bias"] = a("ln", "beta")
+    sd["heads.head.weight"] = np.transpose(a("head/logits", "w"), (1, 0))
+    sd["heads.head.bias"] = a("head/logits", "b")
+    extra = sorted(set(params) - exported)
+    if extra:
+        raise ValueError(f"params contain scopes with no torchvision ViT "
+                         f"slot: {extra[:4]}"
+                         f"{'...' if len(extra) > 4 else ''}")
+    return sd

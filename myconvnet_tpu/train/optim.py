@@ -130,9 +130,12 @@ def _decayed(g, p, weight_decay, decay_on=True):
 
 def norm_and_bias_exclusion(path: str, p) -> bool:
     """Standard recipe: exclude biases and norm scales/offsets from
-    weight decay (any rank-<=1 parameter, plus b/beta/gamma by name)."""
+    weight decay (any rank-<=1 parameter, plus b/beta/gamma by name),
+    and the ViT embedding tokens (cls_token/pos_embed — rank 3 but
+    excluded by every standard transformer recipe, timm/DeiT)."""
     name = path.rsplit("/", 1)[-1]
-    return name in ("b", "beta", "gamma") or getattr(p, "ndim", 2) <= 1
+    return (name in ("b", "beta", "gamma", "cls_token", "pos_embed")
+            or getattr(p, "ndim", 2) <= 1)
 
 
 def _keypath_str(keypath) -> str:

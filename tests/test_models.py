@@ -545,3 +545,26 @@ def test_ssd300_rejects_wrong_input_size():
     from myconvnet_tpu.core import transform
     with pytest.raises(ValueError, match="feature pyramid"):
         transform(models.ssd300).init(jax.random.key(0), x, 21)
+
+
+def test_vit_b16_param_count():
+    """ViT-B/16 at 224^2/1000 classes: torchvision vit_b_16 has exactly
+    86,567,656 parameters — the packed-qkv layout is parameter-identical
+    to torch's in_proj."""
+    fwd = transform(lambda x: models.vit_b16(x, 1000))
+    params, _ = jax.eval_shape(
+        lambda: fwd.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3))))
+    assert _n_params(params) == 86_567_656
+
+
+def test_vit_variants_param_ratio():
+    """Ti/S/B widths 192/384/768: transformer param count scales ~d^2."""
+    counts = {}
+    for name, f in (("ti", models.vit_ti16), ("s", models.vit_s16)):
+        fwd = transform(lambda x, f=f: f(x, 1000))
+        p, _ = jax.eval_shape(
+            lambda fwd=fwd: fwd.init(jax.random.key(0),
+                                     jnp.zeros((1, 224, 224, 3))))
+        counts[name] = _n_params(p)
+    assert abs(counts["ti"] / 1e6 - 5.72) < 0.2   # DeiT-Ti ~5.7M
+    assert abs(counts["s"] / 1e6 - 22.05) < 0.4   # DeiT-S ~22.1M

@@ -25,6 +25,7 @@ CONFIGS = [
     "configs/fashion_mnist_smallnet.py",
     "configs/svhn_smallnet.py",
     "configs/sngan_cifar10.py",
+    "configs/imagenet_vit_b16.py",
 ]
 
 
