@@ -60,6 +60,8 @@ from myconvnet_tpu.models.vgg import vgg, vgg11, vgg16, vgg19
 from myconvnet_tpu.models.vit import (tinyvit, vit, vit_b16, vit_b32,
                                       vit_l16, vit_s16, vit_ti16)
 from myconvnet_tpu.models.xception import xception65, xception_backbone
+from myconvnet_tpu.models.mae import (mae, mae_b16, mae_l16, patchify,
+                                      tinymae, unpatchify)
 
 # Registry keyed by the config-file model names (reference: model choice in
 # parameters.py — SURVEY.md §2#10).
@@ -121,6 +123,16 @@ DETECTORS = {
     "tinyretina": tinyretina,
 }
 
+# Self-supervised pretraining forwards (train/ssl.py; fifth task
+# family).  MAE entries are (x, *, train, features_only, ...) — not
+# classifiers, so they live outside get_model()'s tables; SimCLR reuses
+# any feature-tagging CLASSIFIERS entry as its backbone.
+SSL_MODELS = {
+    "mae_b16": mae_b16,
+    "mae_l16": mae_l16,
+    "tinymae": tinymae,
+}
+
 GAN_GENERATORS = {
     "dcgan": dcgan_generator,
     "pix2pix": unet_generator,
@@ -140,7 +152,8 @@ def list_models(kind: str | None = None) -> list[str]:
     segmenters + detectors — GAN generators pair with discriminators,
     ask for kind='gan' explicitly)."""
     tables = {"classifier": CLASSIFIERS, "segmenter": SEGMENTERS,
-              "detector": DETECTORS, "gan": GAN_GENERATORS}
+              "detector": DETECTORS, "gan": GAN_GENERATORS,
+              "ssl": SSL_MODELS}
     if kind is None:
         return sorted(CLASSIFIERS) + sorted(SEGMENTERS) + sorted(DETECTORS)
     try:

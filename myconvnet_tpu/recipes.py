@@ -985,6 +985,128 @@ def make_gan_sampler(cfg: dict):
     return sample
 
 
+# --------------------------------------------------- self-supervised (ssl)
+
+def build_ssl(cfg: dict, synthetic: bool = False, mesh=None):
+    """Self-supervised recipe wiring (the fifth task family, train/ssl.py).
+
+    Returns ``(state, step, train_set, val_set, feats_fn, kind)``:
+    ``step(state, x_u8_batch)`` is the fused jitted pretraining step;
+    ``feats_fn(state, x_u8)`` embeds frozen features for the kNN probe
+    (eval augmentation + features_only forward).  Labels flow through
+    the DataSet untouched — pretraining ignores them, the probe uses
+    them.
+    """
+    import jax.numpy as jnp
+
+    from myconvnet_tpu.data.augment import (augment_eval, augment_train,
+                                            normalize)
+    from myconvnet_tpu.train import ssl as ssl_lib
+
+    kind = cfg.get("ssl_kind", "simclr")
+    policy = get_policy(cfg.get("precision", "f32"))
+    aug = make_augment(cfg.get("augment"))
+    if aug is None:
+        raise ValueError("ssl configs need an 'augment' entry (the view "
+                         "distribution is the method)")
+    opt = make_optimizer(cfg["optimizer"])
+    mkw = dict(cfg.get("model_kwargs", {}))
+
+    if kind == "mae":
+        if cfg["model"] not in models.SSL_MODELS:
+            raise ValueError(f"ssl_kind='mae' needs an SSL_MODELS entry; "
+                             f"valid: {sorted(models.SSL_MODELS)}")
+        mae_fn = models.SSL_MODELS[cfg["model"]]
+
+        def fwd(x, train=False, features_only=False):
+            with policy_scope(policy):
+                x = policy.cast_to_compute(x)
+                return mae_fn(x, train=train,
+                              features_only=features_only, **mkw)
+
+        model = transform(fwd)
+
+        def view_fn(key, x_u8):
+            return augment_train(key, x_u8, aug)
+
+        step = ssl_lib.make_mae_step(model, opt, view_fn)
+
+    elif kind == "simclr":
+        model_fn = models.get_model(cfg["model"])
+        proj_dim = cfg.get("proj_dim", 128)
+        proj_hidden = cfg.get("proj_hidden", None)
+        gray_p = cfg.get("grayscale_prob", 0.2)
+        # the view chain works on [0,1] floats; normalization moves to
+        # the END so random grayscale sees real RGB
+        raw_aug = aug._replace(mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0))
+
+        def fwd(x, train=False, features_only=False):
+            from myconvnet_tpu import nn
+            from myconvnet_tpu.core.module import collecting
+            with policy_scope(policy):
+                x = policy.cast_to_compute(x)
+                # the backbone = any feature-tagging zoo classifier; its
+                # 1-class head is dead code XLA prunes (output unused)
+                with collecting() as c:
+                    model_fn(x, 1, train=train, **mkw)
+                feats = [v for k, v in c.items()
+                         if k.endswith("/features")]
+                if not feats:
+                    raise ValueError(
+                        f"model {cfg['model']!r} tags no 'features' "
+                        f"intermediate; found {sorted(c)}")
+                h = feats[-1]
+                if h.ndim == 4:
+                    h = nn.gap(h)
+                if features_only:
+                    return policy.cast_to_output(h)
+                with nn.scope_named("projector"):
+                    hidden = proj_hidden or h.shape[-1]
+                    z = nn.relu(nn.dense(h, hidden, name="fc1"))
+                    z = nn.dense(z, proj_dim, use_bias=False, name="fc2")
+                return policy.cast_to_output(z)
+
+        model = transform(fwd)
+
+        def view_fn(key, x_u8, _raw=raw_aug, _final=aug, _p=gray_p):
+            from myconvnet_tpu.data.augment import _rgb_to_gray
+            k1, k2 = jax.random.split(key)
+            x = augment_train(k1, x_u8, _raw)     # [0,1] floats
+            if _p > 0.0:
+                sel = jax.random.bernoulli(k2, _p,
+                                           (x.shape[0], 1, 1, 1))
+                x = jnp.where(sel, _rgb_to_gray(x), x)
+            return normalize(x, _final.mean,
+                             _final.std).astype(x.dtype)
+
+        step = ssl_lib.make_simclr_step(
+            model, opt, view_fn,
+            temperature=cfg.get("temperature", 0.5))
+    else:
+        raise ValueError(f"unknown ssl_kind {kind!r}; valid: "
+                         "['mae', 'simclr']")
+
+    rng = jax.random.key(cfg.get("seed", 0))
+    hw = tuple(aug.out_hw)
+    sample = jnp.zeros((2, *hw, 3), policy.compute_dtype)
+    from myconvnet_tpu.train.trainer import init_train_state
+    state = init_train_state(model, opt, rng, sample)
+
+    @jax.jit
+    def _feats(params, mstate, x_u8):
+        x = augment_eval(x_u8, aug)
+        z, _ = model.apply(params, mstate, None, x, False,
+                           features_only=True)
+        return z
+
+    def feats_fn(state, x_u8):
+        return _feats(state.params, state.model_state, jnp.asarray(x_u8))
+
+    train_src, val_src = make_sources(cfg, synthetic)
+    return (state, step, DataSet(train_src, seed=cfg.get("seed", 0)),
+            DataSet(val_src), feats_fn, kind)
+
+
 def apply_pretrained(net: ConvNet, cfg: dict) -> None:
     """Warm-start from the config's ``pretrained`` block (the
     reference's fine-tuning workflow, SURVEY.md §2#11)::

@@ -92,6 +92,8 @@ def main():
                          "PSNR/SSIM")
     if cfg["task"] == "detection":
         return eval_detection(cfg, args)
+    if cfg["task"] == "ssl":
+        return eval_ssl(cfg, args)
     builder = (recipes.build_segmenter if cfg["task"] == "segmentation"
                else recipes.build_classifier)
     net, _train_set, val_set = builder(cfg, synthetic=args.synthetic,
@@ -212,6 +214,35 @@ def main():
                                       ignore_label=ignore))
                 idx += 1
         print(f"wrote {idx} prediction pairs to {args.save_preds}")
+
+
+def eval_ssl(cfg, args):
+    """Score a self-supervised checkpoint with the kNN probe (frozen
+    features, labeled bank from the train split) and re-export
+    ``encoder.npz`` next to the checkpoint for fine-tuning."""
+    import os
+
+    from myconvnet_tpu import recipes
+    from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
+    from myconvnet_tpu.train import ssl as ssl_lib
+
+    state, _step, train_set, val_set, feats_fn, kind = recipes.build_ssl(
+        cfg, synthetic=args.synthetic)
+    restored = ckpt_lib.restore_checkpoint(args.ckpt, state._asdict())
+    state = type(state)(**restored)
+    batch = cfg["batch_size"]
+    knn = ssl_lib.knn_eval(
+        feats_fn, state, train_set.eval_iter(batch),
+        val_set.eval_iter(batch), k=cfg.get("knn_k", 20),
+        num_classes=cfg["num_classes"],
+        max_bank=cfg.get("knn_bank", 4096),
+        max_query=cfg.get("knn_query", 2048))
+    print(f"{kind} kNN top-1: {knn:.4f}")
+    out_dir = args.ckpt if os.path.isdir(args.ckpt) \
+        else os.path.dirname(args.ckpt)
+    enc = ssl_lib.export_encoder_npz(state.params,
+                                     os.path.join(out_dir, "encoder.npz"))
+    print(f"encoder exported: {enc}")
 
 
 def eval_detection(cfg, args):

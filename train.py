@@ -98,6 +98,9 @@ def main():
     if cfg["task"] == "detection":
         run_detection(cfg, args, out, mesh)
         return
+    if cfg["task"] == "ssl":
+        run_ssl(cfg, args, out, mesh)
+        return
 
     if cfg.get("pipeline"):
         # pipeline-parallel path: staged model over a 'model'-axis mesh
@@ -268,6 +271,68 @@ def run_detection(cfg, args, out, mesh=None):
     score = recipes.evaluate_detection(state, predict, val_set, batch,
                                        evaluator, mesh=mesh)
     print(f"final val mAP: {score:.4f}")
+
+
+def run_ssl(cfg, args, out, mesh=None):
+    """Self-supervised pretraining loop (the fifth task family): fused
+    jitted MAE/SimCLR step + periodic kNN-probe validation — same
+    driver shape as run_detection.  Ends by exporting the encoder as
+    ``<out>/encoder.npz`` for ``pretrained=`` warm starts (the
+    pretrain -> fine-tune workflow)."""
+    from myconvnet_tpu import recipes
+    from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
+    from myconvnet_tpu.train import ssl as ssl_lib
+    from myconvnet_tpu.utils.logging import MetricLogger
+    from myconvnet_tpu.utils.preemption import PreemptionGuard
+
+    state, step, train_set, val_set, feats_fn, kind = recipes.build_ssl(
+        cfg, synthetic=args.synthetic, mesh=mesh)
+    put_fn = None
+    if mesh is not None:
+        from myconvnet_tpu.parallel import shard_batch
+        put_fn = lambda b: shard_batch(mesh, b)  # noqa: E731
+    if args.resume and ckpt_lib.latest_checkpoint(out):
+        restored = ckpt_lib.restore_checkpoint(out, state._asdict())
+        state = type(state)(**restored)
+        print(f"resumed ssl from step {int(state.step)}")
+    guard = PreemptionGuard().__enter__()
+    logger = MetricLogger(log_dir=out, name=f"ssl_{kind}")
+    log_every = cfg.get("log_every", 100)
+    val_every = cfg.get("val_every", 0)
+    total = cfg["total_steps"]
+    batch = cfg["batch_size"]
+    knn_kw = dict(k=cfg.get("knn_k", 20),
+                  num_classes=cfg["num_classes"],
+                  max_bank=cfg.get("knn_bank", 4096),
+                  max_query=cfg.get("knn_query", 2048))
+
+    def probe():
+        return ssl_lib.knn_eval(feats_fn, state,
+                                train_set.eval_iter(batch),
+                                val_set.eval_iter(batch), **knn_kw)
+
+    start = int(state.step)
+    it = train_set.train_iter(batch, device_put_fn=put_fn)
+    for i, b in enumerate(it):
+        i = start + i
+        if i >= total or guard.preempted:
+            break
+        state, metrics = step(state, b)
+        if (i + 1) % log_every == 0:
+            logger.log(i + 1, {k: float(v) for k, v in metrics.items()})
+            ckpt_lib.save_checkpoint(out, i + 1, state._asdict(), keep=2)
+        if val_every and (i + 1) % val_every == 0:
+            knn = probe()
+            logger.log(i + 1, {"knn_top1": knn})
+            print(f"step {i + 1}: kNN top-1 {knn:.4f}")
+    if hasattr(it, "close"):
+        it.close()
+    ckpt_lib.save_checkpoint(out, int(state.step), state._asdict(), keep=2)
+    knn = probe()
+    print(f"final kNN top-1: {knn:.4f}")
+    enc = ssl_lib.export_encoder_npz(state.params,
+                                     os.path.join(out, "encoder.npz"))
+    print(f"encoder exported: {enc}")
 
 
 def run_gan(cfg, args, out):
