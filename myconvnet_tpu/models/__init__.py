@@ -62,6 +62,8 @@ from myconvnet_tpu.models.vit import (tinyvit, vit, vit_b16, vit_b32,
 from myconvnet_tpu.models.xception import xception65, xception_backbone
 from myconvnet_tpu.models.mae import (mae, mae_b16, mae_l16, patchify,
                                       tinymae, unpatchify)
+from myconvnet_tpu.models.swin import (swin, swin_b, swin_s, swin_t,
+                                       tinyswin)
 
 # Registry keyed by the config-file model names (reference: model choice in
 # parameters.py — SURVEY.md §2#10).
@@ -96,6 +98,8 @@ CLASSIFIERS = {
     "regnet_x_1_6gf": regnet_x_1_6gf, "regnet_y_1_6gf": regnet_y_1_6gf,
     "vit_ti16": vit_ti16, "vit_s16": vit_s16, "vit_b16": vit_b16,
     "vit_b32": vit_b32, "vit_l16": vit_l16, "tinyvit": tinyvit,
+    "swin_t": swin_t, "swin_s": swin_s, "swin_b": swin_b,
+    "tinyswin": tinyswin,
 }
 
 SEGMENTERS = {
