@@ -64,6 +64,8 @@ from myconvnet_tpu.models.mae import (mae, mae_b16, mae_l16, patchify,
                                       tinymae, unpatchify)
 from myconvnet_tpu.models.swin import (swin, swin_b, swin_s, swin_t,
                                        tinyswin)
+from myconvnet_tpu.models.sr import (edsr, sr_discriminator, srresnet,
+                                     tinysr)
 
 # Registry keyed by the config-file model names (reference: model choice in
 # parameters.py — SURVEY.md §2#10).
@@ -127,6 +129,15 @@ DETECTORS = {
     "tinyretina": tinyretina,
 }
 
+# Super-resolution (sixth task family): fn(x_lr, num_classes_ignored,
+# train=, scale=, ...) -> HR image.  srresnet/sr_discriminator pair for
+# the SRGAN path rides GAN_GENERATORS-style wiring in recipes.build_gan.
+SR_MODELS = {
+    "edsr": edsr,
+    "tinysr": tinysr,
+    "srresnet": srresnet,
+}
+
 # Self-supervised pretraining forwards (train/ssl.py; fifth task
 # family).  MAE entries are (x, *, train, features_only, ...) — not
 # classifiers, so they live outside get_model()'s tables; SimCLR reuses
@@ -157,9 +168,10 @@ def list_models(kind: str | None = None) -> list[str]:
     ask for kind='gan' explicitly)."""
     tables = {"classifier": CLASSIFIERS, "segmenter": SEGMENTERS,
               "detector": DETECTORS, "gan": GAN_GENERATORS,
-              "ssl": SSL_MODELS}
+              "ssl": SSL_MODELS, "sr": SR_MODELS}
     if kind is None:
-        return sorted(CLASSIFIERS) + sorted(SEGMENTERS) + sorted(DETECTORS)
+        return (sorted(CLASSIFIERS) + sorted(SEGMENTERS)
+                + sorted(DETECTORS) + sorted(SR_MODELS))
     try:
         return sorted(tables[kind])
     except KeyError as e:
@@ -168,8 +180,8 @@ def list_models(kind: str | None = None) -> list[str]:
 
 
 def get_model(name: str):
-    for table in (CLASSIFIERS, SEGMENTERS, DETECTORS):
+    for table in (CLASSIFIERS, SEGMENTERS, DETECTORS, SR_MODELS):
         if name in table:
             return table[name]
     raise ValueError(f"unknown model {name!r}; valid: "
-                     f"{sorted(CLASSIFIERS) + sorted(SEGMENTERS) + sorted(DETECTORS)}")
+                     f"{sorted(CLASSIFIERS) + sorted(SEGMENTERS) + sorted(DETECTORS) + sorted(SR_MODELS)}")

@@ -62,6 +62,7 @@ class ConvNet:
                  mix: "MixConfig | None" = None,
                  erase_prob: float = 0.0,
                  paired_targets: bool = False,
+                 augment_fns: tuple | None = None,
                  mesh=None, use_mesh: bool = False,
                  remat: bool = False, accum_steps: int = 1,
                  accum_dtype: str = "float32",
@@ -86,6 +87,13 @@ class ConvNet:
         # paired_targets: labels are spatial masks sharing the random
         # geometry (segmentation) — image gets bilinear, mask nearest
         self.paired_targets = paired_targets
+        # augment_fns: explicit (train_fn, eval_fn, predict_fn) triple
+        # replacing the AugmentConfig-derived chain — for tasks whose
+        # target is synthesized from the image itself (super-resolution
+        # builds the LR input and HR target from one HR crop).
+        # train_fn(key, x, y) -> (x, y); eval_fn(x, y) -> (x, y);
+        # predict_fn(x) -> x.
+        self.augment_fns = augment_fns
         self.mesh = mesh if mesh is not None else (
             mesh_lib.make_mesh() if use_mesh else None)
         self.remat = remat
@@ -139,7 +147,9 @@ class ConvNet:
         aug_fn = None
         eval_aug_fn = None
         predict_fn = None
-        if self.augment is not None:
+        if self.augment_fns is not None:
+            aug_fn, eval_aug_fn, predict_fn = self.augment_fns
+        elif self.augment is not None:
             cfg = self.augment
             if self.paired_targets:
                 from myconvnet_tpu.data.augment import (augment_eval_pair,
@@ -156,7 +166,7 @@ class ConvNet:
                 eval_aug_fn = lambda x, y: (  # noqa: E731
                     augment_eval(x, cfg), y)
         if (self.mix is not None or self.erase_prob > 0.0) \
-                and not self.paired_targets:
+                and not self.paired_targets and self.augment_fns is None:
             from myconvnet_tpu.data.mix import mixup_cutmix, random_erasing
             base_aug, mix_cfg = aug_fn, self.mix
             erase_prob, num_classes = self.erase_prob, self.num_classes

@@ -341,6 +341,24 @@ def activation(x, kind: str):
     return ACTIVATIONS[kind](x)
 
 
+def pixel_shuffle(x: jax.Array, scale: int) -> jax.Array:
+    """Depth-to-space (PixelShuffle): [N, H, W, C*r²] -> [N, H*r, W*r, C].
+
+    The super-resolution upsampler (Shi et al., ESPCN): a conv produces
+    r² sub-pixel channels and this pure reshape+transpose interleaves
+    them — no gather, no transposed conv, and the preceding conv is a
+    dense MXU matmul at the LOW resolution (r² cheaper than computing
+    at the output resolution)."""
+    n, h, w, c = x.shape
+    r = int(scale)
+    if c % (r * r):
+        raise ValueError(f"channels {c} not divisible by scale² {r * r}")
+    out_c = c // (r * r)
+    x = x.reshape(n, h, w, r, r, out_c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h * r, w * r, out_c)
+
+
 def conv_bn_relu(x: jax.Array, features: int, kernel_size: _IntOrPair,
                  *, train: bool, stride: _IntOrPair = 1,
                  dilation: _IntOrPair = 1, momentum: float = 0.9,

@@ -116,9 +116,11 @@ def make_augment(aug_cfg: dict | None) -> AugmentConfig | None:
 def make_sources(cfg: dict, synthetic: bool, splits=("train", "val")):
     name = cfg["dataset"]
     data_dir = cfg.get("data_dir")
+    from myconvnet_tpu.subsets import images as images_mod
     table = {"cifar10": cifar10, "cifar100": cifar100,
              "imagenet": imagenet, "voc": voc,
-             "mnist": mnist, "fashion_mnist": mnist, "svhn": svhn}
+             "mnist": mnist, "fashion_mnist": mnist, "svhn": svhn,
+             "images": images_mod}
     if name not in table:
         raise ValueError(f"unknown dataset {name!r}; valid: "
                          f"{sorted(table)} (or 'pairs' for pix2pix)")
@@ -221,6 +223,9 @@ def build_segmenter(cfg: dict, synthetic: bool = False,
 
 
 def build_evaluator(cfg: dict):
+    if cfg["task"] == "sr":
+        from myconvnet_tpu.eval.image_metrics import PairedImageEvaluator
+        return PairedImageEvaluator(cfg.get("sr_metric", "psnr"))
     if cfg["task"] == "segmentation":
         return MeanIoUEvaluator(cfg["num_classes"],
                                 cfg.get("ignore_label", 255))
@@ -818,6 +823,10 @@ def _gan_generator(cfg: dict):
             x, train=train, **gkw),
         "cyclegan": lambda x, train=False: models.resnet_generator(
             x, train=train, **gkw),
+        # SRGAN: LR [-1,1] -> HR [-1,1] (SRResNet generator)
+        "srgan": lambda x, train=False: models.srresnet(
+            x, train=train,
+            **{"scale": int(cfg.get("scale", 4)), **gkw}),
     }
     if kind not in fwd_of:
         raise ValueError(f"unknown gan kind {kind!r}")
@@ -908,6 +917,58 @@ def build_gan(cfg: dict, synthetic: bool = False):
 
         return state, step, data_iter, kind
 
+    if kind == "srgan":
+        # super-resolution GAN (Ledig et al.): the pix2pix fused
+        # dual-optimizer step with an UNCONDITIONAL discriminator (D
+        # scores HR images only — the LR input argument is ignored) and
+        # a pixel content loss (l1_weight >> adversarial, the paper's
+        # weighting).  Data: one unlabeled HR stream; LR synthesized by
+        # exact area downsample.
+        dkw = cfg.get("discriminator_kwargs", {})
+        scale = int(cfg.get("scale", 4))
+        hr_size = int(cfg.get("hr_size", size))
+        if hr_size % scale:
+            raise ValueError(f"hr_size {hr_size} % scale {scale} != 0")
+        lr_size = hr_size // scale
+
+        def d_fwd(a, b, train=False):
+            del a  # unconditional: D never sees the LR input
+            with policy_scope(policy):
+                return models.sr_discriminator(b, train=train, **dkw)
+
+        gen, disc = _gan_generator(cfg), transform(d_fwd)
+        g_opt = make_optimizer(cfg["g_optimizer"])
+        d_opt = make_optimizer(cfg["d_optimizer"])
+        import jax.numpy as jnp
+        lr0 = jnp.zeros((batch, lr_size, lr_size, 3))
+        hr0 = jnp.zeros((batch, hr_size, hr_size, 3))
+        state = gan_lib.init_gan_state(
+            gen, disc, g_opt, d_opt, jax.random.key(cfg.get("seed", 0)),
+            lr0, (lr0, hr0))
+        step = gan_lib.make_pix2pix_step(
+            gen, disc, g_opt, d_opt, cfg.get("l1_weight", 1000.0),
+            gan_loss=cfg.get("gan_loss", "nonsaturating"))
+
+        def data_iter():
+            from myconvnet_tpu.subsets import images as images_mod
+            src = images_mod.make_source(
+                cfg.get("data_dir"), "train",
+                synthetic=synthetic or cfg.get("data_dir") is None)
+            ds = DataSet(src, seed=cfg.get("seed", 0))
+            rng = np.random.RandomState(cfg.get("seed", 0))
+            for x, _ in ds.train_iter(batch, prefetch=0):
+                x = np.asarray(x)
+                n, ih, iw, _ = x.shape
+                y0 = rng.randint(0, ih - hr_size + 1)
+                x0 = rng.randint(0, iw - hr_size + 1)
+                hr = x[:, y0:y0 + hr_size, x0:x0 + hr_size] \
+                    .astype(np.float32) / 127.5 - 1.0
+                lr = hr.reshape(n, lr_size, scale, lr_size, scale,
+                                3).mean((2, 4))
+                yield (lr, hr)
+
+        return state, step, data_iter, kind
+
     if kind == "cyclegan":
         dkw = cfg.get("discriminator_kwargs", {})
 
@@ -970,7 +1031,7 @@ def make_gan_sampler(cfg: dict):
             imgs, _ = gen.apply(state.g_params, state.g_state, None, z,
                                 False)
             return to_uint8(imgs)
-    elif kind == "pix2pix":
+    elif kind in ("pix2pix", "srgan"):
         def sample(state, x):
             imgs, _ = gen.apply(state.g_params, state.g_state, None,
                                 jax.numpy.asarray(x), False)
@@ -983,6 +1044,86 @@ def make_gan_sampler(cfg: dict):
             return to_uint8(imgs)
 
     return sample
+
+
+# ------------------------------------------------- super-resolution (sr)
+
+def build_sr(cfg: dict, synthetic: bool = False,
+             ckpt_dir: str | None = None, log_dir: str | None = None,
+             mesh=None) -> tuple[ConvNet, DataSet, DataSet]:
+    """Super-resolution recipe wiring (sixth task family).
+
+    One UNLABELED image stream trains the net: the train transform
+    crops an HR patch on device, synthesizes the LR input with an exact
+    area (box-mean) downsample — scale must divide the patch — and
+    returns ``(lr - mean, hr)``; the model forward adds the mean back,
+    so predictions live in [0, 1] and the PSNR/SSIM evaluator scores
+    them directly against the HR target.  Same ConvNet surface as every
+    supervised family (train/predict/save/restore), via the
+    ``augment_fns`` override.
+    """
+    import jax.numpy as jnp
+
+    from myconvnet_tpu.data.augment import batched_crop_resize
+    from myconvnet_tpu.train.losses import l1_loss
+
+    scale = int(cfg.get("scale", 4))
+    hr = int(cfg.get("hr_size", 192))
+    if hr % scale:
+        raise ValueError(f"hr_size {hr} not divisible by scale {scale}")
+    lr = hr // scale
+    mean = jnp.asarray(cfg.get("mean", (0.4488, 0.4371, 0.4040)),
+                       jnp.float32)  # DIV2K channel means
+    model_fn = models.get_model(cfg["model"])
+    mkw = dict(cfg.get("model_kwargs", {}))
+    mkw.setdefault("scale", scale)
+
+    def sr_forward(x, num_classes, train=False, **kw):
+        # x is mean-subtracted LR; predict [0,1]-range HR
+        return model_fn(x, train=train, **kw) + mean.astype(x.dtype)
+
+    def _synthesize(hr_img):
+        n = hr_img.shape[0]
+        lr_img = hr_img.reshape(n, lr, scale, lr, scale, 3).mean((2, 4))
+        return lr_img - mean, hr_img
+
+    def train_fn(key, x_u8, _y):
+        import jax
+        n, ih, iw, _ = x_u8.shape
+        k_y, k_x, k_f = jax.random.split(key, 3)
+        y0 = jax.random.randint(k_y, (n,), 0, max(ih - hr, 0) + 1)
+        x0 = jax.random.randint(k_x, (n,), 0, max(iw - hr, 0) + 1)
+        boxes = jnp.stack([y0.astype(jnp.float32),
+                           x0.astype(jnp.float32),
+                           jnp.full((n,), float(hr)),
+                           jnp.full((n,), float(hr))], axis=1)
+        flip = jax.random.bernoulli(k_f, 0.5, (n,))
+        patch = batched_crop_resize(x_u8, boxes, (hr, hr), flip) / 255.0
+        return _synthesize(patch)
+
+    def eval_fn(x_u8, _y):
+        n, ih, iw, _ = x_u8.shape
+        y0, x0 = (ih - hr) // 2, (iw - hr) // 2
+        patch = x_u8[:, y0:y0 + hr, x0:x0 + hr].astype(jnp.float32) \
+            / 255.0
+        return _synthesize(patch)
+
+    def predict_fn(x_u8):
+        # inference on REAL low-resolution inputs: normalize only
+        return x_u8.astype(jnp.float32) / 255.0 - mean
+
+    net = ConvNet(sr_forward, input_shape=(lr, lr, 3),
+                  num_classes=0,
+                  precision=cfg.get("precision", "f32"),
+                  loss_fn=lambda pred, y: l1_loss(
+                      pred.astype(jnp.float32), y.astype(jnp.float32)),
+                  augment_fns=(train_fn, eval_fn, predict_fn),
+                  mesh=mesh, seed=cfg.get("seed", 0),
+                  remat=cfg.get("remat", False),
+                  accum_steps=cfg.get("accum_steps", 1),
+                  ckpt_dir=ckpt_dir, log_dir=log_dir, **mkw)
+    train_src, val_src = make_sources(cfg, synthetic)
+    return net, DataSet(train_src), DataSet(val_src)
 
 
 # --------------------------------------------------- self-supervised (ssl)

@@ -240,10 +240,11 @@ class Trainer:
             if logits.ndim == y.ndim + 1:  # per-example/pixel class labels
                 metrics["accuracy"] = jnp.mean(
                     (jnp.argmax(logits, -1) == y).astype(jnp.float32))
-            elif logits.ndim == y.ndim and y.dtype in (jnp.float32,
-                                                       jnp.bfloat16):
-                # soft labels (MixUp/CutMix): agreement with the dominant
-                # mix component
+            elif logits.ndim == 2 and y.ndim == 2 \
+                    and y.dtype in (jnp.float32, jnp.bfloat16):
+                # soft labels (MixUp/CutMix, [N, C]): agreement with the
+                # dominant mix component.  Dense-regression targets
+                # (super-resolution [N, H, W, C]) get no accuracy column
                 metrics["accuracy"] = jnp.mean(
                     (jnp.argmax(logits, -1) == jnp.argmax(y, -1))
                     .astype(jnp.float32))

@@ -85,6 +85,8 @@ def main():
             return eval_gan_fid(cfg, args)
         if cfg.get("gan_kind") == "pix2pix":
             return eval_pix2pix(cfg, args)
+        if cfg.get("gan_kind") == "srgan":
+            return eval_srgan(cfg, args)
         raise SystemExit("unconditional GAN checkpoints: use generate.py "
                          "(sample grids) or test.py --fid "
                          "--fid_extractor CONFIG:CKPT; paired "
@@ -94,8 +96,9 @@ def main():
         return eval_detection(cfg, args)
     if cfg["task"] == "ssl":
         return eval_ssl(cfg, args)
-    builder = (recipes.build_segmenter if cfg["task"] == "segmentation"
-               else recipes.build_classifier)
+    builder = {"segmentation": recipes.build_segmenter,
+               "sr": recipes.build_sr}.get(cfg["task"],
+                                           recipes.build_classifier)
     net, _train_set, val_set = builder(cfg, synthetic=args.synthetic,
                                        ckpt_dir=args.ckpt)
     evaluator = recipes.build_evaluator(cfg)
@@ -474,6 +477,47 @@ def eval_pix2pix(cfg, args):
         a = np.asarray(a).astype(np.float32) / 127.5 - 1.0
         pred = sampler(state, a).astype(np.float32) / 255.0
         target = np.asarray(b).astype(np.float32) / 255.0
+        ev_psnr.update(pred, target)
+        ev_ssim.update(pred, target)
+    print(f"psnr: {ev_psnr.score():.2f} dB")
+    print(f"ssim: {ev_ssim.score():.4f}")
+
+
+def eval_srgan(cfg, args):
+    """Score an SRGAN checkpoint with PSNR/SSIM: HR patches from the
+    val image stream, LR synthesized by the same exact area downsample
+    the training iterator uses."""
+    import numpy as np
+
+    from myconvnet_tpu import recipes
+    from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
+    from myconvnet_tpu.data.pipeline import DataSet
+    from myconvnet_tpu.eval.image_metrics import PairedImageEvaluator
+    from myconvnet_tpu.subsets import images as images_mod
+
+    state, _step, _it, _kind = recipes.build_gan(cfg,
+                                                 synthetic=args.synthetic)
+    restored = ckpt_lib.restore_checkpoint(args.ckpt, state._asdict())
+    state = type(state)(**restored)
+    sampler = recipes.make_gan_sampler(cfg)
+    scale = int(cfg.get("scale", 4))
+    hr_size = int(cfg.get("hr_size", cfg.get("image_size", 96)))
+    lr_size = hr_size // scale
+    src = images_mod.make_source(
+        cfg.get("data_dir"), "val",
+        synthetic=args.synthetic or cfg.get("data_dir") is None)
+    ds = DataSet(src)
+    ev_psnr = PairedImageEvaluator("psnr")
+    ev_ssim = PairedImageEvaluator("ssim")
+    for x, _ in ds.eval_iter(cfg["batch_size"], prefetch=0):
+        x = np.asarray(x)
+        n, ih, iw, _ = x.shape
+        y0, x0 = (ih - hr_size) // 2, (iw - hr_size) // 2
+        hr = x[:, y0:y0 + hr_size, x0:x0 + hr_size] \
+            .astype(np.float32) / 127.5 - 1.0
+        lr = hr.reshape(n, lr_size, scale, lr_size, scale, 3).mean((2, 4))
+        pred = sampler(state, lr).astype(np.float32) / 255.0
+        target = (hr + 1.0) / 2.0
         ev_psnr.update(pred, target)
         ev_ssim.update(pred, target)
     print(f"psnr: {ev_psnr.score():.2f} dB")
