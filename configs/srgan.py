@@ -4,9 +4,21 @@ discriminator through the fused dual-optimizer GAN step.
 Sixth task family's adversarial member (gan_kind="srgan").  The
 discriminator is UNCONDITIONAL (scores HR images only); the generator
 loss is pixel content (l1_weight) + adversarial, the paper's weighting.
-Standard workflow: pretrain the generator with configs/div2k_edsr.py
-(or this recipe's own SRResNet with l1 only), then fine-tune
-adversarially.
+
+Paper workflow (SRResNet-then-adversarial): first pretrain the SAME
+generator architecture with the plain SR recipe —
+
+    python train.py --config configs/div2k_edsr.py \\
+        --set model=srresnet \\
+        --set "model_kwargs={'width': 64, 'blocks': 16}" \\
+        --out /path/to/srresnet_pretrain
+
+— then set ``g_pretrain="/path/to/srresnet_pretrain"`` below (or via
+``--set g_pretrain=...``): build_gan grafts the pretrained generator
+params+BN-state into the GAN state (both recipes share the
+mean-subtracted [0,1] value space and transform scopes, so the graft
+is exact and shape-validated).  EDSR checkpoints do NOT fit — a
+different architecture than srresnet.
 """
 
 TOTAL_STEPS = 100000
@@ -21,6 +33,7 @@ config = dict(
     discriminator_kwargs=dict(width=64),
     l1_weight=1000.0,              # content >> adversarial (1e-3 adv)
     gan_loss="nonsaturating",
+    g_pretrain=None,               # SRResNet build_sr ckpt dir (above)
     dataset="images",
     data_dir=None,
     batch_size=16,

@@ -60,6 +60,30 @@ def decode_image(path: str, raw_hw: tuple[int, int]) -> np.ndarray:
                                     raw_hw)
 
 
+def decode_image_native(path: str, raw_hw: tuple[int, int],
+                        frac_yx: tuple[float, float] = (0.5, 0.5)
+                        ) -> np.ndarray:
+    """Decode + crop ``raw_hw`` at NATIVE resolution (no resampling).
+
+    The super-resolution decode geometry: cover-resize would low-pass
+    the HR detail the task is supposed to learn, so the crop keeps
+    original pixels.  ``frac_yx`` places the crop window ((0.5, 0.5) =
+    center; a random fraction gives per-image random crops).  Images
+    smaller than ``raw_hw`` in either dimension fall back to
+    cover-resize (upscale only — nothing is discarded).
+    """
+    from PIL import Image
+    img = Image.open(path).convert("RGB")
+    w, h = img.size
+    th, tw = raw_hw
+    if h < th or w < tw:
+        return cover_resize_center_crop(img, raw_hw)
+    y0 = int(round(frac_yx[0] * (h - th)))
+    x0 = int(round(frac_yx[1] * (w - tw)))
+    arr = np.asarray(img.crop((x0, y0, x0 + tw, y0 + th)), np.uint8)
+    return arr
+
+
 def decode_image_warp(path: str, raw_hw: tuple[int, int]) -> np.ndarray:
     """Decode + plain (aspect-warping) resize to [raw_h, raw_w, 3] uint8.
 
@@ -106,11 +130,22 @@ class FileSource:
 
     def __init__(self, paths: Sequence[str], labels: Sequence,
                  raw_hw: tuple[int, int], workers: int = 8,
-                 mask_hw: tuple[int, int] | None = None):
+                 mask_hw: tuple[int, int] | None = None,
+                 decode_mode: str = "cover",
+                 rand_crop: bool = False, seed: int = 0):
+        if decode_mode not in ("cover", "native_crop"):
+            raise ValueError(f"decode_mode {decode_mode!r}; valid: "
+                             "['cover', 'native_crop']")
         self.paths = list(paths)
         self.labels = list(labels)
         self.raw_hw = raw_hw
         self.mask_hw = mask_hw
+        self.decode_mode = decode_mode
+        self.rand_crop = rand_crop
+        # crop-offset fractions are drawn on the calling thread (the
+        # pool workers share this state; numpy RandomState is not
+        # thread-safe)
+        self._crop_rng = np.random.RandomState(seed)
         self._pool = ThreadPoolExecutor(max_workers=workers)
 
     def __len__(self):
@@ -149,6 +184,17 @@ class FileSource:
 
     def get_batch(self, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         paths = [self.paths[i] for i in idx]
+        if self.decode_mode == "native_crop":
+            if self.rand_crop:
+                fracs = self._crop_rng.uniform(size=(len(paths), 2))
+            else:
+                fracs = np.full((len(paths), 2), 0.5)
+            imgs = list(self._pool.map(
+                lambda pf: decode_image_native(pf[0], self.raw_hw,
+                                               tuple(pf[1])),
+                zip(paths, fracs)))
+            return (np.stack(imgs),
+                    np.asarray([self.labels[i] for i in idx], np.int32))
         if self.mask_hw is None and paths and all(
                 p.lower().endswith((".jpg", ".jpeg")) for p in paths):
             from myconvnet_tpu.data import native_loader

@@ -326,6 +326,10 @@ class ConvNet:
         'ten_crop' (4 corners + center, each mirrored — the classic
         AlexNet/VGG eval protocol).  Under TTA the returned array holds
         log of the view-averaged softmax (same argmax semantics).
+        Image-output nets (augment_fns recipes, e.g. super-resolution)
+        instead average PREDICTED IMAGES over inverse-transformed views:
+        'flip' (x2) or 'x8' (4 rotations x mirror — EDSR's geometric
+        self-ensemble).
         """
         self.build()
         trainer = self._trainer or self._make_trainer(None)
@@ -361,8 +365,45 @@ class ConvNet:
             cache = self._tta_cache = {}
         if mode in cache:
             return cache[mode]
-        if mode not in ("flip", "ten_crop"):
+        if mode not in ("flip", "x8", "ten_crop"):
             raise ValueError(f"unknown tta mode {mode!r}")
+        if self.augment_fns is not None:
+            # image-output nets (super-resolution): geometric
+            # self-ensemble in OUTPUT space — transform the input,
+            # invert the transform on the prediction, average images
+            # (EDSR's eval protocol).  Softmax averaging over logits
+            # would be meaningless here.
+            if mode == "ten_crop":
+                raise ValueError("ten_crop TTA is a classification "
+                                 "protocol; image-output nets support "
+                                 "'flip' (x2) or 'x8' self-ensemble")
+            model = self._transformed
+            predict_fn = self.augment_fns[2]
+
+            def step(state, x):
+                xin = predict_fn(x)
+
+                def fwd(v):
+                    out, _ = model.apply(state.params, state.model_state,
+                                         None, v, False)
+                    return out.astype(jnp.float32)
+
+                outs = [fwd(xin), fwd(xin[:, :, ::-1])[:, :, ::-1]]
+                if mode == "x8":
+                    for k in (1, 2, 3):
+                        r = jnp.rot90(xin, k, axes=(1, 2))
+                        outs.append(jnp.rot90(fwd(r), -k, axes=(1, 2)))
+                        rf = r[:, :, ::-1]
+                        outs.append(jnp.rot90(fwd(rf)[:, :, ::-1], -k,
+                                              axes=(1, 2)))
+                return sum(outs) / len(outs)
+
+            cache[mode] = jax.jit(step)
+            return cache[mode]
+        if mode == "x8":
+            raise ValueError("x8 self-ensemble is an image-output "
+                             "protocol (super-resolution); classifiers "
+                             "support 'flip' or 'ten_crop'")
         if mode == "ten_crop" and self.augment is None:
             raise ValueError("ten_crop TTA needs an augment config "
                              "(raw-image inputs)")

@@ -26,6 +26,33 @@ from myconvnet_tpu.core import init
 from myconvnet_tpu.core.module import param
 
 
+def area_downsample(hr: jax.Array, scale: int) -> jax.Array:
+    """Exact box-mean downsample [N,H,W,C] -> [N,H/s,W/s,C].
+
+    THE LR-synthesis contract shared by the SR recipe's train/eval
+    transforms, the SRGAN recipe and test.py's SR evaluators — one
+    definition so train and eval can never drift.  Pure reshape+mean:
+    works on numpy and jax arrays alike.
+    """
+    n, h, w, c = hr.shape
+    if h % scale or w % scale:
+        raise ValueError(f"image {h}x{w} not divisible by scale {scale}")
+    return hr.reshape(n, h // scale, scale, w // scale, scale,
+                      c).mean((2, 4))
+
+
+def center_crop_hw(x: jax.Array, size: int) -> jax.Array:
+    """Center-crop [N,H,W,C] to [N,size,size,C]; rejects frames smaller
+    than the crop (a negative slice start would silently return a
+    wrong-shaped patch)."""
+    h, w = x.shape[1:3]
+    if h < size or w < size:
+        raise ValueError(f"frame {h}x{w} smaller than crop {size}; "
+                         "raise the corpus raw_hw or lower hr_size")
+    y0, x0 = (h - size) // 2, (w - size) // 2
+    return x[:, y0:y0 + size, x0:x0 + size]
+
+
 def _prelu(x: jax.Array, name: str = "prelu") -> jax.Array:
     with nn.scope_named(name):
         a = param("alpha", (x.shape[-1],), jnp.float32,

@@ -50,6 +50,34 @@ def load_config(path: str, **overrides) -> dict:
     return cfg
 
 
+def apply_overrides(cfg: dict, pairs) -> dict:
+    """Apply ``KEY=VALUE`` CLI overrides (train.py/test.py ``--set``).
+
+    Values parse as Python literals (``--set scale=2``,
+    ``--set "model_kwargs={'width': 64}"``) and fall back to the raw
+    string (``--set model=srresnet``); dotted keys descend into nested
+    dict entries (``--set optimizer.name=sgd``).
+    """
+    import ast
+    for pair in pairs or []:
+        key, sep, raw = pair.partition("=")
+        if not sep or not key:
+            raise ValueError(f"--set wants KEY=VALUE, got {pair!r}")
+        try:
+            val = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            val = raw
+        tgt = cfg
+        parts = key.split(".")
+        for seg in parts[:-1]:
+            nxt = tgt.get(seg)
+            if not isinstance(nxt, dict):
+                nxt = tgt[seg] = {}
+            tgt = nxt
+        tgt[parts[-1]] = val
+    return cfg
+
+
 def make_optimizer(opt_cfg: dict) -> optim_lib.Optimizer:
     opt_cfg = dict(opt_cfg)
     name = opt_cfg.pop("name")
@@ -130,8 +158,18 @@ def make_sources(cfg: dict, synthetic: bool, splits=("train", "val")):
         real_split = {"val": "test" if name.startswith("cifar")
                       or name.endswith("mnist") or name == "svhn"
                       else "val"}.get(split, split)
+        kw = {}
+        if name == "images":
+            # the unlabeled-images corpus honors decode geometry knobs
+            # (super-resolution needs native-pixel crops, not
+            # cover-resize)
+            if cfg.get("raw_hw") is not None:
+                kw["raw_hw"] = tuple(cfg["raw_hw"])
+            if cfg.get("decode_mode") is not None:
+                kw["decode_mode"] = cfg["decode_mode"]
         src = mod.make_source(data_dir, real_split,
-                              synthetic=synthetic or data_dir is None)
+                              synthetic=synthetic or data_dir is None,
+                              **kw)
         if name == "fashion_mnist":
             src.class_names = mnist.FASHION_CLASS_NAMES
         out.append(src)
@@ -823,10 +861,14 @@ def _gan_generator(cfg: dict):
             x, train=train, **gkw),
         "cyclegan": lambda x, train=False: models.resnet_generator(
             x, train=train, **gkw),
-        # SRGAN: LR [-1,1] -> HR [-1,1] (SRResNet generator)
+        # SRGAN: mean-subtracted [0,1] LR -> [0,1] HR (SRResNet +
+        # channel mean, the same forward shape as build_sr's wrapper so
+        # g_pretrain checkpoints graft directly)
         "srgan": lambda x, train=False: models.srresnet(
             x, train=train,
-            **{"scale": int(cfg.get("scale", 4)), **gkw}),
+            **{"scale": int(cfg.get("scale", 4)), **gkw})
+        + jax.numpy.asarray(cfg.get("mean", (0.4488, 0.4371, 0.4040)),
+                            x.dtype),
     }
     if kind not in fwd_of:
         raise ValueError(f"unknown gan kind {kind!r}")
@@ -923,13 +965,21 @@ def build_gan(cfg: dict, synthetic: bool = False):
         # scores HR images only — the LR input argument is ignored) and
         # a pixel content loss (l1_weight >> adversarial, the paper's
         # weighting).  Data: one unlabeled HR stream; LR synthesized by
-        # exact area downsample.
+        # exact area downsample.  Value space matches the SR task
+        # family (mean-subtracted [0,1] in, [0,1] out) so a generator
+        # pretrained via build_sr(model='srresnet') warm-starts
+        # directly (cfg['g_pretrain'] = that checkpoint dir — the
+        # paper's SRResNet-then-adversarial schedule).
+        from myconvnet_tpu.models.sr import area_downsample
         dkw = cfg.get("discriminator_kwargs", {})
         scale = int(cfg.get("scale", 4))
         hr_size = int(cfg.get("hr_size", size))
         if hr_size % scale:
             raise ValueError(f"hr_size {hr_size} % scale {scale} != 0")
         lr_size = hr_size // scale
+        import jax.numpy as jnp
+        sr_mean = jnp.asarray(cfg.get("mean", (0.4488, 0.4371, 0.4040)),
+                              jnp.float32)
 
         def d_fwd(a, b, train=False):
             del a  # unconditional: D never sees the LR input
@@ -939,33 +989,65 @@ def build_gan(cfg: dict, synthetic: bool = False):
         gen, disc = _gan_generator(cfg), transform(d_fwd)
         g_opt = make_optimizer(cfg["g_optimizer"])
         d_opt = make_optimizer(cfg["d_optimizer"])
-        import jax.numpy as jnp
         lr0 = jnp.zeros((batch, lr_size, lr_size, 3))
         hr0 = jnp.zeros((batch, hr_size, hr_size, 3))
         state = gan_lib.init_gan_state(
             gen, disc, g_opt, d_opt, jax.random.key(cfg.get("seed", 0)),
             lr0, (lr0, hr0))
+        if cfg.get("g_pretrain"):
+            # warm-start the generator from a build_sr checkpoint
+            # (same transform scopes + value space; shape-validated)
+            import warnings
+
+            from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
+            with warnings.catch_warnings():
+                # the SR checkpoint legitimately carries optimizer
+                # state/step the graft has no slot for — the unused-key
+                # warning targets architecture drift, not warm-starts
+                warnings.filterwarnings(
+                    "ignore", message=".*entries the target has no slot")
+                restored = ckpt_lib.restore_checkpoint(
+                    cfg["g_pretrain"], {"params": state.g_params,
+                                        "model_state": state.g_state})
+            state = state._replace(g_params=restored["params"],
+                                   g_state=restored["model_state"])
         step = gan_lib.make_pix2pix_step(
             gen, disc, g_opt, d_opt, cfg.get("l1_weight", 1000.0),
             gan_loss=cfg.get("gan_loss", "nonsaturating"))
 
         def data_iter():
+            from myconvnet_tpu.data.augment import batched_crop_resize
             from myconvnet_tpu.subsets import images as images_mod
             src = images_mod.make_source(
                 cfg.get("data_dir"), "train",
-                synthetic=synthetic or cfg.get("data_dir") is None)
+                synthetic=synthetic or cfg.get("data_dir") is None,
+                decode_mode="native_crop")
             ds = DataSet(src, seed=cfg.get("seed", 0))
-            rng = np.random.RandomState(cfg.get("seed", 0))
-            for x, _ in ds.train_iter(batch, prefetch=0):
-                x = np.asarray(x)
-                n, ih, iw, _ = x.shape
-                y0 = rng.randint(0, ih - hr_size + 1)
-                x0 = rng.randint(0, iw - hr_size + 1)
-                hr = x[:, y0:y0 + hr_size, x0:x0 + hr_size] \
-                    .astype(np.float32) / 127.5 - 1.0
-                lr = hr.reshape(n, lr_size, scale, lr_size, scale,
-                                3).mean((2, 4))
-                yield (lr, hr)
+
+            @jax.jit
+            def prep(key, x_u8):
+                # per-image random HR crops + hflips on device, then
+                # the shared exact area downsample — same transform
+                # family as build_sr's train_fn
+                n, ih, iw, _ = x_u8.shape
+                k_y, k_x, k_f = jax.random.split(key, 3)
+                y0 = jax.random.randint(k_y, (n,), 0,
+                                        max(ih - hr_size, 0) + 1)
+                x0 = jax.random.randint(k_x, (n,), 0,
+                                        max(iw - hr_size, 0) + 1)
+                boxes = jnp.stack(
+                    [y0.astype(jnp.float32), x0.astype(jnp.float32),
+                     jnp.full((n,), float(hr_size)),
+                     jnp.full((n,), float(hr_size))], axis=1)
+                flip = jax.random.bernoulli(k_f, 0.5, (n,))
+                hr01 = batched_crop_resize(x_u8, boxes,
+                                           (hr_size, hr_size),
+                                           flip) / 255.0
+                return area_downsample(hr01, scale) - sr_mean, hr01
+
+            root = jax.random.key(cfg.get("seed", 0))
+            for i, (x, _) in enumerate(ds.train_iter(batch)):
+                yield prep(jax.random.fold_in(root, i), x)
 
         return state, step, data_iter, kind
 
@@ -1032,10 +1114,14 @@ def make_gan_sampler(cfg: dict):
                                 False)
             return to_uint8(imgs)
     elif kind in ("pix2pix", "srgan"):
+        # pix2pix lives in tanh [-1,1] space; srgan in the SR family's
+        # [0,1] space (sample input = mean-subtracted [0,1] LR)
+        vrange = (0.0, 1.0) if kind == "srgan" else (-1.0, 1.0)
+
         def sample(state, x):
             imgs, _ = gen.apply(state.g_params, state.g_state, None,
                                 jax.numpy.asarray(x), False)
-            return to_uint8(imgs)
+            return to_uint8(imgs, vrange)
     else:  # cyclegan (unknown kinds rejected by _gan_generator)
         def sample(state, x, direction: str = "ab"):
             imgs, _ = gen.apply(state.g_params[direction],
@@ -1065,6 +1151,7 @@ def build_sr(cfg: dict, synthetic: bool = False,
     import jax.numpy as jnp
 
     from myconvnet_tpu.data.augment import batched_crop_resize
+    from myconvnet_tpu.models.sr import area_downsample, center_crop_hw
     from myconvnet_tpu.train.losses import l1_loss
 
     scale = int(cfg.get("scale", 4))
@@ -1072,6 +1159,17 @@ def build_sr(cfg: dict, synthetic: bool = False,
     if hr % scale:
         raise ValueError(f"hr_size {hr} not divisible by scale {scale}")
     lr = hr // scale
+    # SR corpora decode at native resolution (crop, never cover-resize:
+    # resampling would low-pass the HR detail the task learns) at a
+    # frame size that must fit the HR patch
+    cfg = dict(cfg)
+    cfg.setdefault("decode_mode", "native_crop")
+    cfg.setdefault("raw_hw", (max(256, hr), max(256, hr)))
+    raw_h, raw_w = cfg["raw_hw"]
+    if raw_h < hr or raw_w < hr:
+        raise ValueError(f"raw_hw {cfg['raw_hw']} smaller than hr_size "
+                         f"{hr}: the decoded frame cannot contain one "
+                         "HR patch")
     mean = jnp.asarray(cfg.get("mean", (0.4488, 0.4371, 0.4040)),
                        jnp.float32)  # DIV2K channel means
     model_fn = models.get_model(cfg["model"])
@@ -1083,9 +1181,7 @@ def build_sr(cfg: dict, synthetic: bool = False,
         return model_fn(x, train=train, **kw) + mean.astype(x.dtype)
 
     def _synthesize(hr_img):
-        n = hr_img.shape[0]
-        lr_img = hr_img.reshape(n, lr, scale, lr, scale, 3).mean((2, 4))
-        return lr_img - mean, hr_img
+        return area_downsample(hr_img, scale) - mean, hr_img
 
     def train_fn(key, x_u8, _y):
         import jax
@@ -1102,10 +1198,7 @@ def build_sr(cfg: dict, synthetic: bool = False,
         return _synthesize(patch)
 
     def eval_fn(x_u8, _y):
-        n, ih, iw, _ = x_u8.shape
-        y0, x0 = (ih - hr) // 2, (iw - hr) // 2
-        patch = x_u8[:, y0:y0 + hr, x0:x0 + hr].astype(jnp.float32) \
-            / 255.0
+        patch = center_crop_hw(x_u8, hr).astype(jnp.float32) / 255.0
         return _synthesize(patch)
 
     def predict_fn(x_u8):

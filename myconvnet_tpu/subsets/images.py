@@ -77,10 +77,16 @@ def synthetic_subset(n: int = 128, raw_hw: tuple[int, int] = RAW_HW,
 
 def make_source(data_dir: str | None, split: str = "train",
                 synthetic: bool = False, synthetic_n: int = 128,
-                raw_hw: tuple[int, int] = RAW_HW, workers: int = 8):
+                raw_hw: tuple[int, int] = RAW_HW, workers: int = 8,
+                decode_mode: str = "cover"):
+    """``decode_mode="native_crop"`` keeps original pixels (crop, no
+    resample) — REQUIRED for super-resolution corpora, where
+    cover-resize would low-pass away the detail the task learns; the
+    train split crops at random positions, val at the center."""
     if synthetic or data_dir is None:
         seed = 0 if split == "train" else 1
         return ArraySource(*synthetic_subset(synthetic_n, raw_hw, seed))
     paths = read_subset(data_dir, split)
     return FileSource(paths, np.zeros(len(paths), np.int32), raw_hw,
-                      workers=workers)
+                      workers=workers, decode_mode=decode_mode,
+                      rand_crop=(split == "train"))

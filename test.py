@@ -24,7 +24,8 @@ def main():
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--data_dir", default=None)
     ap.add_argument("--platform", default=None)
-    ap.add_argument("--tta", default=None, choices=("flip", "ten_crop"),
+    ap.add_argument("--tta", default=None,
+                    choices=("flip", "ten_crop", "x8"),
                     help="classification test-time augmentation")
     ap.add_argument("--ema", action="store_true",
                     help="evaluate the Polyak-averaged parameters "
@@ -69,6 +70,10 @@ def main():
     ap.add_argument("--save_preds", default=None, metavar="DIR",
                     help="segmentation: write colorized prediction masks "
                          "and input overlays as PNGs")
+    ap.add_argument("--set", action="append", default=None,
+                    metavar="KEY=VALUE", dest="overrides",
+                    help="override any config entry (repeatable, "
+                         "Python-literal values, dotted keys)")
     args = ap.parse_args()
 
     if args.platform:
@@ -80,6 +85,7 @@ def main():
 
     cfg = recipes.load_config(args.config, batch_size=args.batch,
                               data_dir=args.data_dir)
+    cfg = recipes.apply_overrides(cfg, args.overrides)
     if cfg["task"] == "gan":
         if args.fid:
             return eval_gan_fid(cfg, args)
@@ -146,6 +152,25 @@ def main():
         for x, y in val_set.eval_iter(batch, prefetch=0):
             logp = net.predict(x, batch_size=len(x), tta=args.tta)
             evaluator.update(logp, y)
+        score = evaluator.score()
+    elif args.tta and cfg["task"] == "sr":
+        # geometric self-ensemble ('flip' x2 / 'x8' — EDSR's eval
+        # protocol): synthesize LR with the SAME shared transforms as
+        # net.evaluate's eval_fn, predict with inverse-transformed
+        # view averaging, score against the HR patch
+        import numpy as np
+
+        from myconvnet_tpu.models.sr import area_downsample, center_crop_hw
+        scale = int(cfg.get("scale", 4))
+        hr_size = int(cfg["hr_size"])
+        evaluator.reset()
+        for x, _ in val_set.eval_iter(batch, prefetch=0):
+            hr01 = center_crop_hw(np.asarray(x), hr_size) \
+                .astype(np.float32) / 255.0
+            # predict_fn divides by 255: hand it the [0,255] LR frame
+            pred = net.predict(area_downsample(hr01, scale) * 255.0,
+                               batch_size=batch, tta=args.tta)
+            evaluator.update(pred, hr01)
         score = evaluator.score()
     elif args.scales and cfg["task"] == "segmentation":
         scales = tuple(float(s) for s in args.scales.split(","))
@@ -495,6 +520,8 @@ def eval_srgan(cfg, args):
     from myconvnet_tpu.eval.image_metrics import PairedImageEvaluator
     from myconvnet_tpu.subsets import images as images_mod
 
+    from myconvnet_tpu.models.sr import area_downsample, center_crop_hw
+
     state, _step, _it, _kind = recipes.build_gan(cfg,
                                                  synthetic=args.synthetic)
     restored = ckpt_lib.restore_checkpoint(args.ckpt, state._asdict())
@@ -502,24 +529,24 @@ def eval_srgan(cfg, args):
     sampler = recipes.make_gan_sampler(cfg)
     scale = int(cfg.get("scale", 4))
     hr_size = int(cfg.get("hr_size", cfg.get("image_size", 96)))
-    lr_size = hr_size // scale
+    mean = np.asarray(cfg.get("mean", (0.4488, 0.4371, 0.4040)),
+                      np.float32)
     src = images_mod.make_source(
         cfg.get("data_dir"), "val",
-        synthetic=args.synthetic or cfg.get("data_dir") is None)
+        synthetic=args.synthetic or cfg.get("data_dir") is None,
+        decode_mode="native_crop")
     ds = DataSet(src)
     ev_psnr = PairedImageEvaluator("psnr")
     ev_ssim = PairedImageEvaluator("ssim")
     for x, _ in ds.eval_iter(cfg["batch_size"], prefetch=0):
-        x = np.asarray(x)
-        n, ih, iw, _ = x.shape
-        y0, x0 = (ih - hr_size) // 2, (iw - hr_size) // 2
-        hr = x[:, y0:y0 + hr_size, x0:x0 + hr_size] \
-            .astype(np.float32) / 127.5 - 1.0
-        lr = hr.reshape(n, lr_size, scale, lr_size, scale, 3).mean((2, 4))
+        # SAME transforms as training: shared center-crop + area
+        # downsample in the SR family's [0,1] value space
+        hr = center_crop_hw(np.asarray(x), hr_size) \
+            .astype(np.float32) / 255.0
+        lr = area_downsample(hr, scale) - mean
         pred = sampler(state, lr).astype(np.float32) / 255.0
-        target = (hr + 1.0) / 2.0
-        ev_psnr.update(pred, target)
-        ev_ssim.update(pred, target)
+        ev_psnr.update(pred, hr)
+        ev_ssim.update(pred, hr)
     print(f"psnr: {ev_psnr.score():.2f} dB")
     print(f"ssim: {ev_ssim.score():.4f}")
 

@@ -240,3 +240,60 @@ def test_batch_indices_too_small_raises():
     out = list(batch_indices(4, 8, shuffle=False, seed=0,
                              drop_remainder=False, epochs=1))
     assert len(out) == 1 and len(out[0]) == 4
+
+
+def test_decode_image_native_crop_geometry(tmp_path):
+    """native_crop keeps ORIGINAL pixels (no resample): the crop window
+    placed by frac_yx must reproduce exact source pixels."""
+    import PIL.Image
+
+    from myconvnet_tpu.data.pipeline import decode_image_native
+    rng = np.random.RandomState(0)
+    arr = rng.randint(0, 256, (10, 20, 3), np.uint8)
+    p = tmp_path / "img.png"
+    PIL.Image.fromarray(arr).save(p)
+    # center crop: y0 = 0.5*(10-6)=2, x0 = 0.5*(20-8)=6
+    out = decode_image_native(str(p), (6, 8))
+    np.testing.assert_array_equal(out, arr[2:8, 6:14])
+    # corner crops via frac
+    np.testing.assert_array_equal(
+        decode_image_native(str(p), (6, 8), (0.0, 0.0)), arr[:6, :8])
+    np.testing.assert_array_equal(
+        decode_image_native(str(p), (6, 8), (1.0, 1.0)), arr[4:, 12:])
+    # too-small source falls back to cover-resize (right shape, no crash)
+    small = decode_image_native(str(p), (16, 16))
+    assert small.shape == (16, 16, 3) and small.dtype == np.uint8
+
+
+def test_file_source_native_crop_mode(tmp_path):
+    import PIL.Image
+
+    from myconvnet_tpu.data.pipeline import FileSource
+    rng = np.random.RandomState(1)
+    arrs, paths = [], []
+    for i in range(3):
+        a = rng.randint(0, 256, (12, 16, 3), np.uint8)
+        p = tmp_path / f"im{i}.png"
+        PIL.Image.fromarray(a).save(p)
+        arrs.append(a)
+        paths.append(str(p))
+    # rand_crop=False -> deterministic center crops of original pixels
+    src = FileSource(paths, [0, 1, 2], raw_hw=(8, 8), workers=2,
+                     decode_mode="native_crop")
+    x, y = src.get_batch(np.asarray([0, 2]))
+    np.testing.assert_array_equal(x[0], arrs[0][2:10, 4:12])
+    np.testing.assert_array_equal(x[1], arrs[2][2:10, 4:12])
+    # rand_crop=True -> valid windows of original pixels
+    src_r = FileSource(paths, [0, 1, 2], raw_hw=(8, 8), workers=2,
+                       decode_mode="native_crop", rand_crop=True, seed=0)
+    xr, _ = src_r.get_batch(np.asarray([1, 1, 1, 1]))
+    assert xr.shape == (4, 8, 8, 3)
+    for patch in xr:  # every patch must be a contiguous source window
+        found = any(
+            np.array_equal(patch, arrs[1][yy:yy + 8, xx:xx + 8])
+            for yy in range(5) for xx in range(9))
+        assert found
+    import pytest
+    with pytest.raises(ValueError, match="decode_mode"):
+        FileSource(paths, [0, 1, 2], raw_hw=(8, 8),
+                   decode_mode="bilinear")

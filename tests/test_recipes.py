@@ -198,3 +198,26 @@ def test_cls_loss_focal_knob():
     cfg["cls_loss"] = "poly"
     with pytest.raises(ValueError, match="unknown cls_loss"):
         recipes.build_classifier(cfg, synthetic=True)
+
+
+def test_apply_overrides_literals_strings_and_dotted_keys():
+    cfg = dict(total_steps=10, optimizer=dict(name="adam", wd=0.1),
+               model_kwargs=dict(width=4))
+    out = recipes.apply_overrides(cfg, [
+        "total_steps=25",                       # int literal
+        "model=srresnet",                       # raw-string fallback
+        "model_kwargs={'width': 64, 'blocks': 16}",  # dict literal
+        "optimizer.name=sgd",                   # dotted descent
+        "optimizer.lr.kind=cosine",             # creates nested dicts
+        "use_ema=True",                         # bool literal
+    ])
+    assert out is cfg
+    assert cfg["total_steps"] == 25 and cfg["model"] == "srresnet"
+    assert cfg["model_kwargs"] == {"width": 64, "blocks": 16}
+    assert cfg["optimizer"]["name"] == "sgd"
+    assert cfg["optimizer"]["wd"] == 0.1        # siblings untouched
+    assert cfg["optimizer"]["lr"] == {"kind": "cosine"}
+    assert cfg["use_ema"] is True
+    assert recipes.apply_overrides(cfg, None) is cfg
+    with pytest.raises(ValueError, match="KEY=VALUE"):
+        recipes.apply_overrides(cfg, ["oops"])

@@ -188,6 +188,85 @@ def test_build_sr_rejects_bad_scale():
 
 # ----------------------------------------------------------------- SRGAN
 
+# --------------------------------------------------- shared SR transforms
+
+def test_area_downsample_exact_box_mean():
+    from myconvnet_tpu.models.sr import area_downsample
+    x = np.arange(16, dtype=np.float32).reshape(1, 4, 4, 1)
+    out = np.asarray(area_downsample(x, 2))
+    ref = np.asarray([[2.5, 4.5], [10.5, 12.5]], np.float32)
+    np.testing.assert_array_equal(out[0, :, :, 0], ref)
+    with pytest.raises(ValueError, match="not divisible"):
+        area_downsample(x, 3)
+
+
+def test_center_crop_hw_geometry_and_rejection():
+    from myconvnet_tpu.models.sr import center_crop_hw
+    x = np.arange(6 * 8, dtype=np.float32).reshape(1, 6, 8, 1)
+    out = np.asarray(center_crop_hw(x, 4))
+    np.testing.assert_array_equal(out, x[:, 1:5, 2:6])
+    with pytest.raises(ValueError, match="smaller than crop"):
+        center_crop_hw(x, 7)
+
+
+# ----------------------------------------------- x8 TTA (self-ensemble)
+
+def _randomized_sr_net():
+    """build_sr net with random (non-zero) params — the zero-init tail
+    makes the untrained net output a constant image, which would make
+    any equivariance test trivially pass."""
+    from myconvnet_tpu.train import optim
+    net, _, _ = recipes.build_sr(SR_CFG, synthetic=True)
+    net.build(optim.adam(1e-3))
+    rng = np.random.RandomState(0)
+    net.state = net.state._replace(params=jax.tree.map(
+        lambda p: jnp.asarray(rng.normal(0.0, 0.05, np.shape(p)),
+                              np.asarray(p).dtype), net.state.params))
+    return net
+
+
+def test_sr_x8_tta_is_dihedral_equivariant():
+    # the group-averaged ensemble f_ens(x) = 1/8 sum_g g^-1 f(g x) is
+    # exactly equivariant under every dihedral element; a wrong inverse
+    # transform in any view breaks this
+    net = _randomized_sr_net()
+    x = images_mod.synthetic_subset(2, (16, 16), seed=3)[0]
+    out = net.predict(x, batch_size=2, tta="x8")
+    assert out.shape == (2, 32, 32, 3)
+    assert float(np.std(out)) > 1e-3  # non-constant: the test is live
+    out_rot = net.predict(np.rot90(x, 1, axes=(1, 2)).copy(),
+                          batch_size=2, tta="x8")
+    np.testing.assert_allclose(out_rot, np.rot90(out, 1, axes=(1, 2)),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_sr_flip_tta_is_mirror_equivariant():
+    net = _randomized_sr_net()
+    x = images_mod.synthetic_subset(2, (16, 16), seed=4)[0]
+    out = net.predict(x, batch_size=2, tta="flip")
+    out_m = net.predict(x[:, :, ::-1].copy(), batch_size=2, tta="flip")
+    np.testing.assert_allclose(out_m, out[:, :, ::-1],
+                               atol=1e-4, rtol=1e-4)
+    # plain (no-TTA) predict differs from the ensemble on a random net
+    plain = net.predict(x, batch_size=2)
+    assert float(np.max(np.abs(plain - out))) > 1e-4
+
+
+def test_tta_mode_task_mismatch_rejected():
+    net = _randomized_sr_net()
+    x = images_mod.synthetic_subset(2, (16, 16), seed=5)[0]
+    with pytest.raises(ValueError, match="classification protocol"):
+        net.predict(x, batch_size=2, tta="ten_crop")
+    cfg = recipes.load_config("configs/cifar10_smallnet.py",
+                              total_steps=2, batch_size=4)
+    from myconvnet_tpu.train import optim
+    clf, _, _ = recipes.build_classifier(cfg, synthetic=True)
+    clf.build(optim.adam(1e-3))
+    xc = np.zeros((4, 32, 32, 3), np.uint8)
+    with pytest.raises(ValueError, match="image-output protocol"):
+        clf.predict(xc, batch_size=4, tta="x8")
+
+
 SRGAN_CFG = dict(
     task="gan", gan_kind="srgan", scale=4, hr_size=32, image_size=32,
     generator_kwargs=dict(width=8, blocks=1),
@@ -215,3 +294,41 @@ def test_srgan_fused_step_and_sampler():
     sampler = recipes.make_gan_sampler(SRGAN_CFG)
     out = sampler(state, lr)
     assert out.shape == (4, 32, 32, 3) and out.dtype == np.uint8
+
+
+def test_srgan_g_pretrain_grafts_srresnet_checkpoint(tmp_path):
+    # the paper's SRResNet-then-adversarial schedule: a build_sr
+    # checkpoint of the SAME generator architecture warm-starts the GAN
+    # generator exactly (shared transform scopes + value space)
+    from myconvnet_tpu.train import optim
+    sr_cfg = dict(SR_CFG, model="srresnet", scale=4,
+                  model_kwargs=dict(width=8, blocks=1))
+    net, _, _ = recipes.build_sr(sr_cfg, synthetic=True)
+    net.build(optim.adam(1e-3))
+    rng = np.random.RandomState(1)
+    net.state = net.state._replace(params=jax.tree.map(
+        lambda p: jnp.asarray(rng.normal(0.0, 0.05, np.shape(p)),
+                              np.asarray(p).dtype), net.state.params))
+    net.save(str(tmp_path))
+
+    cfg = dict(SRGAN_CFG, g_pretrain=str(tmp_path))
+    state, _step, _it, _kind = recipes.build_gan(cfg, synthetic=True)
+    flat_sr = jax.tree_util.tree_leaves_with_path(net.state.params)
+    flat_gan = jax.tree_util.tree_leaves_with_path(state.g_params)
+    assert len(flat_sr) == len(flat_gan) > 0
+    for (path_a, leaf_a), (path_b, leaf_b) in zip(flat_sr, flat_gan):
+        assert path_a == path_b
+        np.testing.assert_array_equal(np.asarray(leaf_a),
+                                      np.asarray(leaf_b))
+
+
+def test_srgan_g_pretrain_shape_mismatch_rejected(tmp_path):
+    from myconvnet_tpu.train import optim
+    sr_cfg = dict(SR_CFG, model="srresnet", scale=4,
+                  model_kwargs=dict(width=16, blocks=1))  # wrong width
+    net, _, _ = recipes.build_sr(sr_cfg, synthetic=True)
+    net.build(optim.adam(1e-3))
+    net.save(str(tmp_path))
+    cfg = dict(SRGAN_CFG, g_pretrain=str(tmp_path))
+    with pytest.raises(ValueError):
+        recipes.build_gan(cfg, synthetic=True)

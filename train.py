@@ -55,6 +55,11 @@ def main():
                          "(+XLA-costed GFLOPs) before training")
     ap.add_argument("--platform", default=None,
                     help="force jax platform (e.g. cpu)")
+    ap.add_argument("--set", action="append", default=None,
+                    metavar="KEY=VALUE", dest="overrides",
+                    help="override any config entry (repeatable; values "
+                         "parse as Python literals, dotted keys reach "
+                         "nested dicts: --set optimizer.name=sgd)")
     args = ap.parse_args()
 
     if args.platform:
@@ -72,6 +77,7 @@ def main():
                               val_every=args.val_every,
                               accum_steps=args.accum_steps,
                               remat=(True if args.remat else None))
+    cfg = recipes.apply_overrides(cfg, args.overrides)
     out = args.out or os.path.join(
         "runs", os.path.splitext(os.path.basename(args.config))[0])
     os.makedirs(out, exist_ok=True)
