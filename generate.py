@@ -33,6 +33,9 @@ def main():
                     help="sample with the Polyak-averaged generator "
                          "(g_optimizer.ema_decay in the config)")
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--set", action="append", default=None,
+                    metavar="KEY=VALUE", dest="overrides",
+                    help="override any config entry (repeatable)")
     args = ap.parse_args()
 
     if args.platform:
@@ -45,9 +48,22 @@ def main():
     from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
 
     cfg = recipes.load_config(args.config)
-    if cfg.get("task") != "gan":
-        raise SystemExit("generate.py is for gan configs")
+    cfg = recipes.apply_overrides(cfg, args.overrides)
+    if cfg.get("task") not in ("gan", "diffusion"):
+        raise SystemExit("generate.py is for gan/diffusion configs")
     cfg["batch_size"] = args.n
+
+    if cfg["task"] == "diffusion":
+        from myconvnet_tpu.utils.images import make_grid, save_png
+        state, _step, _iter, _kind = recipes.build_diffusion(
+            cfg, synthetic=True)
+        restored = ckpt_lib.restore_checkpoint(args.ckpt, state._asdict())
+        state = type(state)(**restored)
+        sampler = recipes.make_diffusion_sampler(cfg)
+        save_png(args.out,
+                 make_grid(sampler(state, args.n, seed=args.seed), pad=0))
+        print(f"wrote {args.n} DDIM samples to {args.out}")
+        return
     state, _step, _iter, kind = recipes.build_gan(cfg, synthetic=True)
     restored = ckpt_lib.restore_checkpoint(args.ckpt, state._asdict())
     state = type(state)(**restored)

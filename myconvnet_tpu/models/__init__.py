@@ -66,6 +66,8 @@ from myconvnet_tpu.models.swin import (swin, swin_b, swin_s, swin_t,
                                        tinyswin)
 from myconvnet_tpu.models.sr import (edsr, sr_discriminator, srresnet,
                                      tinysr)
+from myconvnet_tpu.models.diffusion import (ddpm_unet, timestep_embedding,
+                                            tiny_ddpm_unet)
 
 # Registry keyed by the config-file model names (reference: model choice in
 # parameters.py — SURVEY.md §2#10).
@@ -138,6 +140,13 @@ SR_MODELS = {
     "srresnet": srresnet,
 }
 
+# Diffusion epsilon-predictors (train/diffusion.py; seventh task
+# family): fn(x, t, *, train, ...) -> predicted noise, same shape as x.
+DIFFUSION_MODELS = {
+    "ddpm_unet": ddpm_unet,
+    "tinyddpm": tiny_ddpm_unet,
+}
+
 # Self-supervised pretraining forwards (train/ssl.py; fifth task
 # family).  MAE entries are (x, *, train, features_only, ...) — not
 # classifiers, so they live outside get_model()'s tables; SimCLR reuses
@@ -168,7 +177,8 @@ def list_models(kind: str | None = None) -> list[str]:
     ask for kind='gan' explicitly)."""
     tables = {"classifier": CLASSIFIERS, "segmenter": SEGMENTERS,
               "detector": DETECTORS, "gan": GAN_GENERATORS,
-              "ssl": SSL_MODELS, "sr": SR_MODELS}
+              "ssl": SSL_MODELS, "sr": SR_MODELS,
+              "diffusion": DIFFUSION_MODELS}
     if kind is None:
         return (sorted(CLASSIFIERS) + sorted(SEGMENTERS)
                 + sorted(DETECTORS) + sorted(SR_MODELS))

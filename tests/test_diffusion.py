@@ -1,0 +1,181 @@
+"""Diffusion family tests (models/diffusion.py + train/diffusion.py).
+
+Seventh task family — no reference counterpart (mount empty, SURVEY.md
+§0); the math invariants below are the verification target: forward
+marginals, DDPM-posterior-equivalence of the eta=1 DDIM update, EMA
+tracking, resume exactness.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from myconvnet_tpu import models, recipes
+from myconvnet_tpu.core import transform
+from myconvnet_tpu.train import diffusion as diff
+
+
+def _tiny_cfg(**over):
+    cfg = dict(task="diffusion", model="tinyddpm", dataset="cifar10",
+               data_dir=None, image_size=8, diffusion_steps=25,
+               beta_schedule="linear", ema_decay=0.99, sample_steps=5,
+               batch_size=4, total_steps=3, log_every=1,
+               optimizer=dict(name="adam", lr=1e-3), precision="f32",
+               seed=0)
+    cfg.update(over)
+    return cfg
+
+
+# ------------------------------------------------------------- schedule
+
+def test_schedule_invariants():
+    for kind in ("linear", "cosine"):
+        s = diff.make_schedule(kind, num_steps=1000)
+        assert s.betas.shape == (1000,) and s.alphas_bar.shape == (1000,)
+        assert np.all(s.betas > 0) and np.all(s.betas < 1)
+        # alpha_bar strictly decreasing from near 1 toward ~0 (the
+        # terminal-SNR property the trained-on-T prior relies on)
+        assert np.all(np.diff(s.alphas_bar) < 0)
+        assert s.alphas_bar[0] > 0.99
+        assert s.alphas_bar[-1] < 0.05
+        # f64-accumulated on host vs f32 recompute: cumprod rounding
+        # grows along the product chain, hence the loose rtol
+        np.testing.assert_allclose(s.alphas_bar,
+                                   np.cumprod(1.0 - s.betas), rtol=1e-3)
+
+
+def test_q_sample_marginal():
+    s = diff.make_schedule("linear", num_steps=50)
+    x0 = jnp.ones((2, 4, 4, 3))
+    eps = jnp.full((2, 4, 4, 3), 0.5)
+    t = jnp.array([0, 49])
+    xt = diff.q_sample(s, x0, t, eps)
+    for i, ti in enumerate([0, 49]):
+        ab = s.alphas_bar[ti]
+        np.testing.assert_allclose(
+            np.asarray(xt[i]),
+            np.sqrt(ab) * 1.0 + np.sqrt(1 - ab) * 0.5, rtol=1e-5)
+
+
+# ---------------------------------------------------------------- model
+
+def test_unet_shapes_and_identity_at_init():
+    model = transform(lambda x, t, train=False:
+                      models.tiny_ddpm_unet(x, t, train=train))
+    x = jnp.zeros((2, 8, 8, 3))
+    t = jnp.array([0, 7])
+    params, state = model.init(jax.random.key(0), x, t, True)
+    out, _ = model.apply(params, state, None, x, t, False)
+    assert out.shape == x.shape
+    # zero-init final conv -> exact zero output at init (DDPM identity)
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_timestep_embedding_distinguishes_steps():
+    e = models.timestep_embedding(jnp.arange(64), 32)
+    assert e.shape == (64, 32)
+    # all rows finite and pairwise distinct
+    assert np.all(np.isfinite(np.asarray(e)))
+    d = np.linalg.norm(np.asarray(e)[None] - np.asarray(e)[:, None],
+                       axis=-1)
+    assert np.min(d + np.eye(64) * 1e9) > 1e-3
+
+
+# ---------------------------------------------------------------- train
+
+def test_step_learns_and_tracks_ema():
+    cfg = _tiny_cfg()
+    state, step, data_iter, kind = recipes.build_diffusion(
+        cfg, synthetic=True)
+    assert kind == "ddpm"
+    batch = next(data_iter())
+    first = None
+    for _ in range(30):
+        state, metrics = step(state, jnp.asarray(batch))
+        if first is None:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert np.isfinite(last) and last < first
+    # EMA sits between init and current params (tracks, not equal)
+    leaf = jax.tree.leaves(state.params)[0]
+    eleaf = jax.tree.leaves(state.ema_params)[0]
+    assert not np.allclose(np.asarray(leaf), np.asarray(eleaf))
+
+
+def test_sampler_deterministic_and_bounded():
+    cfg = _tiny_cfg()
+    state, _step, _it, _ = recipes.build_diffusion(cfg, synthetic=True)
+    sample = recipes.make_diffusion_sampler(cfg)
+    a = np.asarray(sample(state, 2, 0))
+    b = np.asarray(sample(state, 2, 0))
+    c = np.asarray(sample(state, 2, 1))
+    assert a.shape == (2, 8, 8, 3) and a.dtype == np.uint8
+    np.testing.assert_array_equal(a, b)       # DDIM eta=0: deterministic
+    assert not np.array_equal(a, c)           # seed changes the draw
+
+
+def test_ddpm_eta1_posterior_matches_closed_form():
+    """eta=1 full-sequence DDIM == the DDPM posterior update: check the
+    coefficients the scan body computes against the closed form."""
+    s = diff.make_schedule("linear", num_steps=10)
+    t, tp = 5, 4
+    ab_t, ab_p = float(s.alphas_bar[t]), float(s.alphas_bar[tp])
+    sigma = (1.0 * np.sqrt((1 - ab_p) / (1 - ab_t))
+             * np.sqrt(1 - ab_t / ab_p))
+    beta_tilde = (1 - ab_p) / (1 - ab_t) * (1 - ab_t / ab_p)
+    np.testing.assert_allclose(sigma ** 2, beta_tilde, rtol=1e-6)
+
+
+def test_checkpoint_resume_exact(tmp_path):
+    from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
+    cfg = _tiny_cfg()
+    state, step, data_iter, _ = recipes.build_diffusion(
+        cfg, synthetic=True)
+    batch = jnp.asarray(next(data_iter()))
+    state, _ = step(state, batch)
+    ckpt_lib.save_checkpoint(str(tmp_path), 1, state._asdict(), keep=1)
+    restored = ckpt_lib.restore_checkpoint(str(tmp_path),
+                                           state._asdict())
+    rstate = type(state)(**restored)
+    # trajectories continue identically
+    s1, m1 = step(state, batch)
+    s2, m2 = step(rstate, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-6)
+
+
+def test_registry_and_config_file():
+    assert "ddpm_unet" in models.DIFFUSION_MODELS
+    assert "tinyddpm" in models.list_models("diffusion")
+    cfg = recipes.load_config("configs/cifar10_ddpm.py")
+    assert cfg["task"] == "diffusion"
+    assert cfg["model"] in models.DIFFUSION_MODELS
+
+
+@pytest.mark.slow
+def test_cli_train_and_generate(tmp_path):
+    import subprocess
+    import sys
+    out = tmp_path / "run"
+    r = subprocess.run(
+        [sys.executable, "train.py", "--config",
+         "configs/cifar10_ddpm.py", "--synthetic", "--steps", "2",
+         "--batch", "4", "--out", str(out), "--platform", "cpu",
+         "--set", "model=tinyddpm", "--set", "image_size=8",
+         "--set", "diffusion_steps=10", "--set", "sample_steps=4",
+         "--set", "log_every=1", "--set", "sample_every=2",
+         "--set", "precision=f32"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    png = tmp_path / "s.png"
+    g = subprocess.run(
+        [sys.executable, "generate.py", "--config",
+         "configs/cifar10_ddpm.py", "--ckpt", str(out), "--n", "4",
+         "--out", str(png), "--platform", "cpu",
+         "--set", "model=tinyddpm", "--set", "image_size=8",
+         "--set", "diffusion_steps=10", "--set", "sample_steps=4",
+         "--set", "precision=f32"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600)
+    assert g.returncode == 0, g.stderr[-2000:]
+    assert png.exists()

@@ -107,6 +107,9 @@ def main():
     if cfg["task"] == "ssl":
         run_ssl(cfg, args, out, mesh)
         return
+    if cfg["task"] == "diffusion":
+        run_diffusion(cfg, args, out)
+        return
 
     if cfg.get("pipeline"):
         # pipeline-parallel path: staged model over a 'model'-axis mesh
@@ -340,6 +343,48 @@ def run_ssl(cfg, args, out, mesh=None):
     enc = ssl_lib.export_encoder_npz(state.params,
                                      os.path.join(out, "encoder.npz"))
     print(f"encoder exported: {enc}")
+
+
+def run_diffusion(cfg, args, out):
+    """Diffusion training loop (seventh task family): the fused DDPM
+    noise-prediction step + EMA, same driver shape as run_gan, with
+    periodic DDIM sample grids from the EMA weights."""
+    from myconvnet_tpu import recipes
+    from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
+    from myconvnet_tpu.utils.logging import MetricLogger
+    from myconvnet_tpu.utils.preemption import PreemptionGuard
+
+    state, step, data_iter_fn, kind = recipes.build_diffusion(
+        cfg, synthetic=args.synthetic)
+    if args.resume and ckpt_lib_latest(out):
+        restored = ckpt_lib.restore_checkpoint(out, state._asdict())
+        state = type(state)(**restored)
+        print(f"resumed diffusion from step {int(state.step)}")
+    guard = PreemptionGuard().__enter__()
+    logger = MetricLogger(log_dir=out, name=f"diffusion_{kind}")
+    log_every = cfg.get("log_every", 100)
+    sample_every = cfg.get("sample_every", 0)
+    sampler = (recipes.make_diffusion_sampler(cfg)
+               if sample_every else None)
+    total = cfg["total_steps"]
+    start = int(state.step)
+    for i, batch in enumerate(data_iter_fn()):
+        if start + i >= total:
+            break
+        if guard.preempted:
+            logger.log(start + i, {"preempted": 1.0})
+            break
+        state, metrics = step(state, batch)
+        i = start + i
+        if (i + 1) % log_every == 0:
+            logger.log(i + 1, {k: float(v) for k, v in metrics.items()})
+            ckpt_lib.save_checkpoint(out, i + 1, state._asdict(), keep=2)
+        if sampler is not None and (i + 1) % sample_every == 0:
+            from myconvnet_tpu.utils.images import make_grid
+            logger.log_image(i + 1, "samples",
+                             make_grid(sampler(state, 16, seed=0)))
+    ckpt_lib.save_checkpoint(out, int(state.step), state._asdict(), keep=2)
+    print(f"diffusion training done at step {int(state.step)}")
 
 
 def run_gan(cfg, args, out):
