@@ -4,6 +4,11 @@ beyond the reference's scope (SURVEY.md §0; train/diffusion.py).
 
 Sampling: 50-step DDIM by default (sample_steps); set ddim_eta=1.0 and
 sample_steps=None for ancestral DDPM sampling.
+
+Class-conditional training (classifier-free guidance, Ho & Salimans
+2022): set num_classes=10 — labels ride the batch and drop to the null
+embedding with uncond_prob (default 0.1); at sampling,
+guidance_scale=w > 0 extrapolates (1+w)*eps_cond - w*eps_null.
 """
 
 config = dict(

@@ -105,22 +105,37 @@ def _attn_block(x: jax.Array, *, num_heads: int = 4) -> jax.Array:
         return x + o.reshape(n, h, w, c)
 
 
-def ddpm_unet(x: jax.Array, t: jax.Array, *, train: bool = False,
+def ddpm_unet(x: jax.Array, t: jax.Array, y: jax.Array | None = None, *,
+              train: bool = False,
               base: int = 128,
               channel_mults: Sequence[int] = (1, 2, 2, 2),
               num_res_blocks: int = 2,
               attn_resolutions: Sequence[int] = (16,),
               dropout: float = 0.1,
+              num_classes: int = 0,
               out_ch: int | None = None) -> jax.Array:
     """DDPM UNet epsilon-predictor: ([N,H,W,C], [N] int timesteps) ->
     [N,H,W,out_ch].  The CIFAR-10 paper config is the default
-    (base=128, mults 1/2/2/2, 2 res blocks, attention at 16x16)."""
+    (base=128, mults 1/2/2/2, 2 res blocks, attention at 16x16).
+
+    ``num_classes > 0`` makes the model class-conditional: a learned
+    class embedding (one EXTRA null row at index ``num_classes``, the
+    classifier-free-guidance unconditional token) is added to the time
+    embedding.  ``y`` is then [N] int labels (required)."""
     out_ch = out_ch or x.shape[-1]
     temb_dim = base * 4
     temb = timestep_embedding(t, base)
     with nn.scope_named("time_mlp"):
         temb = nn.dense(temb, temb_dim, name="fc1")
         temb = nn.dense(nn.swish(temb), temb_dim, name="fc2")
+    if num_classes > 0:
+        if y is None:
+            raise ValueError("conditional model (num_classes>0) needs y")
+        with nn.scope_named("class_emb"):
+            from myconvnet_tpu.core.module import param
+            table = param("emb", (num_classes + 1, temb_dim),
+                          jnp.float32, init.normal(0.02))
+        temb = temb + table[y].astype(temb.dtype)
 
     h = nn.conv(x, base, 3, name="stem")
     hs = [h]
@@ -156,7 +171,8 @@ def ddpm_unet(x: jax.Array, t: jax.Array, *, train: bool = False,
                    name="out_conv").astype(jnp.float32)
 
 
-def tiny_ddpm_unet(x: jax.Array, t: jax.Array, *,
+def tiny_ddpm_unet(x: jax.Array, t: jax.Array,
+                   y: jax.Array | None = None, *,
                    train: bool = False, **kw) -> jax.Array:
     """CPU-runnable smoke variant (same code path, ~60k params)."""
     kw.setdefault("base", 16)
@@ -164,4 +180,4 @@ def tiny_ddpm_unet(x: jax.Array, t: jax.Array, *,
     kw.setdefault("num_res_blocks", 1)
     kw.setdefault("attn_resolutions", (x.shape[1] // 2,))
     kw.setdefault("dropout", 0.0)
-    return ddpm_unet(x, t, train=train, **kw)
+    return ddpm_unet(x, t, y, train=train, **kw)

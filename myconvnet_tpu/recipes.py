@@ -1353,11 +1353,13 @@ def _diffusion_model(cfg: dict):
         raise ValueError(f"unknown diffusion model {name!r}; valid: "
                          f"{sorted(models.DIFFUSION_MODELS)}")
     policy = get_policy(cfg.get("precision", "f32"))
-    mkw = cfg.get("model_kwargs", {})
+    mkw = dict(cfg.get("model_kwargs", {}))
+    if cfg.get("num_classes"):
+        mkw["num_classes"] = int(cfg["num_classes"])
 
-    def fwd(x, t, train=False):
+    def fwd(x, t, y=None, train=False):
         with policy_scope(policy):
-            return fn(x.astype(policy.compute_dtype), t,
+            return fn(x.astype(policy.compute_dtype), t, y,
                       train=train, **mkw)
 
     return transform(fwd)
@@ -1378,13 +1380,15 @@ def build_diffusion(cfg: dict, synthetic: bool = False):
     sched = diff_lib.make_schedule(
         cfg.get("beta_schedule", "linear"),
         num_steps=cfg.get("diffusion_steps", 1000))
+    ncls = int(cfg.get("num_classes", 0) or 0)
     model = _diffusion_model(cfg)
     opt = make_optimizer(cfg["optimizer"])
     state = diff_lib.init_diffusion_state(
         model, opt, jax.random.key(cfg.get("seed", 0)),
-        jnp.zeros((batch, size, size, 3)))
-    step = diff_lib.make_ddpm_step(model, opt, sched,
-                                   ema_decay=cfg.get("ema_decay", 0.9999))
+        jnp.zeros((batch, size, size, 3)), num_classes=ncls)
+    step = diff_lib.make_ddpm_step(
+        model, opt, sched, ema_decay=cfg.get("ema_decay", 0.9999),
+        num_classes=ncls, uncond_prob=cfg.get("uncond_prob", 0.1))
 
     def data_iter():
         if cfg["dataset"] == "cifar10":
@@ -1411,8 +1415,8 @@ def build_diffusion(cfg: dict, synthetic: bool = False):
                 x = resize_bilinear(x, (size, size))
             return x
 
-        for x, _ in ds.train_iter(batch):
-            yield prep(x)
+        for x, y in ds.train_iter(batch):
+            yield (prep(x), np.asarray(y)) if ncls else prep(x)
 
     return state, step, data_iter, "ddpm"
 
@@ -1429,7 +1433,9 @@ def make_diffusion_sampler(cfg: dict):
         _diffusion_model(cfg), sched, shape=(size, size, 3),
         sample_steps=cfg.get("sample_steps"),
         eta=cfg.get("ddim_eta", 0.0),
-        use_ema=cfg.get("sample_ema", True))
+        use_ema=cfg.get("sample_ema", True),
+        num_classes=int(cfg.get("num_classes", 0) or 0),
+        guidance_scale=cfg.get("guidance_scale", 0.0))
 
 
 def apply_pretrained(net: ConvNet, cfg: dict) -> None:

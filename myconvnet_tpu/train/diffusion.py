@@ -78,10 +78,12 @@ class DiffusionState(NamedTuple):
 
 
 def init_diffusion_state(model: Transformed, opt: Optimizer,
-                         rng: jax.Array, sample_x: jax.Array
-                         ) -> DiffusionState:
+                         rng: jax.Array, sample_x: jax.Array,
+                         num_classes: int = 0) -> DiffusionState:
     t0 = jnp.zeros((sample_x.shape[0],), jnp.int32)
-    params, state = model.init(rng, sample_x, t0, True)
+    y0 = (jnp.zeros((sample_x.shape[0],), jnp.int32)
+          if num_classes > 0 else None)
+    params, state = model.init(rng, sample_x, t0, y0, True)
     # EMA starts at the init weights but must be a DISTINCT buffer:
     # the donated step would otherwise see the same buffer twice
     ema = jax.tree.map(lambda p: p.copy(), params)
@@ -91,23 +93,34 @@ def init_diffusion_state(model: Transformed, opt: Optimizer,
 
 
 def make_ddpm_step(model: Transformed, opt: Optimizer, sched: Schedule,
-                   ema_decay: float = 0.9999) -> Callable:
-    """(state, x0 batch in [-1,1]) -> (state, metrics): one fused
-    noise-prediction MSE step + EMA track."""
+                   ema_decay: float = 0.9999, num_classes: int = 0,
+                   uncond_prob: float = 0.1) -> Callable:
+    """(state, batch) -> (state, metrics): one fused noise-prediction
+    MSE step + EMA track.  Unconditional: batch = x0 [-1,1].
+    Conditional (num_classes>0): batch = (x0, y); labels drop to the
+    null token with ``uncond_prob`` — classifier-free guidance training
+    (Ho & Salimans, 2022) — so ONE model serves both branches."""
     T = sched.num_steps
 
-    def step(state: DiffusionState, x0: jax.Array):
+    def step(state: DiffusionState, batch):
+        if num_classes > 0:
+            x0, y = batch
+        else:
+            x0, y = batch, None
         base = jax.random.wrap_key_data(state.rng)
         key = jax.random.fold_in(base, state.step)
-        kt, ke, km = jax.random.split(key, 3)
+        kt, ke, km, ku = jax.random.split(key, 4)
         n = x0.shape[0]
         t = jax.random.randint(kt, (n,), 0, T)
         eps = jax.random.normal(ke, x0.shape, x0.dtype)
         xt = q_sample(sched, x0, t, eps)
+        if num_classes > 0:
+            drop = jax.random.bernoulli(ku, uncond_prob, (n,))
+            y = jnp.where(drop, num_classes, y.astype(jnp.int32))
 
         def loss_fn(params):
             pred, mstate = model.apply(params, state.model_state, km,
-                                       xt, t, True)
+                                       xt, t, y, True)
             # f32 reduction: a bf16 sum over N*H*W*C terms loses the
             # mantissa bits the gradient signal lives in (same hazard
             # as the detection losses, train/fcos.py)
@@ -134,12 +147,20 @@ def make_ddpm_step(model: Transformed, opt: Optimizer, sched: Schedule,
 
 def make_sampler(model: Transformed, sched: Schedule, *,
                  shape: tuple, sample_steps: int | None = None,
-                 eta: float = 0.0, use_ema: bool = True) -> Callable:
-    """Returns ``sample(state, n, seed) -> uint8 [n,H,W,C]``.
+                 eta: float = 0.0, use_ema: bool = True,
+                 num_classes: int = 0,
+                 guidance_scale: float = 0.0) -> Callable:
+    """Returns ``sample(state, n, seed, y=None) -> uint8 [n,H,W,C]``.
 
     The reverse process runs as one ``lax.scan`` over a strided
     timestep subsequence (``sample_steps`` of the trained T; None =
     all T).  eta=0 -> DDIM; eta=1 + full sequence -> ancestral DDPM.
+
+    Conditional models (num_classes>0) take ``y`` int labels (default:
+    ``arange(n) % num_classes``, a class-spread grid).  With
+    ``guidance_scale`` w > 0, each step evaluates the conditional and
+    null branches in ONE doubled-batch apply and extrapolates
+    ``(1+w)*eps_cond - w*eps_null`` (classifier-free guidance).
     """
     T = sched.num_steps
     steps = sample_steps or T
@@ -153,18 +174,35 @@ def make_sampler(model: Transformed, sched: Schedule, *,
     ts = jnp.asarray(seq)[::-1]
     ab_prevs = ab_prev_of[::-1]
 
-    def sample(state, n: int, seed: int = 0):
+    def sample(state, n: int, seed: int = 0, y=None):
         params = state.ema_params if use_ema else state.params
         mstate = state.model_state
         key = jax.random.key(seed)
         kx, kn = jax.random.split(key)
         x = jax.random.normal(kx, (n,) + tuple(shape), jnp.float32)
+        if num_classes > 0:
+            yb = (jnp.arange(n, dtype=jnp.int32) % num_classes
+                  if y is None else jnp.asarray(y, jnp.int32))
+        else:
+            yb = None
+
+        def eps_of(x, tb):
+            if num_classes > 0 and guidance_scale > 0.0:
+                null = jnp.full((n,), num_classes, jnp.int32)
+                e, _ = model.apply(params, mstate, None,
+                                   jnp.concatenate([x, x]),
+                                   jnp.concatenate([tb, tb]),
+                                   jnp.concatenate([yb, null]), False)
+                e_c, e_u = jnp.split(e.astype(jnp.float32), 2)
+                return ((1.0 + guidance_scale) * e_c
+                        - guidance_scale * e_u)
+            e, _ = model.apply(params, mstate, None, x, tb, yb, False)
+            return e.astype(jnp.float32)
 
         def body(x, inp):
             t, ab_prev = inp
             tb = jnp.full((n,), t, jnp.int32)
-            eps, _ = model.apply(params, mstate, None, x, tb, False)
-            eps = eps.astype(jnp.float32)
+            eps = eps_of(x, tb)
             ab_t = ab[t]
             x0 = (x - jnp.sqrt(1.0 - ab_t) * eps) * jax.lax.rsqrt(ab_t)
             x0 = jnp.clip(x0, -1.0, 1.0)
@@ -184,4 +222,5 @@ def make_sampler(model: Transformed, sched: Schedule, *,
         img = jnp.clip((x + 1.0) * 127.5, 0.0, 255.0)
         return jnp.asarray(img, jnp.uint8)
 
-    return jax.jit(sample, static_argnums=(1, 2))
+    return jax.jit(sample, static_argnums=(1, 2),
+                   static_argnames=("n", "seed"))

@@ -86,6 +86,12 @@ def main():
     cfg = recipes.load_config(args.config, batch_size=args.batch,
                               data_dir=args.data_dir)
     cfg = recipes.apply_overrides(cfg, args.overrides)
+    if cfg["task"] == "diffusion":
+        if args.fid:
+            return eval_gan_fid(cfg, args)
+        raise SystemExit("diffusion checkpoints: use generate.py for "
+                         "sample grids or test.py --fid "
+                         "--fid_extractor CONFIG:CKPT to score")
     if cfg["task"] == "gan":
         if args.fid:
             return eval_gan_fid(cfg, args)
@@ -417,11 +423,18 @@ def eval_gan_fid(cfg, args):
             "classifier) or inception:WEIGHTS.npz")
     feature_fn, _hw = _fid_extractor(args.fid_extractor)
 
-    state, _step, _it, kind = recipes.build_gan(cfg,
-                                                synthetic=args.synthetic)
+    if cfg["task"] == "diffusion":
+        # same unconditional sample(state, n, seed) shape as dcgan
+        state, _step, _it, _ = recipes.build_diffusion(
+            cfg, synthetic=args.synthetic)
+        sampler = recipes.make_diffusion_sampler(cfg)
+        kind = "dcgan"
+    else:
+        state, _step, _it, kind = recipes.build_gan(
+            cfg, synthetic=args.synthetic)
+        sampler = recipes.make_gan_sampler(cfg)
     restored = ckpt_lib.restore_checkpoint(args.ckpt, state._asdict())
     state = type(state)(**restored)
-    sampler = recipes.make_gan_sampler(cfg)
     n = args.fid_samples
     size = cfg.get("image_size", 32)
 

@@ -145,12 +145,100 @@ def test_checkpoint_resume_exact(tmp_path):
                                rtol=1e-6)
 
 
+def test_conditional_training_and_guided_sampling():
+    """Class-conditional DDPM: labels ride the batch, CFG training
+    drops them to the null token, and guided sampling extrapolates
+    conditional vs null in one doubled-batch apply."""
+    cfg = _tiny_cfg(num_classes=10, guidance_scale=1.5)
+    state, step, data_iter, _ = recipes.build_diffusion(
+        cfg, synthetic=True)
+    x, y = next(data_iter())
+    assert y.shape == (4,) and y.dtype in (np.int32, np.int64)
+    for _ in range(3):
+        state, metrics = step(state, (jnp.asarray(x), jnp.asarray(y)))
+    assert np.isfinite(float(metrics["loss"]))
+    sample = recipes.make_diffusion_sampler(cfg)
+    a = np.asarray(sample(state, 4, 0))
+    assert a.shape == (4, 8, 8, 3) and a.dtype == np.uint8
+    # explicit labels run through the same guided path (label
+    # INFLUENCE at float level is proven by the null-token test below;
+    # a 3-step-trained net's grids can quantize identically in uint8)
+    b = np.asarray(sample(state, 4, 0, y=jnp.array([7, 7, 7, 7])))
+    assert b.shape == a.shape and b.dtype == np.uint8
+    # the class embedding carries the null row
+    shapes = {tuple(p.shape) for p in jax.tree.leaves(state.params)}
+    assert (11, 64) in shapes  # num_classes+1 x temb_dim (base 16*4)
+
+
+def test_conditional_null_token_changes_prediction():
+    """The null class must steer the epsilon prediction — otherwise
+    guidance is a no-op."""
+    model = transform(lambda x, t, y, train=False:
+                      models.tiny_ddpm_unet(x, t, y, train=train,
+                                            num_classes=3))
+    x = jnp.ones((2, 8, 8, 3)) * 0.1
+    t = jnp.array([3, 3])
+    params, state = model.init(jax.random.key(1), x, t,
+                               jnp.array([0, 0]), True)
+    # perturb away from the zero-init identity so outputs are nonzero
+    params = jax.tree.map(
+        lambda p: p + 0.02 * jax.random.normal(jax.random.key(2),
+                                               p.shape, p.dtype), params)
+    o_cond, _ = model.apply(params, state, None, x, t,
+                            jnp.array([1, 1]), False)
+    o_null, _ = model.apply(params, state, None, x, t,
+                            jnp.array([3, 3]), False)
+    assert not np.allclose(np.asarray(o_cond), np.asarray(o_null))
+
+
 def test_registry_and_config_file():
     assert "ddpm_unet" in models.DIFFUSION_MODELS
     assert "tinyddpm" in models.list_models("diffusion")
     cfg = recipes.load_config("configs/cifar10_ddpm.py")
     assert cfg["task"] == "diffusion"
     assert cfg["model"] in models.DIFFUSION_MODELS
+
+
+@pytest.mark.slow
+def test_fid_cli_diffusion(tmp_path):
+    """test.py --fid scores a diffusion checkpoint through the same
+    trained-classifier extractor path as the GAN consumer."""
+    import math
+    import subprocess
+    import sys
+
+    def _run(args):
+        return subprocess.run([sys.executable] + args,
+                              capture_output=True, text=True,
+                              cwd="/root/repo", timeout=600)
+
+    ddpm_cfg = tmp_path / "ddpm.py"
+    ddpm_cfg.write_text(
+        "config = dict(task='diffusion', model='tinyddpm',\n"
+        "    dataset='cifar10', data_dir=None, image_size=32,\n"
+        "    diffusion_steps=10, sample_steps=4, batch_size=16,\n"
+        "    total_steps=3, log_every=1,\n"
+        "    optimizer=dict(name='adam', lr=1e-3),\n"
+        "    precision='f32', seed=0)\n")
+    out = str(tmp_path / "ddpm_run")
+    r = _run(["train.py", "--config", str(ddpm_cfg), "--synthetic",
+              "--platform", "cpu", "--out", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    cls_out = str(tmp_path / "cls_run")
+    r2 = _run(["train.py", "--config", "configs/cifar10_smallnet.py",
+               "--synthetic", "--steps", "10", "--batch", "16",
+               "--val_every", "0", "--platform", "cpu",
+               "--out", cls_out])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+
+    r3 = _run(["test.py", "--config", str(ddpm_cfg), "--ckpt", out,
+               "--synthetic", "--platform", "cpu", "--fid",
+               "--fid_samples", "32", "--fid_extractor",
+               f"configs/cifar10_smallnet.py:{cls_out}"])
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    fid = float(r3.stdout.split("fid:")[1].split()[0])
+    assert math.isfinite(fid) and fid >= 0.0
 
 
 @pytest.mark.slow
