@@ -93,6 +93,7 @@ CLASSIFIERS = {
     "efficientnet_v2_m": efficientnet_v2_m,
     "efficientnet_v2_l": efficientnet_v2_l,
     "wrn_28_10": wrn_28_10, "wrn_16_8": wrn_16_8,
+    "wide_resnet": wide_resnet,  # generic depth/width via model_kwargs
     "shufflenet_v2": shufflenet_v2,
     "squeezenet": squeezenet,
     "xception65": xception65,

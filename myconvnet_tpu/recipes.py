@@ -1341,6 +1341,80 @@ def build_ssl(cfg: dict, synthetic: bool = False, mesh=None):
             DataSet(val_src), feats_fn, kind)
 
 
+# ---------------------------------------------------- semisup (fixmatch)
+
+def build_semisup(cfg: dict, synthetic: bool = False):
+    """FixMatch recipe wiring (eighth task family, train/semisup.py).
+
+    Returns (state, step_fn, data_iter_fn, val_set, eval_fn).  The
+    labeled split is ``labeled_per_class`` examples per class drawn
+    from the train corpus (the paper's protocol — the unlabeled pool
+    keeps everything); batches interleave 1 labeled : ``mu`` unlabeled.
+    """
+    import jax.numpy as jnp
+
+    from myconvnet_tpu.data.augment import augment_eval, augment_train
+    from myconvnet_tpu.data.pipeline import ArraySource
+    from myconvnet_tpu.train import semisup as semi_lib
+
+    policy = get_policy(cfg.get("precision", "f32"))
+    ncls = cfg["num_classes"]
+    fn = models.get_model(cfg["model"])
+    mkw = cfg.get("model_kwargs", {})
+
+    def fwd(x, train=False):
+        with policy_scope(policy):
+            return fn(x.astype(policy.compute_dtype), ncls,
+                      train=train, **mkw)
+
+    model = transform(fwd)
+    weak_aug = make_augment(cfg["augment"])
+    strong_aug = make_augment(
+        {**cfg["augment"], **cfg.get("augment_strong",
+                                     dict(randaugment=(2, 10)))})
+
+    def weak_fn(key, x_u8):
+        return augment_train(key, x_u8, weak_aug)
+
+    def strong_fn(key, x_u8):
+        return augment_train(key, x_u8, strong_aug)
+
+    opt = make_optimizer(cfg["optimizer"])
+    hw = tuple(weak_aug.out_hw)
+    state = semi_lib.init_semi_state(
+        model, opt, jax.random.key(cfg.get("seed", 0)),
+        jnp.zeros((2, *hw, 3), policy.compute_dtype))
+    step = semi_lib.make_fixmatch_step(
+        model, opt, weak_fn, strong_fn,
+        threshold=cfg.get("threshold", 0.95),
+        lambda_u=cfg.get("lambda_u", 1.0),
+        ema_decay=cfg.get("ema_decay", 0.999))
+
+    train_src, val_src = make_sources(cfg, synthetic)
+    if not isinstance(train_src, ArraySource):
+        raise ValueError("semisup needs an in-memory corpus "
+                         "(ArraySource) to draw the labeled split")
+    seed = cfg.get("seed", 0)
+    x_lab, y_lab = semi_lib.labeled_subset(
+        train_src.images, train_src.labels,
+        cfg.get("labeled_per_class", 400), ncls, seed)
+    lab_ds = DataSet(ArraySource(x_lab, y_lab), seed=seed)
+    unlab_ds = DataSet(train_src, seed=seed + 1)
+    mu = int(cfg.get("mu", 7))
+    batch = cfg["batch_size"]
+
+    def data_iter():
+        li = lab_ds.train_iter(batch)
+        ui = unlab_ds.train_iter(mu * batch)
+        for (x_l, y_l), (x_u, _) in zip(li, ui):
+            yield (x_l, np.asarray(y_l), x_u)
+
+    eval_fn = semi_lib.make_eval_fn(
+        model, lambda x_u8: augment_eval(x_u8, weak_aug),
+        use_ema=cfg.get("eval_ema", True))
+    return state, step, data_iter, DataSet(val_src), eval_fn
+
+
 # ------------------------------------------------------ diffusion (ddpm)
 
 def _diffusion_model(cfg: dict):

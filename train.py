@@ -110,6 +110,9 @@ def main():
     if cfg["task"] == "diffusion":
         run_diffusion(cfg, args, out)
         return
+    if cfg["task"] == "semisup":
+        run_semisup(cfg, args, out)
+        return
 
     if cfg.get("pipeline"):
         # pipeline-parallel path: staged model over a 'model'-axis mesh
@@ -343,6 +346,54 @@ def run_ssl(cfg, args, out, mesh=None):
     enc = ssl_lib.export_encoder_npz(state.params,
                                      os.path.join(out, "encoder.npz"))
     print(f"encoder exported: {enc}")
+
+
+def run_semisup(cfg, args, out):
+    """FixMatch loop (eighth task family): fused
+    labeled+weak+strong step, periodic EMA-accuracy validation with
+    best-checkpoint retention — the run_ssl driver shape."""
+    from myconvnet_tpu import recipes
+    from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
+    from myconvnet_tpu.utils.logging import MetricLogger
+    from myconvnet_tpu.utils.preemption import PreemptionGuard
+
+    state, step, data_iter_fn, val_set, eval_fn = recipes.build_semisup(
+        cfg, synthetic=args.synthetic)
+    if args.resume and ckpt_lib_latest(out):
+        restored = ckpt_lib.restore_checkpoint(out, state._asdict())
+        state = type(state)(**restored)
+        print(f"resumed semisup from step {int(state.step)}")
+    guard = PreemptionGuard().__enter__()
+    logger = MetricLogger(log_dir=out, name="semisup_fixmatch")
+    log_every = cfg.get("log_every", 100)
+    val_every = cfg.get("val_every", 0)
+    eval_batch = cfg.get("eval_batch", cfg["batch_size"])
+    best = -1.0
+    total = cfg["total_steps"]
+    start = int(state.step)
+    for i, batch in enumerate(data_iter_fn()):
+        if start + i >= total:
+            break
+        if guard.preempted:
+            logger.log(start + i, {"preempted": 1.0})
+            break
+        state, metrics = step(state, batch)
+        i = start + i
+        if (i + 1) % log_every == 0:
+            logger.log(i + 1, {k: float(v) for k, v in metrics.items()})
+            ckpt_lib.save_checkpoint(out, i + 1, state._asdict(), keep=2)
+        if val_every and (i + 1) % val_every == 0:
+            acc = eval_fn(state, val_set.eval_iter(eval_batch))
+            logger.log(i + 1, {"val_acc": acc})
+            print(f"[step {i + 1}] val_acc={acc:.4f}")
+            if acc > best:
+                best = acc
+                ckpt_lib.save_checkpoint(out, i + 1, state._asdict(),
+                                         keep=2, metric=acc, is_best=True)
+    ckpt_lib.save_checkpoint(out, int(state.step), state._asdict(), keep=2)
+    acc = eval_fn(state, val_set.eval_iter(eval_batch))
+    print(f"semisup done at step {int(state.step)}; "
+          f"final EMA val_acc={acc:.4f} (best {max(best, acc):.4f})")
 
 
 def run_diffusion(cfg, args, out):
