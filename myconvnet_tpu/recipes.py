@@ -1343,13 +1343,14 @@ def build_ssl(cfg: dict, synthetic: bool = False, mesh=None):
 
 # ---------------------------------------------------- semisup (fixmatch)
 
-def build_semisup(cfg: dict, synthetic: bool = False):
+def build_semisup(cfg: dict, synthetic: bool = False, mesh=None):
     """FixMatch recipe wiring (eighth task family, train/semisup.py).
 
     Returns (state, step_fn, data_iter_fn, val_set, eval_fn).  The
     labeled split is ``labeled_per_class`` examples per class drawn
     from the train corpus (the paper's protocol — the unlabeled pool
     keeps everything); batches interleave 1 labeled : ``mu`` unlabeled.
+    With ``mesh``, all three sub-batches shard over the data axis.
     """
     import jax.numpy as jnp
 
@@ -1404,10 +1405,19 @@ def build_semisup(cfg: dict, synthetic: bool = False):
     batch = cfg["batch_size"]
 
     def data_iter():
-        li = lab_ds.train_iter(batch)
-        ui = unlab_ds.train_iter(mu * batch)
-        for (x_l, y_l), (x_u, _) in zip(li, ui):
-            yield (x_l, np.asarray(y_l), x_u)
+        put = None
+        if mesh is not None:
+            from myconvnet_tpu.parallel import shard_batch
+            put = lambda b: shard_batch(mesh, b)  # noqa: E731
+        li = lab_ds.train_iter(batch, device_put_fn=put)
+        ui = unlab_ds.train_iter(mu * batch, device_put_fn=put)
+        try:
+            for (x_l, y_l), (x_u, _) in zip(li, ui):
+                yield (x_l, y_l, x_u)
+        finally:
+            for it in (li, ui):
+                if hasattr(it, "close"):
+                    it.close()
 
     eval_fn = semi_lib.make_eval_fn(
         model, lambda x_u8: augment_eval(x_u8, weak_aug),
@@ -1439,12 +1449,13 @@ def _diffusion_model(cfg: dict):
     return transform(fwd)
 
 
-def build_diffusion(cfg: dict, synthetic: bool = False):
+def build_diffusion(cfg: dict, synthetic: bool = False, mesh=None):
     """Diffusion recipe wiring (seventh task family, train/diffusion.py).
 
     Returns (state, step_fn, data_iter_fn, kind="ddpm").  Data rides
     the DCGAN value-space contract: uint8 corpus batches -> [-1, 1]
-    floats on device.
+    floats on device.  With ``mesh``, batches shard over the data axis
+    (GSPMD handles the rest — the step itself is mesh-agnostic).
     """
     from myconvnet_tpu.train import diffusion as diff_lib
     import jax.numpy as jnp
@@ -1489,8 +1500,17 @@ def build_diffusion(cfg: dict, synthetic: bool = False):
                 x = resize_bilinear(x, (size, size))
             return x
 
-        for x, y in ds.train_iter(batch):
-            yield (prep(x), np.asarray(y)) if ncls else prep(x)
+        put = None
+        if mesh is not None:
+            from myconvnet_tpu.parallel import shard_batch
+            put = lambda b: shard_batch(mesh, b)  # noqa: E731
+        it = ds.train_iter(batch, device_put_fn=put)
+        try:
+            for x, y in it:
+                yield (prep(x), jnp.asarray(y)) if ncls else prep(x)
+        finally:
+            if hasattr(it, "close"):
+                it.close()
 
     return state, step, data_iter, "ddpm"
 

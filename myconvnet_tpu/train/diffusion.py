@@ -219,8 +219,11 @@ def make_sampler(model: Transformed, sched: Schedule, *,
             return x_next, ()
 
         x, _ = jax.lax.scan(body, x, (ts, ab_prevs))
-        img = jnp.clip((x + 1.0) * 127.5, 0.0, 255.0)
-        return jnp.asarray(img, jnp.uint8)
+        # uint8 conversion matches utils.images.to_uint8 (round, not
+        # truncate) so diffusion and GAN samples quantize identically
+        x01 = jnp.clip((x + 1.0) * 0.5, 0.0, 1.0)
+        return (x01 * 255.0 + 0.5).astype(jnp.uint8)
 
-    return jax.jit(sample, static_argnums=(1, 2),
-                   static_argnames=("n", "seed"))
+    # only n is genuinely static (shapes); seed traces into the key so
+    # a seed-per-batch FID loop reuses ONE compiled reverse process
+    return jax.jit(sample, static_argnums=(1,), static_argnames=("n",))

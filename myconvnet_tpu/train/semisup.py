@@ -31,7 +31,8 @@ class SemiState(NamedTuple):
     params: Any
     model_state: Any
     ema_params: Any
-    opt: Any
+    ema_model_state: Any   # EMA of BN statistics — the paper averages
+    opt: Any               # the FULL model, not just the weights
     step: jax.Array
     rng: jax.Array  # key data
 
@@ -40,8 +41,18 @@ def init_semi_state(model: Transformed, opt: Optimizer, rng: jax.Array,
                     sample_x: jax.Array) -> SemiState:
     params, mstate = model.init(rng, sample_x, True)
     ema = jax.tree.map(lambda p: p.copy(), params)
-    return SemiState(params, mstate, ema, opt.init(params),
+    ema_ms = jax.tree.map(lambda p: p.copy(), mstate)
+    return SemiState(params, mstate, ema, ema_ms, opt.init(params),
                      jnp.zeros((), jnp.int32), jax.random.key_data(rng))
+
+
+def _ema_tree(old, new, decay):
+    """EMA over float leaves; non-float leaves (counters) pass through."""
+    def one(e, p):
+        if jnp.issubdtype(p.dtype, jnp.floating):
+            return e * decay + p * (1.0 - decay)
+        return p
+    return jax.tree.map(one, old, new)
 
 
 def make_fixmatch_step(model: Transformed, opt: Optimizer,
@@ -96,9 +107,9 @@ def make_fixmatch_step(model: Transformed, opt: Optimizer,
                                        state.step)
         d = jnp.minimum(ema_decay,
                         (1.0 + state.step) / (10.0 + state.step))
-        ema = jax.tree.map(lambda e, p: e * d + p * (1.0 - d),
-                           state.ema_params, params)
-        new = SemiState(params, mstate, ema, opt_state,
+        ema = _ema_tree(state.ema_params, params, d)
+        ema_ms = _ema_tree(state.ema_model_state, mstate, d)
+        new = SemiState(params, mstate, ema, ema_ms, opt_state,
                         state.step + 1, state.rng)
         metrics = {"loss": loss, "sup_loss": sup, "unsup_loss": unsup,
                    "mask_rate": mask_rate}
@@ -122,10 +133,12 @@ def make_eval_fn(model: Transformed, eval_augment: Callable,
     def evaluate(state: SemiState, batches) -> float:
         import numpy as np
         correct = total = 0
+        # EMA weights pair with EMA BN statistics — mixing the lagging
+        # weights with instantaneous stats scores a mismatched network
         params = state.ema_params if use_ema else state.params
+        mstate = state.ema_model_state if use_ema else state.model_state
         for x, y in batches:
-            pred = np.asarray(_logits(params, state.model_state,
-                                      jnp.asarray(x)))
+            pred = np.asarray(_logits(params, mstate, jnp.asarray(x)))
             y = np.asarray(y)
             correct += int((pred[:len(y)] == y).sum())
             total += len(y)

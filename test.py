@@ -92,6 +92,8 @@ def main():
         raise SystemExit("diffusion checkpoints: use generate.py for "
                          "sample grids or test.py --fid "
                          "--fid_extractor CONFIG:CKPT to score")
+    if cfg["task"] == "semisup":
+        return eval_semisup(cfg, args)
     if cfg["task"] == "gan":
         if args.fid:
             return eval_gan_fid(cfg, args)
@@ -405,6 +407,21 @@ def _fid_extractor(spec):
         return np.asarray(feats, np.float64)
 
     return feature_fn, hw
+
+
+def eval_semisup(cfg, args):
+    """Score a FixMatch checkpoint: EMA top-1 accuracy on the val
+    split (the paper's evaluation protocol)."""
+    from myconvnet_tpu import recipes
+    from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
+
+    state, _step, _it, val_set, eval_fn = recipes.build_semisup(
+        cfg, synthetic=args.synthetic)
+    restored = ckpt_lib.restore_checkpoint(args.ckpt, state._asdict())
+    state = type(state)(**restored)
+    acc = eval_fn(state, val_set.eval_iter(cfg["batch_size"]))
+    print(f"val accuracy (EMA): {acc:.4f}")
+    return acc
 
 
 def eval_gan_fid(cfg, args):

@@ -121,3 +121,14 @@ def test_cli_roundtrip(tmp_path):
         capture_output=True, text=True, cwd="/root/repo", timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "val_acc" in r.stdout
+    # test.py scores the checkpoint (EMA accuracy path)
+    r2 = subprocess.run(
+        [sys.executable, "test.py", "--config",
+         "configs/cifar10_fixmatch.py", "--ckpt", str(out),
+         "--synthetic", "--platform", "cpu", "--batch", "4",
+         "--set", "model=smallnet", "--set", "model_kwargs={}",
+         "--set", "mu=2", "--set", "labeled_per_class=2",
+         "--set", "precision=f32"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "val accuracy (EMA)" in r2.stdout

@@ -108,10 +108,10 @@ def main():
         run_ssl(cfg, args, out, mesh)
         return
     if cfg["task"] == "diffusion":
-        run_diffusion(cfg, args, out)
+        run_diffusion(cfg, args, out, mesh)
         return
     if cfg["task"] == "semisup":
-        run_semisup(cfg, args, out)
+        run_semisup(cfg, args, out, mesh)
         return
 
     if cfg.get("pipeline"):
@@ -348,7 +348,7 @@ def run_ssl(cfg, args, out, mesh=None):
     print(f"encoder exported: {enc}")
 
 
-def run_semisup(cfg, args, out):
+def run_semisup(cfg, args, out, mesh=None):
     """FixMatch loop (eighth task family): fused
     labeled+weak+strong step, periodic EMA-accuracy validation with
     best-checkpoint retention — the run_ssl driver shape."""
@@ -358,7 +358,7 @@ def run_semisup(cfg, args, out):
     from myconvnet_tpu.utils.preemption import PreemptionGuard
 
     state, step, data_iter_fn, val_set, eval_fn = recipes.build_semisup(
-        cfg, synthetic=args.synthetic)
+        cfg, synthetic=args.synthetic, mesh=mesh)
     if args.resume and ckpt_lib_latest(out):
         restored = ckpt_lib.restore_checkpoint(out, state._asdict())
         state = type(state)(**restored)
@@ -371,7 +371,8 @@ def run_semisup(cfg, args, out):
     best = -1.0
     total = cfg["total_steps"]
     start = int(state.step)
-    for i, batch in enumerate(data_iter_fn()):
+    it = data_iter_fn()
+    for i, batch in enumerate(it):
         if start + i >= total:
             break
         if guard.preempted:
@@ -390,13 +391,14 @@ def run_semisup(cfg, args, out):
                 best = acc
                 ckpt_lib.save_checkpoint(out, i + 1, state._asdict(),
                                          keep=2, metric=acc, is_best=True)
+    it.close()  # releases the two prefetch workers (try/finally inside)
     ckpt_lib.save_checkpoint(out, int(state.step), state._asdict(), keep=2)
     acc = eval_fn(state, val_set.eval_iter(eval_batch))
     print(f"semisup done at step {int(state.step)}; "
           f"final EMA val_acc={acc:.4f} (best {max(best, acc):.4f})")
 
 
-def run_diffusion(cfg, args, out):
+def run_diffusion(cfg, args, out, mesh=None):
     """Diffusion training loop (seventh task family): the fused DDPM
     noise-prediction step + EMA, same driver shape as run_gan, with
     periodic DDIM sample grids from the EMA weights."""
@@ -406,7 +408,7 @@ def run_diffusion(cfg, args, out):
     from myconvnet_tpu.utils.preemption import PreemptionGuard
 
     state, step, data_iter_fn, kind = recipes.build_diffusion(
-        cfg, synthetic=args.synthetic)
+        cfg, synthetic=args.synthetic, mesh=mesh)
     if args.resume and ckpt_lib_latest(out):
         restored = ckpt_lib.restore_checkpoint(out, state._asdict())
         state = type(state)(**restored)
@@ -419,7 +421,8 @@ def run_diffusion(cfg, args, out):
                if sample_every else None)
     total = cfg["total_steps"]
     start = int(state.step)
-    for i, batch in enumerate(data_iter_fn()):
+    it = data_iter_fn()
+    for i, batch in enumerate(it):
         if start + i >= total:
             break
         if guard.preempted:
@@ -434,6 +437,7 @@ def run_diffusion(cfg, args, out):
             from myconvnet_tpu.utils.images import make_grid
             logger.log_image(i + 1, "samples",
                              make_grid(sampler(state, 16, seed=0)))
+    it.close()  # releases the prefetch worker (try/finally inside)
     ckpt_lib.save_checkpoint(out, int(state.step), state._asdict(), keep=2)
     print(f"diffusion training done at step {int(state.step)}")
 
