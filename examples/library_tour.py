@@ -329,6 +329,47 @@ def main():
           f"{float(pm['loss']):.2f} (sem {float(pm['sem_loss']):.2f}), "
           f"PQ {pq:.4f}")
 
+    # --- diffusion: train 3 fused DDPM steps, sample via one scan ---
+    ddpm_cfg = dict(task="diffusion", model="tinyddpm",
+                    dataset="cifar10", data_dir=None, image_size=8,
+                    diffusion_steps=10, sample_steps=4, batch_size=4,
+                    total_steps=3,
+                    optimizer=dict(name="adam", lr=1e-3),
+                    precision="f32", seed=0)
+    dfstate, dfstep, dfiter, _ = recipes.build_diffusion(ddpm_cfg,
+                                                         synthetic=True)
+    dfit = dfiter()
+    for _ in range(3):
+        dfstate, dfm = dfstep(dfstate, next(dfit))
+    dfit.close()
+    grid = recipes.make_diffusion_sampler(ddpm_cfg)(dfstate, 4, 0)
+    print(f"[diffusion] 3 fused noise-prediction steps "
+          f"(loss {float(dfm['loss']):.3f}), 4-step DDIM scan -> "
+          f"{grid.shape} uint8 samples")
+
+    # --- fixmatch: labeled + weak + strong in ONE program ------------
+    fm_cfg = dict(task="semisup", model="smallnet", model_kwargs={},
+                  dataset="cifar10", data_dir=None, num_classes=10,
+                  labeled_per_class=2, mu=2, threshold=0.95,
+                  batch_size=4, total_steps=2,
+                  optimizer=dict(name="momentum", momentum_coef=0.9,
+                                 lr=0.05),
+                  augment=dict(out_hw=(32, 32), area_range=None, pad=4,
+                               flip=True,
+                               mean=(0.4914, 0.4822, 0.4465),
+                               std=(0.2470, 0.2435, 0.2616)),
+                  augment_strong=dict(randaugment=(2, 10)),
+                  precision="f32", seed=0)
+    fstate, fstep, fiter, fval, feval = recipes.build_semisup(
+        fm_cfg, synthetic=True)
+    fit = fiter()
+    fstate, fm = fstep(fstate, next(fit))
+    fit.close()
+    facc = feval(fstate, fval.eval_iter(8))
+    print(f"[fixmatch] fused labeled+weak+strong step: sup "
+          f"{float(fm['sup_loss']):.2f}, mask rate "
+          f"{float(fm['mask_rate']):.2f}, EMA val acc {facc:.3f}")
+
     print("tour complete")
 
 

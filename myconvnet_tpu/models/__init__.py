@@ -68,6 +68,7 @@ from myconvnet_tpu.models.sr import (edsr, sr_discriminator, srresnet,
                                      tinysr)
 from myconvnet_tpu.models.diffusion import (ddpm_unet, timestep_embedding,
                                             tiny_ddpm_unet)
+from myconvnet_tpu.models.video import r2plus1d_18, r3d_18, tinyvideo
 
 # Registry keyed by the config-file model names (reference: model choice in
 # parameters.py — SURVEY.md §2#10).
@@ -148,6 +149,14 @@ DIFFUSION_MODELS = {
     "tinyddpm": tiny_ddpm_unet,
 }
 
+# Video classifiers (ninth task family): fn(x [N,T,H,W,3], num_classes,
+# train=) -> logits, NDHWC clips through ops/conv3d.py.
+VIDEO_MODELS = {
+    "r3d_18": r3d_18,
+    "r2plus1d_18": r2plus1d_18,
+    "tinyvideo": tinyvideo,
+}
+
 # Self-supervised pretraining forwards (train/ssl.py; fifth task
 # family).  MAE entries are (x, *, train, features_only, ...) — not
 # classifiers, so they live outside get_model()'s tables; SimCLR reuses
@@ -179,7 +188,7 @@ def list_models(kind: str | None = None) -> list[str]:
     tables = {"classifier": CLASSIFIERS, "segmenter": SEGMENTERS,
               "detector": DETECTORS, "gan": GAN_GENERATORS,
               "ssl": SSL_MODELS, "sr": SR_MODELS,
-              "diffusion": DIFFUSION_MODELS}
+              "diffusion": DIFFUSION_MODELS, "video": VIDEO_MODELS}
     if kind is None:
         return (sorted(CLASSIFIERS) + sorted(SEGMENTERS)
                 + sorted(DETECTORS) + sorted(SR_MODELS))

@@ -110,6 +110,30 @@ def conv(x: jax.Array, features: int, kernel_size: _IntOrPair, *,
     return checkpoint_name(y, "conv_out")
 
 
+def conv3d(x: jax.Array, features: int, kernel_size=3, *,
+           stride=1, padding: str = "SAME", dilation=1,
+           use_bias: bool = True, w_init=None, b_init=None,
+           name: str = "conv3d") -> jax.Array:
+    """3-D conv layer for the video family, NDHWC in/out
+    (ops/conv3d.py).  x: [N,D,H,W,Cin]."""
+    from myconvnet_tpu.ops.conv3d import conv3d as conv3d_op
+    pol = current_policy()
+    kd, kh, kw = (kernel_size,) * 3 if isinstance(kernel_size, int) \
+        else tuple(kernel_size)
+    cin = x.shape[-1]
+    with scope(auto_name(name)):
+        w = param("w", (kd, kh, kw, cin, features), pol.param_dtype,
+                  w_init or init.he_normal())
+        y = conv3d_op(pol.cast_to_compute(x), pol.cast_to_compute(w),
+                      stride=stride, padding=padding, dilation=dilation,
+                      precision=pol.lax_precision)
+        if use_bias or param_exists("b"):
+            b = param("b", (features,), pol.param_dtype,
+                      b_init or init.zeros)
+            y = y + pol.cast_to_compute(b)
+    return checkpoint_name(y, "conv_out")
+
+
 def conv_transpose(x: jax.Array, features: int, kernel_size: _IntOrPair, *,
                    stride: _IntOrPair = 2, padding: str = "SAME",
                    use_bias: bool = True, w_init=None,

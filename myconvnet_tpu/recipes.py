@@ -1341,6 +1341,76 @@ def build_ssl(cfg: dict, synthetic: bool = False, mesh=None):
             DataSet(val_src), feats_fn, kind)
 
 
+# ------------------------------------------------------------ video
+
+def build_video(cfg: dict, synthetic: bool = False,
+                ckpt_dir: str | None = None, log_dir: str | None = None,
+                mesh=None) -> tuple[ConvNet, DataSet, DataSet]:
+    """Video-classification recipe wiring (ninth task family).
+
+    Rides the FULL ConvNet API (build/train/evaluate/predict/save/
+    restore) with 5-D NDHWC clips: the standard supervised driver, a
+    clip corpus (`subsets/video.py`), and an ``augment_fns`` triple
+    that normalizes + clip-coherent-hflips on device inside the jitted
+    step (one flip decision per CLIP, applied to every frame — a
+    per-frame flip would destroy motion continuity).
+    """
+    import jax.numpy as jnp
+
+    from myconvnet_tpu.subsets import video as video_mod
+
+    name = cfg.get("model", "r3d_18")
+    fn = models.VIDEO_MODELS.get(name)
+    if fn is None:
+        raise ValueError(f"unknown video model {name!r}; valid: "
+                         f"{sorted(models.VIDEO_MODELS)}")
+    t = int(cfg.get("num_frames", 8))
+    hw = tuple(cfg.get("input_hw", (112, 112)))
+    # torchvision's Kinetics normalization constants by default
+    mean = jnp.asarray(cfg.get("mean", (0.43216, 0.394666, 0.37645)),
+                       jnp.float32)
+    std = jnp.asarray(cfg.get("std", (0.22803, 0.22145, 0.216989)),
+                      jnp.float32)
+
+    def _norm(x_u8):
+        x = x_u8.astype(jnp.float32) / 255.0
+        return (x - mean) / std
+
+    def train_fn(key, x_u8, y):
+        x = _norm(x_u8)
+        flip = jax.random.bernoulli(key, 0.5, (x.shape[0],))
+        x = jnp.where(flip[:, None, None, None, None],
+                      x[:, :, :, ::-1, :], x)
+        return x, y
+
+    def eval_fn(x_u8, y):
+        return _norm(x_u8), y
+
+    net = ConvNet(
+        model_fn=fn,
+        input_shape=(t, *hw, 3),
+        num_classes=cfg["num_classes"],
+        precision=cfg.get("precision", "f32"),
+        augment_fns=(train_fn, eval_fn, _norm),
+        mesh=mesh,
+        remat=cfg.get("remat", False),
+        accum_steps=cfg.get("accum_steps", 1),
+        seed=cfg.get("seed", 0),
+        ckpt_dir=ckpt_dir, log_dir=log_dir,
+        **cfg.get("model_kwargs", {}))
+
+    def src(split):
+        return video_mod.make_source(
+            cfg.get("data_dir"), split,
+            synthetic=synthetic or cfg.get("data_dir") is None,
+            synthetic_n=cfg.get("synthetic_n", 128),
+            num_frames=t, raw_hw=hw)
+
+    seed = cfg.get("seed", 0)
+    return (net, DataSet(src("train"), seed=seed),
+            DataSet(src("val")))
+
+
 # ---------------------------------------------------- semisup (fixmatch)
 
 def build_semisup(cfg: dict, synthetic: bool = False, mesh=None):

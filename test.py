@@ -111,8 +111,9 @@ def main():
     if cfg["task"] == "ssl":
         return eval_ssl(cfg, args)
     builder = {"segmentation": recipes.build_segmenter,
-               "sr": recipes.build_sr}.get(cfg["task"],
-                                           recipes.build_classifier)
+               "sr": recipes.build_sr,
+               "video": recipes.build_video}.get(cfg["task"],
+                                                 recipes.build_classifier)
     net, _train_set, val_set = builder(cfg, synthetic=args.synthetic,
                                        ckpt_dir=args.ckpt)
     evaluator = recipes.build_evaluator(cfg)

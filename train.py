@@ -149,8 +149,9 @@ def run_supervised(cfg, args, out, mesh, resume: bool):
     from myconvnet_tpu.utils.logging import MetricLogger
 
     builder = {"segmentation": recipes.build_segmenter,
-               "sr": recipes.build_sr}.get(cfg["task"],
-                                           recipes.build_classifier)
+               "sr": recipes.build_sr,
+               "video": recipes.build_video}.get(cfg["task"],
+                                                 recipes.build_classifier)
     net, train_set, val_set = builder(cfg, synthetic=args.synthetic,
                                       ckpt_dir=out, log_dir=out, mesh=mesh)
     from myconvnet_tpu.utils.preemption import PreemptionGuard
