@@ -239,6 +239,14 @@ class ShardedSource:
     def get_batch(self, idx: np.ndarray):
         return self.source.get_batch(self._map[np.asarray(idx)])
 
+    @property
+    def labels(self):
+        """This shard's label view (int-label sources; pk sampling)."""
+        inner = getattr(self.source, "labels", None)
+        if inner is None:
+            return None
+        return np.asarray(inner)[self._map]
+
 
 def batch_indices(n: int, batch_size: int, *, shuffle: bool, seed: int,
                   drop_remainder: bool = True,
@@ -255,6 +263,34 @@ def batch_indices(n: int, batch_size: int, *, shuffle: bool, seed: int,
         end = n - (n % batch_size) if drop_remainder else n
         for i in range(0, end, batch_size):
             yield order[i:i + batch_size]
+        epoch += 1
+
+
+def pk_batch_indices(labels: np.ndarray, p: int, k: int, *, seed: int,
+                     epochs: int | None = None) -> Iterator[np.ndarray]:
+    """P*K identity-balanced batches (metric learning): each batch is
+    ``p`` distinct classes x ``k`` samples per class — the sampling
+    scheme batch-hard triplet mining requires (every anchor is
+    guaranteed k-1 positives and (p-1)*k negatives).  One epoch = one
+    shuffled pass over the class list; classes with fewer than ``k``
+    samples are sampled with replacement."""
+    labels = np.asarray(labels).reshape(-1)
+    classes = np.unique(labels)
+    if len(classes) < p:
+        raise ValueError(f"pk sampler needs >= {p} classes, corpus has "
+                         f"{len(classes)}")
+    by_class = {c: np.flatnonzero(labels == c) for c in classes}
+    rng = np.random.RandomState(seed)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = rng.permutation(classes)
+        for i in range(0, len(order) - p + 1, p):
+            picks = []
+            for c in order[i:i + p]:
+                pool = by_class[c]
+                picks.append(rng.choice(pool, k,
+                                        replace=len(pool) < k))
+            yield np.concatenate(picks)
         epoch += 1
 
 
@@ -334,10 +370,11 @@ class DataSet:
     """Reference-API dataset: source + augmentation config + iterators."""
 
     def __init__(self, source, augment: AugmentConfig | None = None,
-                 seed: int = 0):
+                 seed: int = 0, pk: tuple[int, int] | None = None):
         self.source = source
         self.augment = augment or AugmentConfig()
         self.seed = seed
+        self.pk = pk  # (P, K) identity-balanced training batches
 
     def __len__(self):
         return len(self.source)
@@ -355,7 +392,8 @@ class DataSet:
         if count == 1:
             return self
         return DataSet(ShardedSource(self.source, index, count),
-                       augment=self.augment, seed=self.seed + index)
+                       augment=self.augment, seed=self.seed + index,
+                       pk=self.pk)
 
     def _host_batches(self, batch_size, *, shuffle, epochs, drop_remainder,
                       seed_offset=0):
@@ -372,8 +410,21 @@ class DataSet:
         """Infinite (or epochs-bounded) shuffled uint8 batches, prefetched
         to device.  Device-side augmentation happens inside the train
         step, not here."""
-        host = self._host_batches(batch_size, shuffle=True, epochs=epochs,
-                                  drop_remainder=True)
+        if self.pk is not None:
+            p, k = self.pk
+            if p * k != batch_size:
+                raise ValueError(f"pk={self.pk} batches are {p * k} "
+                                 f"examples but batch_size={batch_size}")
+            labels = getattr(self.source, "labels", None)
+            if labels is None:
+                raise ValueError("pk sampling needs a source with "
+                                 ".labels (ArraySource/FileSource)")
+            host = (self.source.get_batch(idx) for idx in
+                    pk_batch_indices(np.asarray(labels), p, k,
+                                     seed=self.seed, epochs=epochs))
+        else:
+            host = self._host_batches(batch_size, shuffle=True,
+                                      epochs=epochs, drop_remainder=True)
         if prefetch <= 0:
             return host
         return Prefetcher(host, depth=prefetch,

@@ -69,6 +69,7 @@ from myconvnet_tpu.models.sr import (edsr, sr_discriminator, srresnet,
 from myconvnet_tpu.models.diffusion import (ddpm_unet, timestep_embedding,
                                             tiny_ddpm_unet)
 from myconvnet_tpu.models.video import r2plus1d_18, r3d_18, tinyvideo
+from myconvnet_tpu.models.embedding import embedding_net, tinyembed
 
 # Registry keyed by the config-file model names (reference: model choice in
 # parameters.py — SURVEY.md §2#10).
@@ -157,6 +158,15 @@ VIDEO_MODELS = {
     "tinyvideo": tinyvideo,
 }
 
+# Metric-learning embedders (tenth task family): any classifier
+# backbone re-headed to an L2-normalized embedding; margin heads
+# (arcface/cosface) return cosines at train time, embeddings at eval
+# (models/embedding.py).
+EMBEDDING_MODELS = {
+    "embedding_net": embedding_net,
+    "tinyembed": tinyembed,
+}
+
 # Self-supervised pretraining forwards (train/ssl.py; fifth task
 # family).  MAE entries are (x, *, train, features_only, ...) — not
 # classifiers, so they live outside get_model()'s tables; SimCLR reuses
@@ -188,7 +198,8 @@ def list_models(kind: str | None = None) -> list[str]:
     tables = {"classifier": CLASSIFIERS, "segmenter": SEGMENTERS,
               "detector": DETECTORS, "gan": GAN_GENERATORS,
               "ssl": SSL_MODELS, "sr": SR_MODELS,
-              "diffusion": DIFFUSION_MODELS, "video": VIDEO_MODELS}
+              "diffusion": DIFFUSION_MODELS, "video": VIDEO_MODELS,
+              "embedding": EMBEDDING_MODELS}
     if kind is None:
         return (sorted(CLASSIFIERS) + sorted(SEGMENTERS)
                 + sorted(DETECTORS) + sorted(SR_MODELS))

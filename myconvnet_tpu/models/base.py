@@ -68,6 +68,7 @@ class ConvNet:
                  accum_dtype: str = "float32",
                  debug_checks: bool = False, spatial: bool = False,
                  zero_sharding: bool = False, sam_rho: float = 0.0,
+                 accuracy_metric: bool = True,
                  seed: int = 0, ckpt_dir: str | None = None,
                  log_dir: str | None = None, **model_kwargs):
         if model_fn is None and type(self)._forward is ConvNet._forward:
@@ -103,6 +104,7 @@ class ConvNet:
         self.spatial = spatial
         self.zero_sharding = zero_sharding
         self.sam_rho = sam_rho
+        self.accuracy_metric = accuracy_metric
         self.seed = seed
         self.ckpt_dir = ckpt_dir
         self.model_kwargs = model_kwargs
@@ -189,6 +191,7 @@ class ConvNet:
             accum_dtype=self.accum_dtype,
             debug_checks=self.debug_checks, spatial=self.spatial,
             zero_sharding=self.zero_sharding, sam_rho=self.sam_rho,
+            accuracy_metric=self.accuracy_metric,
             preemption_guard=self.preemption_guard,
             logger=self.logger)
 

@@ -260,7 +260,70 @@ def build_segmenter(cfg: dict, synthetic: bool = False,
     return net, DataSet(train_src), DataSet(val_src)
 
 
+def build_metric(cfg: dict, synthetic: bool = False,
+                 ckpt_dir: str | None = None, log_dir: str | None = None,
+                 mesh=None):
+    """Metric learning (tenth task family): an embedding model over any
+    classifier backbone with an ArcFace/CosFace margin head or
+    batch-hard triplet loss; evaluation is leave-one-out retrieval
+    (eval/retrieval.py).  Labels are identity ids, so any
+    classification corpus layout works as a metric corpus."""
+    from myconvnet_tpu.models import EMBEDDING_MODELS
+    from myconvnet_tpu.train.metric_losses import (
+        arcface_loss, batch_hard_triplet_loss, cosface_loss)
+    name = cfg.get("model", "embedding_net")
+    if name not in EMBEDDING_MODELS:
+        raise ValueError(f"unknown metric model {name!r}; valid: "
+                         f"{sorted(EMBEDDING_MODELS)}")
+    model_fn = EMBEDDING_MODELS[name]
+    kwargs = dict(cfg.get("model_kwargs", {}))
+    head = kwargs.get("head", "arcface")
+    if head == "arcface":
+        loss = lambda cos, y: arcface_loss(  # noqa: E731
+            cos, y, s=cfg.get("margin_s", 64.0),
+            m=cfg.get("margin_m", 0.5))
+    elif head == "cosface":
+        loss = lambda cos, y: cosface_loss(  # noqa: E731
+            cos, y, s=cfg.get("margin_s", 30.0),
+            m=cfg.get("margin_m", 0.35))
+    elif head == "triplet":
+        loss = lambda emb, y: batch_hard_triplet_loss(  # noqa: E731
+            emb, y, margin=cfg.get("triplet_margin", 0.3),
+            soft=cfg.get("triplet_soft", False))
+    else:
+        raise ValueError(f"unknown metric_head {head!r}; valid: "
+                         "['arcface', 'cosface', 'triplet']")
+    pk = tuple(cfg["pk"]) if cfg.get("pk") else None
+    if pk is not None and pk[0] * pk[1] != cfg["batch_size"]:
+        raise ValueError(f"pk={pk} must multiply to batch_size="
+                         f"{cfg['batch_size']}")
+    if head == "triplet" and pk is None:
+        raise ValueError(
+            "triplet training needs identity-balanced batches: set "
+            "pk=(P, K) with P*K == batch_size (batch-hard mining has "
+            "no positives under uniform sampling of a large identity "
+            "set)")
+    augment = make_augment(cfg.get("augment"))
+    net = ConvNet(model_fn, input_shape=(*cfg["input_hw"], 3),
+                  num_classes=cfg["num_classes"],
+                  precision=cfg.get("precision", "f32"), loss_fn=loss,
+                  augment=augment, mesh=mesh, seed=cfg.get("seed", 0),
+                  remat=cfg.get("remat", False),
+                  accum_steps=cfg.get("accum_steps", 1),
+                  accum_dtype=cfg.get("accum_dtype", "float32"),
+                  zero_sharding=cfg.get("zero_sharding", False),
+                  sam_rho=cfg.get("sam_rho", 0.0),
+                  accuracy_metric=head != "triplet",
+                  ckpt_dir=ckpt_dir, log_dir=log_dir, **kwargs)
+    train_src, val_src = make_sources(cfg, synthetic)
+    return (net, DataSet(train_src, augment, pk=pk),
+            DataSet(val_src, augment))
+
+
 def build_evaluator(cfg: dict):
+    if cfg["task"] == "metric":
+        from myconvnet_tpu.eval.retrieval import RetrievalEvaluator
+        return RetrievalEvaluator(cfg.get("recall_k", 1))
     if cfg["task"] == "sr":
         from myconvnet_tpu.eval.image_metrics import PairedImageEvaluator
         return PairedImageEvaluator(cfg.get("sr_metric", "psnr"))

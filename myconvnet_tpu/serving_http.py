@@ -14,6 +14,9 @@ conventions (health, model list, ``:predict``):
          {"instances": [[H,W,C float rows], ...]} in [0, 1].
          classify -> {"predictions": [[{"label","prob"} x topk], ...]}
          detect   -> {"detections": [[{"box","score","label"}, ...]]}
+         embed    -> {"embeddings": [[D floats], ...]}  (unit-norm;
+                     metric-learning artifacts — face verification
+                     compares these by cosine)
 
 No web framework — ``http.server.ThreadingHTTPServer`` plus one
 dispatch lock: request decode/encode runs on handler threads, the
@@ -40,7 +43,7 @@ class Route:
     """One served artifact: the loaded program plus its request codec."""
 
     name: str
-    kind: str                      # "classify" | "detect"
+    kind: str                      # "classify" | "detect" | "embed"
     fn: Callable                   # load_inference product (fixed shapes)
     input_shape: tuple             # (B, H, W, C)
     mean: np.ndarray = None        # classify: normalization applied here
@@ -65,7 +68,7 @@ def build_route(name: str, kind: str, artifact: str,
     class names from the recipe's dataset when known."""
     from myconvnet_tpu import serving
 
-    if kind not in ("classify", "detect"):
+    if kind not in ("classify", "detect", "embed"):
         raise ValueError(f"route {name!r}: unknown kind {kind!r}")
     fn = serving.load_inference(artifact)
     shape = fn.input_shapes[0]
@@ -75,7 +78,7 @@ def build_route(name: str, kind: str, artifact: str,
         from myconvnet_tpu import recipes
         cfg = recipes.load_config(config)
         names = _dataset_class_names(cfg)
-    if kind == "classify":
+    if kind in ("classify", "embed"):
         from myconvnet_tpu.data.augment import AugmentConfig
         acfg = AugmentConfig()
         if config:
@@ -179,6 +182,18 @@ class ModelServer:
             return {"predictions": [
                 [{"label": n, "prob": round(float(p), 6)} for n, p in row]
                 for row in rows]}
+        if route.kind == "embed":
+            x = (x - route.mean) / route.std
+            with self._lock:
+                emb = _run_chunked(route.fn, x, batch)
+            # the artifact's eval forward already unit-normalizes;
+            # renormalize so truncated-precision exports stay exactly
+            # cosine-comparable
+            emb = np.asarray(emb, np.float32)
+            emb /= np.maximum(
+                np.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+            return {"embeddings": [[round(float(v), 6) for v in row]
+                                   for row in emb]}
         # detect: artifact normalizes internally — raw [0, 1] in
         with self._lock:
             boxes, scores, labels, valid = _run_chunked(route.fn, x,

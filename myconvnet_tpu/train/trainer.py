@@ -99,6 +99,9 @@ class Trainer:
     # on-device and raise a named NonFiniteError host-side. One fused
     # reduction per tensor — a debug switch, not a production default.
     debug_checks: bool = False
+    # False for tasks whose train-mode output is not class logits
+    # (triplet embeddings): suppresses the argmax train-accuracy column
+    accuracy_metric: bool = True
     # spatial partitioning (needs mesh): shard image rows over the model
     # axis in addition to batch over data — XLA's SPMD partitioner
     # inserts the conv halo exchanges (parallel/mesh.py
@@ -237,7 +240,9 @@ class Trainer:
                     lambda t: jax.lax.with_sharding_constraint(
                         t, zero_rule(t)), new_opt)
             metrics = {"loss": loss}
-            if logits.ndim == y.ndim + 1:  # per-example/pixel class labels
+            if not self.accuracy_metric:
+                pass
+            elif logits.ndim == y.ndim + 1:  # per-example/pixel class labels
                 metrics["accuracy"] = jnp.mean(
                     (jnp.argmax(logits, -1) == y).astype(jnp.float32))
             elif logits.ndim == 2 and y.ndim == 2 \

@@ -35,8 +35,10 @@ def main():
                          "--artifact as the single 'default' route)")
     ap.add_argument("--route", action="append", default=[],
                     metavar="NAME=KIND:ARTIFACT[:CONFIG]",
-                    help="--serve route, repeatable; KIND is classify "
-                         "or detect (e.g. det=detect:ssd.stablehlo)")
+                    help="--serve route, repeatable; KIND is classify, "
+                         "detect or embed (e.g. det=detect:ssd.stablehlo, "
+                         "face=embed:arcface.stablehlo:configs/"
+                         "faces_arcface_r50.py)")
     ap.add_argument("--images", default=None,
                     help="directory of images to classify")
     ap.add_argument("--config", default=None,

@@ -112,8 +112,9 @@ def main():
         return eval_ssl(cfg, args)
     builder = {"segmentation": recipes.build_segmenter,
                "sr": recipes.build_sr,
-               "video": recipes.build_video}.get(cfg["task"],
-                                                 recipes.build_classifier)
+               "video": recipes.build_video,
+               "metric": recipes.build_metric}.get(cfg["task"],
+                                                   recipes.build_classifier)
     net, _train_set, val_set = builder(cfg, synthetic=args.synthetic,
                                        ckpt_dir=args.ckpt)
     evaluator = recipes.build_evaluator(cfg)

@@ -402,6 +402,20 @@ def test_richer_family_cli_roundtrips(tmp_path):
                      "    lr=dict(kind='constant', lr=0.002)),\n"
                      "  augment=dict(flip=True), seed=0)\n",
                      "mAP@0.5:"),
+        # tenth family: run_supervised path + RetrievalEvaluator
+        "tinyembed": ("config = dict(task='metric', model='tinyembed',\n"
+                      "  model_kwargs=dict(head='triplet',"
+                      " embed_dim=16),\n"
+                      "  dataset='cifar10', data_dir=None,"
+                      " num_classes=10,\n"
+                      "  pk=(4, 2), input_hw=(32, 32), batch_size=8,\n"
+                      "  total_steps=4, val_every=0, log_every=2,\n"
+                      "  optimizer=dict(name='adam', lr=1e-3),\n"
+                      "  augment=dict(out_hw=(32, 32), area_range=None,"
+                      " flip=True,\n"
+                      "    mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)),\n"
+                      "  seed=0)\n",
+                      "recall@1:"),
     }
     for name, (cfg_text, marker) in recipes.items():
         cfg_path = tmp_path / f"{name}.py"

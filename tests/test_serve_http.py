@@ -42,6 +42,17 @@ def _detector_artifact(tmp_path):
     return path
 
 
+def _embed_artifact(tmp_path, hw=32, dim=16):
+    from myconvnet_tpu.models.embedding import tinyembed
+    net = transform(lambda x, train=False: tinyembed(
+        x, 8, train=train, embed_dim=dim))
+    x = jax.random.normal(jax.random.key(2), (2, hw, hw, 3))
+    params, state = net.init(jax.random.key(3), x, True)
+    path = str(tmp_path / "emb.stablehlo")
+    serving.export_inference(net, params, state, x, path)
+    return path
+
+
 def test_parse_route_spec_errors():
     with pytest.raises(ValueError):
         serving_http.parse_route_spec("noequals")
@@ -78,6 +89,8 @@ def live_server(tmp_path_factory):
         serving_http.build_route("cls", "classify", cls_path, topk=3),
         serving_http.build_route("det", "detect", det_path,
                                  threshold=0.0),
+        serving_http.build_route("emb", "embed",
+                                 _embed_artifact(tmp_path)),
     ]
     server = serving_http.ModelServer(routes)
     httpd = serving_http.make_http_server(server)  # port 0 = ephemeral
@@ -106,7 +119,7 @@ def _post(url, payload, ctype="application/json"):
 def test_health_and_model_list(live_server):
     assert _get(f"{live_server}/healthz") == {"status": "ok"}
     models = _get(f"{live_server}/v1/models")["models"]
-    assert {m["name"] for m in models} == {"cls", "det"}
+    assert {m["name"] for m in models} == {"cls", "det", "emb"}
     cls = next(m for m in models if m["name"] == "cls")
     assert cls["kind"] == "classify" and cls["input"][1:3] == [24, 24]
 
@@ -149,6 +162,18 @@ def test_detect_json_instances(live_server):
         for d in per_image:
             assert len(d["box"]) == 4
             assert isinstance(d["label"], str)
+
+
+def test_embed_json_instances(live_server):
+    # 3 requests through the fixed batch-2 artifact (chunk + pad path)
+    rng = np.random.default_rng(3)
+    x = rng.random((3, 32, 32, 3)).astype(np.float32)
+    out = _post(f"{live_server}/v1/models/emb:predict",
+                {"instances": x.tolist()})
+    emb = np.asarray(out["embeddings"], np.float32)
+    assert emb.shape == (3, 16)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0,
+                               atol=1e-4)
 
 
 def test_unknown_model_404(live_server):

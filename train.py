@@ -150,8 +150,9 @@ def run_supervised(cfg, args, out, mesh, resume: bool):
 
     builder = {"segmentation": recipes.build_segmenter,
                "sr": recipes.build_sr,
-               "video": recipes.build_video}.get(cfg["task"],
-                                                 recipes.build_classifier)
+               "video": recipes.build_video,
+               "metric": recipes.build_metric}.get(cfg["task"],
+                                                   recipes.build_classifier)
     net, train_set, val_set = builder(cfg, synthetic=args.synthetic,
                                       ckpt_dir=out, log_dir=out, mesh=mesh)
     from myconvnet_tpu.utils.preemption import PreemptionGuard
