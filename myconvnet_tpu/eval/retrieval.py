@@ -56,11 +56,16 @@ class RetrievalEvaluator(Evaluator):
         return n, y
 
     def _ranked_hits(self, k: int) -> tuple[np.ndarray, np.ndarray]:
-        """Per-query [n, k] hit mask + valid-query mask."""
+        """Per-query [n, min(k, n-1)] hit mask + valid-query mask."""
         n, y = self._gather()
         nq = len(y)
+        counts = np.bincount(y, minlength=y.max() + 1)
+        valid = counts[y] >= 2
         k = min(k, nq - 1)
-        hits = np.zeros((nq, max(k, 1)), bool)
+        if k < 1:
+            # one-example gallery: nothing to retrieve, no valid query
+            return np.zeros((nq, 1), bool), np.zeros(nq, bool)
+        hits = np.zeros((nq, k), bool)
         for s in range(0, nq, _CHUNK):
             rows = slice(s, min(s + _CHUNK, nq))
             sim = n[rows] @ n.T                          # [c, nq]
@@ -70,26 +75,30 @@ class RetrievalEvaluator(Evaluator):
             order = np.take_along_axis(sim, top, 1).argsort(axis=1)
             top = np.take_along_axis(top, order[:, ::-1], 1)
             hits[rows] = y[top] == y[idx, None]
-        counts = np.bincount(y, minlength=y.max() + 1)
-        valid = counts[y] >= 2
         return hits, valid
 
-    def recall_at(self, k: int) -> float:
-        hits, valid = self._ranked_hits(k)
+    def recall_at(self, k: int, _ranked=None) -> float:
+        """``_ranked``: optionally a precomputed ``_ranked_hits(k')``
+        with k' >= k, so ``report`` pays the [N, N] pass once."""
+        hits, valid = _ranked if _ranked is not None \
+            else self._ranked_hits(k)
         if not valid.any():
             return 0.0
-        return float(hits[valid].any(axis=1).mean())
+        return float(hits[valid, :k].any(axis=1).mean())
 
-    def mean_average_precision(self, r: int | None = None) -> float:
+    def mean_average_precision(self, r: int | None = None,
+                               _ranked=None) -> float:
         """mAP@R (Musgrave et al.): AP over the first R ranks, R = the
         query's same-identity count (or a fixed ``r``)."""
-        n, y = self._gather()
+        _, y = self._gather()
         counts = np.bincount(y, minlength=y.max() + 1)
         rmax = int(min((counts.max() - 1) if len(counts) else 1,
                        len(y) - 1))
         if rmax < 1:
             return 0.0
-        hits, valid = self._ranked_hits(rmax)
+        hits, valid = _ranked if _ranked is not None \
+            else self._ranked_hits(rmax)
+        hits = hits[:, :rmax]
         rel = counts[y] - 1 if r is None else np.full(len(y), r)
         rel = np.clip(rel, 0, rmax)
         cum = np.cumsum(hits, axis=1)
@@ -108,8 +117,18 @@ class RetrievalEvaluator(Evaluator):
     def report(self, class_names=None) -> str:
         # class_names: accepted for the shared --report interface
         # (identities are anonymous ids; nothing to name)
-        lines = [f"queries: {sum(len(x) for x in self._labels)}"]
+        if not self._embs:
+            return "queries: 0"
+        y = np.concatenate(self._labels)
+        counts = np.bincount(y, minlength=y.max() + 1)
+        rmax = int(min((counts.max() - 1) if len(counts) else 1,
+                       len(y) - 1))
+        # one similarity pass wide enough for every metric below
+        ranked = self._ranked_hits(max(8, rmax))
+        lines = [f"queries: {len(y)}"]
         for k in (1, 2, 4, 8):
-            lines.append(f"recall@{k}: {self.recall_at(k):.4f}")
-        lines.append(f"mAP@R: {self.mean_average_precision():.4f}")
+            lines.append(
+                f"recall@{k}: {self.recall_at(k, _ranked=ranked):.4f}")
+        lines.append(f"mAP@R: "
+                     f"{self.mean_average_precision(_ranked=ranked):.4f}")
         return "\n".join(lines)

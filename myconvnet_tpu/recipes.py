@@ -159,14 +159,14 @@ def make_sources(cfg: dict, synthetic: bool, splits=("train", "val")):
                       or name.endswith("mnist") or name == "svhn"
                       else "val"}.get(split, split)
         kw = {}
-        if name == "images":
-            # the unlabeled-images corpus honors decode geometry knobs
-            # (super-resolution needs native-pixel crops, not
-            # cover-resize)
-            if cfg.get("raw_hw") is not None:
-                kw["raw_hw"] = tuple(cfg["raw_hw"])
-            if cfg.get("decode_mode") is not None:
-                kw["decode_mode"] = cfg["decode_mode"]
+        if name in ("images", "imagenet") and cfg.get("raw_hw") \
+                is not None:
+            # decode geometry knob: super-resolution needs native-
+            # pixel crops; face/metric corpora in imagenet layout
+            # decode at the aligned-crop size rather than 256x256
+            kw["raw_hw"] = tuple(cfg["raw_hw"])
+        if name == "images" and cfg.get("decode_mode") is not None:
+            kw["decode_mode"] = cfg["decode_mode"]
         src = mod.make_source(data_dir, real_split,
                               synthetic=synthetic or data_dir is None,
                               **kw)
@@ -303,6 +303,12 @@ def build_metric(cfg: dict, synthetic: bool = False,
             "pk=(P, K) with P*K == batch_size (batch-hard mining has "
             "no positives under uniform sampling of a large identity "
             "set)")
+    if head == "triplet" and (pk[0] < 2 or pk[1] < 2):
+        raise ValueError(
+            f"pk={pk}: batch-hard triplet mining needs P >= 2 "
+            "identities (else no negatives) and K >= 2 examples per "
+            "identity (else no positives) — with either at 1 the "
+            "loss is identically zero and training silently no-ops")
     augment = make_augment(cfg.get("augment"))
     net = ConvNet(model_fn, input_shape=(*cfg["input_hw"], 3),
                   num_classes=cfg["num_classes"],
@@ -1439,11 +1445,21 @@ def build_video(cfg: dict, synthetic: bool = False,
         x = x_u8.astype(jnp.float32) / 255.0
         return (x - mean) / std
 
+    # The synthetic corpus labels BY motion direction, so a mirrored
+    # clip belongs to the mirrored class: remap labels under flip
+    # (right<->left) or half the horizontal-motion examples train
+    # mislabeled.  Real corpora keep labels flip-invariant.
+    syn_labels = synthetic or cfg.get("data_dir") is None
+    label_swap = (jnp.asarray(video_mod.HFLIP_LABEL_SWAP)
+                  if syn_labels else None)
+
     def train_fn(key, x_u8, y):
         x = _norm(x_u8)
         flip = jax.random.bernoulli(key, 0.5, (x.shape[0],))
         x = jnp.where(flip[:, None, None, None, None],
                       x[:, :, :, ::-1, :], x)
+        if label_swap is not None:
+            y = jnp.where(flip, label_swap[y], y)
         return x, y
 
     def eval_fn(x_u8, y):

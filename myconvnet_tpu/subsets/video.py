@@ -31,6 +31,12 @@ from myconvnet_tpu.data.pipeline import decode_image
 FRAME_EXTS = (".jpg", ".jpeg", ".png")
 # dx, dy per class (pixels per frame, scaled by image size)
 DIRECTIONS = ((1, 0), (0, 1), (-1, 0), (0, -1))
+# Label permutation under a horizontal flip of the frame: classes ARE
+# motion directions here, so mirroring swaps right (0) and left (2)
+# while vertical motion is unchanged.  Recipes that hflip synthetic
+# clips must remap labels with this table or 50% of the horizontal-
+# motion examples become mislabeled (capping accuracy at 0.75).
+HFLIP_LABEL_SWAP = np.array([2, 1, 0, 3], np.int32)
 
 
 def read_subset(data_dir: str, split: str = "train"):

@@ -230,6 +230,39 @@ def test_retrieval_singletons_excluded():
     assert ev.score() == pytest.approx(1.0)
 
 
+def test_metric_sources_honor_raw_hw():
+    # regression: raw_hw used to be forwarded only for dataset=
+    # 'images', so the ArcFace recipe's 128x128 aligned-face decode
+    # silently fell back to the 256x256 imagenet default
+    cfg = _tiny_cfg(dataset="imagenet", raw_hw=(40, 40),
+                    num_classes=1000)
+    tr, _va = recipes.make_sources(cfg, synthetic=True)
+    x, _y = tr.get_batch(np.arange(2))
+    assert x.shape[1:3] == (40, 40)
+
+
+def test_retrieval_single_example_gallery():
+    # regression: one accumulated embedding used to crash _ranked_hits
+    # (k clamped to 0, zero-width broadcast); must score 0.0 cleanly
+    ev = RetrievalEvaluator(1)
+    ev.update(np.ones((1, 4), np.float32), np.asarray([3]))
+    assert ev.score() == 0.0
+    assert ev.mean_average_precision() == 0.0
+    assert "recall@1: 0.0000" in ev.report()
+
+
+def test_retrieval_report_matches_individual_metrics():
+    # report() shares one ranked pass across all K; numbers must equal
+    # the individually-computed metrics exactly
+    embs, y = _clustered_embeddings(per=4, ids=3)
+    ev = RetrievalEvaluator(1)
+    ev.update(embs, y)
+    rep = ev.report()
+    for k in (1, 2, 4, 8):
+        assert f"recall@{k}: {ev.recall_at(k):.4f}" in rep
+    assert f"mAP@R: {ev.mean_average_precision():.4f}" in rep
+
+
 def test_retrieval_known_miss():
     # two identities, one contaminated point sitting in the other cluster
     embs = np.asarray([[1, 0], [1, 0.01], [0, 1], [0.01, 1], [0.05, 1]],
@@ -276,6 +309,11 @@ def test_build_metric_validates_config():
     bad["model_kwargs"]["head"] = "contrastive"
     with pytest.raises(ValueError, match="metric_head|head"):
         recipes.build_metric(bad, synthetic=True)
+    # degenerate PK shapes silently zero the triplet loss: reject
+    with pytest.raises(ValueError, match="K >= 2"):
+        recipes.build_metric(_tiny_cfg(pk=(16, 1)), synthetic=True)
+    with pytest.raises(ValueError, match="P >= 2"):
+        recipes.build_metric(_tiny_cfg(pk=(1, 16)), synthetic=True)
 
 
 def test_metric_evaluator_selected():

@@ -131,8 +131,10 @@ def test_video_recipe_learns_motion_direction():
     """The functional test: motion-direction labels are solvable ONLY
     through temporal modeling (single frames are class-ambiguous by
     construction, appearance is identical across classes) — val
-    generalization proves the 3-D conv path learns motion.  Measured:
-    val acc ~0.75 at 300 steps on 512 clips (chance = 0.25)."""
+    generalization proves the 3-D conv path learns motion.  The
+    train-time hflip remaps labels right<->left (HFLIP_LABEL_SWAP) so
+    mirroring is a CORRECT augmentation rather than a 0.75 accuracy
+    cap (mislabeled horizontal motion)."""
     cfg = _tiny_cfg(total_steps=300, batch_size=16, synthetic_n=512)
     net, train_set, val_set = recipes.build_video(cfg, synthetic=True)
     from myconvnet_tpu.eval.evaluators import AccuracyEvaluator
@@ -142,6 +144,29 @@ def test_video_recipe_learns_motion_direction():
               optimizer=opt, evaluator=ev, val_every=0)
     acc = net.evaluate(val_set, ev, batch_size=16)
     assert acc > 0.5, f"temporal learning failed: acc={acc}"
+
+
+def test_video_hflip_remaps_direction_labels():
+    """Synthetic labels ARE motion directions: the train augmentation
+    must swap right(0)<->left(2) on the clips it mirrors and leave
+    vertical motion (1, 3) alone, or horizontal examples train
+    mislabeled (regression: unconditional flip capped acc at 0.75)."""
+    from myconvnet_tpu.subsets.video import HFLIP_LABEL_SWAP
+    assert list(HFLIP_LABEL_SWAP) == [2, 1, 0, 3]
+    cfg = _tiny_cfg(batch_size=64)
+    net, _tr, _va = recipes.build_video(cfg, synthetic=True)
+    train_fn = net.augment_fns[0]
+    t, h, w = cfg.get("num_frames", 8), *cfg["input_hw"]
+    # clips with an off-center bright column so a flip is detectable
+    x = np.zeros((64, t, h, w, 3), np.uint8)
+    x[:, :, :, 1, :] = 255
+    y = np.tile(np.arange(4, dtype=np.int32), 16)
+    xo, yo = jax.jit(train_fn)(jax.random.PRNGKey(7), x, y)
+    xo, yo = np.asarray(xo), np.asarray(yo)
+    flipped = xo[:, 0, 0, w - 2, 0] > xo[:, 0, 0, 1, 0]
+    assert flipped.any() and not flipped.all()  # both branches hit
+    np.testing.assert_array_equal(
+        yo, np.where(flipped, HFLIP_LABEL_SWAP[y], y))
 
 
 def test_video_ckpt_roundtrip(tmp_path):
