@@ -70,6 +70,7 @@ from myconvnet_tpu.models.diffusion import (ddpm_unet, timestep_embedding,
                                             tiny_ddpm_unet)
 from myconvnet_tpu.models.video import r2plus1d_18, r3d_18, tinyvideo
 from myconvnet_tpu.models.embedding import embedding_net, tinyembed
+from myconvnet_tpu.models.audio import m5, m11, melspec_cnn, tinyaudio
 
 # Registry keyed by the config-file model names (reference: model choice in
 # parameters.py — SURVEY.md §2#10).
@@ -167,6 +168,16 @@ EMBEDDING_MODELS = {
     "tinyembed": tinyembed,
 }
 
+# Audio classifiers (eleventh task family): fn(x [N,T,1] waveform,
+# num_classes, train=) -> logits; 1-D convs / on-device log-mel
+# frontend through ops/audio.py.
+AUDIO_MODELS = {
+    "m5": m5,
+    "m11": m11,
+    "melspec_cnn": melspec_cnn,
+    "tinyaudio": tinyaudio,
+}
+
 # Self-supervised pretraining forwards (train/ssl.py; fifth task
 # family).  MAE entries are (x, *, train, features_only, ...) — not
 # classifiers, so they live outside get_model()'s tables; SimCLR reuses
@@ -199,7 +210,7 @@ def list_models(kind: str | None = None) -> list[str]:
               "detector": DETECTORS, "gan": GAN_GENERATORS,
               "ssl": SSL_MODELS, "sr": SR_MODELS,
               "diffusion": DIFFUSION_MODELS, "video": VIDEO_MODELS,
-              "embedding": EMBEDDING_MODELS}
+              "embedding": EMBEDDING_MODELS, "audio": AUDIO_MODELS}
     if kind is None:
         return (sorted(CLASSIFIERS) + sorted(SEGMENTERS)
                 + sorted(DETECTORS) + sorted(SR_MODELS))

@@ -110,6 +110,28 @@ def conv(x: jax.Array, features: int, kernel_size: _IntOrPair, *,
     return checkpoint_name(y, "conv_out")
 
 
+def conv1d(x: jax.Array, features: int, kernel_size: int = 3, *,
+           stride: int = 1, padding: str = "SAME", dilation: int = 1,
+           groups: int = 1, use_bias: bool = True, w_init=None,
+           b_init=None, name: str = "conv1d") -> jax.Array:
+    """1-D conv layer for the audio family, NWC in/out
+    (ops/audio.py).  x: [N,T,Cin]."""
+    from myconvnet_tpu.ops.audio import conv1d as conv1d_op
+    pol = current_policy()
+    cin = x.shape[-1]
+    with scope(auto_name(name)):
+        w = param("w", (int(kernel_size), cin // groups, features),
+                  pol.param_dtype, w_init or init.he_normal())
+        y = conv1d_op(pol.cast_to_compute(x), pol.cast_to_compute(w),
+                      stride=stride, padding=padding, dilation=dilation,
+                      groups=groups, precision=pol.lax_precision)
+        if use_bias or param_exists("b"):
+            b = param("b", (features,), pol.param_dtype,
+                      b_init or init.zeros)
+            y = y + pol.cast_to_compute(b)
+    return checkpoint_name(y, "conv_out")
+
+
 def conv3d(x: jax.Array, features: int, kernel_size=3, *,
            stride=1, padding: str = "SAME", dilation=1,
            use_bias: bool = True, w_init=None, b_init=None,

@@ -1490,6 +1490,83 @@ def build_video(cfg: dict, synthetic: bool = False,
             DataSet(src("val")))
 
 
+def build_audio(cfg: dict, synthetic: bool = False,
+                ckpt_dir: str | None = None, log_dir: str | None = None,
+                mesh=None) -> tuple[ConvNet, DataSet, DataSet]:
+    """Audio-classification recipe wiring (eleventh task family).
+
+    The standard supervised ConvNet ride over [N, T, 1] waveforms:
+    int16 crosses the wire, an ``augment_fns`` triple converts to
+    float and augments ON DEVICE inside the jitted step (random gain,
+    circular time shift, additive noise — the SpecAugment-era basics
+    that apply to both raw-waveform and log-mel models), and the
+    model is any AUDIO_MODELS entry (m5/m11 raw 1-D CNNs or the
+    melspec_cnn log-mel frontend + 2-D zoo backbone).
+    """
+    import jax.numpy as jnp
+
+    from myconvnet_tpu.subsets import audio as audio_mod
+
+    name = cfg.get("model", "m5")
+    fn = models.AUDIO_MODELS.get(name)
+    if fn is None:
+        raise ValueError(f"unknown audio model {name!r}; valid: "
+                         f"{sorted(models.AUDIO_MODELS)}")
+    t = int(cfg.get("num_samples", audio_mod.DEFAULT_NUM_SAMPLES))
+    gain = float(cfg.get("aug_gain", 0.15))       # +-15% amplitude
+    shift = int(cfg.get("aug_shift", t // 10))    # max roll, samples
+    noise = float(cfg.get("aug_noise", 0.005))    # additive sigma
+
+    def _norm(x_i16):
+        return x_i16.astype(jnp.float32) / 32768.0
+
+    def train_fn(key, x_i16, y):
+        x = _norm(x_i16)                           # [B, T, 1]
+        kg, ks, kn = jax.random.split(key, 3)
+        g = jax.random.uniform(kg, (x.shape[0], 1, 1),
+                               minval=1.0 - gain, maxval=1.0 + gain)
+        x = x * g
+        if shift > 0:
+            # per-clip circular shift: tones/speech are shift-
+            # covariant, labels are shift-invariant
+            s = jax.random.randint(ks, (x.shape[0],), -shift,
+                                   shift + 1)
+            x = jax.vmap(lambda xi, si: jnp.roll(xi, si, axis=0))(x, s)
+        if noise > 0:
+            x = x + noise * jax.random.normal(kn, x.shape)
+        return x, y
+
+    def eval_fn(x_i16, y):
+        return _norm(x_i16), y
+
+    net = ConvNet(
+        model_fn=fn,
+        input_shape=(t, 1),
+        num_classes=cfg["num_classes"],
+        precision=cfg.get("precision", "f32"),
+        augment_fns=(train_fn, eval_fn, _norm),
+        mesh=mesh,
+        remat=cfg.get("remat", False),
+        accum_steps=cfg.get("accum_steps", 1),
+        seed=cfg.get("seed", 0),
+        ckpt_dir=ckpt_dir, log_dir=log_dir,
+        **cfg.get("model_kwargs", {}))
+
+    def src(split):
+        return audio_mod.make_source(
+            cfg.get("data_dir"), split,
+            synthetic=synthetic or cfg.get("data_dir") is None,
+            synthetic_n=cfg.get("synthetic_n", 256),
+            num_samples=t,
+            sample_rate=cfg.get("sample_rate",
+                                audio_mod.DEFAULT_SAMPLE_RATE),
+            n_classes=cfg["num_classes"])
+
+    seed = cfg.get("seed", 0)
+    return (net, DataSet(src("train"), seed=seed),
+            DataSet(src("val")))
+
+
 # ---------------------------------------------------- semisup (fixmatch)
 
 def build_semisup(cfg: dict, synthetic: bool = False, mesh=None):

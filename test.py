@@ -110,7 +110,8 @@ def main():
         return eval_detection(cfg, args)
     if cfg["task"] == "ssl":
         return eval_ssl(cfg, args)
-    builder = {"segmentation": recipes.build_segmenter,
+    builder = {"audio": recipes.build_audio,
+               "segmentation": recipes.build_segmenter,
                "sr": recipes.build_sr,
                "video": recipes.build_video,
                "metric": recipes.build_metric}.get(cfg["task"],
