@@ -69,6 +69,7 @@ class ConvNet:
                  debug_checks: bool = False, spatial: bool = False,
                  zero_sharding: bool = False, sam_rho: float = 0.0,
                  accuracy_metric: bool = True,
+                 cast_input: bool = True,
                  seed: int = 0, ckpt_dir: str | None = None,
                  log_dir: str | None = None, **model_kwargs):
         if model_fn is None and type(self)._forward is ConvNet._forward:
@@ -105,6 +106,13 @@ class ConvNet:
         self.zero_sharding = zero_sharding
         self.sam_rho = sam_rho
         self.accuracy_metric = accuracy_metric
+        # cast_input=False skips the global input downcast and lets the
+        # model manage precision: nn layers cast activations to the
+        # compute dtype internally, so this only matters for models with
+        # a precision-sensitive frontend (e.g. audio log-mel under bf16,
+        # where an early bf16 cast would quantize the 16-bit waveform to
+        # an 8-bit mantissa BEFORE the f32 STFT).
+        self.cast_input = cast_input
         self.seed = seed
         self.ckpt_dir = ckpt_dir
         self.model_kwargs = model_kwargs
@@ -125,7 +133,8 @@ class ConvNet:
 
     def _wrapped_forward(self, x, train=False):
         with policy_scope(self.policy):
-            x = self.policy.cast_to_compute(x)
+            if self.cast_input:
+                x = self.policy.cast_to_compute(x)
             out = self._forward(x, train)
             return self.policy.cast_to_output(out)
 
@@ -141,7 +150,8 @@ class ConvNet:
         self._optimizer = opt
         rng = jax.random.key(self.seed)
         sample = jnp.zeros((batch_size, *self.input_shape),
-                           self.policy.compute_dtype)
+                           self.policy.compute_dtype if self.cast_input
+                           else jnp.float32)
         self.state = init_train_state(self._transformed, opt, rng, sample)
         return self
 

@@ -1513,6 +1513,12 @@ def build_audio(cfg: dict, synthetic: bool = False,
         raise ValueError(f"unknown audio model {name!r}; valid: "
                          f"{sorted(models.AUDIO_MODELS)}")
     t = int(cfg.get("num_samples", audio_mod.DEFAULT_NUM_SAMPLES))
+    sr = int(cfg.get("sample_rate", audio_mod.DEFAULT_SAMPLE_RATE))
+    model_kwargs = dict(cfg.get("model_kwargs", {}))
+    if name == "melspec_cnn":
+        # the frontend's mel axis must agree with the corpus rate —
+        # otherwise half the bands can land above Nyquist silently
+        model_kwargs.setdefault("sample_rate", sr)
     gain = float(cfg.get("aug_gain", 0.15))       # +-15% amplitude
     shift = int(cfg.get("aug_shift", t // 10))    # max roll, samples
     noise = float(cfg.get("aug_noise", 0.005))    # additive sigma
@@ -1548,19 +1554,27 @@ def build_audio(cfg: dict, synthetic: bool = False,
         mesh=mesh,
         remat=cfg.get("remat", False),
         accum_steps=cfg.get("accum_steps", 1),
+        # the models manage precision themselves (nn layers cast to the
+        # compute dtype): an early bf16 cast would quantize the 16-bit
+        # waveform to an 8-bit mantissa BEFORE the f32 log-mel frontend
+        cast_input=False,
         seed=cfg.get("seed", 0),
         ckpt_dir=ckpt_dir, log_dir=log_dir,
-        **cfg.get("model_kwargs", {}))
+        **model_kwargs)
 
     def src(split):
-        return audio_mod.make_source(
+        s = audio_mod.make_source(
             cfg.get("data_dir"), split,
             synthetic=synthetic or cfg.get("data_dir") is None,
             synthetic_n=cfg.get("synthetic_n", 256),
-            num_samples=t,
-            sample_rate=cfg.get("sample_rate",
-                                audio_mod.DEFAULT_SAMPLE_RATE),
+            num_samples=t, sample_rate=sr,
             n_classes=cfg["num_classes"])
+        found = getattr(s, "class_names", None)
+        if found is not None and len(found) != cfg["num_classes"]:
+            raise ValueError(
+                f"corpus {split!r} split has {len(found)} classes but "
+                f"cfg num_classes={cfg['num_classes']}: {found}")
+        return s
 
     seed = cfg.get("seed", 0)
     return (net, DataSet(src("train"), seed=seed),

@@ -36,13 +36,24 @@ DEFAULT_SAMPLE_RATE = 16000
 DEFAULT_NUM_SAMPLES = 16000  # one second
 
 
-def load_wav(path: str, num_samples: int) -> np.ndarray:
-    """16-bit PCM wav -> [num_samples] int16 (pad/center-crop)."""
+def load_wav(path: str, num_samples: int,
+             sample_rate: int | None = None) -> np.ndarray:
+    """16-bit PCM wav -> [num_samples] int16 (pad/center-crop).
+
+    When ``sample_rate`` is given the file's actual framerate must
+    match — a mis-rated corpus (8 kHz files under a 16 kHz config)
+    would otherwise train silently on time-dilated audio with the mel
+    frequency axis off by the rate ratio.
+    """
     with wave.open(path, "rb") as f:
         if f.getsampwidth() != 2:
             raise ValueError(
                 f"{path!r}: only 16-bit PCM supported, got "
                 f"{8 * f.getsampwidth()}-bit")
+        if sample_rate is not None and f.getframerate() != sample_rate:
+            raise ValueError(
+                f"{path!r}: sample rate {f.getframerate()} != configured "
+                f"{sample_rate} (resample the corpus or set sample_rate)")
         nch = f.getnchannels()
         raw = f.readframes(f.getnframes())
     x = np.frombuffer(raw, dtype="<i2")
@@ -75,6 +86,10 @@ def read_subset(data_dir: str, split: str = "train"):
     elif os.path.isfile(val_list):
         # speech-commands layout: flat tree + held-out file lists
         root = data_dir
+        if split not in ("train", "val", "test"):
+            raise ValueError(
+                f"unknown split {split!r} for the speech-commands "
+                f"layout; expected train/val/test")
         name = {"val": "validation_list.txt",
                 "test": "testing_list.txt"}.get(split)
         lists = {}
@@ -90,6 +105,10 @@ def read_subset(data_dir: str, split: str = "train"):
                         lists["validation_list.txt"]
                         | lists["testing_list.txt"])
         else:
+            if not lists[name]:
+                raise FileNotFoundError(
+                    f"split {split!r} requested but {name} is missing "
+                    f"or empty under {data_dir!r}")
             held_out = ("member", lists[name])
     else:
         raise FileNotFoundError(
@@ -118,18 +137,21 @@ class WavSource:
 
     def __init__(self, paths, labels,
                  num_samples: int = DEFAULT_NUM_SAMPLES,
+                 sample_rate: int | None = DEFAULT_SAMPLE_RATE,
                  workers: int = 8):
         assert len(paths) == len(labels)
         self.paths = list(paths)
         self.labels = np.asarray(labels, np.int32)
         self.num_samples = int(num_samples)
+        self.sample_rate = sample_rate
         self._pool = ThreadPoolExecutor(max_workers=workers)
 
     def __len__(self):
         return len(self.paths)
 
     def _load(self, i: int) -> np.ndarray:
-        return load_wav(self.paths[i], self.num_samples)
+        return load_wav(self.paths[i], self.num_samples,
+                        self.sample_rate)
 
     def get_batch(self, indices):
         wavs = list(self._pool.map(self._load, indices))
@@ -184,6 +206,6 @@ def make_source(data_dir: str | None, split: str = "train",
         return src
     paths, labels, classes = read_subset(data_dir, split)
     src = WavSource(paths, labels, num_samples=num_samples,
-                    workers=workers)
+                    sample_rate=sample_rate, workers=workers)
     src.class_names = classes
     return src

@@ -364,3 +364,97 @@ def test_cli_roundtrip(tmp_path):
         capture_output=True, text=True, cwd="/root/repo", timeout=600)
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "accuracy" in r2.stdout
+
+
+# ------------------------------------------------- review-finding fixes
+
+def test_load_wav_rejects_wrong_sample_rate(tmp_path):
+    _write_wav(tmp_path / "a.wav", np.zeros(20, np.int16), sr=8000)
+    with pytest.raises(ValueError, match="sample rate 8000"):
+        audio_mod.load_wav(str(tmp_path / "a.wav"), 32, 16000)
+    # matching rate (or unchecked) passes
+    out = audio_mod.load_wav(str(tmp_path / "a.wav"), 32, 8000)
+    assert out.shape == (32,)
+    audio_mod.load_wav(str(tmp_path / "a.wav"), 32)
+
+
+def test_speech_commands_split_validation(tmp_path):
+    (tmp_path / "go").mkdir()
+    _write_wav(tmp_path / "go" / "0.wav", np.zeros(8, np.int16))
+    (tmp_path / "validation_list.txt").write_text("go/0.wav\n")
+    with pytest.raises(ValueError, match="unknown split"):
+        audio_mod.read_subset(str(tmp_path), "bogus")
+    with pytest.raises(FileNotFoundError, match="testing_list"):
+        audio_mod.read_subset(str(tmp_path), "test")
+
+
+def test_build_audio_melspec_inherits_corpus_rate():
+    """cfg sample_rate must reach melspec_cnn's filterbank default."""
+    cfg = _tiny_cfg(model="melspec_cnn",
+                    model_kwargs=dict(backbone="smallnet", n_fft=256,
+                                      hop=128, n_mels=32,
+                                      backbone_kwargs=dict(width=8)))
+    net, _tr, _va = recipes.build_audio(cfg, synthetic=True)
+    assert net.model_kwargs["sample_rate"] == cfg["sample_rate"]
+    # explicit model_kwargs rate wins over the corpus rate
+    cfg2 = _tiny_cfg(model="melspec_cnn",
+                     model_kwargs=dict(backbone="smallnet",
+                                       sample_rate=8000))
+    net2, _tr, _va = recipes.build_audio(cfg2, synthetic=True)
+    assert net2.model_kwargs["sample_rate"] == 8000
+
+
+def test_build_audio_validates_num_classes(tmp_path):
+    """A real corpus whose discovered class count disagrees with cfg
+    num_classes must fail at build time, not train silently with
+    out-of-range labels."""
+    for split in ("train", "val"):
+        for cls in ("a", "b", "c"):
+            d = tmp_path / split / cls
+            d.mkdir(parents=True)
+            _write_wav(d / "0.wav", np.zeros(8, np.int16), sr=4000)
+    cfg = _tiny_cfg(num_classes=4, data_dir=str(tmp_path))
+    with pytest.raises(ValueError, match="num_classes"):
+        recipes.build_audio(cfg)
+
+
+def test_bf16_policy_keeps_waveform_f32_until_frontend():
+    """Under precision=bf16 the audio recipes skip the global input
+    cast (cast_input=False): a bf16 waveform has only an 8-bit
+    mantissa (~48 dB SNR), which would destroy quiet spectral content
+    before the f32 STFT.  The model's first op must see f32."""
+    cfg = _tiny_cfg(precision="bf16")
+    net, _tr, _va = recipes.build_audio(cfg, synthetic=True)
+    assert net.cast_input is False
+    seen = {}
+    orig = models.tinyaudio
+
+    def spy(x, *a, **k):
+        seen["dtype"] = x.dtype
+        return orig(x, *a, **k)
+
+    net._model_fn = spy
+    net.build()
+    assert seen["dtype"] == jnp.float32
+    # and a quiet tone MASKED BY a loud one survives: bf16's 8-bit
+    # mantissa sets an absolute quantization floor ~loud*2^-9, burying
+    # content ~-80 dB below the loud tone that f32 resolves cleanly
+    sr = 4000
+    t = np.arange(2048, dtype=np.float32) / sr
+    x = (0.5 * np.sin(2 * np.pi * 300.0 * t)
+         + 5e-5 * np.sin(2 * np.pi * 1500.0 * t))[None, :, None]
+    lm_f32 = np.asarray(log_mel_spectrogram(
+        jnp.asarray(x), sample_rate=sr, n_fft=256, hop=128, n_mels=32,
+        precision="highest"))
+    lm_bf16 = np.asarray(log_mel_spectrogram(
+        jnp.asarray(x).astype(jnp.bfloat16).astype(jnp.float32),
+        sample_rate=sr, n_fft=256, hop=128, n_mels=32,
+        precision="highest"))
+    edges = mel_to_hz(np.linspace(hz_to_mel(0.0), hz_to_mel(sr / 2),
+                                  34))[1:-1]
+    quiet = int(np.argmin(np.abs(edges - 1500.0)))
+    # f32 resolves the -80 dB tone well above the eps floor; the bf16
+    # pre-cast quantizes it away (the band collapses toward log(eps))
+    assert (lm_f32[0, :, quiet, 0].mean()
+            > lm_bf16[0, :, quiet, 0].mean() + 2.0), (
+        lm_f32[0, :, quiet, 0].mean(), lm_bf16[0, :, quiet, 0].mean())
