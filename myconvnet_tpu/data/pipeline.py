@@ -294,6 +294,28 @@ def pk_batch_indices(labels: np.ndarray, p: int, k: int, *, seed: int,
         epoch += 1
 
 
+def _window_batches(host_iter, window: int):
+    """Group ``window`` host batches and stack each leaf on a new
+    leading axis: K x (x [B,...], y [B,...]) -> (x [K,B,...], ...).
+    The tail of a bounded iterator groups short (K' < window)."""
+    import jax as _jax
+    it = iter(host_iter)
+    while True:
+        group = []
+        for _ in range(window):
+            try:
+                group.append(next(it))
+            except StopIteration:
+                break
+        if not group:
+            return
+        if len(group) == 1:
+            # stack even a lone tail so the consumer sees one layout
+            yield _jax.tree.map(lambda z: np.stack([z]), group[0])
+        else:
+            yield _jax.tree.map(lambda *zs: np.stack(zs), *group)
+
+
 class Prefetcher:
     """Double-buffered host->device transfer on a background thread.
 
@@ -405,11 +427,18 @@ class DataSet:
             yield self.source.get_batch(idx)
 
     def train_iter(self, batch_size: int, *, epochs: int | None = None,
-                   prefetch: int = 2,
+                   prefetch: int = 2, window: int = 1,
                    device_put_fn: Callable | None = None) -> Iterator:
         """Infinite (or epochs-bounded) shuffled uint8 batches, prefetched
         to device.  Device-side augmentation happens inside the train
-        step, not here."""
+        step, not here.
+
+        ``window > 1`` (Trainer.chain_steps): group ``window`` host
+        batches and np.stack them to [K, B, ...] BEFORE the prefetcher's
+        background transfer, so the staged unit is a whole dispatch
+        window and host->device transfer still overlaps device compute
+        (stacking after the per-batch device_put would bounce the data
+        device->host->device).  A bounded epoch's tail groups short."""
         if self.pk is not None:
             p, k = self.pk
             if p * k != batch_size:
@@ -425,6 +454,8 @@ class DataSet:
         else:
             host = self._host_batches(batch_size, shuffle=True,
                                       epochs=epochs, drop_remainder=True)
+        if window > 1:
+            host = _window_batches(host, int(window))
         if prefetch <= 0:
             return host
         return Prefetcher(host, depth=prefetch,

@@ -68,6 +68,7 @@ class ConvNet:
                  accum_dtype: str = "float32",
                  debug_checks: bool = False, spatial: bool = False,
                  zero_sharding: bool = False, sam_rho: float = 0.0,
+                 chain_steps: int = 1,
                  accuracy_metric: bool = True,
                  cast_input: bool = True,
                  seed: int = 0, ckpt_dir: str | None = None,
@@ -105,6 +106,10 @@ class ConvNet:
         self.spatial = spatial
         self.zero_sharding = zero_sharding
         self.sam_rho = sam_rho
+        # dispatch chaining (steps-per-loop): K train steps per jitted
+        # call over a pre-staged [K, B, ...] window — bounds host work
+        # to one iteration per K steps (see Trainer.chain_steps)
+        self.chain_steps = chain_steps
         self.accuracy_metric = accuracy_metric
         # cast_input=False skips the global input downcast and lets the
         # model manage precision: nn layers cast activations to the
@@ -201,6 +206,7 @@ class ConvNet:
             accum_dtype=self.accum_dtype,
             debug_checks=self.debug_checks, spatial=self.spatial,
             zero_sharding=self.zero_sharding, sam_rho=self.sam_rho,
+            chain_steps=self.chain_steps,
             accuracy_metric=self.accuracy_metric,
             preemption_guard=self.preemption_guard,
             logger=self.logger)
@@ -244,7 +250,9 @@ class ConvNet:
         val_iter_fn = (lambda: val_set.eval_iter(batch_size)) \
             if val_set is not None else None
         self.state = trainer.fit(
-            self.state, train_set.train_iter(batch_size),
+            self.state,
+            train_set.train_iter(batch_size,
+                                 window=max(int(self.chain_steps), 1)),
             total_steps=total_steps, val_iter_fn=val_iter_fn,
             val_every=val_every, early_stop_patience=early_stop_patience)
         return self.state

@@ -211,6 +211,7 @@ def build_classifier(cfg: dict, synthetic: bool = False,
                   erase_prob=cfg.get("erase_prob", 0.0),
                   mesh=mesh, seed=cfg.get("seed", 0),
                   remat=cfg.get("remat", False),
+                  chain_steps=cfg.get("chain_steps", 1),
                   accum_steps=cfg.get("accum_steps", 1),
                   accum_dtype=cfg.get("accum_dtype", "float32"),
                   zero_sharding=cfg.get("zero_sharding", False),
@@ -251,6 +252,7 @@ def build_segmenter(cfg: dict, synthetic: bool = False,
                   augment=aug, paired_targets=True,
                   mesh=mesh, seed=cfg.get("seed", 0),
                   remat=cfg.get("remat", False),
+                  chain_steps=cfg.get("chain_steps", 1),
                   accum_steps=cfg.get("accum_steps", 1),
                   accum_dtype=cfg.get("accum_dtype", "float32"),
                   spatial=cfg.get("spatial", False),
@@ -315,6 +317,7 @@ def build_metric(cfg: dict, synthetic: bool = False,
                   precision=cfg.get("precision", "f32"), loss_fn=loss,
                   augment=augment, mesh=mesh, seed=cfg.get("seed", 0),
                   remat=cfg.get("remat", False),
+                  chain_steps=cfg.get("chain_steps", 1),
                   accum_steps=cfg.get("accum_steps", 1),
                   accum_dtype=cfg.get("accum_dtype", "float32"),
                   zero_sharding=cfg.get("zero_sharding", False),
@@ -1282,6 +1285,7 @@ def build_sr(cfg: dict, synthetic: bool = False,
                   augment_fns=(train_fn, eval_fn, predict_fn),
                   mesh=mesh, seed=cfg.get("seed", 0),
                   remat=cfg.get("remat", False),
+                  chain_steps=cfg.get("chain_steps", 1),
                   accum_steps=cfg.get("accum_steps", 1),
                   ckpt_dir=ckpt_dir, log_dir=log_dir, **mkw)
     train_src, val_src = make_sources(cfg, synthetic)
@@ -1473,6 +1477,7 @@ def build_video(cfg: dict, synthetic: bool = False,
         augment_fns=(train_fn, eval_fn, _norm),
         mesh=mesh,
         remat=cfg.get("remat", False),
+        chain_steps=cfg.get("chain_steps", 1),
         accum_steps=cfg.get("accum_steps", 1),
         seed=cfg.get("seed", 0),
         ckpt_dir=ckpt_dir, log_dir=log_dir,
@@ -1553,6 +1558,7 @@ def build_audio(cfg: dict, synthetic: bool = False,
         augment_fns=(train_fn, eval_fn, _norm),
         mesh=mesh,
         remat=cfg.get("remat", False),
+        chain_steps=cfg.get("chain_steps", 1),
         accum_steps=cfg.get("accum_steps", 1),
         # the models manage precision themselves (nn layers cast to the
         # compute dtype): an early bf16 cast would quantize the 16-bit

@@ -27,6 +27,8 @@ import time
 from dataclasses import dataclass, field
 from typing import Any, Callable, Iterable, NamedTuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -117,6 +119,21 @@ class Trainer:
     # descent gradient at the l2-worst-case point within radius rho
     # (2x compute per step, both passes in one XLA program)
     sam_rho: float = 0.0
+    # dispatch chaining (the steps-per-loop idiom): run this many train
+    # steps inside ONE jitted program — lax.scan over a [K, B, ...]
+    # window the data pipeline stages BEFORE the prefetch transfer.
+    # Measured honestly on this chip: per-dispatch overhead is ~0 with
+    # device-resident data (async dispatch pipelines), so this is NOT a
+    # raw-throughput lever there; its value is bounding HOST work to one
+    # Python iteration + one transfer per K steps — relevant when the
+    # host is weak (1-core CI: input_wait_frac 0.54 -> ~0 measured at
+    # K=16 on the audio recipe) or when per-step host jitter must not
+    # reach the device (pods).  Semantics match chain_steps=1 (same
+    # train_step body, same per-step RNG folds, sequential BN updates;
+    # trajectory-parity tested); validation/logging/preemption/plateau
+    # act at window boundaries, so chain_steps must divide val_every.
+    # Costs K batches of HBM staging; incompatible with spatial=True.
+    chain_steps: int = 1
     # evaluate/predict with the Polyak-averaged parameters when the
     # optimizer is wrapped with optim.with_ema (no-op otherwise)
     eval_with_ema: bool = False
@@ -287,6 +304,23 @@ class Trainer:
         if self.debug_checks:
             from myconvnet_tpu.utils.debugging import nan_guard
             self._train_step = nan_guard(self._train_step)
+        if int(self.chain_steps) > 1:
+            if self.spatial:
+                raise ValueError("chain_steps > 1 is incompatible with "
+                                 "spatial=True (stacked batches carry "
+                                 "the window axis in front of the rows)")
+
+            def chain_step(state: TrainState, batches):
+                """K steps in one program: scan train_step over batches
+                stacked on a leading window axis [K, B, ...].  Returns
+                the final state and the [K]-stacked metrics."""
+                return jax.lax.scan(train_step, state, batches)
+
+            # one compiled program per distinct window length (the full
+            # chain_steps plus at most a few boundary remainders)
+            self._chain_step = jax.jit(chain_step, donate_argnums=(0,))
+        else:
+            self._chain_step = None
         self._eval_step = jax.jit(eval_step)
         self._predict_step = jax.jit(predict_step)
 
@@ -307,6 +341,16 @@ class Trainer:
 
             return jax.tree.map(put, batch)
         return mesh_lib.shard_batch(self.mesh, batch)
+
+    def shard_chain(self, batch):
+        """Place a window-stacked batch [K, B, ...]: the window axis is
+        scanned sequentially (replicated), the batch axis shards over
+        data — each chip holds [K, B/dp, ...] of the staged window."""
+        if self.mesh is None:
+            return batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(self.mesh, P(None, mesh_lib.DATA_AXIS))
+        return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
     def fit(self, state: TrainState, train_iter: Iterable, *,
             total_steps: int, val_iter_fn: Callable[[], Iterable]
@@ -332,7 +376,9 @@ class Trainer:
             state = state._replace(opt_state=jax.tree.map(
                 lambda t: jax.device_put(t, self._zero_rule(t)),
                 state.opt_state))
-        pending = None  # (step_idx, metrics) fetched with 1-step lag
+        # pending: (end_step, start_step, metrics) fetched with a lag of
+        # one dispatch so host logging overlaps device compute
+        pending = None
         t0 = time.perf_counter()
         window = 0
         input_wait = 0.0  # host time blocked on the data iterator
@@ -340,30 +386,56 @@ class Trainer:
         # the host to every device step and kill async dispatch; read the
         # device counter once (resume support) and count locally after.
         step_idx = int(state.step)
+        chain = max(int(self.chain_steps), 1)
+        if chain > 1 and val_every and val_every % chain != 0:
+            raise ValueError(
+                f"chain_steps={chain} must divide val_every={val_every} "
+                f"(windows are staged before dispatch and cannot be "
+                f"split at a validation boundary)")
 
         it = iter(train_iter)
         while True:
-            t_in = time.perf_counter()
-            try:
-                x, y = next(it)
-            except StopIteration:
-                break
-            input_wait += time.perf_counter() - t_in
             if step_idx >= total_steps:
                 break
             if self.preemption_guard is not None \
                     and self.preemption_guard.preempted:
                 self.logger.log(step_idx, {"preempted": 1.0})
                 break
-            batch = self.shard_batch((x, y))
-            state, metrics = self._train_step(state, batch)
-            step_idx += 1
-            window += x.shape[0]
-            if pending is not None and (pending[0] % self.log_every == 0):
-                self._log_train(pending[0], pending[1], window, t0,
+            t_in = time.perf_counter()
+            try:
+                item = next(it)
+            except StopIteration:
+                break
+            input_wait += time.perf_counter() - t_in
+            if chain > 1:
+                # item is a staged window [K, B, ...] (DataSet.train_iter
+                # window=chain stacks BEFORE the prefetch transfer)
+                x = item[0]
+                k = int(x.shape[0])
+                left = total_steps - step_idx
+                if k > left:  # terminal partial window (device slice)
+                    item = jax.tree.map(lambda a: a[:left], item)
+                    k = left
+                state, ms = self._chain_step(
+                    state, self.shard_chain(item))
+                # last step's metrics (async device slice — no fetch)
+                metrics = jax.tree.map(lambda a: a[-1], ms)
+                n_imgs = k * int(x.shape[1])
+            else:
+                x, y = item
+                batch = self.shard_batch((x, y))
+                state, metrics = self._train_step(state, batch)
+                k, n_imgs = 1, int(x.shape[0])
+            prev_step = step_idx
+            step_idx += k
+            window += n_imgs
+            if pending is not None and (
+                    pending[0] // self.log_every
+                    > pending[1] // self.log_every):
+                self._log_train(pending[0], pending[2], window, t0,
                                 input_wait)
                 window, t0, input_wait = 0, time.perf_counter(), 0.0
-            pending = (step_idx, metrics)
+            pending = (step_idx, prev_step, metrics)
 
             if (val_every and step_idx % val_every == 0
                     and val_iter_fn is not None and self.evaluator):
@@ -393,7 +465,7 @@ class Trainer:
                     self.logger.log(step_idx, {"early_stop": 1.0})
                     break
         if pending is not None:
-            self._log_train(pending[0], pending[1], window, t0, input_wait)
+            self._log_train(pending[0], pending[2], window, t0, input_wait)
         if self.ckpt_dir:
             # always persist the final state (validation-cadence saves may
             # predate the last steps)
