@@ -298,7 +298,6 @@ def _window_batches(host_iter, window: int):
     """Group ``window`` host batches and stack each leaf on a new
     leading axis: K x (x [B,...], y [B,...]) -> (x [K,B,...], ...).
     The tail of a bounded iterator groups short (K' < window)."""
-    import jax as _jax
     it = iter(host_iter)
     while True:
         group = []
@@ -311,9 +310,9 @@ def _window_batches(host_iter, window: int):
             return
         if len(group) == 1:
             # stack even a lone tail so the consumer sees one layout
-            yield _jax.tree.map(lambda z: np.stack([z]), group[0])
+            yield jax.tree.map(lambda z: np.stack([z]), group[0])
         else:
-            yield _jax.tree.map(lambda *zs: np.stack(zs), *group)
+            yield jax.tree.map(lambda *zs: np.stack(zs), *group)
 
 
 class Prefetcher:

@@ -249,10 +249,18 @@ class ConvNet:
         self._trainer = trainer
         val_iter_fn = (lambda: val_set.eval_iter(batch_size)) \
             if val_set is not None else None
+        chain = max(int(self.chain_steps), 1)
+        # with a mesh, stage batches directly into the sharded layout on
+        # the prefetch thread (the default single-device put would park
+        # the whole window on chip 0 and reshard synchronously later)
+        put_fn = None
+        if self.mesh is not None:
+            put_fn = trainer.shard_chain if chain > 1 \
+                else trainer.shard_batch
         self.state = trainer.fit(
             self.state,
-            train_set.train_iter(batch_size,
-                                 window=max(int(self.chain_steps), 1)),
+            train_set.train_iter(batch_size, window=chain,
+                                 device_put_fn=put_fn),
             total_steps=total_steps, val_iter_fn=val_iter_fn,
             val_every=val_every, early_stop_patience=early_stop_patience)
         return self.state

@@ -319,6 +319,12 @@ class Trainer:
             # one compiled program per distinct window length (the full
             # chain_steps plus at most a few boundary remainders)
             self._chain_step = jax.jit(chain_step, donate_argnums=(0,))
+            if self.debug_checks:
+                # the sanitizer must cover the chained path too (it
+                # checks the post-dispatch state, so the same wrapper
+                # applies)
+                from myconvnet_tpu.utils.debugging import nan_guard
+                self._chain_step = nan_guard(self._chain_step)
         else:
             self._chain_step = None
         self._eval_step = jax.jit(eval_step)
@@ -412,6 +418,13 @@ class Trainer:
                 # window=chain stacks BEFORE the prefetch transfer)
                 x = item[0]
                 k = int(x.shape[0])
+                if k > chain:
+                    raise ValueError(
+                        f"chain_steps={chain} but the iterator yielded "
+                        f"an item with leading axis {k} — pass "
+                        f"DataSet.train_iter(..., window=chain_steps) "
+                        f"(a plain batch iterator would be misread as "
+                        f"a window of single examples)")
                 left = total_steps - step_idx
                 if k > left:  # terminal partial window (device slice)
                     item = jax.tree.map(lambda a: a[:left], item)
@@ -437,7 +450,12 @@ class Trainer:
                 window, t0, input_wait = 0, time.perf_counter(), 0.0
             pending = (step_idx, prev_step, metrics)
 
-            if (val_every and step_idx % val_every == 0
+            # boundary-crossing form (== `% val_every == 0` for k=1):
+            # a resume from a truncation-misaligned step (chain mode's
+            # terminal partial window) must not silently disable
+            # validation/best-ckpt/early-stop for the rest of the run
+            if (val_every
+                    and step_idx // val_every > prev_step // val_every
                     and val_iter_fn is not None and self.evaluator):
                 score = self.evaluate(state, val_iter_fn())
                 self.logger.log(step_idx,
