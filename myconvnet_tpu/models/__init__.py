@@ -71,6 +71,8 @@ from myconvnet_tpu.models.diffusion import (ddpm_unet, timestep_embedding,
 from myconvnet_tpu.models.video import r2plus1d_18, r3d_18, tinyvideo
 from myconvnet_tpu.models.embedding import embedding_net, tinyembed
 from myconvnet_tpu.models.audio import m5, m11, melspec_cnn, tinyaudio
+from myconvnet_tpu.models.style import (tiny_transformer_net,
+                                        transformer_net)
 
 # Registry keyed by the config-file model names (reference: model choice in
 # parameters.py — SURVEY.md §2#10).
@@ -178,6 +180,14 @@ AUDIO_MODELS = {
     "tinyaudio": tinyaudio,
 }
 
+# Style-transfer generators (twelfth task family): fn(x [N,H,W,3] in
+# [0,1]) -> stylized [0,1]; trained via train/style.py's fused
+# perceptual-loss step (train/perceptual.py).
+STYLE_MODELS = {
+    "transformer_net": transformer_net,
+    "tiny_transformer_net": tiny_transformer_net,
+}
+
 # Self-supervised pretraining forwards (train/ssl.py; fifth task
 # family).  MAE entries are (x, *, train, features_only, ...) — not
 # classifiers, so they live outside get_model()'s tables; SimCLR reuses
@@ -210,7 +220,8 @@ def list_models(kind: str | None = None) -> list[str]:
               "detector": DETECTORS, "gan": GAN_GENERATORS,
               "ssl": SSL_MODELS, "sr": SR_MODELS,
               "diffusion": DIFFUSION_MODELS, "video": VIDEO_MODELS,
-              "embedding": EMBEDDING_MODELS, "audio": AUDIO_MODELS}
+              "embedding": EMBEDDING_MODELS, "audio": AUDIO_MODELS,
+              "style": STYLE_MODELS}
     if kind is None:
         return (sorted(CLASSIFIERS) + sorted(SEGMENTERS)
                 + sorted(DETECTORS) + sorted(SR_MODELS))

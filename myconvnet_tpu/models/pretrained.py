@@ -434,3 +434,45 @@ def export_torch_vit(params: Params) -> dict[str, np.ndarray]:
                          f"slot: {extra[:4]}"
                          f"{'...' if len(extra) > 4 else ''}")
     return sd
+
+
+# torchvision vgg16.features conv indices (plain, no BN), in order
+_VGG16_FEATURES_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+
+
+def import_torch_vgg16_features(state_dict: Mapping[str, Any],
+                                params: Params) -> Params:
+    """Map torchvision ``vgg16().state_dict()`` conv weights onto THIS
+    repo's ``models.vgg16(use_bn=False)`` params (sequential auto-named
+    scopes ``conv .. conv_12``; the classifier head is left as-is —
+    perceptual extraction never reads it).  OIHW -> HWIO transpose,
+    shape-validated.  Plain-vgg16 layout only (no ``features.1.weight``
+    BN marker); raises on a _bn checkpoint."""
+    if "features.1.weight" in state_dict:
+        raise ValueError("vgg16_bn checkpoint passed to the plain "
+                         "(use_bn=False) features importer")
+
+    def arr(key):
+        v = state_dict[key]
+        return v if isinstance(v, np.ndarray) else v.detach().numpy()
+
+    scopes = ["conv"] + [f"conv_{i}" for i in range(1, 13)]
+    new = {k: dict(v) for k, v in params.items()}
+    for scope, idx in zip(scopes, _VGG16_FEATURES_IDX):
+        w = np.transpose(arr(f"features.{idx}.weight"), (2, 3, 1, 0))
+        b = arr(f"features.{idx}.bias")
+        have_w = np.asarray(params[scope]["w"])
+        if w.shape != have_w.shape:
+            raise ValueError(f"{scope}: torch features.{idx} shape "
+                             f"{w.shape} != model {have_w.shape}")
+        new[scope]["w"] = w.astype(have_w.dtype)
+        new[scope]["b"] = b.astype(have_w.dtype)
+    return new
+
+
+def import_torch_vgg16_features_file(path: str, params: Params) -> Params:
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return import_torch_vgg16_features(sd, params)

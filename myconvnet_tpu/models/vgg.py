@@ -31,14 +31,21 @@ def vgg(x: jax.Array, num_classes: int = 1000, depth: int = 16, *,
     if depth not in VGG_CFG:
         raise ValueError(f"unsupported VGG depth {depth}; "
                          f"valid: {sorted(VGG_CFG)}")
+    block, idx = 1, 0
     for item in VGG_CFG[depth]:
         if item == "M":
             x = nn.max_pool(x, 2, 2)
+            block, idx = block + 1, 0
         else:
             x = nn.conv(x, item, 3, use_bias=not use_bn)
             if use_bn:
                 x = nn.batch_norm(x, train=train)
             x = nn.relu(x)
+            idx += 1
+            # zero-overhead taps (core.module.collecting): the
+            # perceptual-loss machinery (train/perceptual.py) and
+            # Grad-CAM read activations as relu{block}_{conv}
+            x = nn.tag_intermediate(f"relu{block}_{idx}", x)
     if classic_head:
         x = x.reshape(x.shape[0], -1)
         x = nn.dense(x, 4096, name="fc1")

@@ -1587,6 +1587,129 @@ def build_audio(cfg: dict, synthetic: bool = False,
             DataSet(src("val")))
 
 
+# --------------------------------------------------- style (johnson)
+
+def procedural_style_image(hw=(256, 256), seed: int = 7):
+    """Deterministic high-frequency colorful pattern (concentric waves
+    + diagonal stripes per channel) — the no-egress stand-in for a
+    painting: its Gram matrices are strongly structured and far from
+    natural-image statistics, so style loss is meaningfully testable."""
+    import numpy as np
+    h, w = hw
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = np.zeros((h, w, 3))
+    for c in range(3):
+        cy, cx = rng.uniform(0.2, 0.8, 2) * (h, w)
+        r = np.hypot(yy - cy, xx - cx)
+        f1, f2 = rng.uniform(0.05, 0.2), rng.uniform(0.02, 0.1)
+        ph = rng.uniform(0, 2 * np.pi)
+        img[..., c] = (0.5 + 0.25 * np.sin(2 * np.pi * f1 * r)
+                       + 0.25 * np.sin(2 * np.pi * f2 * (xx + yy) + ph))
+    return np.clip(img, 0.0, 1.0).astype(np.float32)[None]
+
+
+def build_style(cfg: dict, synthetic: bool = False):
+    """Fast style transfer (twelfth task family).
+
+    Returns ``(state, step, data_iter_fn, kind)`` — the custom-loop
+    assembly shape the GAN/diffusion families use.  The VGG extractor
+    starts random unless ``cfg['vgg_pretrained']`` names a torch
+    VGG-16 checkpoint (models/pretrained.py layout); random features
+    still define a valid optimization target (the math and the fused
+    program are identical), pretrained features give the
+    literature-quality stylization.
+    """
+    import jax.numpy as jnp
+
+    from myconvnet_tpu.subsets import images as images_mod
+    from myconvnet_tpu.train import style as style_lib
+    from myconvnet_tpu.train.perceptual import (STYLE_LAYERS,
+                                                make_vgg_extractor)
+
+    size = int(cfg.get("image_size", 256))
+    if size % 4:
+        raise ValueError(f"image_size {size} must be a multiple of 4")
+    batch = cfg["batch_size"]
+    width = int(cfg.get("gen_width", 32))
+    n_res = int(cfg.get("gen_res_blocks", 5))
+
+    def g_fwd(x, train=False):
+        return models.transformer_net(x, width=width, n_res=n_res,
+                                      train=train)
+
+    gen = transform(g_fwd)
+    vgg, features_fn = make_vgg_extractor(
+        tuple(cfg.get("style_layers", STYLE_LAYERS)))
+    opt = make_optimizer(cfg.get("optimizer",
+                                 dict(name="adam", lr=1e-3)))
+    state = style_lib.init_style_state(
+        gen, vgg, opt, jax.random.key(cfg.get("seed", 0)),
+        jnp.zeros((batch, size, size, 3)))
+
+    if cfg.get("vgg_pretrained"):
+        from myconvnet_tpu.models.pretrained import (
+            import_torch_vgg16_features_file)
+        state = state._replace(vgg_params=import_torch_vgg16_features_file(
+            cfg["vgg_pretrained"], state.vgg_params))
+
+    # style target: an image file, or the procedural fallback
+    style_path = cfg.get("style_image")
+    if style_path and not synthetic:
+        src = images_mod.FileSource([style_path],
+                                    np.zeros(1, np.int32),
+                                    (size, size))
+        s_img = src.get_batch(np.array([0]))[0].astype(np.float32) / 255.
+    else:
+        s_img = procedural_style_image((size, size),
+                                       seed=cfg.get("style_seed", 7))
+    grams = style_lib.style_grams(features_fn, state.vgg_params,
+                                  state.vgg_state, jnp.asarray(s_img))
+
+    step = style_lib.make_style_step(
+        gen, features_fn, opt, grams,
+        content_weight=cfg.get("content_weight", 1.0),
+        style_weight=cfg.get("style_weight", 5.0),
+        tv_weight=cfg.get("tv_weight", 1e-4))
+
+    def data_iter():
+        src = images_mod.make_source(
+            cfg.get("data_dir"), "train",
+            synthetic=synthetic or cfg.get("data_dir") is None,
+            synthetic_n=cfg.get("synthetic_n", 128),
+            raw_hw=(size, size))
+        ds = DataSet(src, seed=cfg.get("seed", 0))
+        for x, _ in ds.train_iter(batch):
+            yield x.astype("float32") / 255.0  # stays on device
+
+    return state, step, data_iter, "johnson"
+
+
+def make_stylizer(cfg: dict, state):
+    """-> jitted fn(x [N,H,W,3] uint8/float[0,1]) -> float [0,1]
+    stylized batch (generate.py / serving consumer)."""
+    import jax.numpy as jnp
+
+    width = int(cfg.get("gen_width", 32))
+    n_res = int(cfg.get("gen_res_blocks", 5))
+
+    def g_fwd(x, train=False):
+        return models.transformer_net(x, width=width, n_res=n_res,
+                                      train=train)
+
+    gen = transform(g_fwd)
+
+    @jax.jit
+    def stylize(x):
+        x = x.astype(jnp.float32)
+        x = jnp.where(jnp.max(x) > 1.5, x / 255.0, x)
+        y, _ = gen.apply(state.params, state.model_state, None, x,
+                         False)
+        return y
+
+    return stylize
+
+
 # ---------------------------------------------------- semisup (fixmatch)
 
 def build_semisup(cfg: dict, synthetic: bool = False, mesh=None):

@@ -113,6 +113,9 @@ def main():
     if cfg["task"] == "semisup":
         run_semisup(cfg, args, out, mesh)
         return
+    if cfg["task"] == "style":
+        run_style(cfg, args, out)
+        return
 
     if cfg.get("pipeline"):
         # pipeline-parallel path: staged model over a 'model'-axis mesh
@@ -443,6 +446,56 @@ def run_diffusion(cfg, args, out, mesh=None):
     it.close()  # releases the prefetch worker (try/finally inside)
     ckpt_lib.save_checkpoint(out, int(state.step), state._asdict(), keep=2)
     print(f"diffusion training done at step {int(state.step)}")
+
+
+def run_style(cfg, args, out):
+    """Fast style transfer loop (twelfth task family): the fused
+    perceptual-loss step (train/style.py), same driver shape as
+    run_diffusion, with periodic content|stylized grid artifacts."""
+    from myconvnet_tpu import recipes
+    from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
+    from myconvnet_tpu.utils.logging import MetricLogger
+    from myconvnet_tpu.utils.preemption import PreemptionGuard
+
+    state, step, data_iter_fn, kind = recipes.build_style(
+        cfg, synthetic=args.synthetic)
+    if args.resume and ckpt_lib_latest(out):
+        restored = ckpt_lib.restore_checkpoint(out, state._asdict())
+        state = type(state)(**restored)
+        print(f"resumed style from step {int(state.step)}")
+    guard = PreemptionGuard().__enter__()
+    logger = MetricLogger(log_dir=out, name=f"style_{kind}")
+    log_every = cfg.get("log_every", 100)
+    sample_every = cfg.get("sample_every", 0)
+    total = cfg["total_steps"]
+    start = int(state.step)
+    it = data_iter_fn()
+    vis_batch = None
+    for i, batch in enumerate(it):
+        if start + i >= total:
+            break
+        if guard.preempted:
+            logger.log(start + i, {"preempted": 1.0})
+            break
+        if vis_batch is None:
+            vis_batch = batch[:8]
+        state, metrics = step(state, batch)
+        i = start + i
+        if (i + 1) % log_every == 0:
+            logger.log(i + 1, {k: float(v) for k, v in metrics.items()})
+            ckpt_lib.save_checkpoint(out, i + 1, state._asdict(), keep=2)
+        if sample_every and (i + 1) % sample_every == 0:
+            import numpy as np
+
+            from myconvnet_tpu.utils.images import make_grid
+            stylize = recipes.make_stylizer(cfg, state)
+            pair = np.concatenate([np.asarray(vis_batch),
+                                   np.asarray(stylize(vis_batch))])
+            pair_u8 = (np.clip(pair, 0.0, 1.0) * 255).astype(np.uint8)
+            logger.log_image(i + 1, "stylized", make_grid(pair_u8))
+    it.close()
+    ckpt_lib.save_checkpoint(out, int(state.step), state._asdict(), keep=2)
+    print(f"style training done at step {int(state.step)}")
 
 
 def run_gan(cfg, args, out):
