@@ -49,9 +49,45 @@ def main():
 
     cfg = recipes.load_config(args.config)
     cfg = recipes.apply_overrides(cfg, args.overrides)
-    if cfg.get("task") not in ("gan", "diffusion"):
-        raise SystemExit("generate.py is for gan/diffusion configs")
+    if cfg.get("task") not in ("gan", "diffusion", "style"):
+        raise SystemExit("generate.py is for gan/diffusion/style configs")
     cfg["batch_size"] = args.n
+
+    if cfg["task"] == "style":
+        import numpy as np
+
+        from myconvnet_tpu.utils.images import make_grid, save_png
+        state, _step, _iter, _kind = recipes.build_style(
+            cfg, synthetic=True)
+        restored = ckpt_lib.restore_checkpoint(args.ckpt, state._asdict())
+        state = type(state)(**restored)
+        stylize = recipes.make_stylizer(cfg, state)
+        size = int(cfg.get("image_size", 256))
+        if args.input:
+            import os
+
+            from PIL import Image
+            paths = sorted(
+                os.path.join(args.input, f)
+                for f in os.listdir(args.input)
+                if f.lower().endswith((".jpg", ".jpeg", ".png")))[:args.n]
+            if not paths:
+                raise SystemExit(f"no images under {args.input!r}")
+            raw = np.stack([
+                np.asarray(Image.open(p).convert("RGB").resize(
+                    (size, size), Image.BILINEAR), np.uint8)
+                for p in paths])
+        else:
+            from myconvnet_tpu.subsets import images as images_mod
+            src = images_mod.make_source(None, "val", synthetic=True,
+                                         raw_hw=(size, size))
+            raw = src.get_batch(np.arange(min(args.n, len(src))))[0]
+        out = np.asarray(stylize(raw))
+        out_u8 = (np.clip(out, 0.0, 1.0) * 255).astype(np.uint8)
+        side_by_side = np.concatenate([raw, out_u8], axis=2)
+        save_png(args.out, make_grid(side_by_side))
+        print(f"wrote {len(raw)} stylizations to {args.out}")
+        return
 
     if cfg["task"] == "diffusion":
         from myconvnet_tpu.utils.images import make_grid, save_png

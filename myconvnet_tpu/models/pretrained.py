@@ -462,9 +462,13 @@ def import_torch_vgg16_features(state_dict: Mapping[str, Any],
         w = np.transpose(arr(f"features.{idx}.weight"), (2, 3, 1, 0))
         b = arr(f"features.{idx}.bias")
         have_w = np.asarray(params[scope]["w"])
+        have_b = np.asarray(params[scope]["b"])
         if w.shape != have_w.shape:
             raise ValueError(f"{scope}: torch features.{idx} shape "
                              f"{w.shape} != model {have_w.shape}")
+        if b.shape != have_b.shape:
+            raise ValueError(f"{scope}: torch features.{idx} bias "
+                             f"shape {b.shape} != model {have_b.shape}")
         new[scope]["w"] = w.astype(have_w.dtype)
         new[scope]["b"] = b.astype(have_w.dtype)
     return new

@@ -1639,8 +1639,13 @@ def build_style(cfg: dict, synthetic: bool = False):
                                       train=train)
 
     gen = transform(g_fwd)
+    from myconvnet_tpu.train.perceptual import CONTENT_LAYER
+    style_layers = tuple(cfg.get("style_layers", STYLE_LAYERS))
+    content_layer = cfg.get("content_layer", CONTENT_LAYER)
+    # the extractor must tap the content layer even when the style set
+    # omits it (style_layers=('relu3_3','relu4_3') is legal config)
     vgg, features_fn = make_vgg_extractor(
-        tuple(cfg.get("style_layers", STYLE_LAYERS)))
+        tuple(dict.fromkeys(style_layers + (content_layer,))))
     opt = make_optimizer(cfg.get("optimizer",
                                  dict(name="adam", lr=1e-3)))
     state = style_lib.init_style_state(
@@ -1665,12 +1670,16 @@ def build_style(cfg: dict, synthetic: bool = False):
                                        seed=cfg.get("style_seed", 7))
     grams = style_lib.style_grams(features_fn, state.vgg_params,
                                   state.vgg_state, jnp.asarray(s_img))
+    # style targets only for the STYLE layers (the extractor also taps
+    # the content layer, which must not enter the Gram term)
+    grams = {k: v for k, v in grams.items() if k in style_layers}
 
     step = style_lib.make_style_step(
         gen, features_fn, opt, grams,
         content_weight=cfg.get("content_weight", 1.0),
         style_weight=cfg.get("style_weight", 5.0),
-        tv_weight=cfg.get("tv_weight", 1e-4))
+        tv_weight=cfg.get("tv_weight", 1e-4),
+        content_layer=content_layer)
 
     def data_iter():
         src = images_mod.make_source(
@@ -1685,9 +1694,11 @@ def build_style(cfg: dict, synthetic: bool = False):
     return state, step, data_iter, "johnson"
 
 
-def make_stylizer(cfg: dict, state):
-    """-> jitted fn(x [N,H,W,3] uint8/float[0,1]) -> float [0,1]
-    stylized batch (generate.py / serving consumer)."""
+def make_stylizer_fn(cfg: dict):
+    """-> jitted fn(params, model_state, x) -> stylized [0,1] batch.
+    Build ONCE; params ride as traced arguments so evolving weights
+    (mid-training sample grids) never force a recompile.  uint8 inputs
+    are detected by their STATIC dtype and scaled /255."""
     import jax.numpy as jnp
 
     width = int(cfg.get("gen_width", 32))
@@ -1700,14 +1711,22 @@ def make_stylizer(cfg: dict, state):
     gen = transform(g_fwd)
 
     @jax.jit
-    def stylize(x):
-        x = x.astype(jnp.float32)
-        x = jnp.where(jnp.max(x) > 1.5, x / 255.0, x)
-        y, _ = gen.apply(state.params, state.model_state, None, x,
-                         False)
+    def stylize(params, model_state, x):
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            x = x.astype(jnp.float32) / 255.0
+        else:
+            x = x.astype(jnp.float32)
+        y, _ = gen.apply(params, model_state, None, x, False)
         return y
 
     return stylize
+
+
+def make_stylizer(cfg: dict, state):
+    """Convenience wrapper closing over a fixed state:
+    fn(x uint8/float[0,1]) -> stylized [0,1] (generate.py consumer)."""
+    fn = make_stylizer_fn(cfg)
+    return lambda x: fn(state.params, state.model_state, x)
 
 
 # ---------------------------------------------------- semisup (fixmatch)

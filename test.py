@@ -106,6 +106,10 @@ def main():
                          "--fid_extractor CONFIG:CKPT; paired "
                          "translation (pix2pix) is scored here with "
                          "PSNR/SSIM")
+    if cfg["task"] == "style":
+        raise SystemExit("style checkpoints: use generate.py "
+                         "--config CONFIG --ckpt DIR [--input IMGDIR] "
+                         "to write content|stylized grids")
     if cfg["task"] == "detection":
         return eval_detection(cfg, args)
     if cfg["task"] == "ssl":

@@ -201,3 +201,96 @@ def test_cli_style_run(tmp_path):
     import os
     assert any(f.startswith("ckpt") or f.endswith(".npz")
                for f in os.listdir(out)), list(os.listdir(out))
+
+
+# ------------------------------------------------- review-finding fixes
+
+def test_style_layers_without_content_layer():
+    """style_layers omitting relu2_2 must still work: the extractor
+    adds the content tap, and the Gram term covers ONLY the style
+    layers."""
+    cfg = _tiny_cfg(style_layers=("relu1_2",))
+    state, step, data_iter_fn, _ = recipes.build_style(cfg,
+                                                       synthetic=True)
+    it = data_iter_fn()
+    state, m = step(state, next(it))
+    assert np.isfinite(float(m["loss"]))
+    assert np.isfinite(float(m["content"]))
+    it.close()
+
+
+def test_stylizer_static_dtype_detection():
+    """uint8 is detected by dtype, not value: an all-dark uint8 batch
+    must still be scaled /255 (a runtime max()>1.5 heuristic broke
+    this)."""
+    cfg = _tiny_cfg()
+    state, _step, _it, _ = recipes.build_style(cfg, synthetic=True)
+    stylize = recipes.make_stylizer(cfg, state)
+    dark_u8 = np.ones((1, 32, 32, 3), np.uint8)  # max = 1
+    y_u8 = np.asarray(stylize(dark_u8))
+    y_f = np.asarray(stylize(dark_u8.astype(np.float32) / 255.0))
+    np.testing.assert_allclose(y_u8, y_f, atol=1e-6)
+
+
+def test_stylizer_fn_is_state_generic():
+    """make_stylizer_fn takes params as arguments — the same compiled
+    fn serves evolving weights without retracing."""
+    cfg = _tiny_cfg()
+    state, step, data_iter_fn, _ = recipes.build_style(cfg,
+                                                       synthetic=True)
+    fn = recipes.make_stylizer_fn(cfg)
+    x = np.random.RandomState(0).rand(1, 32, 32, 3).astype(np.float32)
+    y0 = np.asarray(fn(state.params, state.model_state, x))
+    it = data_iter_fn()
+    state, _ = step(state, next(it))
+    y1 = np.asarray(fn(state.params, state.model_state, x))
+    it.close()
+    assert y0.shape == y1.shape == (1, 32, 32, 3)
+    assert not np.allclose(y0, y1)  # weights moved
+
+
+def test_vgg_import_rejects_bad_bias():
+    from myconvnet_tpu.models.pretrained import (
+        _VGG16_FEATURES_IDX, import_torch_vgg16_features)
+    t, _f = perceptual.make_vgg_extractor(("relu1_2",))
+    params, _s = t.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 32, 3)))
+    rng = np.random.RandomState(0)
+    shapes = [(64, 3), (64, 64), (128, 64), (128, 128), (256, 128),
+              (256, 256), (256, 256), (512, 256), (512, 512),
+              (512, 512), (512, 512), (512, 512), (512, 512)]
+    sd = {}
+    for idx, (o, i) in zip(_VGG16_FEATURES_IDX, shapes):
+        sd[f"features.{idx}.weight"] = rng.randn(o, i, 3, 3) \
+            .astype(np.float32)
+        sd[f"features.{idx}.bias"] = rng.randn(o).astype(np.float32)
+    sd["features.5.bias"] = np.zeros(3, np.float32)  # corrupt
+    with pytest.raises(ValueError, match="bias"):
+        import_torch_vgg16_features(sd, params)
+
+
+@pytest.mark.slow
+def test_generate_stylize_roundtrip(tmp_path):
+    """train.py (3 steps) -> generate.py writes a content|stylized
+    grid from the checkpoint."""
+    import subprocess
+    import sys
+    out = tmp_path / "run"
+    common = ["--set", "image_size=32", "--set", "gen_width=8",
+              "--set", "gen_res_blocks=2",
+              "--set", "style_layers=('relu1_2','relu2_2')"]
+    r = subprocess.run(
+        [sys.executable, "train.py", "--config",
+         "configs/coco_style_johnson.py", "--synthetic", "--steps", "2",
+         "--batch", "2", "--out", str(out), "--platform", "cpu",
+         "--set", "log_every=1"] + common,
+        capture_output=True, text=True, cwd="/root/repo", timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    grid = tmp_path / "styled.png"
+    r2 = subprocess.run(
+        [sys.executable, "generate.py", "--config",
+         "configs/coco_style_johnson.py", "--ckpt", str(out),
+         "--n", "2", "--out", str(grid), "--platform", "cpu"] + common,
+        capture_output=True, text=True, cwd="/root/repo", timeout=600)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert grid.exists() and grid.stat().st_size > 0

@@ -471,6 +471,9 @@ def run_style(cfg, args, out):
     start = int(state.step)
     it = data_iter_fn()
     vis_batch = None
+    # built once: params ride as arguments, so sampling mid-training
+    # never retraces (run_diffusion's sampler discipline)
+    stylize = recipes.make_stylizer_fn(cfg) if sample_every else None
     for i, batch in enumerate(it):
         if start + i >= total:
             break
@@ -488,9 +491,9 @@ def run_style(cfg, args, out):
             import numpy as np
 
             from myconvnet_tpu.utils.images import make_grid
-            stylize = recipes.make_stylizer(cfg, state)
+            styled = stylize(state.params, state.model_state, vis_batch)
             pair = np.concatenate([np.asarray(vis_batch),
-                                   np.asarray(stylize(vis_batch))])
+                                   np.asarray(styled)])
             pair_u8 = (np.clip(pair, 0.0, 1.0) * 255).astype(np.uint8)
             logger.log_image(i + 1, "stylized", make_grid(pair_u8))
     it.close()
