@@ -73,6 +73,7 @@ from myconvnet_tpu.models.embedding import embedding_net, tinyembed
 from myconvnet_tpu.models.audio import m5, m11, melspec_cnn, tinyaudio
 from myconvnet_tpu.models.style import (tiny_transformer_net,
                                         transformer_net)
+from myconvnet_tpu.models.ocr import crnn, crnn_conv, tinyocr
 
 # Registry keyed by the config-file model names (reference: model choice in
 # parameters.py — SURVEY.md §2#10).
@@ -188,6 +189,15 @@ STYLE_MODELS = {
     "tiny_transformer_net": tiny_transformer_net,
 }
 
+# Text recognizers (thirteenth task family): fn(x [N,32,W,1] in
+# [0,1], num_classes=charset size, train=) -> [N, T, num_classes+1]
+# CTC frame logits (blank = 0; ops/ctc.py, models/ocr.py).
+OCR_MODELS = {
+    "crnn": crnn,
+    "crnn_conv": crnn_conv,
+    "tinyocr": tinyocr,
+}
+
 # Self-supervised pretraining forwards (train/ssl.py; fifth task
 # family).  MAE entries are (x, *, train, features_only, ...) — not
 # classifiers, so they live outside get_model()'s tables; SimCLR reuses
@@ -221,7 +231,7 @@ def list_models(kind: str | None = None) -> list[str]:
               "ssl": SSL_MODELS, "sr": SR_MODELS,
               "diffusion": DIFFUSION_MODELS, "video": VIDEO_MODELS,
               "embedding": EMBEDDING_MODELS, "audio": AUDIO_MODELS,
-              "style": STYLE_MODELS}
+              "style": STYLE_MODELS, "ocr": OCR_MODELS}
     if kind is None:
         return (sorted(CLASSIFIERS) + sorted(SEGMENTERS)
                 + sorted(DETECTORS) + sorted(SR_MODELS))

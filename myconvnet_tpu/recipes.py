@@ -330,6 +330,17 @@ def build_metric(cfg: dict, synthetic: bool = False,
 
 
 def build_evaluator(cfg: dict):
+    if cfg["task"] == "ocr":
+        from myconvnet_tpu.eval.text import (CharErrorRateEvaluator,
+                                             SequenceAccuracyEvaluator)
+        kind = cfg.get("ocr_metric", "cer")
+        cls = {"cer": CharErrorRateEvaluator,
+               "seq_accuracy": SequenceAccuracyEvaluator}.get(kind)
+        if cls is None:
+            raise ValueError(f"unknown ocr_metric {kind!r}; valid: "
+                             "['cer', 'seq_accuracy']")
+        return cls(decoder=cfg.get("ctc_decoder", "greedy"),
+                   beam_width=cfg.get("beam_width", 8))
     if cfg["task"] == "metric":
         from myconvnet_tpu.eval.retrieval import RetrievalEvaluator
         return RetrievalEvaluator(cfg.get("recall_k", 1))
@@ -1581,6 +1592,96 @@ def build_audio(cfg: dict, synthetic: bool = False,
                 f"corpus {split!r} split has {len(found)} classes but "
                 f"cfg num_classes={cfg['num_classes']}: {found}")
         return s
+
+    seed = cfg.get("seed", 0)
+    return (net, DataSet(src("train"), seed=seed),
+            DataSet(src("val")))
+
+
+def build_ocr(cfg: dict, synthetic: bool = False,
+              ckpt_dir: str | None = None, log_dir: str | None = None,
+              mesh=None) -> tuple[ConvNet, DataSet, DataSet]:
+    """Text-recognition recipe wiring (thirteenth task family).
+
+    The standard supervised ConvNet ride over [N, H, W, 1] line
+    images: uint8 crosses the wire, an ``augment_fns`` triple
+    normalizes + augments ON DEVICE inside the jitted step (brightness
+    / contrast jitter + noise — geometry stays put: CTC supervision is
+    column-aligned), the loss is ``ops/ctc.py``'s scan-form CTC over
+    [N, L] right-padded label sequences (pad = blank = 0), and the
+    model is any OCR_MODELS entry.
+    """
+    import jax.numpy as jnp
+
+    from myconvnet_tpu.ops.ctc import ctc_loss
+    from myconvnet_tpu.subsets import ocr as ocr_mod
+
+    name = cfg.get("model", "crnn")
+    fn = models.OCR_MODELS.get(name)
+    if fn is None:
+        raise ValueError(f"unknown ocr model {name!r}; valid: "
+                         f"{sorted(models.OCR_MODELS)}")
+    charset = cfg.get("charset", ocr_mod.DEFAULT_CHARSET)
+    if cfg.get("num_classes") not in (None, len(charset)):
+        raise ValueError(
+            f"num_classes={cfg.get('num_classes')} disagrees with the "
+            f"charset size {len(charset)}; drop num_classes (it is "
+            f"derived) or fix the charset")
+    hw = tuple(cfg.get("input_hw", ocr_mod.DEFAULT_HW))
+    max_len = int(cfg.get("max_len", ocr_mod.DEFAULT_MAX_LEN))
+    bright = float(cfg.get("aug_brightness", 0.2))
+    contrast = float(cfg.get("aug_contrast", 0.2))
+    noise = float(cfg.get("aug_noise", 0.02))
+    reduction = cfg.get("ctc_reduction", "mean_label")
+
+    def _norm(x_u8):
+        return x_u8.astype(jnp.float32) / 255.0
+
+    def train_fn(key, x_u8, y):
+        x = _norm(x_u8)                               # [B, H, W, 1]
+        kb, kc, kn = jax.random.split(key, 3)
+        if bright > 0:
+            x = x + jax.random.uniform(kb, (x.shape[0], 1, 1, 1),
+                                       minval=-bright, maxval=bright)
+        if contrast > 0:
+            c = jax.random.uniform(kc, (x.shape[0], 1, 1, 1),
+                                   minval=1.0 - contrast,
+                                   maxval=1.0 + contrast)
+            mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+            x = (x - mean) * c + mean
+        if noise > 0:
+            x = x + noise * jax.random.normal(kn, x.shape)
+        return jnp.clip(x, 0.0, 1.0), y
+
+    def eval_fn(x_u8, y):
+        return _norm(x_u8), y
+
+    net = ConvNet(
+        model_fn=fn,
+        input_shape=(*hw, 1),
+        num_classes=len(charset),
+        precision=cfg.get("precision", "f32"),
+        loss_fn=lambda logits, y: ctc_loss(logits, y,
+                                           reduction=reduction),
+        augment_fns=(train_fn, eval_fn, _norm),
+        # frame logits [N,T,C+1] vs label sequences [N,L]: the argmax
+        # train-accuracy column is shape-incompatible AND meaningless
+        # under CTC alignment — CER comes from the evaluator instead
+        accuracy_metric=False,
+        mesh=mesh,
+        remat=cfg.get("remat", False),
+        chain_steps=cfg.get("chain_steps", 1),
+        accum_steps=cfg.get("accum_steps", 1),
+        seed=cfg.get("seed", 0),
+        ckpt_dir=ckpt_dir, log_dir=log_dir,
+        **dict(cfg.get("model_kwargs", {})))
+
+    def src(split):
+        return ocr_mod.make_source(
+            cfg.get("data_dir"), split,
+            synthetic=synthetic or cfg.get("data_dir") is None,
+            synthetic_n=cfg.get("synthetic_n", 256),
+            charset=charset, hw=hw, max_len=max_len)
 
     seed = cfg.get("seed", 0)
     return (net, DataSet(src("train"), seed=seed),

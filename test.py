@@ -115,6 +115,7 @@ def main():
     if cfg["task"] == "ssl":
         return eval_ssl(cfg, args)
     builder = {"audio": recipes.build_audio,
+               "ocr": recipes.build_ocr,
                "segmentation": recipes.build_segmenter,
                "sr": recipes.build_sr,
                "video": recipes.build_video,
