@@ -73,6 +73,7 @@ from myconvnet_tpu.models.embedding import embedding_net, tinyembed
 from myconvnet_tpu.models.audio import m5, m11, melspec_cnn, tinyaudio
 from myconvnet_tpu.models.style import (tiny_transformer_net,
                                         transformer_net)
+from myconvnet_tpu.models.depth import depth_unet, tinydepth
 from myconvnet_tpu.models.ocr import crnn, crnn_conv, tinyocr
 
 # Registry keyed by the config-file model names (reference: model choice in
@@ -198,6 +199,14 @@ OCR_MODELS = {
     "tinyocr": tinyocr,
 }
 
+# Monocular depth estimators (fourteenth task family): fn(x
+# [N,H,W,3] in [0,1], num_classes=0, train=) -> [N,H,W,1] metric
+# depth in meters, f32 (inverse-depth sigmoid head; models/depth.py).
+DEPTH_MODELS = {
+    "depth_unet": depth_unet,
+    "tinydepth": tinydepth,
+}
+
 # Self-supervised pretraining forwards (train/ssl.py; fifth task
 # family).  MAE entries are (x, *, train, features_only, ...) — not
 # classifiers, so they live outside get_model()'s tables; SimCLR reuses
@@ -231,7 +240,8 @@ def list_models(kind: str | None = None) -> list[str]:
               "ssl": SSL_MODELS, "sr": SR_MODELS,
               "diffusion": DIFFUSION_MODELS, "video": VIDEO_MODELS,
               "embedding": EMBEDDING_MODELS, "audio": AUDIO_MODELS,
-              "style": STYLE_MODELS, "ocr": OCR_MODELS}
+              "style": STYLE_MODELS, "ocr": OCR_MODELS,
+              "depth": DEPTH_MODELS}
     if kind is None:
         return (sorted(CLASSIFIERS) + sorted(SEGMENTERS)
                 + sorted(DETECTORS) + sorted(SR_MODELS))

@@ -77,8 +77,8 @@ def crnn_conv(x: jax.Array, num_classes: int = 36, *,
     """CRNN trunk with a dilated-conv context head instead of LSTMs.
 
     Each context block is conv1d(k=3, dilation=d) + BN + ReLU with a
-    residual add; stacking d = 1,2,4,8 gives every frame a ±30-frame
-    receptive field — wider than the LSTM needs for line recognition —
+    residual add; stacking d = 1,2,4,8 gives every frame a ±15-frame
+    receptive field — ample context for line recognition —
     while keeping the whole head on the MXU with zero sequential
     dependency.
     """

@@ -341,6 +341,13 @@ def build_evaluator(cfg: dict):
                              "['cer', 'seq_accuracy']")
         return cls(decoder=cfg.get("ctc_decoder", "greedy"),
                    beam_width=cfg.get("beam_width", 8))
+    if cfg["task"] == "depth":
+        from myconvnet_tpu.eval.depth import DepthEvaluator
+        return DepthEvaluator(
+            metric=cfg.get("depth_metric", "absrel"),
+            min_depth=cfg.get("eval_min_depth", 1e-3),
+            max_depth=cfg.get("eval_max_depth", np.inf),
+            median_scaling=cfg.get("median_scaling", False))
     if cfg["task"] == "metric":
         from myconvnet_tpu.eval.retrieval import RetrievalEvaluator
         return RetrievalEvaluator(cfg.get("recall_k", 1))
@@ -1682,6 +1689,94 @@ def build_ocr(cfg: dict, synthetic: bool = False,
             synthetic=synthetic or cfg.get("data_dir") is None,
             synthetic_n=cfg.get("synthetic_n", 256),
             charset=charset, hw=hw, max_len=max_len)
+
+    seed = cfg.get("seed", 0)
+    return (net, DataSet(src("train"), seed=seed),
+            DataSet(src("val")))
+
+
+def build_depth(cfg: dict, synthetic: bool = False,
+                ckpt_dir: str | None = None, log_dir: str | None = None,
+                mesh=None) -> tuple[ConvNet, DataSet, DataSet]:
+    """Monocular-depth recipe wiring (fourteenth task family).
+
+    Dense regression on the standard supervised ConvNet ride: uint8
+    RGB crosses the wire with f32 depth targets ([B, H, W, 1] meters,
+    0 = invalid), ``augment_fns`` normalizes + augments ON DEVICE
+    inside the jitted step (paired hflip — the one geometric op that
+    keeps the pixel-depth correspondence exact without resampling the
+    sensor values — plus photometric jitter on RGB only), the loss is
+    Eigen's scale-invariant log loss over the valid mask
+    (``train/losses.py:silog_loss``).
+    """
+    import jax.numpy as jnp
+
+    from myconvnet_tpu.subsets import depth as depth_mod
+    from myconvnet_tpu.train.losses import silog_loss
+
+    name = cfg.get("model", "depth_unet")
+    fn = models.DEPTH_MODELS.get(name)
+    if fn is None:
+        raise ValueError(f"unknown depth model {name!r}; valid: "
+                         f"{sorted(models.DEPTH_MODELS)}")
+    hw = tuple(cfg.get("input_hw", depth_mod.DEFAULT_HW))
+    max_depth = float(cfg.get("max_depth", depth_mod.DEFAULT_MAX_DEPTH))
+    min_depth = float(cfg.get("min_depth", 0.1))
+    bright = float(cfg.get("aug_brightness", 0.2))
+    contrast = float(cfg.get("aug_contrast", 0.2))
+    silog_lam = float(cfg.get("silog_lambda", 0.5))
+    mkw = dict(cfg.get("model_kwargs", {}))
+    mkw.setdefault("min_depth", min_depth)
+    mkw.setdefault("max_depth", max_depth)
+
+    def _norm(x_u8):
+        return x_u8.astype(jnp.float32) / 255.0
+
+    def train_fn(key, x_u8, y):
+        x = _norm(x_u8)
+        kf, kb, kc = jax.random.split(key, 3)
+        flip = jax.random.bernoulli(kf, 0.5, (x.shape[0], 1, 1, 1))
+        x = jnp.where(flip, x[:, :, ::-1, :], x)
+        y = jnp.where(flip, y[:, :, ::-1, :], y)
+        if bright > 0:
+            x = x + jax.random.uniform(kb, (x.shape[0], 1, 1, 1),
+                                       minval=-bright, maxval=bright)
+        if contrast > 0:
+            c = jax.random.uniform(kc, (x.shape[0], 1, 1, 1),
+                                   minval=1.0 - contrast,
+                                   maxval=1.0 + contrast)
+            mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+            x = (x - mean) * c + mean
+        return jnp.clip(x, 0.0, 1.0), y
+
+    def eval_fn(x_u8, y):
+        return _norm(x_u8), y
+
+    net = ConvNet(
+        model_fn=fn,
+        input_shape=(*hw, 3),
+        num_classes=0,
+        precision=cfg.get("precision", "f32"),
+        loss_fn=lambda pred, y: silog_loss(pred, y, lam=silog_lam),
+        augment_fns=(train_fn, eval_fn, _norm),
+        # argmax accuracy is meaningless for dense regression; the
+        # DepthEvaluator carries the Eigen metrics instead
+        accuracy_metric=False,
+        mesh=mesh,
+        remat=cfg.get("remat", False),
+        chain_steps=cfg.get("chain_steps", 1),
+        accum_steps=cfg.get("accum_steps", 1),
+        seed=cfg.get("seed", 0),
+        ckpt_dir=ckpt_dir, log_dir=log_dir, **mkw)
+
+    def src(split):
+        return depth_mod.make_source(
+            cfg.get("data_dir"), split,
+            synthetic=synthetic or cfg.get("data_dir") is None,
+            synthetic_n=cfg.get("synthetic_n", 256),
+            hw=hw, depth_scale=cfg.get("depth_scale",
+                                       depth_mod.DEFAULT_DEPTH_SCALE),
+            max_depth=max_depth)
 
     seed = cfg.get("seed", 0)
     return (net, DataSet(src("train"), seed=seed),

@@ -183,10 +183,9 @@ def synthetic_text_images(n: int = 256, charset: str = DEFAULT_CHARSET,
             font = ImageFont.load_default()
         x0, y0, x1, y1 = draw.textbbox((0, 0), text, font=font)
         tw, th = x1 - x0, y1 - y0
-        if tw > w:  # long strings at big sizes: shrink to fit
+        if tw > w and fonts:  # long strings at big sizes: shrink to fit
             size = max(8, int(size * w / (tw * 1.05)))
-            font = (ImageFont.truetype(font.path, size)
-                    if fonts else font)
+            font = ImageFont.truetype(font.path, size)
             x0, y0, x1, y1 = draw.textbbox((0, 0), text, font=font)
             tw, th = x1 - x0, y1 - y0
         dx = rng.randint(0, max(w - tw, 1))

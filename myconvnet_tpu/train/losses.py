@@ -139,6 +139,23 @@ def ce_dice_loss(logits: jax.Array, labels: jax.Array, *,
     return ce + dice_weight * dice
 
 
+def silog_loss(pred: jax.Array, target: jax.Array, *,
+               lam: float = 0.5, eps: float = 1e-6) -> jax.Array:
+    """Scale-invariant log loss (Eigen, Puhrsch & Fergus, 2014) for
+    monocular depth: ``d = log(pred) - log(gt)`` over VALID pixels
+    (gt > 0; zeros mark missing sensor returns in the NYU/KITTI
+    convention), ``L = mean(d^2) - lam * mean(d)^2``.  ``lam=0.5`` is
+    the paper's setting; ``lam=0`` is plain log-MSE.  Computes in f32
+    (log of bf16 depths loses the near-range resolution the
+    inverse-depth head exists to provide)."""
+    p = jnp.maximum(pred.astype(jnp.float32), eps)
+    t = target.astype(jnp.float32)
+    valid = (t > 0).astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(valid), 1.0)
+    d = (jnp.log(p) - jnp.log(jnp.maximum(t, eps))) * valid
+    return jnp.sum(d * d) / n - lam * jnp.square(jnp.sum(d) / n)
+
+
 def sigmoid_bce(logits: jax.Array, target: float | jax.Array) -> jax.Array:
     """Numerically-stable sigmoid binary CE against a constant or tensor
     target (GAN real/fake labels)."""

@@ -116,6 +116,7 @@ def main():
         return eval_ssl(cfg, args)
     builder = {"audio": recipes.build_audio,
                "ocr": recipes.build_ocr,
+               "depth": recipes.build_depth,
                "segmentation": recipes.build_segmenter,
                "sr": recipes.build_sr,
                "video": recipes.build_video,
@@ -258,6 +259,31 @@ def main():
                                       ignore_label=ignore))
                 idx += 1
         print(f"wrote {idx} prediction pairs to {args.save_preds}")
+    if args.save_preds and cfg["task"] == "depth":
+        import os
+
+        import numpy as np
+
+        from myconvnet_tpu.utils.images import save_png
+        max_depth = float(cfg.get("max_depth", 10.0))
+        idx = 0
+        for x, _y in val_set.eval_iter(batch, prefetch=0):
+            x = np.asarray(x)
+            pred = np.asarray(net.predict(x, batch_size=len(x)))
+            for j in range(len(x)):
+                d = pred[j, ..., 0]
+                # 16-bit millimeter PNG — the NYU exchange format the
+                # corpus reader itself consumes (roundtrippable)
+                mm = np.clip(d * 1000.0, 0, 65535).astype(np.uint16)
+                save_png(os.path.join(args.save_preds,
+                                      f"{idx:05d}_depth16.png"), mm)
+                # 8-bit visualization: near = bright
+                vis = np.clip(1.0 - d / max_depth, 0.0, 1.0)
+                save_png(os.path.join(args.save_preds,
+                                      f"{idx:05d}_depth.png"),
+                         (vis * 255).astype(np.uint8))
+                idx += 1
+        print(f"wrote {idx} depth-map pairs to {args.save_preds}")
 
 
 def eval_ssl(cfg, args):

@@ -156,6 +156,7 @@ def run_supervised(cfg, args, out, mesh, resume: bool):
                "video": recipes.build_video,
                "audio": recipes.build_audio,
                "ocr": recipes.build_ocr,
+               "depth": recipes.build_depth,
                "metric": recipes.build_metric}.get(cfg["task"],
                                                    recipes.build_classifier)
     net, train_set, val_set = builder(cfg, synthetic=args.synthetic,
