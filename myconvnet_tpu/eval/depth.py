@@ -3,11 +3,16 @@ no dense-regression metrics — SURVEY.md §2; mount empty, §0).
 
 The standard Eigen protocol over valid pixels (gt > 0): AbsRel,
 RMSE, RMSE(log), log10, and the threshold accuracies
-delta < 1.25 / 1.25^2 / 1.25^3.  Accumulation is streaming sums on
-host numpy (per eval batch the reductions are microseconds next to
-the forward pass), matching every other evaluator's
-``update(outputs, labels)`` contract — predictions ``[N, H, W, 1]``
-meters, labels ``[N, H, W, 1]`` meters with 0 = invalid.
+delta < 1.25 / 1.25^2 / 1.25^3.  Metrics are computed PER IMAGE and
+averaged over images — the convention of the published
+monodepth/BTS/Eigen-split evaluation scripts (RMSE in particular is
+the mean of per-image roots, not the root of a pooled mean, and
+images with few valid pixels weigh the same as dense ones).
+Accumulation is streaming sums on host numpy (per eval batch the
+reductions are microseconds next to the forward pass), matching
+every other evaluator's ``update(outputs, labels)`` contract —
+predictions ``[N, H, W, 1]`` meters, labels ``[N, H, W, 1]`` meters
+with 0 = invalid.
 
 ``median_scaling`` rescales each prediction by ``median(gt)/
 median(pred)`` before scoring — the protocol for models trained
@@ -52,15 +57,13 @@ class DepthEvaluator(Evaluator):
         return self.metric.startswith("delta")
 
     def reset(self):
-        self._sums = dict.fromkeys(
-            ("absrel", "sq_err", "sq_log_err", "log10",
-             "d1", "d2", "d3"), 0.0)
-        self._count = 0
+        self._sums = dict.fromkeys(_METRICS, 0.0)
+        self._images = 0
 
     def update(self, preds, labels):
         p_all = np.asarray(preds, np.float64)
         t_all = np.asarray(labels, np.float64)
-        for p, t in zip(p_all, t_all):  # per image: median scaling +
+        for p, t in zip(p_all, t_all):  # per image, then mean-of-images
             mask = (t > max(self.min_depth, 0.0)) & (t < self.max_depth)
             if not mask.any():
                 continue
@@ -70,33 +73,25 @@ class DepthEvaluator(Evaluator):
             pv = np.clip(pv, self.min_depth,
                          None if np.isinf(self.max_depth)
                          else self.max_depth)
-            n = pv.size
             err = pv - tv
             log_err = np.log(pv) - np.log(tv)
             ratio = np.maximum(pv / tv, tv / pv)
             s = self._sums
-            s["absrel"] += float(np.sum(np.abs(err) / tv))
-            s["sq_err"] += float(np.sum(err * err))
-            s["sq_log_err"] += float(np.sum(log_err * log_err))
-            s["log10"] += float(np.sum(np.abs(np.log10(pv / tv))))
-            s["d1"] += float(np.sum(ratio < 1.25))
-            s["d2"] += float(np.sum(ratio < 1.25 ** 2))
-            s["d3"] += float(np.sum(ratio < 1.25 ** 3))
-            self._count += n
+            s["absrel"] += float(np.mean(np.abs(err) / tv))
+            s["rmse"] += float(np.sqrt(np.mean(err * err)))
+            s["rmse_log"] += float(np.sqrt(np.mean(log_err * log_err)))
+            s["log10"] += float(np.mean(np.abs(np.log10(pv / tv))))
+            s["delta1"] += float(np.mean(ratio < 1.25))
+            s["delta2"] += float(np.mean(ratio < 1.25 ** 2))
+            s["delta3"] += float(np.mean(ratio < 1.25 ** 3))
+            self._images += 1
 
     def report(self, names=None) -> dict:
         """All seven Eigen metrics.  ``names`` is accepted (and
         ignored) for the uniform ``test.py --report`` call shape."""
         del names
-        n = max(self._count, 1)
-        s = self._sums
-        return {"absrel": s["absrel"] / n,
-                "rmse": float(np.sqrt(s["sq_err"] / n)),
-                "rmse_log": float(np.sqrt(s["sq_log_err"] / n)),
-                "log10": s["log10"] / n,
-                "delta1": s["d1"] / n,
-                "delta2": s["d2"] / n,
-                "delta3": s["d3"] / n}
+        n = max(self._images, 1)
+        return {k: self._sums[k] / n for k in _METRICS}
 
     def score(self) -> float:
         return self.report()[self.metric]

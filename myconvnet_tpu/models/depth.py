@@ -73,6 +73,12 @@ def depth_unet(x: jax.Array, num_classes: int = 0, *,
     ``decoder_width/32``.
     """
     del num_classes
+    h_in, w_in = x.shape[1], x.shape[2]
+    if h_in % 32 or w_in % 32:
+        raise ValueError(
+            f"depth_unet needs input_hw divisible by 32 (the encoder's "
+            f"total stride; the skip concats misalign otherwise), got "
+            f"({h_in}, {w_in})")
     stages = resnet_backbone(x, depth, train=train, stem=stem,
                              norm=norm, return_stages=True)
     c2, c3, c4, c5 = stages                     # strides 4, 8, 16, 32
@@ -93,6 +99,9 @@ def tinydepth(x: jax.Array, num_classes: int = 0, *,
               max_depth: float = 10.0) -> jax.Array:
     """CPU smoke variant: 3-level plain conv encoder-decoder."""
     del num_classes
+    if x.shape[1] % 8 or x.shape[2] % 8:
+        raise ValueError(f"tinydepth needs input_hw divisible by 8, "
+                         f"got ({x.shape[1]}, {x.shape[2]})")
     e1 = nn.relu(nn.conv(x, width, 3, stride=2, name="enc1"))      # s2
     e2 = nn.relu(nn.conv(e1, 2 * width, 3, stride=2, name="enc2"))  # s4
     e3 = nn.relu(nn.conv(e2, 4 * width, 3, stride=2, name="enc3"))  # s8

@@ -1645,6 +1645,9 @@ def build_ocr(cfg: dict, synthetic: bool = False,
         return x_u8.astype(jnp.float32) / 255.0
 
     def train_fn(key, x_u8, y):
+        # inline jitter rather than data/augment.color_jitter: that
+        # helper's contrast path grays via fixed 3-channel RGB
+        # coefficients, and these line images are single-channel
         x = _norm(x_u8)                               # [B, H, W, 1]
         kb, kc, kn = jax.random.split(key, 3)
         if bright > 0:
@@ -1733,20 +1736,15 @@ def build_depth(cfg: dict, synthetic: bool = False,
         return x_u8.astype(jnp.float32) / 255.0
 
     def train_fn(key, x_u8, y):
+        from myconvnet_tpu.data.augment import color_jitter
         x = _norm(x_u8)
-        kf, kb, kc = jax.random.split(key, 3)
+        kf, kj = jax.random.split(key)
         flip = jax.random.bernoulli(kf, 0.5, (x.shape[0], 1, 1, 1))
         x = jnp.where(flip, x[:, :, ::-1, :], x)
         y = jnp.where(flip, y[:, :, ::-1, :], y)
-        if bright > 0:
-            x = x + jax.random.uniform(kb, (x.shape[0], 1, 1, 1),
-                                       minval=-bright, maxval=bright)
-        if contrast > 0:
-            c = jax.random.uniform(kc, (x.shape[0], 1, 1, 1),
-                                   minval=1.0 - contrast,
-                                   maxval=1.0 + contrast)
-            mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
-            x = (x - mean) * c + mean
+        # photometric jitter on the RGB only (shared augment helper);
+        # depth targets are sensor values and stay untouched
+        x = color_jitter(kj, x, brightness=bright, contrast=contrast)
         return jnp.clip(x, 0.0, 1.0), y
 
     def eval_fn(x_u8, y):

@@ -266,15 +266,16 @@ def main():
 
         from myconvnet_tpu.utils.images import save_png
         max_depth = float(cfg.get("max_depth", 10.0))
+        # write with the corpus's own integer scale (NYU mm = 1000,
+        # KITTI = 256) so DepthPairSource can re-read what we save
+        depth_scale = float(cfg.get("depth_scale", 1000.0))
         idx = 0
         for x, _y in val_set.eval_iter(batch, prefetch=0):
             x = np.asarray(x)
             pred = np.asarray(net.predict(x, batch_size=len(x)))
             for j in range(len(x)):
                 d = pred[j, ..., 0]
-                # 16-bit millimeter PNG — the NYU exchange format the
-                # corpus reader itself consumes (roundtrippable)
-                mm = np.clip(d * 1000.0, 0, 65535).astype(np.uint16)
+                mm = np.clip(d * depth_scale, 0, 65535).astype(np.uint16)
                 save_png(os.path.join(args.save_preds,
                                       f"{idx:05d}_depth16.png"), mm)
                 # 8-bit visualization: near = bright

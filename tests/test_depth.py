@@ -56,6 +56,9 @@ def test_silog_grad_finite_with_invalid_pixels():
 # ----------------------------------------------------------- evaluator
 
 def test_depth_evaluator_matches_numpy():
+    """Per-image metrics averaged over images — the published
+    monodepth/BTS eval-script convention (mean of per-image RMSE
+    roots, equal weight per image regardless of valid-pixel count)."""
     rng = np.random.RandomState(2)
     gt = rng.uniform(0.5, 9.0, (3, 8, 8, 1))
     pred = gt * rng.uniform(0.7, 1.4, gt.shape)
@@ -64,15 +67,18 @@ def test_depth_evaluator_matches_numpy():
     ev.update(pred[:2], gt[:2])
     ev.update(pred[2:], gt[2:])
     rep = ev.report()
-    mask = gt > 1e-3
-    p, t = pred[mask], gt[mask]
-    assert rep["absrel"] == pytest.approx(
-        float(np.mean(np.abs(p - t) / t)), rel=1e-6)
-    assert rep["rmse"] == pytest.approx(
-        float(np.sqrt(np.mean((p - t) ** 2))), rel=1e-6)
-    ratio = np.maximum(p / t, t / p)
-    assert rep["delta1"] == pytest.approx(float(np.mean(ratio < 1.25)),
+    absrel, rmse, d1 = [], [], []
+    for i in range(3):
+        m = gt[i] > 1e-3
+        p, t = pred[i][m], gt[i][m]
+        absrel.append(np.mean(np.abs(p - t) / t))
+        rmse.append(np.sqrt(np.mean((p - t) ** 2)))
+        r = np.maximum(p / t, t / p)
+        d1.append(np.mean(r < 1.25))
+    assert rep["absrel"] == pytest.approx(float(np.mean(absrel)),
                                           rel=1e-6)
+    assert rep["rmse"] == pytest.approx(float(np.mean(rmse)), rel=1e-6)
+    assert rep["delta1"] == pytest.approx(float(np.mean(d1)), rel=1e-6)
     assert ev.score() == pytest.approx(rep["absrel"])
     assert not ev.higher_is_better
 
@@ -91,6 +97,15 @@ def test_depth_evaluator_median_scaling_fixes_scale():
 def test_depth_evaluator_rejects_unknown_metric():
     with pytest.raises(ValueError):
         DepthEvaluator(metric="mae")
+
+
+def test_depth_models_reject_misaligned_hw():
+    f = transform(lambda a: models.DEPTH_MODELS["tinydepth"](a))
+    with pytest.raises(ValueError, match="divisible by 8"):
+        f.init(jax.random.PRNGKey(0), jnp.zeros((1, 20, 32, 3)))
+    g = transform(lambda a: models.DEPTH_MODELS["depth_unet"](a))
+    with pytest.raises(ValueError, match="divisible by 32"):
+        g.init(jax.random.PRNGKey(0), jnp.zeros((1, 100, 128, 3)))
 
 
 # -------------------------------------------------------------- models
