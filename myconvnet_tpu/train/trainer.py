@@ -413,6 +413,13 @@ class Trainer:
             except StopIteration:
                 break
             input_wait += time.perf_counter() - t_in
+            if self.preemption_guard is not None \
+                    and self.preemption_guard.preempted:
+                # the signal landed while we were blocked on the data
+                # iterator: do NOT dispatch new device work inside the
+                # grace window — checkpoint what already finished
+                self.logger.log(step_idx, {"preempted": 1.0})
+                break
             if chain > 1:
                 # item is a staged window [K, B, ...] (DataSet.train_iter
                 # window=chain stacks BEFORE the prefetch transfer)
