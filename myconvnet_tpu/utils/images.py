@@ -89,3 +89,33 @@ def save_png(path: str, image: np.ndarray) -> str:
         arr = arr[..., 0]
     Image.fromarray(arr).save(path)
     return path
+
+
+def flow_to_color(flow: np.ndarray, max_mag: float | None = None
+                  ) -> np.ndarray:
+    """``[H, W, 2]`` flow -> ``[H, W, 3]`` uint8, Middlebury-style:
+    hue = direction, saturation = magnitude (white = static).
+    ``max_mag`` fixes the normalization (comparable frames); default
+    is the 99th-percentile magnitude of this map.  NaN (unknown)
+    pixels render black."""
+    f = np.asarray(flow, np.float64)
+    u, v = f[..., 0], f[..., 1]
+    bad = ~np.isfinite(u) | ~np.isfinite(v)
+    u = np.where(bad, 0.0, u)
+    v = np.where(bad, 0.0, v)
+    mag = np.sqrt(u * u + v * v)
+    if max_mag is None:
+        max_mag = max(float(np.percentile(mag, 99)), 1e-6)
+    s = np.clip(mag / max_mag, 0.0, 1.0)
+    h6 = (np.arctan2(-v, -u) / np.pi + 1.0) * 3.0  # [0, 6) hue sector
+    i = np.floor(h6).astype(int) % 6
+    frac = h6 - np.floor(h6)
+    # interpolate around the RGB hue hexagon at full value
+    wheel = np.array([[1, 0, 0], [1, 1, 0], [0, 1, 0],
+                      [0, 1, 1], [0, 0, 1], [1, 0, 1]], np.float64)
+    c0 = wheel[i]
+    c1 = wheel[(i + 1) % 6]
+    chroma = c0 * (1.0 - frac[..., None]) + c1 * frac[..., None]
+    rgb = 1.0 - s[..., None] * (1.0 - chroma)  # desaturate to white
+    rgb = np.where(bad[..., None], 0.0, rgb)
+    return (rgb * 255.0 + 0.5).astype(np.uint8)

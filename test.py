@@ -117,6 +117,7 @@ def main():
     builder = {"audio": recipes.build_audio,
                "ocr": recipes.build_ocr,
                "depth": recipes.build_depth,
+               "flow": recipes.build_flow,
                "segmentation": recipes.build_segmenter,
                "sr": recipes.build_sr,
                "video": recipes.build_video,
@@ -285,6 +286,28 @@ def main():
                          (vis * 255).astype(np.uint8))
                 idx += 1
         print(f"wrote {idx} depth-map pairs to {args.save_preds}")
+    if args.save_preds and cfg["task"] == "flow":
+        import os
+
+        import numpy as np
+
+        from myconvnet_tpu.subsets.flow import write_flo
+        from myconvnet_tpu.utils.images import flow_to_color, save_png
+        os.makedirs(args.save_preds, exist_ok=True)
+        idx = 0
+        for x, _y in val_set.eval_iter(batch, prefetch=0):
+            x = np.asarray(x)
+            pred = np.asarray(net.predict(x, batch_size=len(x)))
+            for j in range(len(x)):
+                # .flo roundtrips through subsets.flow.read_flo;
+                # the PNG is the Middlebury color wheel
+                write_flo(os.path.join(args.save_preds,
+                                       f"{idx:05d}_flow.flo"), pred[j])
+                save_png(os.path.join(args.save_preds,
+                                      f"{idx:05d}_flow.png"),
+                         flow_to_color(pred[j]))
+                idx += 1
+        print(f"wrote {idx} flow pairs to {args.save_preds}")
 
 
 def eval_ssl(cfg, args):

@@ -1,0 +1,321 @@
+"""Flow family tests (ops/correlation.py, models/flow.py,
+train/losses.py:epe_loss, eval/flow.py, subsets/flow.py,
+recipes.build_flow)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from myconvnet_tpu import models, recipes
+from myconvnet_tpu.core import transform
+from myconvnet_tpu.eval.flow import FlowEvaluator
+from myconvnet_tpu.ops.correlation import correlation_volume
+from myconvnet_tpu.subsets import flow as flow_mod
+from myconvnet_tpu.train.losses import epe_loss
+
+
+# --------------------------------------------------------- correlation
+
+def test_correlation_matches_numpy():
+    rng = np.random.RandomState(0)
+    a = rng.randn(2, 6, 7, 5).astype(np.float32)
+    b = rng.randn(2, 6, 7, 5).astype(np.float32)
+    d = 2
+    got = np.asarray(correlation_volume(jnp.asarray(a), jnp.asarray(b),
+                                        max_displacement=d))
+    bp = np.pad(b, ((0, 0), (d, d), (d, d), (0, 0)))
+    cols = [(a * bp[:, dy:dy + 6, dx:dx + 7]).mean(-1)
+            for dy in range(2 * d + 1) for dx in range(2 * d + 1)]
+    want = np.stack(cols, -1)
+    assert np.abs(got - want).max() < 1e-5
+    assert got.shape == (2, 6, 7, (2 * d + 1) ** 2)
+
+
+def test_correlation_center_channel_is_local_dot():
+    rng = np.random.RandomState(1)
+    a = rng.randn(1, 4, 4, 8).astype(np.float32)
+    d = 1
+    vol = np.asarray(correlation_volume(jnp.asarray(a), jnp.asarray(a),
+                                        max_displacement=d))
+    center = vol[..., d * (2 * d + 1) + d]
+    assert np.allclose(center, (a * a).mean(-1), atol=1e-6)
+
+
+def test_correlation_rejects_mismatched_shapes():
+    with pytest.raises(ValueError):
+        correlation_volume(jnp.zeros((1, 4, 4, 2)),
+                           jnp.zeros((1, 4, 5, 2)))
+
+
+# ---------------------------------------------------------------- loss
+
+def test_epe_loss_matches_numpy():
+    rng = np.random.RandomState(2)
+    p = rng.randn(2, 6, 6, 2).astype(np.float32)
+    t = rng.randn(2, 6, 6, 2).astype(np.float32)
+    t[0, :2] = np.nan  # unknown-flow pixels drop out
+    got = float(epe_loss(jnp.asarray(p), jnp.asarray(t), eps=1e-3))
+    valid = np.isfinite(t).all(-1)
+    d = (p - t)[valid]
+    want = float(np.mean(np.sqrt((d ** 2).sum(-1) + 1e-6)))
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_epe_loss_grad_finite_at_zero_error():
+    t = np.zeros((1, 4, 4, 2), np.float32)
+    g = jax.grad(lambda p: epe_loss(p, jnp.asarray(t)))(
+        jnp.zeros((1, 4, 4, 2)))
+    assert np.isfinite(np.asarray(g)).all()
+
+
+# ----------------------------------------------------------- evaluator
+
+def test_flow_evaluator_matches_numpy():
+    rng = np.random.RandomState(3)
+    t = rng.uniform(-10, 10, (3, 8, 8, 2))
+    p = t + rng.normal(0, 2, t.shape)
+    t[1, 0, 0] = np.nan
+    ev = FlowEvaluator()
+    ev.update(p[:2], t[:2])
+    ev.update(p[2:], t[2:])
+    rep = ev.report()
+    epes, fls = [], []
+    for i in range(3):
+        m = np.isfinite(t[i]).all(-1)
+        d = np.sqrt(((p[i] - t[i]) ** 2).sum(-1))[m]
+        mag = np.sqrt((t[i] ** 2).sum(-1))[m]
+        epes.append(d.mean())
+        fls.append(((d > 3.0) & (d > 0.05 * mag)).mean())
+    assert rep["epe"] == pytest.approx(float(np.mean(epes)), rel=1e-6)
+    assert rep["fl"] == pytest.approx(float(np.mean(fls)), rel=1e-6)
+    assert ev.score() == pytest.approx(rep["epe"])
+    assert not ev.higher_is_better
+
+
+def test_flow_evaluator_zero_for_perfect():
+    t = np.random.RandomState(4).uniform(-5, 5, (2, 6, 6, 2))
+    ev = FlowEvaluator()
+    ev.update(t, t)
+    assert ev.score() == pytest.approx(0.0, abs=1e-9)
+    assert ev.report()["px1"] == 1.0
+
+
+# -------------------------------------------------------------- models
+
+def test_tinyflow_shapes_and_zero_init():
+    f = transform(lambda a: models.FLOW_MODELS["tinyflow"](a))
+    x = jnp.ones((2, 24, 32, 6)) * 0.5
+    params, state = f.init(jax.random.PRNGKey(0), x)
+    y, _ = f.apply(params, state, None, x)
+    assert y.shape == (2, 24, 32, 2)
+    assert y.dtype == jnp.float32
+    assert float(jnp.abs(y).max()) == 0.0  # zero-init head: zero flow
+
+
+def test_flow_models_reject_bad_inputs():
+    f = transform(lambda a: models.FLOW_MODELS["tinyflow"](a))
+    with pytest.raises(ValueError, match=r"\[N,H,W,6\]"):
+        f.init(jax.random.PRNGKey(0), jnp.zeros((1, 24, 32, 3)))
+    g = transform(lambda a: models.FLOW_MODELS["flownet_s"](a))
+    with pytest.raises(ValueError, match="divisible by 64"):
+        g.init(jax.random.PRNGKey(0), jnp.zeros((1, 48, 64, 6)))
+
+
+@pytest.mark.slow
+def test_flownet_s_paper_geometry():
+    """Width 64 = the paper's FlowNetSimple (~38M params)."""
+    f = transform(lambda a: models.FLOW_MODELS["flownet_s"](a))
+    params, _ = f.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 64, 64, 6)))
+    n = sum(int(np.prod(p.shape)) for b in params.values()
+            for p in b.values())
+    assert 30e6 < n < 50e6, n
+
+
+@pytest.mark.slow
+def test_flownet_c_shares_trunk():
+    """The two-stream trunk is weight-shared: its conv1 bucket exists
+    once, and output changes when frame 2 changes (corr is live)."""
+    f = transform(lambda a: models.FLOW_MODELS["flownet_c"](
+        a, width=8))
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 6),
+                    jnp.float32)
+    params, state = f.init(jax.random.PRNGKey(0), x)
+    trunk_convs = [k for k in params if k.startswith("trunk")]
+    assert len({k for k in trunk_convs if "conv1" in k}) == 1
+    # the flow head is zero-init (output is identically 0 at step 0),
+    # so un-zero it before probing that frame 2 reaches the output
+    # through the correlation volume
+    params = {k: ({n: jnp.full_like(p, 0.01) for n, p in b.items()}
+                  if "flow" in k else b)
+              for k, b in params.items()}
+    y1, _ = f.apply(params, state, None, x)
+    x2 = x.at[..., 3:].set(jnp.roll(x[..., 3:], 2, axis=2))
+    y2, _ = f.apply(params, state, None, x2)
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
+
+
+# -------------------------------------------------------------- subset
+
+def test_flo_roundtrip(tmp_path):
+    rng = np.random.RandomState(5)
+    flow = rng.uniform(-20, 20, (10, 12, 2)).astype(np.float32)
+    flow[0, 0] = np.nan  # unknown survives the roundtrip as NaN
+    p = str(tmp_path / "x_flow.flo")
+    flow_mod.write_flo(p, flow)
+    back = flow_mod.read_flo(p)
+    assert back.shape == (10, 12, 2)
+    assert np.isnan(back[0, 0]).all()
+    m = np.isfinite(flow)
+    assert np.allclose(back[m], flow[m], atol=1e-6)
+
+
+def test_flo_rejects_bad_magic(tmp_path):
+    p = tmp_path / "bad.flo"
+    p.write_bytes(b"\x00" * 16)
+    with pytest.raises(ValueError, match="magic"):
+        flow_mod.read_flo(str(p))
+
+
+def test_flow_triple_layout_roundtrip(tmp_path):
+    from PIL import Image
+    root = tmp_path / "train"
+    root.mkdir()
+    rng = np.random.RandomState(6)
+    for i in range(2):
+        for tag in ("img1", "img2"):
+            Image.fromarray(rng.randint(0, 255, (16, 24, 3), np.uint8)
+                            ).save(root / f"s{i}_{tag}.png")
+        flow_mod.write_flo(str(root / f"s{i}_flow.flo"),
+                           rng.randn(16, 24, 2).astype(np.float32))
+    i1, i2, fl = flow_mod.read_subset(str(tmp_path), "train")
+    assert len(i1) == 2
+    src = flow_mod.FlowTripleSource(i1, i2, fl, hw=(16, 24))
+    x, y = src.get_batch(np.array([0, 1]))
+    assert x.shape == (2, 16, 24, 6) and x.dtype == np.uint8
+    assert y.shape == (2, 16, 24, 2)
+
+
+def test_flow_triple_missing_piece_raises(tmp_path):
+    from PIL import Image
+    root = tmp_path / "train"
+    root.mkdir()
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+        root / "a_img1.png")
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+        root / "a_img2.png")
+    with pytest.raises(FileNotFoundError, match="missing"):
+        flow_mod.read_subset(str(tmp_path), "train")
+
+
+def test_flow_source_rejects_wrong_size(tmp_path):
+    from PIL import Image
+    root = tmp_path / "train"
+    root.mkdir()
+    rng = np.random.RandomState(7)
+    Image.fromarray(rng.randint(0, 255, (16, 24, 3), np.uint8)).save(
+        root / "a_img1.png")
+    Image.fromarray(rng.randint(0, 255, (16, 24, 3), np.uint8)).save(
+        root / "a_img2.png")
+    flow_mod.write_flo(str(root / "a_flow.flo"),
+                       np.zeros((16, 24, 2), np.float32))
+    i1, i2, fl = flow_mod.read_subset(str(tmp_path), "train")
+    src = flow_mod.FlowTripleSource(i1, i2, fl, hw=(32, 48))
+    with pytest.raises(ValueError, match="resolution-bound"):
+        src.get_batch(np.array([0]))
+
+
+def test_synthetic_flow_exact_ground_truth():
+    """Where flow says a pixel moved, frame 2 must actually contain
+    frame 1's (noise-free) pixel at the displaced location — check on
+    a background-only scene (n_boxes can occlude)."""
+    pairs, flows = flow_mod.synthetic_flow_scenes(
+        4, (24, 32), max_motion=3, n_boxes=1, seed=8, noise=0.0)
+    assert pairs.shape == (4, 24, 32, 6)
+    assert flows.shape == (4, 24, 32, 2)
+    p2, f2 = flow_mod.synthetic_flow_scenes(
+        4, (24, 32), max_motion=3, n_boxes=1, seed=8, noise=0.0)
+    assert np.array_equal(pairs, p2) and np.array_equal(flows, f2)
+    f1 = pairs[0, ..., :3].astype(int)
+    fr2 = pairs[0, ..., 3:].astype(int)
+    flow = flows[0]
+    h, w = flow.shape[:2]
+    ok = total = 0
+    for y in range(h):
+        for x in range(w):
+            u, v = int(flow[y, x, 0]), int(flow[y, x, 1])
+            y2, x2 = y + v, x + u
+            if not (0 <= y2 < h and 0 <= x2 < w):
+                continue
+            total += 1
+            ok += int(np.abs(f1[y, x] - fr2[y2, x2]).max() <= 1)
+    # brightness constancy holds everywhere except frame-2 occlusions
+    # (a mover covering the target pixel) — a small minority by area
+    assert total > 0.5 * h * w
+    assert ok > 0.85 * total, (ok, total)
+
+
+# -------------------------------------------------------------- recipe
+
+def test_build_flow_smoke():
+    cfg = dict(task="flow", model="tinyflow", input_hw=(24, 32),
+               synthetic_n=8, max_motion=3,
+               optimizer=dict(name="adam",
+                              lr=dict(kind="constant", lr=1e-3)))
+    net, tr, va = recipes.build_flow(cfg, synthetic=True)
+    x, y = tr.source.get_batch(np.arange(4))
+    assert x.shape == (4, 24, 32, 6) and x.dtype == np.uint8
+    assert y.shape == (4, 24, 32, 2)
+    assert isinstance(recipes.build_evaluator(cfg), FlowEvaluator)
+
+
+def test_build_flow_rejects_unknown_model():
+    with pytest.raises(ValueError, match="unknown flow model"):
+        recipes.build_flow(dict(task="flow", model="nope"),
+                           synthetic=True)
+
+
+@pytest.mark.slow
+def test_cli_roundtrip(tmp_path):
+    import subprocess
+    import sys
+    out = tmp_path / "run"
+    common = ["--set", "model=tinyflow", "--set", "model_kwargs={}",
+              "--set", "input_hw=(24, 32)", "--set", "max_motion=3",
+              "--set", "synthetic_n=16", "--set", "val_every=0",
+              "--set", "precision=f32"]
+    r = subprocess.run(
+        [sys.executable, "train.py", "--config",
+         "configs/chairs_flownet_s.py", "--synthetic", "--steps", "2",
+         "--batch", "4", "--out", str(out), "--platform", "cpu",
+         "--set", "log_every=1"] + common,
+        capture_output=True, text=True, cwd="/root/repo", timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    r2 = subprocess.run(
+        [sys.executable, "test.py", "--config",
+         "configs/chairs_flownet_s.py", "--ckpt", str(out),
+         "--synthetic", "--platform", "cpu", "--batch", "4",
+         "--report"] + common,
+        capture_output=True, text=True, cwd="/root/repo", timeout=600)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "epe" in r2.stdout
+
+
+@pytest.mark.slow
+def test_flow_learns_synthetic():
+    """tinyflow on moving-rectangle pairs must beat the zero-flow
+    prior (the zero-init head's starting point) by a wide margin."""
+    cfg = dict(task="flow", model="tinyflow", input_hw=(32, 48),
+               synthetic_n=64, max_motion=4,
+               aug_brightness=0.0, aug_contrast=0.0,
+               optimizer=dict(name="adam",
+                              lr=dict(kind="constant", lr=5e-3)))
+    net, tr, va = recipes.build_flow(cfg, synthetic=True)
+    opt = recipes.make_optimizer(cfg["optimizer"])
+    ev = FlowEvaluator()
+    base = net.evaluate(va, ev, batch_size=16)  # zero-flow prior EPE
+    net.train(tr, batch_size=16, total_steps=400, optimizer=opt)
+    ev2 = FlowEvaluator()
+    trained = net.evaluate(va, ev2, batch_size=16)
+    assert trained < base * 0.6, (base, trained)

@@ -157,6 +157,7 @@ def run_supervised(cfg, args, out, mesh, resume: bool):
                "audio": recipes.build_audio,
                "ocr": recipes.build_ocr,
                "depth": recipes.build_depth,
+               "flow": recipes.build_flow,
                "metric": recipes.build_metric}.get(cfg["task"],
                                                    recipes.build_classifier)
     net, train_set, val_set = builder(cfg, synthetic=args.synthetic,
