@@ -32,7 +32,10 @@ class Policy:
         return jnp.asarray(x, self.compute_dtype)
 
     def cast_to_output(self, x):
-        return jnp.asarray(x, self.output_dtype)
+        # tree-aware: models may return tuples/lists (e.g. per-level
+        # flow pyramids in train mode)
+        import jax
+        return jax.tree.map(lambda a: jnp.asarray(a, self.output_dtype), x)
 
 
 FULL = Policy()

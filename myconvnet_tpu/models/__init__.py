@@ -74,7 +74,8 @@ from myconvnet_tpu.models.audio import m5, m11, melspec_cnn, tinyaudio
 from myconvnet_tpu.models.style import (tiny_transformer_net,
                                         transformer_net)
 from myconvnet_tpu.models.depth import depth_unet, tinydepth
-from myconvnet_tpu.models.flow import flownet_c, flownet_s, tinyflow
+from myconvnet_tpu.models.flow import (flownet_c, flownet_s, pwcnet,
+                                       tinyflow, tinypwc)
 from myconvnet_tpu.models.ocr import crnn, crnn_conv, tinyocr
 
 # Registry keyed by the config-file model names (reference: model choice in
@@ -214,7 +215,9 @@ DEPTH_MODELS = {
 FLOW_MODELS = {
     "flownet_s": flownet_s,
     "flownet_c": flownet_c,
+    "pwcnet": pwcnet,
     "tinyflow": tinyflow,
+    "tinypwc": tinypwc,
 }
 
 # Self-supervised pretraining forwards (train/ssl.py; fifth task

@@ -1801,7 +1801,7 @@ def build_flow(cfg: dict, synthetic: bool = False,
 
     from myconvnet_tpu.data.augment import color_jitter
     from myconvnet_tpu.subsets import flow as flow_mod
-    from myconvnet_tpu.train.losses import epe_loss
+    from myconvnet_tpu.train.losses import epe_loss, multiscale_epe_loss
 
     name = cfg.get("model", "flownet_s")
     fn = models.FLOW_MODELS.get(name)
@@ -1835,13 +1835,22 @@ def build_flow(cfg: dict, synthetic: bool = False,
     def eval_fn(x_u8, y):
         return _norm(x_u8), y
 
+    eps = cfg.get("epe_eps", 1e-3)
+    if getattr(fn, "multiscale", False):
+        # coarse-to-fine nets return the per-level flow pyramid in
+        # train mode -> PWC-style multi-scale deep supervision
+        ms_w = cfg.get("flow_loss_weights")
+        loss_fn = lambda pred, y: multiscale_epe_loss(  # noqa: E731
+            pred, y, weights=ms_w, eps=eps)
+    else:
+        loss_fn = lambda pred, y: epe_loss(pred, y, eps=eps)  # noqa: E731
+
     net = ConvNet(
         model_fn=fn,
         input_shape=(*hw, 6),
         num_classes=0,
         precision=cfg.get("precision", "f32"),
-        loss_fn=lambda pred, y: epe_loss(
-            pred, y, eps=cfg.get("epe_eps", 1e-3)),
+        loss_fn=loss_fn,
         augment_fns=(train_fn, eval_fn, _norm),
         accuracy_metric=False,   # dense regression: EPE via evaluator
         mesh=mesh,

@@ -173,6 +173,52 @@ def epe_loss(pred: jax.Array, target: jax.Array, *,
     return jnp.sum(epe * vf) / jnp.maximum(jnp.sum(vf), 1.0)
 
 
+_PWC_LEVEL_WEIGHTS = (0.32, 0.08, 0.02, 0.01, 0.005)  # levels 6..2
+
+
+def _nan_avg_pool_flow(target: jax.Array, hw) -> jax.Array:
+    """NaN-aware average pooling of a ``[N, H, W, 2]`` flow map to
+    ``hw`` (H, W must be integer multiples): unknown (NaN) pixels are
+    excluded from each window's mean; an all-unknown window stays NaN
+    so :func:`epe_loss` keeps masking it."""
+    n, h, w, c = target.shape
+    oh, ow = hw
+    if h % oh or w % ow:
+        raise ValueError(f"cannot pool {(h, w)} to {hw}: non-integer "
+                         "stride")
+    ky, kx = h // oh, w // ow
+    t = target.reshape(n, oh, ky, ow, kx, c)
+    valid = jnp.isfinite(t).all(axis=-1, keepdims=True)
+    tz = jnp.where(valid, t, 0.0)
+    cnt = jnp.sum(valid, axis=(2, 4))
+    s = jnp.sum(tz, axis=(2, 4))
+    return jnp.where(cnt > 0, s / jnp.maximum(cnt, 1), jnp.nan)
+
+
+def multiscale_epe_loss(preds, target: jax.Array, *,
+                        weights=None, eps: float = 1e-3) -> jax.Array:
+    """Multi-scale deep supervision for coarse-to-fine flow nets
+    (PWC-Net / FlowNet training schedule): a weighted Charbonnier EPE
+    per pyramid level, each against the NaN-aware average-pooled
+    ground truth.  ``preds`` is the coarse-to-fine list of
+    ``[N, h_l, w_l, 2]`` flows in FULL-RESOLUTION pixels (the
+    framework's flow convention); default ``weights`` are the PWC-Net
+    paper's alphas (0.32 ... 0.005) when five levels are supervised,
+    uniform otherwise."""
+    preds = list(preds)
+    if weights is None:
+        weights = (_PWC_LEVEL_WEIGHTS if len(preds) == 5
+                   else (1.0 / len(preds),) * len(preds))
+    if len(weights) != len(preds):
+        raise ValueError(f"{len(weights)} weights for {len(preds)} "
+                         "pyramid levels")
+    total = 0.0
+    for w_l, p in zip(weights, preds):
+        t_l = _nan_avg_pool_flow(target, p.shape[1:3])
+        total = total + w_l * epe_loss(p, t_l, eps=eps)
+    return total
+
+
 def sigmoid_bce(logits: jax.Array, target: float | jax.Array) -> jax.Array:
     """Numerically-stable sigmoid binary CE against a constant or tensor
     target (GAN real/fake labels)."""

@@ -156,6 +156,147 @@ def test_flownet_c_shares_trunk():
     assert not np.allclose(np.asarray(y1), np.asarray(y2))
 
 
+# ---------------------------------------------------------------- warp
+
+def test_warp_bilinear_matches_scipy():
+    from scipy import ndimage
+
+    from myconvnet_tpu.ops.warp import warp_bilinear
+    rng = np.random.RandomState(10)
+    img = rng.rand(2, 9, 11, 3).astype(np.float32)
+    flow = rng.uniform(-3, 3, (2, 9, 11, 2)).astype(np.float32)
+    got = np.asarray(warp_bilinear(jnp.asarray(img), jnp.asarray(flow)))
+    ys, xs = np.mgrid[0:9, 0:11].astype(np.float64)
+    for n in range(2):
+        cy, cx = ys + flow[n, ..., 1], xs + flow[n, ..., 0]
+        for c in range(3):
+            want = ndimage.map_coordinates(
+                img[n, ..., c].astype(np.float64), [cy, cx],
+                order=1, mode="nearest")
+            assert np.abs(got[n, ..., c] - want).max() < 1e-5
+
+
+def test_warp_bounded_matches_bilinear_within_bound():
+    from myconvnet_tpu.ops.warp import warp_bilinear, warp_bounded
+    rng = np.random.RandomState(11)
+    img = jnp.asarray(rng.rand(2, 8, 10, 4), jnp.float32)
+    flow = jnp.asarray(rng.uniform(-3, 3, (2, 8, 10, 2)), jnp.float32)
+    a = np.asarray(warp_bilinear(img, flow))
+    b = np.asarray(warp_bounded(img, flow, max_displacement=3))
+    assert np.abs(a - b).max() < 1e-5
+
+
+def test_warp_zero_flow_is_identity():
+    from myconvnet_tpu.ops.warp import warp_bilinear, warp_bounded
+    img = jnp.asarray(np.random.RandomState(12).rand(1, 6, 7, 2),
+                      jnp.float32)
+    z = jnp.zeros((1, 6, 7, 2), jnp.float32)
+    assert np.array_equal(np.asarray(warp_bounded(img, z)),
+                          np.asarray(img))
+    assert np.abs(np.asarray(warp_bilinear(img, z))
+                  - np.asarray(img)).max() < 1e-6
+
+
+def test_warp_rejects_mismatched_shapes():
+    from myconvnet_tpu.ops.warp import warp_bilinear, warp_bounded
+    with pytest.raises(ValueError):
+        warp_bilinear(jnp.zeros((1, 4, 4, 2)), jnp.zeros((1, 4, 5, 2)))
+    with pytest.raises(ValueError, match=r"\[\.\.\., 2\]"):
+        warp_bounded(jnp.zeros((1, 4, 4, 2)), jnp.zeros((1, 4, 4, 3)))
+
+
+# ------------------------------------------------------------- pwcnet
+
+def test_tinypwc_shapes_zero_init_and_pyramid():
+    f = transform(lambda a, train=False: models.tinypwc(a, train=train))
+    x = jnp.asarray(np.random.RandomState(13).rand(2, 24, 32, 6),
+                    jnp.float32)
+    params, state = f.init(jax.random.PRNGKey(0), x)
+    y, _ = f.apply(params, state, None, x)
+    assert y.shape == (2, 24, 32, 2)
+    assert float(jnp.abs(y).max()) == 0.0   # zero-init heads
+    levels, _ = f.apply(params, state, None, x, True)
+    assert [tuple(t.shape) for t in levels] == [(2, 6, 8, 2),
+                                                (2, 12, 16, 2)]
+    # the shared pyramid exists once
+    assert len({k for k in params if k.startswith("pyr")
+                and "enc1" in k}) == 1
+
+
+@pytest.mark.slow
+def test_pwcnet_geometry():
+    """Dense estimators + context at the paper scale (~9.4M params in
+    the released model; upfeat taps omitted here — models/flow.py)."""
+    f = transform(lambda a, train=False: models.pwcnet(a, train=train))
+    x = jnp.zeros((1, 64, 64, 6), jnp.float32)
+    params, state = f.init(jax.random.PRNGKey(0), x)
+    n = sum(int(np.prod(p.shape)) for b in params.values()
+            for p in b.values())
+    assert 8e6 < n < 11e6, n
+    levels, _ = f.apply(params, state, None, x, True)
+    assert len(levels) == 5   # levels 6..2
+    y, _ = f.apply(params, state, None, x)
+    assert y.shape == (1, 64, 64, 2)
+    assert float(jnp.abs(y).max()) == 0.0
+
+
+# ------------------------------------------------------ multiscale loss
+
+def test_multiscale_epe_matches_manual():
+    from myconvnet_tpu.train.losses import epe_loss, multiscale_epe_loss
+    rng = np.random.RandomState(14)
+    t = jnp.asarray(rng.uniform(-4, 4, (2, 8, 8, 2)), jnp.float32)
+    preds = [jnp.asarray(rng.randn(2, 2, 2, 2), jnp.float32),
+             jnp.asarray(rng.randn(2, 4, 4, 2), jnp.float32)]
+    got = float(multiscale_epe_loss(preds, t, weights=(0.4, 0.1)))
+    t2 = t.reshape(2, 2, 4, 2, 4, 2).mean(axis=(2, 4))
+    t4 = t.reshape(2, 4, 2, 4, 2, 2).mean(axis=(2, 4))
+    want = (0.4 * float(epe_loss(preds[0], t2))
+            + 0.1 * float(epe_loss(preds[1], t4)))
+    assert got == pytest.approx(want, rel=1e-6)
+
+
+def test_multiscale_epe_nan_pooling():
+    """A window mixing unknown and known pixels pools to the mean of
+    the KNOWN ones; an all-unknown window stays masked."""
+    from myconvnet_tpu.train.losses import multiscale_epe_loss
+    t = np.zeros((1, 4, 4, 2), np.float32)
+    t[0, :2, :2] = np.nan          # one all-unknown 2x2 window
+    t[0, 2, 2] = np.nan            # one mixed window (3 valid remain)
+    t[0, 2:, :2] = 2.0
+    pred = jnp.zeros((1, 2, 2, 2), jnp.float32)
+    got = float(multiscale_epe_loss([pred], jnp.asarray(t),
+                                    weights=(1.0,)))
+    # valid windows: (1,0) target (2,2) -> epe sqrt(8); (1,1) pools the
+    # 3 known zeros -> 0; (0,1) -> 0; (0,0) dropped entirely
+    # abs tolerance covers the Charbonnier eps (1e-3 per zero window)
+    assert got == pytest.approx(np.sqrt(8.0) / 3, abs=2e-3)
+
+
+def test_multiscale_epe_rejects_bad_weights():
+    from myconvnet_tpu.train.losses import multiscale_epe_loss
+    with pytest.raises(ValueError, match="weights"):
+        multiscale_epe_loss([jnp.zeros((1, 2, 2, 2))],
+                            jnp.zeros((1, 4, 4, 2)), weights=(1.0, 2.0))
+
+
+@pytest.mark.slow
+def test_pwc_learns_synthetic():
+    """tinypwc (coarse-to-fine + warp + multiscale supervision) must
+    beat the zero-flow prior through the full recipe path."""
+    cfg = dict(task="flow", model="tinypwc", input_hw=(32, 48),
+               synthetic_n=64, max_motion=4,
+               aug_brightness=0.0, aug_contrast=0.0,
+               optimizer=dict(name="adam",
+                              lr=dict(kind="constant", lr=5e-3)))
+    net, tr, va = recipes.build_flow(cfg, synthetic=True)
+    opt = recipes.make_optimizer(cfg["optimizer"])
+    base = net.evaluate(va, FlowEvaluator(), batch_size=16)
+    net.train(tr, batch_size=16, total_steps=400, optimizer=opt)
+    trained = net.evaluate(va, FlowEvaluator(), batch_size=16)
+    assert trained < base * 0.6, (base, trained)
+
+
 # -------------------------------------------------------------- subset
 
 def test_flo_roundtrip(tmp_path):
