@@ -1801,7 +1801,8 @@ def build_flow(cfg: dict, synthetic: bool = False,
 
     from myconvnet_tpu.data.augment import color_jitter
     from myconvnet_tpu.subsets import flow as flow_mod
-    from myconvnet_tpu.train.losses import epe_loss, multiscale_epe_loss
+    from myconvnet_tpu.train.losses import (epe_loss, multiscale_epe_loss,
+                                            unsupervised_flow_loss)
 
     name = cfg.get("model", "flownet_s")
     fn = models.FLOW_MODELS.get(name)
@@ -1828,15 +1829,26 @@ def build_flow(cfg: dict, synthetic: bool = False,
         kf, kj = jax.random.split(key)
         flip = jax.random.bernoulli(kf, 0.5, (x.shape[0], 1, 1, 1))
         x = jnp.where(flip, x[:, :, ::-1, :], x)
+        xa = _jitter(kj, x)
+        if unsup:
+            return xa, xa      # brightness constancy vs what it saw
         y_f = jnp.concatenate([-y[..., :1], y[..., 1:]], axis=-1)
         y = jnp.where(flip, y_f[:, :, ::-1, :], y)
-        return _jitter(kj, x), y
+        return xa, y
 
     def eval_fn(x_u8, y):
         return _norm(x_u8), y
 
     eps = cfg.get("epe_eps", 1e-3)
-    if getattr(fn, "multiscale", False):
+    unsup = bool(cfg.get("unsupervised", False))
+    if unsup:
+        # photometric + smoothness: the train target is the augmented
+        # frame pair itself (train_fn below); GT flow is only ever
+        # read by the evaluator
+        loss_fn = lambda pred, y: unsupervised_flow_loss(  # noqa: E731
+            pred, y, smooth_weight=cfg.get("smooth_weight", 0.05),
+            edge_sharpness=cfg.get("edge_sharpness", 50.0), eps=eps)
+    elif getattr(fn, "multiscale", False):
         # coarse-to-fine nets return the per-level flow pyramid in
         # train mode -> PWC-style multi-scale deep supervision
         ms_w = cfg.get("flow_loss_weights")

@@ -219,6 +219,48 @@ def multiscale_epe_loss(preds, target: jax.Array, *,
     return total
 
 
+def unsupervised_flow_loss(pred, frames: jax.Array, *,
+                           smooth_weight: float = 0.05,
+                           edge_sharpness: float = 50.0,
+                           eps: float = 1e-3) -> jax.Array:
+    """Unsupervised optical-flow objective: photometric Charbonnier
+    between frame 1 and frame 2 backward-warped by the predicted flow
+    (brightness constancy — no ground truth consumed), plus
+    first-order edge-aware smoothness (flow gradients are cheap
+    except across image edges: ``|d flow| * exp(-sharpness *
+    |d image|)``, the Jonschkowski et al. "What Matters in
+    Unsupervised Optical Flow" baseline form).
+
+    ``pred`` is ``[N, h, w, 2]`` (full-resolution pixels) or the
+    coarse-to-fine pyramid list (the finest level is upsampled and
+    supervised); ``frames`` is the ``[N, H, W, 6]`` channel-stacked
+    pair in [0, 1] — the recipe passes the augmented frames as the
+    training target, so the loss sees exactly what the model saw.
+    Occlusion handling (forward-backward consistency) is out of
+    scope here and recorded in docs/ROADMAP.md.  Computes in f32.
+    """
+    from myconvnet_tpu.ops.resize import resize_bilinear
+    from myconvnet_tpu.ops.warp import warp_bilinear
+
+    if isinstance(pred, (list, tuple)):
+        pred = pred[-1]
+    fr = frames.astype(jnp.float32)
+    n, h, w, _ = fr.shape
+    fl = pred.astype(jnp.float32)
+    if fl.shape[1:3] != (h, w):
+        fl = resize_bilinear(fl, (h, w))
+    f1, f2 = fr[..., :3], fr[..., 3:]
+    warped = warp_bilinear(f2, fl)
+    photo = jnp.mean(jnp.sqrt(jnp.square(f1 - warped) + eps * eps))
+    du_x = jnp.abs(fl[:, :, 1:] - fl[:, :, :-1]).sum(-1)
+    du_y = jnp.abs(fl[:, 1:] - fl[:, :-1]).sum(-1)
+    gx = jnp.mean(jnp.abs(f1[:, :, 1:] - f1[:, :, :-1]), axis=-1)
+    gy = jnp.mean(jnp.abs(f1[:, 1:] - f1[:, :-1]), axis=-1)
+    smooth = (jnp.mean(du_x * jnp.exp(-edge_sharpness * gx))
+              + jnp.mean(du_y * jnp.exp(-edge_sharpness * gy)))
+    return photo + smooth_weight * smooth
+
+
 def sigmoid_bce(logits: jax.Array, target: float | jax.Array) -> jax.Array:
     """Numerically-stable sigmoid binary CE against a constant or tensor
     target (GAN real/fake labels)."""

@@ -280,6 +280,48 @@ def test_multiscale_epe_rejects_bad_weights():
                             jnp.zeros((1, 4, 4, 2)), weights=(1.0, 2.0))
 
 
+def test_unsupervised_loss_basics():
+    """Zero flow on identical frames = pure eps floor; warping by the
+    TRUE flow beats zero flow photometrically on a real pair."""
+    from myconvnet_tpu.train.losses import unsupervised_flow_loss
+    rng = np.random.RandomState(15)
+    f1 = rng.rand(1, 8, 12, 3).astype(np.float32)
+    same = jnp.asarray(np.concatenate([f1, f1], -1))
+    zero = jnp.zeros((1, 8, 12, 2), jnp.float32)
+    val = float(unsupervised_flow_loss(zero, same, smooth_weight=0.0))
+    assert val == pytest.approx(1e-3, rel=1e-3)
+    pairs, flows = flow_mod.synthetic_flow_scenes(
+        2, (24, 32), max_motion=3, seed=16, noise=0.0)
+    fr = jnp.asarray(pairs.astype(np.float32) / 255.0)
+    gt = jnp.asarray(np.nan_to_num(flows))
+    l_zero = float(unsupervised_flow_loss(
+        jnp.zeros_like(gt), fr, smooth_weight=0.0))
+    l_true = float(unsupervised_flow_loss(gt, fr, smooth_weight=0.0))
+    assert l_true < l_zero * 0.5, (l_true, l_zero)
+    # pyramid input: the finest level is what gets supervised
+    half = jnp.zeros((2, 12, 16, 2), jnp.float32)
+    l_pyr = float(unsupervised_flow_loss(
+        [half, jnp.zeros_like(gt)], fr, smooth_weight=0.0))
+    assert l_pyr == pytest.approx(l_zero, rel=1e-6)
+
+
+@pytest.mark.slow
+def test_unsupervised_flow_learns():
+    """tinypwc trained by brightness constancy ALONE (no GT consumed)
+    must recover most of the flow on the synthetic corpus."""
+    cfg = dict(task="flow", model="tinypwc", input_hw=(32, 48),
+               synthetic_n=64, max_motion=2, unsupervised=True,
+               aug_brightness=0.0, aug_contrast=0.0,
+               optimizer=dict(name="adam",
+                              lr=dict(kind="constant", lr=2e-3)))
+    net, tr, va = recipes.build_flow(cfg, synthetic=True)
+    opt = recipes.make_optimizer(cfg["optimizer"])
+    base = net.evaluate(va, FlowEvaluator(), batch_size=16)
+    net.train(tr, batch_size=16, total_steps=600, optimizer=opt)
+    trained = net.evaluate(va, FlowEvaluator(), batch_size=16)
+    assert trained < base * 0.7, (base, trained)
+
+
 @pytest.mark.slow
 def test_pwc_learns_synthetic():
     """tinypwc (coarse-to-fine + warp + multiscale supervision) must
