@@ -1831,6 +1831,13 @@ def build_flow(cfg: dict, synthetic: bool = False,
         x = jnp.where(flip, x[:, :, ::-1, :], x)
         xa = _jitter(kj, x)
         if unsup:
+            if occ:
+                # bidirectional: stack the swapped pairs below the
+                # forward pairs so ONE forward pass yields both flow
+                # directions for the consistency mask
+                swapped = jnp.concatenate(
+                    [xa[..., 3:], xa[..., :3]], axis=-1)
+                return jnp.concatenate([xa, swapped], axis=0), xa
             return xa, xa      # brightness constancy vs what it saw
         y_f = jnp.concatenate([-y[..., :1], y[..., 1:]], axis=-1)
         y = jnp.where(flip, y_f[:, :, ::-1, :], y)
@@ -1841,13 +1848,22 @@ def build_flow(cfg: dict, synthetic: bool = False,
 
     eps = cfg.get("epe_eps", 1e-3)
     unsup = bool(cfg.get("unsupervised", False))
+    occ = bool(cfg.get("occlusion", False))
+    if occ and not unsup:
+        raise ValueError("occlusion=True is the bidirectional "
+                         "unsupervised objective; set unsupervised=True")
     if unsup:
         # photometric + smoothness: the train target is the augmented
         # frame pair itself (train_fn below); GT flow is only ever
-        # read by the evaluator
+        # read by the evaluator.  occlusion=True doubles the in-step
+        # batch with the swapped pairs and gates the photometric term
+        # by forward-backward consistency.
         loss_fn = lambda pred, y: unsupervised_flow_loss(  # noqa: E731
             pred, y, smooth_weight=cfg.get("smooth_weight", 0.05),
-            edge_sharpness=cfg.get("edge_sharpness", 50.0), eps=eps)
+            edge_sharpness=cfg.get("edge_sharpness", 50.0), eps=eps,
+            occlusion=occ,
+            occ_alpha1=cfg.get("occ_alpha1", 0.01),
+            occ_alpha2=cfg.get("occ_alpha2", 0.5))
     elif getattr(fn, "multiscale", False):
         # coarse-to-fine nets return the per-level flow pyramid in
         # train mode -> PWC-style multi-scale deep supervision

@@ -219,10 +219,63 @@ def multiscale_epe_loss(preds, target: jax.Array, *,
     return total
 
 
+def occlusion_mask(flow_fwd: jax.Array, flow_bwd: jax.Array, *,
+                   alpha1: float = 0.01,
+                   alpha2: float = 0.5) -> jax.Array:
+    """Forward-backward consistency occlusion mask (Meister et al.
+    UnFlow / Sundaram et al.): a pixel is NON-occluded (mask 1) where
+    the forward flow and the backward flow sampled at the forward
+    target roughly cancel,
+
+        ``|f + b∘f|^2 < alpha1 * (|f|^2 + |b∘f|^2) + alpha2``
+
+    — occluded pixels land somewhere whose backward flow points
+    elsewhere, so the sum stays large.  Returns ``[N, H, W, 1]`` f32
+    in {0, 1}; callers ``stop_gradient`` it (the mask is a gate, not
+    a differentiable objective).
+    """
+    from myconvnet_tpu.ops.warp import warp_bilinear
+
+    f = flow_fwd.astype(jnp.float32)
+    b = warp_bilinear(flow_bwd.astype(jnp.float32), f)
+    sq_sum = jnp.sum(jnp.square(f + b), axis=-1, keepdims=True)
+    sq_mag = (jnp.sum(jnp.square(f), axis=-1, keepdims=True)
+              + jnp.sum(jnp.square(b), axis=-1, keepdims=True))
+    return (sq_sum < alpha1 * sq_mag + alpha2).astype(jnp.float32)
+
+
+def _photo_smooth(fl, f_src, f_tgt, *, edge_sharpness, eps, mask=None):
+    """Masked photometric Charbonnier (f_src vs f_tgt warped by fl)
+    plus edge-aware smoothness of fl w.r.t. f_src's edges."""
+    from myconvnet_tpu.ops.warp import warp_bilinear
+
+    warped = warp_bilinear(f_tgt, fl)
+    err = jnp.sqrt(jnp.square(f_src - warped) + eps * eps)
+    if mask is None:
+        photo = jnp.mean(err)
+    else:
+        m = jax.lax.stop_gradient(mask)
+        # normalize by the live-pixel count so a shrinking mask cannot
+        # shrink the loss (the degenerate "declare everything occluded"
+        # escape); the mask itself carries no gradient
+        photo = (jnp.sum(err * m)
+                 / (jnp.sum(m) * err.shape[-1] + 1e-6))
+    du_x = jnp.abs(fl[:, :, 1:] - fl[:, :, :-1]).sum(-1)
+    du_y = jnp.abs(fl[:, 1:] - fl[:, :-1]).sum(-1)
+    gx = jnp.mean(jnp.abs(f_src[:, :, 1:] - f_src[:, :, :-1]), axis=-1)
+    gy = jnp.mean(jnp.abs(f_src[:, 1:] - f_src[:, :-1]), axis=-1)
+    smooth = (jnp.mean(du_x * jnp.exp(-edge_sharpness * gx))
+              + jnp.mean(du_y * jnp.exp(-edge_sharpness * gy)))
+    return photo, smooth
+
+
 def unsupervised_flow_loss(pred, frames: jax.Array, *,
                            smooth_weight: float = 0.05,
                            edge_sharpness: float = 50.0,
-                           eps: float = 1e-3) -> jax.Array:
+                           eps: float = 1e-3,
+                           occlusion: bool = False,
+                           occ_alpha1: float = 0.01,
+                           occ_alpha2: float = 0.5) -> jax.Array:
     """Unsupervised optical-flow objective: photometric Charbonnier
     between frame 1 and frame 2 backward-warped by the predicted flow
     (brightness constancy — no ground truth consumed), plus
@@ -236,11 +289,20 @@ def unsupervised_flow_loss(pred, frames: jax.Array, *,
     supervised); ``frames`` is the ``[N, H, W, 6]`` channel-stacked
     pair in [0, 1] — the recipe passes the augmented frames as the
     training target, so the loss sees exactly what the model saw.
-    Occlusion handling (forward-backward consistency) is out of
-    scope here and recorded in docs/ROADMAP.md.  Computes in f32.
+
+    ``occlusion=True`` enables the bidirectional form: ``pred`` must
+    carry ``2N`` flows — the first ``N`` for the (f1, f2) pairs, the
+    second ``N`` for the SWAPPED (f2, f1) pairs (the recipe doubles
+    the batch inside the jitted step, so both directions ride one
+    forward pass).  Photometric terms in both directions are gated by
+    the forward-backward consistency mask (:func:`occlusion_mask`,
+    stop-gradient, live-pixel normalized) so occluded pixels — whose
+    true match is invisible — stop dragging the flow toward wrong
+    matches; smoothness stays unmasked (it is exactly the occluded
+    pixels that must be filled by their neighborhood).  Computes in
+    f32.
     """
     from myconvnet_tpu.ops.resize import resize_bilinear
-    from myconvnet_tpu.ops.warp import warp_bilinear
 
     if isinstance(pred, (list, tuple)):
         pred = pred[-1]
@@ -250,15 +312,26 @@ def unsupervised_flow_loss(pred, frames: jax.Array, *,
     if fl.shape[1:3] != (h, w):
         fl = resize_bilinear(fl, (h, w))
     f1, f2 = fr[..., :3], fr[..., 3:]
-    warped = warp_bilinear(f2, fl)
-    photo = jnp.mean(jnp.sqrt(jnp.square(f1 - warped) + eps * eps))
-    du_x = jnp.abs(fl[:, :, 1:] - fl[:, :, :-1]).sum(-1)
-    du_y = jnp.abs(fl[:, 1:] - fl[:, :-1]).sum(-1)
-    gx = jnp.mean(jnp.abs(f1[:, :, 1:] - f1[:, :, :-1]), axis=-1)
-    gy = jnp.mean(jnp.abs(f1[:, 1:] - f1[:, :-1]), axis=-1)
-    smooth = (jnp.mean(du_x * jnp.exp(-edge_sharpness * gx))
-              + jnp.mean(du_y * jnp.exp(-edge_sharpness * gy)))
-    return photo + smooth_weight * smooth
+    if not occlusion:
+        if fl.shape[0] != n:
+            raise ValueError(f"{fl.shape[0]} flows for {n} frame pairs")
+        photo, smooth = _photo_smooth(
+            fl, f1, f2, edge_sharpness=edge_sharpness, eps=eps)
+        return photo + smooth_weight * smooth
+    if fl.shape[0] != 2 * n:
+        raise ValueError(
+            f"occlusion=True needs 2N={2 * n} flows (forward pairs "
+            f"then swapped pairs), got {fl.shape[0]}")
+    f_fwd, f_bwd = fl[:n], fl[n:]
+    m_fwd = occlusion_mask(f_fwd, f_bwd,
+                           alpha1=occ_alpha1, alpha2=occ_alpha2)
+    m_bwd = occlusion_mask(f_bwd, f_fwd,
+                           alpha1=occ_alpha1, alpha2=occ_alpha2)
+    p_f, s_f = _photo_smooth(f_fwd, f1, f2, edge_sharpness=edge_sharpness,
+                             eps=eps, mask=m_fwd)
+    p_b, s_b = _photo_smooth(f_bwd, f2, f1, edge_sharpness=edge_sharpness,
+                             eps=eps, mask=m_bwd)
+    return 0.5 * (p_f + p_b) + smooth_weight * 0.5 * (s_f + s_b)
 
 
 def sigmoid_bce(logits: jax.Array, target: float | jax.Array) -> jax.Array:

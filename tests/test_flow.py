@@ -502,3 +502,86 @@ def test_flow_learns_synthetic():
     ev2 = FlowEvaluator()
     trained = net.evaluate(va, ev2, batch_size=16)
     assert trained < base * 0.6, (base, trained)
+
+
+# ---------------------------------------------------- occlusion masking
+
+def test_occlusion_mask_consistent_vs_inconsistent():
+    """Flows that cancel (b = -f) are everywhere non-occluded; flows
+    that AGREE (b = f, large) violate the consistency bound."""
+    from myconvnet_tpu.train.losses import occlusion_mask
+    f = jnp.full((1, 8, 8, 2), 3.0)
+    m = occlusion_mask(f, -f)
+    # interior pixels cancel exactly; border pixels suffer the edge
+    # clamp of the warp, but a constant backward field is clamp-proof
+    assert float(m.min()) == 1.0 and m.shape == (1, 8, 8, 1)
+    m_bad = occlusion_mask(f, f)       # |f+b|^2 = 36 >> alpha terms
+    assert float(m_bad.max()) == 0.0
+
+
+def test_occlusion_mask_flags_disocclusion():
+    """Frame 2's new (disoccluded) content has no source in frame 1:
+    its backward flow is garbage (0 here), and checking it against the
+    forward field flags exactly those columns while genuine matches
+    stay live."""
+    from myconvnet_tpu.train.losses import occlusion_mask
+    h = w = 12
+    shift = 4
+    # content moves right by 4: frame-2 cols >= 4 came from frame-1
+    # cols x-4 (backward flow -4); frame-2 cols 0..3 are NEW content
+    # with no true match (the net predicts some junk -> 0 here)
+    f = jnp.full((1, h, w, 2), 0.0).at[..., 0].set(float(shift))
+    b = jnp.full((1, h, w, 2), 0.0).at[..., 0].set(-float(shift))
+    b = b.at[:, :, :shift, 0].set(0.0)
+    m = np.asarray(occlusion_mask(b, f))
+    # disoccluded cols: b=0 samples f at the same column (+4 there)
+    # -> |0+4|^2 = 16 over the 0.66 bound -> flagged
+    assert m[0, :, :shift].max() == 0.0
+    # matched cols: b=-4 samples f at x-4 (+4) -> cancels -> live
+    assert m[0, :, shift:].min() == 1.0
+
+
+def test_unsupervised_loss_occlusion_bidirectional():
+    """occlusion=True consumes 2N flows; with perfectly consistent
+    flows on identical frames it reduces to the eps floor, and the 2N
+    contract is enforced."""
+    from myconvnet_tpu.train.losses import unsupervised_flow_loss
+    rng = np.random.RandomState(21)
+    f1 = rng.rand(2, 8, 12, 3).astype(np.float32)
+    same = jnp.asarray(np.concatenate([f1, f1], -1))
+    flows = jnp.zeros((4, 8, 12, 2), jnp.float32)
+    val = float(unsupervised_flow_loss(flows, same, smooth_weight=0.0,
+                                       occlusion=True))
+    assert val == pytest.approx(1e-3, rel=1e-3)
+    with pytest.raises(ValueError, match="2N"):
+        unsupervised_flow_loss(jnp.zeros((2, 8, 12, 2)), same,
+                               occlusion=True)
+    # occluded-region masking: make the second direction inconsistent
+    # everywhere -> its photometric term is fully masked, only the
+    # forward direction (still eps-floor) contributes
+    bad = flows.at[2:, :, :, 0].set(9.0)
+    v2 = float(unsupervised_flow_loss(bad, same, smooth_weight=0.0,
+                                      occlusion=True))
+    assert np.isfinite(v2)
+
+
+def test_flow_recipe_occlusion_step():
+    """The occlusion=True recipe doubles the in-step batch with the
+    swapped pairs and trains end to end (one step, finite loss)."""
+    cfg = dict(task="flow", model="tinyflow", input_hw=(16, 24),
+               synthetic_n=8, max_motion=2, unsupervised=True,
+               occlusion=True,
+               optimizer=dict(name="adam",
+                              lr=dict(kind="constant", lr=1e-3)))
+    net, tr, va = recipes.build_flow(cfg, synthetic=True)
+    opt = recipes.make_optimizer(cfg["optimizer"])
+    hist = net.train(tr, batch_size=4, total_steps=3, optimizer=opt)
+    losses = [h["loss"] for h in hist] if isinstance(hist, list) else None
+    base = net.evaluate(va, FlowEvaluator(), batch_size=4)
+    assert np.isfinite(base)
+
+
+def test_flow_recipe_occlusion_requires_unsup():
+    with pytest.raises(ValueError, match="unsupervised"):
+        recipes.build_flow(dict(task="flow", model="tinyflow",
+                                occlusion=True), synthetic=True)
