@@ -2127,6 +2127,147 @@ def build_semisup(cfg: dict, synthetic: bool = False, mesh=None):
     return state, step, data_iter, DataSet(val_src), eval_fn
 
 
+# ------------------------------------------------- knowledge distillation
+
+def build_distill(cfg: dict, synthetic: bool = False, mesh=None):
+    """Knowledge-distillation recipe wiring (train/distill.py made a
+    first-class task — the compress-the-zoo workflow: a trained
+    teacher checkpoint supervises a smaller student through the fused
+    teacher+student step).
+
+    Returns ``(state, step_fn, data_iter_fn, val_set, eval_fn)`` — the
+    run_semisup driver shape.  Config::
+
+        task="distill", model="smallnet",        # the student
+        distill=dict(
+            teacher="resnet50",                  # teacher architecture
+            teacher_kwargs={},                   # its model_kwargs
+            ckpt="runs/r50/",                    # framework ckpt (dir
+                                                 # or file) to load the
+                                                 # teacher from, OR
+            npz="weights.npz",                   # flat scope::name npz
+            torch=dict(path="r50.pth", depth=50),  # torchvision file
+            temperature=4.0, alpha=0.9),
+
+    Exactly one of ``ckpt``/``npz``/``torch`` must be given — an
+    untrained teacher distills noise, so there is no silent-random
+    fallback (``allow_random=True`` overrides for tests/smoke runs).
+    With ``mesh``, batches shard over the data axis and GSPMD carries
+    both networks' compute.
+    """
+    import jax.numpy as jnp
+
+    from myconvnet_tpu.data.augment import augment_eval, augment_train
+    from myconvnet_tpu.train import distill as kd_lib
+    from myconvnet_tpu.train.trainer import init_train_state
+
+    dcfg = dict(cfg.get("distill") or {})
+    if "teacher" not in dcfg:
+        raise ValueError("task='distill' needs distill=dict(teacher=...)")
+    policy = get_policy(cfg.get("precision", "f32"))
+    ncls = cfg["num_classes"]
+
+    def make_net(name, mkw):
+        fn = models.get_model(name)
+
+        def fwd(x, train=False):
+            with policy_scope(policy):
+                return fn(x.astype(policy.compute_dtype), ncls,
+                          train=train, **mkw)
+
+        return transform(fwd)
+
+    student = make_net(cfg["model"], cfg.get("model_kwargs", {}))
+    teacher = make_net(dcfg["teacher"], dcfg.get("teacher_kwargs", {}))
+
+    aug = make_augment(cfg["augment"])
+    hw = tuple(aug.out_hw)
+
+    def augment_fn(key, x_u8, y):
+        return augment_train(key, x_u8, aug), y
+
+    opt = make_optimizer(cfg["optimizer"])
+    seed = cfg.get("seed", 0)
+    sample = jnp.zeros((2, *hw, 3), policy.compute_dtype)
+    state0 = init_train_state(student, opt, jax.random.key(seed), sample)
+    t_params, t_state = teacher.init(jax.random.key(seed + 1), sample,
+                                     True)
+
+    src = [k for k in ("ckpt", "npz", "torch") if dcfg.get(k)]
+    if len(src) > 1:
+        raise ValueError(f"distill teacher weights over-specified: {src}")
+    if src == ["ckpt"]:
+        from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
+        import warnings
+        with warnings.catch_warnings():
+            # the teacher template deliberately omits opt_state/step —
+            # the "unused entries" warning is expected here
+            warnings.filterwarnings(
+                "ignore", message=".*entries the target has no slot.*")
+            got = ckpt_lib.restore_checkpoint(
+                dcfg["ckpt"], {"params": t_params, "model_state": t_state})
+        t_params, t_state = got["params"], got["model_state"]
+    elif src == ["npz"]:
+        from myconvnet_tpu.models.pretrained import load_npz_weights
+        t_params = load_npz_weights(dcfg["npz"], t_params)
+    elif src == ["torch"]:
+        from myconvnet_tpu.models.pretrained import import_torch_resnet_file
+        tc = dict(dcfg["torch"])
+        t_params, t_state = import_torch_resnet_file(
+            tc["path"], t_params, t_state,
+            depth=int(tc.get("depth", 50)),
+            load_head=bool(tc.get("load_head", True)),
+            prefix=tc.get("prefix", ""))
+    elif not dcfg.get("allow_random"):
+        raise ValueError(
+            "distill= gives no teacher weights (ckpt=/npz=/torch=); a "
+            "random teacher distills noise — pass allow_random=True "
+            "only for smoke tests")
+
+    state = kd_lib.DistillState(state0, t_params, t_state)
+    step = kd_lib.make_distill_step(
+        student, teacher, opt,
+        temperature=float(dcfg.get("temperature", 4.0)),
+        alpha=float(dcfg.get("alpha", 0.9)),
+        augment_fn=augment_fn)
+
+    train_src, val_src = make_sources(cfg, synthetic)
+    train_ds = DataSet(train_src, seed=seed)
+    batch = cfg["batch_size"]
+
+    def data_iter():
+        put = None
+        if mesh is not None:
+            from myconvnet_tpu.parallel import shard_batch
+            put = lambda b: shard_batch(mesh, b)  # noqa: E731
+        it = train_ds.train_iter(batch, device_put_fn=put)
+        try:
+            yield from it
+        finally:
+            if hasattr(it, "close"):
+                it.close()
+
+    @jax.jit
+    def _pred(params, mstate, x_u8):
+        x = augment_eval(x_u8, aug)
+        logits, _ = student.apply(params, mstate, None, x, False)
+        return jnp.argmax(logits.astype(jnp.float32), axis=-1)
+
+    def eval_fn(state, batches) -> float:
+        import numpy as np
+        st = state.student
+        correct = total = 0
+        for x, y in batches:
+            pred = np.asarray(_pred(st.params, st.model_state,
+                                    jnp.asarray(x)))
+            y = np.asarray(y)
+            correct += int((pred[:len(y)] == y).sum())
+            total += len(y)
+        return correct / max(total, 1)
+
+    return state, step, data_iter, DataSet(val_src), eval_fn
+
+
 # ------------------------------------------------------ diffusion (ddpm)
 
 def _diffusion_model(cfg: dict):

@@ -113,6 +113,9 @@ def main():
     if cfg["task"] == "semisup":
         run_semisup(cfg, args, out, mesh)
         return
+    if cfg["task"] == "distill":
+        run_distill(cfg, args, out, mesh)
+        return
     if cfg["task"] == "style":
         run_style(cfg, args, out)
         return
@@ -405,6 +408,59 @@ def run_semisup(cfg, args, out, mesh=None):
     acc = eval_fn(state, val_set.eval_iter(eval_batch))
     print(f"semisup done at step {int(state.step)}; "
           f"final EMA val_acc={acc:.4f} (best {max(best, acc):.4f})")
+
+
+def run_distill(cfg, args, out, mesh=None):
+    """Knowledge-distillation loop: the fused teacher+student step
+    (train/distill.py) under the run_semisup driver shape — periodic
+    student validation with best-checkpoint retention.  The teacher
+    rides inside the checkpoint state, so crash-resume restores the
+    exact same supervision."""
+    from myconvnet_tpu import recipes
+    from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
+    from myconvnet_tpu.utils.logging import MetricLogger
+    from myconvnet_tpu.utils.preemption import PreemptionGuard
+
+    state, step, data_iter_fn, val_set, eval_fn = recipes.build_distill(
+        cfg, synthetic=args.synthetic, mesh=mesh)
+    if args.resume and ckpt_lib_latest(out):
+        restored = ckpt_lib.restore_checkpoint(out, state._asdict())
+        state = type(state)(**restored)
+        print(f"resumed distill from step {int(state.student.step)}")
+    guard = PreemptionGuard().__enter__()
+    logger = MetricLogger(log_dir=out, name="distill")
+    log_every = cfg.get("log_every", 100)
+    val_every = cfg.get("val_every", 0)
+    eval_batch = cfg.get("eval_batch", cfg["batch_size"])
+    best = -1.0
+    total = cfg["total_steps"]
+    start = int(state.student.step)
+    it = data_iter_fn()
+    for i, batch in enumerate(it):
+        if start + i >= total:
+            break
+        if guard.preempted:
+            logger.log(start + i, {"preempted": 1.0})
+            break
+        state, metrics = step(state, batch)
+        i = start + i
+        if (i + 1) % log_every == 0:
+            logger.log(i + 1, {k: float(v) for k, v in metrics.items()})
+            ckpt_lib.save_checkpoint(out, i + 1, state._asdict(), keep=2)
+        if val_every and (i + 1) % val_every == 0:
+            acc = eval_fn(state, val_set.eval_iter(eval_batch))
+            logger.log(i + 1, {"val_acc": acc})
+            print(f"[step {i + 1}] val_acc={acc:.4f}")
+            if acc > best:
+                best = acc
+                ckpt_lib.save_checkpoint(out, i + 1, state._asdict(),
+                                         keep=2, metric=acc, is_best=True)
+    it.close()
+    ckpt_lib.save_checkpoint(out, int(state.student.step),
+                             state._asdict(), keep=2)
+    acc = eval_fn(state, val_set.eval_iter(eval_batch))
+    print(f"distill done at step {int(state.student.step)}; "
+          f"student val_acc={acc:.4f} (best {max(best, acc):.4f})")
 
 
 def run_diffusion(cfg, args, out, mesh=None):
