@@ -77,6 +77,7 @@ from myconvnet_tpu.models.depth import depth_unet, tinydepth
 from myconvnet_tpu.models.flow import (flownet_c, flownet_s, pwcnet,
                                        tinyflow, tinypwc)
 from myconvnet_tpu.models.ocr import crnn, crnn_conv, tinyocr
+from myconvnet_tpu.models.tracking import siamfc, tinysiamfc
 
 # Registry keyed by the config-file model names (reference: model choice in
 # parameters.py — SURVEY.md §2#10).
@@ -220,6 +221,15 @@ FLOW_MODELS = {
     "tinypwc": tinypwc,
 }
 
+# SiamFC trackers (sixteenth task family): fn(x [N,H,W,6] blob —
+# search crop in ch 0-2, exemplar padded top-left in ch 3-5,
+# num_classes=0, train=) -> [N,R,R] f32 response logits
+# (models/tracking.py).
+TRACK_MODELS = {
+    "siamfc": siamfc,
+    "tinysiamfc": tinysiamfc,
+}
+
 # Self-supervised pretraining forwards (train/ssl.py; fifth task
 # family).  MAE entries are (x, *, train, features_only, ...) — not
 # classifiers, so they live outside get_model()'s tables; SimCLR reuses
@@ -254,7 +264,8 @@ def list_models(kind: str | None = None) -> list[str]:
               "diffusion": DIFFUSION_MODELS, "video": VIDEO_MODELS,
               "embedding": EMBEDDING_MODELS, "audio": AUDIO_MODELS,
               "style": STYLE_MODELS, "ocr": OCR_MODELS,
-              "depth": DEPTH_MODELS, "flow": FLOW_MODELS}
+              "depth": DEPTH_MODELS, "flow": FLOW_MODELS,
+              "tracking": TRACK_MODELS}
     if kind is None:
         return (sorted(CLASSIFIERS) + sorted(SEGMENTERS)
                 + sorted(DETECTORS) + sorted(SR_MODELS))

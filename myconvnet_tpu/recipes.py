@@ -351,6 +351,12 @@ def build_evaluator(cfg: dict):
     if cfg["task"] == "flow":
         from myconvnet_tpu.eval.flow import FlowEvaluator
         return FlowEvaluator(metric=cfg.get("flow_metric", "epe"))
+    if cfg["task"] == "tracking":
+        from myconvnet_tpu.eval.tracking import TrackingEvaluator
+        from myconvnet_tpu.models.tracking import SIAMFC_STRIDE
+        return TrackingEvaluator(
+            metric=cfg.get("tracking_metric", "cerr"),
+            stride=cfg.get("response_stride", SIAMFC_STRIDE))
     if cfg["task"] == "metric":
         from myconvnet_tpu.eval.retrieval import RetrievalEvaluator
         return RetrievalEvaluator(cfg.get("recall_k", 1))
@@ -1895,6 +1901,109 @@ def build_flow(cfg: dict, synthetic: bool = False,
             synthetic=synthetic or cfg.get("data_dir") is None,
             synthetic_n=cfg.get("synthetic_n", 256), hw=hw,
             max_motion=cfg.get("max_motion", 8))
+
+    seed = cfg.get("seed", 0)
+    return (net, DataSet(src("train"), seed=seed),
+            DataSet(src("val")))
+
+
+def build_tracking(cfg: dict, synthetic: bool = False,
+                   ckpt_dir: str | None = None,
+                   log_dir: str | None = None,
+                   mesh=None) -> tuple[ConvNet, DataSet, DataSet]:
+    """SiamFC tracking recipe wiring (sixteenth task family).
+
+    Rides the standard supervised ConvNet path: ``[N, H, W, 6]`` uint8
+    exemplar/search blobs (subsets/tracking.py wire format) with
+    ``[N, 2]`` f32 offset targets, the balanced response-map logistic
+    loss (``train/losses.py:siamfc_loss``), on-device paired hflip
+    (mirror BOTH crops — the exemplar only within its live corner —
+    and negate dx) and appearance-preserving photometric jitter (one
+    PRNG key drives both crops, like the flow family).
+    """
+    import jax.numpy as jnp
+
+    from myconvnet_tpu.data.augment import color_jitter
+    from myconvnet_tpu.models.tracking import SIAMFC_STRIDE
+    from myconvnet_tpu.subsets import tracking as track_mod
+    from myconvnet_tpu.train.losses import siamfc_loss
+
+    name = cfg.get("model", "siamfc")
+    fn = models.TRACK_MODELS.get(name)
+    if fn is None:
+        raise ValueError(f"unknown tracking model {name!r}; valid: "
+                         f"{sorted(models.TRACK_MODELS)}")
+    mkw = dict(cfg.get("model_kwargs", {}))
+    hw = tuple(cfg.get("input_hw", track_mod.DEFAULT_SEARCH_HW))
+    ehw = tuple(mkw.get("exemplar_hw",
+                        track_mod.DEFAULT_EXEMPLAR_HW))
+    mkw["exemplar_hw"] = ehw
+    he, we = ehw
+    bright = float(cfg.get("aug_brightness", 0.2))
+    contrast = float(cfg.get("aug_contrast", 0.2))
+
+    def _norm(x_u8):
+        return x_u8.astype(jnp.float32) / 255.0
+
+    def _flip_blob(x):
+        """Mirror search fully; mirror the exemplar only inside its
+        live top-left corner (a full-width flip would strand it in
+        the dead padding)."""
+        h, w = x.shape[1:3]
+        search = x[..., :3][:, :, ::-1, :]
+        ex = x[:, :he, :we, 3:][:, :, ::-1, :]
+        ex_half = jnp.pad(ex, ((0, 0), (0, h - he), (0, w - we),
+                               (0, 0)))
+        return jnp.concatenate([search, ex_half], axis=-1)
+
+    def _jitter(key, x):
+        s = color_jitter(key, x[..., :3], brightness=bright,
+                         contrast=contrast)
+        e = color_jitter(key, x[..., 3:], brightness=bright,
+                         contrast=contrast)
+        return jnp.clip(jnp.concatenate([s, e], axis=-1), 0.0, 1.0)
+
+    def train_fn(key, x_u8, y):
+        x = _norm(x_u8)
+        kf, kj = jax.random.split(key)
+        flip = jax.random.bernoulli(kf, 0.5, (x.shape[0], 1, 1, 1))
+        x = jnp.where(flip, _flip_blob(x), x)
+        y = jnp.where(flip[:, 0, 0, :],
+                      jnp.concatenate([-y[..., :1], y[..., 1:]], -1), y)
+        return _jitter(kj, x), y
+
+    def eval_fn(x_u8, y):
+        return _norm(x_u8), y
+
+    stride = int(cfg.get("response_stride", SIAMFC_STRIDE))
+    radius = float(cfg.get("label_radius", 2 * stride))
+    loss_fn = lambda pred, y: siamfc_loss(  # noqa: E731
+        pred, y, radius=radius, stride=stride)
+
+    net = ConvNet(
+        model_fn=fn,
+        input_shape=(*hw, 6),
+        num_classes=0,
+        precision=cfg.get("precision", "f32"),
+        loss_fn=loss_fn,
+        augment_fns=(train_fn, eval_fn, _norm),
+        accuracy_metric=False,   # peak localization via evaluator
+        mesh=mesh,
+        remat=cfg.get("remat", False),
+        chain_steps=cfg.get("chain_steps", 1),
+        accum_steps=cfg.get("accum_steps", 1),
+        seed=cfg.get("seed", 0),
+        ckpt_dir=ckpt_dir, log_dir=log_dir, **mkw)
+
+    def src(split):
+        return track_mod.make_source(
+            cfg.get("data_dir"), split,
+            synthetic=synthetic or cfg.get("data_dir") is None,
+            synthetic_n=cfg.get("synthetic_n", 256),
+            search_hw=hw, exemplar_hw=ehw,
+            max_offset=cfg.get("max_offset", 12),
+            frame_gap=cfg.get("frame_gap", 10),
+            pairs_per_video=cfg.get("pairs_per_video", 32))
 
     seed = cfg.get("seed", 0)
     return (net, DataSet(src("train"), seed=seed),

@@ -334,6 +334,45 @@ def unsupervised_flow_loss(pred, frames: jax.Array, *,
     return 0.5 * (p_f + p_b) + smooth_weight * 0.5 * (s_f + s_b)
 
 
+def siamfc_loss(resp: jax.Array, offsets: jax.Array, *,
+                radius: float = 8.0, stride: int = 4,
+                eps: float = 1e-6) -> jax.Array:
+    """Balanced logistic response-map loss (SiamFC, Bertinetto et al.
+    §2.2, generalized to off-center targets): response cell (i, j)
+    maps to the search-crop offset ``((j - c) * stride,
+    (i - c) * stride)`` from the crop center; cells within ``radius``
+    px of the TRUE target offset are positives (+1), the rest
+    negatives (-1), and each image's positive and negative sets are
+    weighted to contribute equally (the paper's class balancing —
+    without it the ~97% negatives drown the peak).
+
+    ``resp`` is ``[N, R, R]`` logits; ``offsets`` is ``[N, 2]``
+    (dx, dy) f32 pixels.  Targets that fall outside the response
+    map's coverage keep whatever cells lie within ``radius`` (possibly
+    none — then the image contributes only its negative term).
+    Computes in f32.
+    """
+    r = resp.astype(jnp.float32)
+    off = offsets.astype(jnp.float32)
+    n, rh, rw = r.shape
+    cy, cx = (rh - 1) / 2.0, (rw - 1) / 2.0
+    gy = (jnp.arange(rh, dtype=jnp.float32) - cy) * stride
+    gx = (jnp.arange(rw, dtype=jnp.float32) - cx) * stride
+    dy = gy[None, :, None] - off[:, 1, None, None]
+    dx = gx[None, None, :] - off[:, 0, None, None]
+    pos = (dy * dy + dx * dx) <= radius * radius        # [N, R, R]
+    label = jnp.where(pos, 1.0, -1.0)
+    # log(1 + exp(-y * v)), the numerically-stable softplus form
+    per_cell = jax.nn.softplus(-label * r)
+    posf = pos.astype(jnp.float32)
+    negf = 1.0 - posf
+    n_pos = jnp.sum(posf, axis=(1, 2))
+    n_neg = jnp.sum(negf, axis=(1, 2))
+    pos_term = jnp.sum(per_cell * posf, axis=(1, 2)) / (n_pos + eps)
+    neg_term = jnp.sum(per_cell * negf, axis=(1, 2)) / (n_neg + eps)
+    return jnp.mean(0.5 * pos_term + 0.5 * neg_term)
+
+
 def sigmoid_bce(logits: jax.Array, target: float | jax.Array) -> jax.Array:
     """Numerically-stable sigmoid binary CE against a constant or tensor
     target (GAN real/fake labels)."""

@@ -118,6 +118,7 @@ def main():
                "ocr": recipes.build_ocr,
                "depth": recipes.build_depth,
                "flow": recipes.build_flow,
+               "tracking": recipes.build_tracking,
                "segmentation": recipes.build_segmenter,
                "sr": recipes.build_sr,
                "video": recipes.build_video,

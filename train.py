@@ -161,6 +161,7 @@ def run_supervised(cfg, args, out, mesh, resume: bool):
                "ocr": recipes.build_ocr,
                "depth": recipes.build_depth,
                "flow": recipes.build_flow,
+               "tracking": recipes.build_tracking,
                "metric": recipes.build_metric}.get(cfg["task"],
                                                    recipes.build_classifier)
     net, train_set, val_set = builder(cfg, synthetic=args.synthetic,
