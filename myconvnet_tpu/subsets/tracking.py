@@ -86,10 +86,19 @@ class TrackPairSource:
         self.videos, self.boxes, self.pairs = videos, boxes, pairs
         self.search_hw = tuple(search_hw)
         self.exemplar_hw = tuple(exemplar_hw)
-        self._pool = ThreadPoolExecutor(max_workers=workers)
+        self._workers = workers
+        self._pool = None  # created lazily; see close()
 
     def __len__(self):
         return len(self.pairs)
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+
+    def __del__(self):
+        self.close()
 
     def _load(self, i: int):
         from PIL import Image
@@ -110,12 +119,17 @@ class TrackPairSource:
         # search centered on the EXEMPLAR frame's target position in
         # frame b: the target appears displaced by its true motion
         se = _crop_resize(im_b, cya, cxa, s_x, self.search_hw)
-        px_per_src = self.search_hw[0] / s_x
-        off = np.asarray([(cxb - cxa) * px_per_src,
-                          (cyb - cya) * px_per_src], np.float32)
+        # The source crop is square (side s_x) but search_hw need not
+        # be: the resize scales width by search_hw[1]/s_x and height by
+        # search_hw[0]/s_x, so dx and dy use per-axis scales.
+        off = np.asarray([(cxb - cxa) * (self.search_hw[1] / s_x),
+                          (cyb - cya) * (self.search_hw[0] / s_x)],
+                         np.float32)
         return _pack_blob(se, ex), off
 
     def get_batch(self, indices):
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(max_workers=self._workers)
         out = list(self._pool.map(self._load, indices))
         return (np.stack([b for b, _ in out]),
                 np.stack([o for _, o in out]))

@@ -576,7 +576,8 @@ def test_flow_recipe_occlusion_step():
     net, tr, va = recipes.build_flow(cfg, synthetic=True)
     opt = recipes.make_optimizer(cfg["optimizer"])
     hist = net.train(tr, batch_size=4, total_steps=3, optimizer=opt)
-    losses = [h["loss"] for h in hist] if isinstance(hist, list) else None
+    if isinstance(hist, list):
+        assert all(np.isfinite(h["loss"]) for h in hist)
     base = net.evaluate(va, FlowEvaluator(), batch_size=4)
     assert np.isfinite(base)
 
