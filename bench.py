@@ -153,6 +153,11 @@ def build_step(batch, hw, num_classes, smoke=False):
     if os.environ.get("BENCH_VMEM_KIB"):
         copts["xla_tpu_scoped_vmem_limit_kib"] = \
             os.environ["BENCH_VMEM_KIB"]
+    # arbitrary TPU compiler options: BENCH_COPTS="flag=val,flag=val"
+    # (the round-3 flag sweep — tools/sweep_compiler_flags.py)
+    for kv in filter(None, os.environ.get("BENCH_COPTS", "").split(",")):
+        k, _, v = kv.partition("=")
+        copts[k.strip()] = v.strip()
     step = jax.jit(train_step, donate_argnums=(0,),
                    compiler_options=copts or None)
     return step, state, raw, labels, accum

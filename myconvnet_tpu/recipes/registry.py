@@ -1,0 +1,54 @@
+"""Task-family registry: one row per task the CLI can train.
+
+Two driver shapes exist (SURVEY.md §1 training driver):
+
+* ``convnet`` — the family builds a `ConvNet` + DataSets and the
+  shared Trainer owns the loop (train.py run_supervised).
+* ``steploop`` — the family builds a fused (state, jitted step,
+  data iterator) and train.py's generic step loop drives it (GAN,
+  detection, diffusion, ... — anything with a non-ConvNet state).
+
+Adding family N+1 = one build_* function + one row here; train.py
+does not change.
+"""
+
+from __future__ import annotations
+
+
+def convnet_builder(task: str):
+    """The ConvNet-API builder for a task (used by run_supervised)."""
+    from myconvnet_tpu import recipes
+    return {
+        "segmentation": recipes.build_segmenter,
+        "sr": recipes.build_sr,
+        "video": recipes.build_video,
+        "audio": recipes.build_audio,
+        "ocr": recipes.build_ocr,
+        "depth": recipes.build_depth,
+        "flow": recipes.build_flow,
+        "tracking": recipes.build_tracking,
+        "metric": recipes.build_metric,
+    }.get(task, recipes.build_classifier)
+
+
+# task -> driver kind; "convnet" rows ride run_supervised, others name
+# the train.py step-loop runner that drives them
+TASKS = {
+    "classification": "convnet",
+    "segmentation": "convnet",
+    "sr": "convnet",
+    "video": "convnet",
+    "audio": "convnet",
+    "ocr": "convnet",
+    "depth": "convnet",
+    "flow": "convnet",
+    "tracking": "convnet",
+    "metric": "convnet",
+    "gan": "gan",
+    "detection": "detection",
+    "ssl": "ssl",
+    "diffusion": "diffusion",
+    "semisup": "semisup",
+    "distill": "distill",
+    "style": "style",
+}

@@ -119,6 +119,56 @@ def export_detection(predict, state, sample_images, path: str) -> int:
     return len(blob)
 
 
+def export_tracking(model: Transformed, params: Params, state: State,
+                    sample_blob, path: str, *,
+                    stride: int = 4, fold_bn: bool = True,
+                    bn_eps: float = 1e-5) -> int:
+    """Serialize a tracking (SiamFC) predict chain to ``path``.
+
+    The artifact takes raw float [0, 1] ``[N, H, W, 6]`` exemplar/
+    search blobs (the models/tracking.py wire format) and returns
+    ``(offsets [N, 2] f32, scores [N] f32)`` — the response peak
+    decoded to search-crop pixel offsets (eval/tracking.py's mapping,
+    on device) plus its sigmoid confidence.  Weights travel as
+    constants, like every other artifact.
+    """
+    from jax import export as jexport
+
+    if fold_bn:
+        # verify-gated, as in export_inference: fold only when folded
+        # and unfolded responses agree on a random probe
+        from myconvnet_tpu.models.folding import verify_folding
+        sample0 = jnp.asarray(
+            np.random.RandomState(0).standard_normal(
+                np.shape(sample_blob)),
+            jnp.float32)
+        try:
+            verify_folding(model, params, state, sample0, atol=1e-2,
+                           eps=bn_eps)
+        except ValueError:
+            fold_bn = False
+    fn = make_inference_fn(model, params, state, fold_bn=fold_bn,
+                           bn_eps=bn_eps)
+
+    def track(blob):
+        resp = fn(blob).astype(jnp.float32)          # [N, R, R]
+        n, rh, rw = resp.shape
+        flat = resp.reshape(n, rh * rw)
+        idx = jnp.argmax(flat, axis=1)
+        iy, ix = idx // rw, idx % rw
+        px = (ix.astype(jnp.float32) - (rw - 1) / 2.0) * stride
+        py = (iy.astype(jnp.float32) - (rh - 1) / 2.0) * stride
+        score = jax.nn.sigmoid(jnp.max(flat, axis=1))
+        return jnp.stack([px, py], axis=1), score
+
+    exported = jexport.export(jax.jit(track))(
+        jax.ShapeDtypeStruct(np.shape(sample_blob), jnp.float32))
+    blob = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(blob)
+    return len(blob)
+
+
 def load_inference(path: str):
     """Load an exported artifact; returns ``fn(x) -> logits`` with the
     artifact's expected input shapes attached as ``fn.input_shapes``

@@ -54,6 +54,11 @@ def main():
                          "normalizes internally) and print boxes")
     ap.add_argument("--det_threshold", type=float, default=0.5,
                     help="--detect: minimum score to print")
+    ap.add_argument("--track", action="store_true",
+                    help="the artifact is a tracking export (test.py "
+                         "--export on a task='tracking' config): pair "
+                         "<name>_search.* / <name>_exemplar.* images "
+                         "under --images, print (dx, dy) offsets")
     ap.add_argument("--latency", action="store_true",
                     help="measure p50/p95/p99 + throughput instead")
     ap.add_argument("--sizes", default="1,8,32",
@@ -81,6 +86,8 @@ def main():
 
     if args.detect:
         return run_detect(fn, art_shape, args)
+    if args.track:
+        return run_track(fn, art_shape, args)
     # the artifact is compiled for one shape: the only valid bucket is
     # its batch (requests pad up / chunk through it)
     buckets = (art_shape[0],)
@@ -263,6 +270,64 @@ def run_detect(fn, art_shape, args):
                     else str(l)
                 print(f"{path}: {name} {s:.2f} "
                       f"[{b[0]:.3f},{b[1]:.3f},{b[2]:.3f},{b[3]:.3f}]")
+
+
+def run_track(fn, art_shape, args):
+    """Serve a tracking artifact: pack <name>_search / <name>_exemplar
+    image pairs into the [N, H, W, 6] blob wire format and print the
+    predicted (dx, dy) pixel offsets + confidences.
+
+    The exemplar corner size comes from the recipe config
+    (model_kwargs.exemplar_hw) when --config is given, else half the
+    artifact's search resolution (both shipped variants' ratio).
+    """
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    if not args.images:
+        raise SystemExit("--track needs --images DIR with "
+                         "<name>_search.* / <name>_exemplar.* pairs")
+    batch, h, w = art_shape[0], art_shape[1], art_shape[2]
+    he, we = h // 2, w // 2
+    if args.config:
+        from myconvnet_tpu import recipes
+        cfg = recipes.load_config(args.config)
+        ehw = cfg.get("model_kwargs", {}).get("exemplar_hw")
+        if ehw:
+            he, we = int(ehw[0]), int(ehw[1])
+    pairs = {}
+    for f in sorted(os.listdir(args.images)):
+        base, ext = os.path.splitext(f)
+        if ext.lower() not in (".jpg", ".jpeg", ".png"):
+            continue
+        for tag in ("search", "exemplar"):
+            if base.endswith("_" + tag):
+                pairs.setdefault(base[:-len(tag) - 1], {})[tag] = \
+                    os.path.join(args.images, f)
+    names = sorted(k for k, v in pairs.items()
+                   if "search" in v and "exemplar" in v)
+    if not names:
+        raise SystemExit(f"no <name>_search/<name>_exemplar pairs "
+                         f"under {args.images!r}")
+
+    def load(p, hh, ww):
+        return np.asarray(Image.open(p).convert("RGB").resize(
+            (ww, hh), Image.BILINEAR), np.float32) / 255.0
+
+    for start in range(0, len(names), batch):
+        chunk_names = names[start:start + batch]
+        blobs = np.zeros((batch, h, w, 6), np.float32)
+        for i, name in enumerate(chunk_names):
+            blobs[i, :, :, :3] = load(pairs[name]["search"], h, w)
+            blobs[i, :he, :we, 3:] = load(pairs[name]["exemplar"],
+                                          he, we)
+        offsets, scores = (np.asarray(t) for t in fn(blobs))
+        for i, name in enumerate(chunk_names):
+            print(f"{name}: dx={offsets[i, 0]:+.1f}px "
+                  f"dy={offsets[i, 1]:+.1f}px "
+                  f"score={scores[i]:.3f}")
 
 
 if __name__ == "__main__":

@@ -36,7 +36,9 @@ def main():
                     help="detection: export the fused predict chain "
                          "(normalize -> forward -> decode -> NMS) as a "
                          "StableHLO artifact for serve.py --detect, "
-                         "then exit (no scoring)")
+                         "then exit (no scoring); tracking: export the "
+                         "blob -> peak-offset chain for serve.py "
+                         "--track")
     ap.add_argument("--int8", action="store_true",
                     help="with --export: quantize the backbone through "
                          "the int8 MXU path, calibrating static "
@@ -114,16 +116,7 @@ def main():
         return eval_detection(cfg, args)
     if cfg["task"] == "ssl":
         return eval_ssl(cfg, args)
-    builder = {"audio": recipes.build_audio,
-               "ocr": recipes.build_ocr,
-               "depth": recipes.build_depth,
-               "flow": recipes.build_flow,
-               "tracking": recipes.build_tracking,
-               "segmentation": recipes.build_segmenter,
-               "sr": recipes.build_sr,
-               "video": recipes.build_video,
-               "metric": recipes.build_metric}.get(cfg["task"],
-                                                   recipes.build_classifier)
+    builder = recipes.convnet_builder(cfg["task"])
     net, _train_set, val_set = builder(cfg, synthetic=args.synthetic,
                                        ckpt_dir=args.ckpt)
     evaluator = recipes.build_evaluator(cfg)
@@ -165,6 +158,22 @@ def main():
         net.state = net.state._replace(params=jax.tree.map(
             lambda p, e: e.astype(p.dtype), net.state.params, ema))
         print("evaluating EMA parameters")
+    if args.export and cfg["task"] == "tracking":
+        import numpy as np
+
+        from myconvnet_tpu import serving
+        from myconvnet_tpu.models.tracking import SIAMFC_STRIDE
+        from myconvnet_tpu.subsets.tracking import DEFAULT_SEARCH_HW
+        hw = tuple(cfg.get("input_hw", DEFAULT_SEARCH_HW))
+        sample = np.zeros((cfg.get("export_batch", 8), *hw, 6),
+                          np.float32)
+        size = serving.export_tracking(
+            net._transformed, net.state.params, net.state.model_state,
+            sample, args.export,
+            stride=int(cfg.get("response_stride", SIAMFC_STRIDE)))
+        print(f"exported tracking artifact: {args.export} "
+              f"({size / 1e6:.1f} MB, input {sample.shape})")
+        return
     batch = cfg["batch_size"]
     if args.tta and cfg["task"] == "classification":
         evaluator.reset()

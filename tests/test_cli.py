@@ -402,6 +402,28 @@ def test_richer_family_cli_roundtrips(tmp_path):
                      "    lr=dict(kind='constant', lr=0.002)),\n"
                      "  augment=dict(flip=True), seed=0)\n",
                      "mAP@0.5:"),
+        # sixteenth family: run_supervised path + TrackingEvaluator
+        "tinysiamfc": ("config = dict(task='tracking',"
+                       " model='tinysiamfc',\n"
+                       "  model_kwargs=dict(width=8,"
+                       " exemplar_hw=(32, 32)),\n"
+                       "  input_hw=(64, 64), synthetic_n=16,"
+                       " max_offset=8,\n"
+                       "  batch_size=8, total_steps=4, val_every=0,\n"
+                       "  log_every=2, num_classes=0, seed=0,\n"
+                       "  optimizer=dict(name='momentum',"
+                       " momentum_coef=0.9,\n"
+                       "    lr=dict(kind='constant', lr=0.01)))\n",
+                       "tracking:"),
+        # sixth family: super-resolution through the same scripts
+        "tinysr": ("config = dict(task='sr', model='edsr',\n"
+                   "  model_kwargs=dict(width=8, blocks=1),\n"
+                   "  dataset='images', data_dir=None, num_classes=0,\n"
+                   "  scale=2, hr_size=32, sr_metric='psnr',\n"
+                   "  batch_size=4, total_steps=4, val_every=0,\n"
+                   "  log_every=2, seed=0,\n"
+                   "  optimizer=dict(name='adam', lr=1e-3))\n",
+                   "psnr:"),
         # tenth family: run_supervised path + RetrievalEvaluator
         "tinyembed": ("config = dict(task='metric', model='tinyembed',\n"
                       "  model_kwargs=dict(head='triplet',"
@@ -429,3 +451,32 @@ def test_richer_family_cli_roundtrips(tmp_path):
                    "--synthetic", "--platform", "cpu"])
         assert r2.returncode == 0, (name, r2.stderr[-2000:])
         assert marker in r2.stdout, (name, r2.stdout[-500:])
+
+
+@pytest.mark.slow
+def test_distill_cli_train(tmp_path):
+    """Distillation through train.py (steploop driver): random tiny
+    teacher, final student validation printed; test.py has no distill
+    scorer (the student exports/evaluates as a classifier once its
+    params are promoted), so this locks the train-side CLI only."""
+    cfg_path = tmp_path / "distill_tiny.py"
+    cfg_path.write_text(
+        "config = dict(task='distill', model='smallnet',\n"
+        "  model_kwargs=dict(width=8, dropout_rate=0.0),\n"
+        "  distill=dict(teacher='smallnet',\n"
+        "    teacher_kwargs=dict(width=16, dropout_rate=0.0),\n"
+        "    allow_random=True, temperature=2.0),\n"
+        "  dataset='cifar10', data_dir=None, num_classes=10,\n"
+        "  input_hw=(32, 32), batch_size=8, total_steps=4,\n"
+        "  synthetic_n=16, val_every=2, log_every=2, seed=0,\n"
+        "  optimizer=dict(name='momentum', momentum_coef=0.9,"
+        " lr=0.05),\n"
+        "  augment=dict(out_hw=(32, 32), area_range=None, pad=0,"
+        " flip=False),\n"
+        "  precision='f32')\n")
+    out = str(tmp_path / "run_distill")
+    r = _run(["train.py", "--config", str(cfg_path), "--synthetic",
+              "--platform", "cpu", "--out", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "val_acc" in r.stdout, r.stdout[-500:]
+    assert "distill training done" in r.stdout, r.stdout[-300:]

@@ -208,3 +208,44 @@ def test_siamfc_learns_synthetic():
                            batch_size=16)
     assert trained < base * 0.5, (base, trained)
     assert trained < 6.0, trained      # px — synthetic peaks are sharp
+
+
+def test_tracking_export_roundtrip(tmp_path):
+    """serving.export_tracking: the artifact reloads and reproduces
+    the evaluator's peak decode on synthetic blobs."""
+    import numpy as np
+
+    from myconvnet_tpu import serving
+    from myconvnet_tpu.subsets.tracking import synthetic_track_scenes
+    cfg = dict(task="tracking", model="tinysiamfc",
+               model_kwargs=dict(width=8, exemplar_hw=(32, 32)),
+               input_hw=(64, 64), synthetic_n=16, max_offset=8,
+               batch_size=8, num_classes=0, seed=0,
+               optimizer=dict(name="momentum", momentum_coef=0.9,
+                              lr=dict(kind="constant", lr=0.01)),
+               precision="f32")
+    net, tr, _va = recipes.build_tracking(cfg, synthetic=True)
+    net.train(tr, batch_size=8, total_steps=2,
+              optimizer=recipes.make_optimizer(cfg["optimizer"]))
+    path = str(tmp_path / "track.bin")
+    sample = np.zeros((8, 64, 64, 6), np.float32)
+    size = serving.export_tracking(
+        net._transformed, net.state.params, net.state.model_state,
+        sample, path, stride=4)
+    assert size > 1000
+    fn = serving.load_inference(path)
+    blobs, _offs = synthetic_track_scenes(8, (64, 64), (32, 32),
+                                          max_offset=8, seed=3)
+    offsets, scores = (np.asarray(t)
+                       for t in fn(blobs.astype(np.float32) / 255.0))
+    assert offsets.shape == (8, 2) and scores.shape == (8,)
+    # parity with the direct (unfolded) forward + evaluator decode
+    resp = np.asarray(net.predict(blobs, batch_size=8))
+    n, rh, rw = resp.shape
+    flat = resp.reshape(n, -1).argmax(axis=1)
+    iy, ix = np.divmod(flat, rw)
+    px = (ix - (rw - 1) / 2.0) * 4
+    py = (iy - (rh - 1) / 2.0) * 4
+    np.testing.assert_allclose(offsets[:, 0], px, atol=4.01)
+    np.testing.assert_allclose(offsets[:, 1], py, atol=4.01)
+    assert np.all((scores > 0) & (scores < 1))
