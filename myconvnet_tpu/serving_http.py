@@ -17,6 +17,9 @@ conventions (health, model list, ``:predict``):
          embed    -> {"embeddings": [[D floats], ...]}  (unit-norm;
                      metric-learning artifacts — face verification
                      compares these by cosine)
+         track    -> {"tracks": [{"dx","dy","score"}, ...]}  (tracking
+                     artifacts take [H,W,6] search+exemplar blobs —
+                     JSON instances only, raw [0, 1])
 
 No web framework — ``http.server.ThreadingHTTPServer`` plus one
 dispatch lock: request decode/encode runs on handler threads, the
@@ -43,7 +46,7 @@ class Route:
     """One served artifact: the loaded program plus its request codec."""
 
     name: str
-    kind: str                      # "classify" | "detect" | "embed"
+    kind: str              # "classify" | "detect" | "embed" | "track"
     fn: Callable                   # load_inference product (fixed shapes)
     input_shape: tuple             # (B, H, W, C)
     mean: np.ndarray = None        # classify: normalization applied here
@@ -68,7 +71,7 @@ def build_route(name: str, kind: str, artifact: str,
     class names from the recipe's dataset when known."""
     from myconvnet_tpu import serving
 
-    if kind not in ("classify", "detect", "embed"):
+    if kind not in ("classify", "detect", "embed", "track"):
         raise ValueError(f"route {name!r}: unknown kind {kind!r}")
     fn = serving.load_inference(artifact)
     shape = fn.input_shapes[0]
@@ -143,6 +146,10 @@ class ModelServer:
         h, w = route.input_shape[1], route.input_shape[2]
         nch = route.input_shape[3] if len(route.input_shape) > 3 else 3
         if content_type.startswith("image/"):
+            if route.kind == "track":
+                raise ValueError(
+                    "track routes take JSON instances of [H, W, 6] "
+                    "search+exemplar blobs, not a single image")
             import io
 
             from PIL import Image
@@ -194,6 +201,16 @@ class ModelServer:
                 np.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
             return {"embeddings": [[round(float(v), 6) for v in row]
                                    for row in emb]}
+        if route.kind == "track":
+            # tracking artifacts decode the response peak on device:
+            # raw [0, 1] [N, H, W, 6] blobs in, (offsets, scores) out
+            with self._lock:
+                offsets, scores = _run_chunked(route.fn, x, batch)
+            return {"tracks": [
+                {"dx": round(float(o[0]), 3),
+                 "dy": round(float(o[1]), 3),
+                 "score": round(float(s), 6)}
+                for o, s in zip(offsets, scores)]}
         # detect: artifact normalizes internally — raw [0, 1] in
         with self._lock:
             boxes, scores, labels, valid = _run_chunked(route.fn, x,

@@ -195,3 +195,37 @@ def test_duplicate_route_names_rejected(tmp_path):
     r2 = serving_http.build_route("a", "classify", path)
     with pytest.raises(ValueError):
         serving_http.ModelServer([r, r2])
+
+
+def _tracking_artifact(tmp_path):
+    from myconvnet_tpu import models
+    net = transform(lambda x, train=False: models.tinysiamfc(
+        x, 0, train=train, width=8, exemplar_hw=(32, 32)))
+    x = jax.random.uniform(jax.random.key(0), (2, 64, 64, 6))
+    params, state = net.init(jax.random.key(1), x, True)
+    path = str(tmp_path / "track.stablehlo")
+    serving.export_tracking(net, params, state,
+                            np.zeros((2, 64, 64, 6), np.float32), path,
+                            stride=4)
+    return path
+
+
+def test_track_route_roundtrip(tmp_path):
+    """A tracking route through the ModelServer: JSON blob instances
+    in, peak offsets + confidences out; image bodies refused."""
+    route = serving_http.build_route(
+        "trk", "track", _tracking_artifact(tmp_path))
+    server = serving_http.ModelServer([route])
+    from myconvnet_tpu.subsets.tracking import synthetic_track_scenes
+    blobs, _ = synthetic_track_scenes(3, (64, 64), (32, 32),
+                                      max_offset=8, seed=5)
+    body = json.dumps({"instances":
+                       (blobs.astype(np.float32) / 255.0).tolist()})
+    out = server.predict("trk", body.encode(), "application/json")
+    assert len(out["tracks"]) == 3
+    for t in out["tracks"]:
+        assert set(t) == {"dx", "dy", "score"}
+        assert 0.0 < t["score"] < 1.0
+        assert abs(t["dx"]) <= 32 and abs(t["dy"]) <= 32
+    with pytest.raises(ValueError, match="JSON instances"):
+        server.predict("trk", b"\xff\xd8fake", "image/jpeg")
