@@ -4,12 +4,15 @@ Two driver shapes exist (SURVEY.md §1 training driver):
 
 * ``convnet`` — the family builds a `ConvNet` + DataSets and the
   shared Trainer owns the loop (train.py run_supervised).
-* ``steploop`` — the family builds a fused (state, jitted step,
-  data iterator) and train.py's generic step loop drives it (GAN,
-  detection, diffusion, ... — anything with a non-ConvNet state).
+* any other value — the name of a step-loop adapter: the family
+  builds a fused (state, jitted step, data iterator) and train.py's
+  generic run_steploop drives it through the adapter of that name
+  (train.py STEPLOOP_ADAPTERS).
 
-Adding family N+1 = one build_* function + one row here; train.py
-does not change.
+train.py dispatches THROUGH this table: adding a ConvNet-API family
+is one build_* function + a ``"convnet"`` row here (+ the
+convnet_builder entry); a step-loop family additionally needs its
+adapter registered in train.py.
 """
 
 from __future__ import annotations

@@ -122,7 +122,8 @@ def export_detection(predict, state, sample_images, path: str) -> int:
 def export_tracking(model: Transformed, params: Params, state: State,
                     sample_blob, path: str, *,
                     stride: int = 4, fold_bn: bool = True,
-                    bn_eps: float = 1e-5) -> int:
+                    bn_eps: float = 1e-5, int8: bool = False,
+                    calibrate_with=None) -> int:
     """Serialize a tracking (SiamFC) predict chain to ``path``.
 
     The artifact takes raw float [0, 1] ``[N, H, W, 6]`` exemplar/
@@ -148,7 +149,8 @@ def export_tracking(model: Transformed, params: Params, state: State,
         except ValueError:
             fold_bn = False
     fn = make_inference_fn(model, params, state, fold_bn=fold_bn,
-                           bn_eps=bn_eps)
+                           bn_eps=bn_eps, int8=int8,
+                           calibrate_with=calibrate_with)
 
     def track(blob):
         resp = fn(blob).astype(jnp.float32)          # [N, R, R]

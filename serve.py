@@ -36,7 +36,8 @@ def main():
     ap.add_argument("--route", action="append", default=[],
                     metavar="NAME=KIND:ARTIFACT[:CONFIG]",
                     help="--serve route, repeatable; KIND is classify, "
-                         "detect or embed (e.g. det=detect:ssd.stablehlo, "
+                         "detect, embed or track "
+                         "(e.g. det=detect:ssd.stablehlo, "
                          "face=embed:arcface.stablehlo:configs/"
                          "faces_arcface_r50.py)")
     ap.add_argument("--images", default=None,

@@ -167,12 +167,19 @@ def main():
         hw = tuple(cfg.get("input_hw", DEFAULT_SEARCH_HW))
         sample = np.zeros((cfg.get("export_batch", 8), *hw, 6),
                           np.float32)
+        cal = None
+        if args.int8:
+            cal = [np.asarray(val_set.source.get_batch(
+                np.arange(min(8, len(val_set.source))))[0],
+                np.float32) / 255.0]
         size = serving.export_tracking(
             net._transformed, net.state.params, net.state.model_state,
             sample, args.export,
-            stride=int(cfg.get("response_stride", SIAMFC_STRIDE)))
+            stride=int(cfg.get("response_stride", SIAMFC_STRIDE)),
+            int8=args.int8, calibrate_with=cal)
         print(f"exported tracking artifact: {args.export} "
-              f"({size / 1e6:.1f} MB, input {sample.shape})")
+              f"({size / 1e6:.1f} MB, input {sample.shape}"
+              f"{', int8 calibrated' if args.int8 else ''})")
         return
     batch = cfg["batch_size"]
     if args.tta and cfg["task"] == "classification":

@@ -81,13 +81,13 @@ def hlo_fusion_labels(hlo: str):
     labels = {}
     cur = None
     for line in hlo.split("\n"):
-        m = re.match(r"\s*%?(fused_computation[\w.\-]*|region[\w.\-]*)\s*"
-                     r"(?:\([^)]*\))?\s*{", line)
-        mm = re.match(r"\s*ENTRY|\s*}\s*$", line)
-        comp = re.match(r"\s*%?([\w.\-]+)\s+\(", line)
-        if line.strip().startswith(("%fused_", "fused_")) and "{" in line:
-            cur = line.strip().split()[0].lstrip("%").split("(")[0].strip()
-        elif line.strip() == "}":
+        s = line.strip()
+        # fusion computations print as %fused_computation.N or
+        # %region_N (scan/cond bodies reusing fusion emission)
+        if s.startswith(("%fused_", "fused_", "%region_", "region_")) \
+                and "{" in line:
+            cur = s.split()[0].lstrip("%").split("(")[0].strip()
+        elif s == "}":
             cur = None
         if cur:
             c = _CONV_RE.search(line)

@@ -101,9 +101,12 @@ def main():
                          mesh_spec.get("data") else None,
                          int(mesh_spec.get("model", 1)))
 
-    adapter = STEPLOOP_TASKS.get(cfg["task"])
-    if adapter is not None:
-        run_steploop(cfg, args, out, mesh, adapter)
+    kind = recipes.TASKS.get(cfg["task"])
+    if kind is None:
+        raise SystemExit(f"unknown task {cfg['task']!r}; valid: "
+                         f"{sorted(recipes.TASKS)}")
+    if kind != "convnet":
+        run_steploop(cfg, args, out, mesh, STEPLOOP_ADAPTERS[kind])
         return
 
     if cfg.get("pipeline"):
@@ -256,8 +259,8 @@ def run_steploop(cfg, args, out, mesh, adapter):
             if guard.preempted:
                 logger.log(i, {"preempted": 1.0})
                 break
-            if first_batch is None:
-                first_batch = batch
+            if sample is not None and first_batch is None:
+                first_batch = batch  # retained only for sample hooks
             state, metrics = step(state, batch)
             if (i + 1) % log_every == 0:
                 logger.log(i + 1,
@@ -285,8 +288,11 @@ def run_steploop(cfg, args, out, mesh, adapter):
         if validate is not None:
             name, score = validate(state)
             shown = spec.get("display", {}).get(name, name)
-            extra = (f" (best {max(best, score):.4f})"
-                     if best is not None else "")
+            # "best" honors the spec's is_better (not max): lower-is-
+            # better evaluators report their true best
+            top = (best if best is not None
+                   and not is_better(score, best) else score)
+            extra = f" (best {top:.4f})" if best is not None else ""
             print(f"final {shown}: {score:.4f}{extra}")
         if spec.get("finalize") is not None:
             spec["finalize"](state)
@@ -439,7 +445,7 @@ def adapt_gan(cfg, args, out, mesh):
                 sample=sample if sampler else None)
 
 
-STEPLOOP_TASKS = {
+STEPLOOP_ADAPTERS = {
     "detection": adapt_detection,
     "ssl": adapt_ssl,
     "semisup": adapt_semisup,
