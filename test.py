@@ -96,6 +96,8 @@ def main():
                          "--fid_extractor CONFIG:CKPT to score")
     if cfg["task"] == "semisup":
         return eval_semisup(cfg, args)
+    if cfg["task"] == "distill":
+        return eval_distill(cfg, args)
     if cfg["task"] == "gan":
         if args.fid:
             return eval_gan_fid(cfg, args)
@@ -496,6 +498,51 @@ def eval_semisup(cfg, args):
     state = type(state)(**restored)
     acc = eval_fn(state, val_set.eval_iter(cfg["batch_size"]))
     print(f"val accuracy (EMA): {acc:.4f}")
+    return acc
+
+
+def eval_distill(cfg, args):
+    """Score a distillation checkpoint's STUDENT (top-1 on the val
+    split); ``--export`` additionally freezes the student as a plain
+    classification StableHLO artifact — the compress-the-zoo endpoint
+    (train big, distill small, serve the student)."""
+    from myconvnet_tpu import recipes
+    from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
+
+    state, _step, _it, val_set, eval_fn = recipes.build_distill(
+        cfg, synthetic=args.synthetic)
+    restored = ckpt_lib.restore_checkpoint(args.ckpt, state._asdict())
+    state = type(state)(**restored)
+    acc = eval_fn(state, val_set.eval_iter(cfg["batch_size"]))
+    print(f"student val accuracy: {acc:.4f}")
+    if args.export:
+        import numpy as np
+
+        from myconvnet_tpu import models, serving
+        from myconvnet_tpu.core import transform
+        from myconvnet_tpu.core.precision import (get_policy,
+                                                  policy_scope)
+
+        policy = get_policy(cfg.get("precision", "f32"))
+        mkw = dict(cfg.get("model_kwargs", {}))
+        fn = models.get_model(cfg["model"])
+
+        def fwd(x, train=False):
+            with policy_scope(policy):
+                return fn(x.astype(policy.compute_dtype),
+                          cfg["num_classes"], train=train, **mkw)
+
+        student = transform(fwd)
+        hw = tuple(cfg.get("augment", {}).get("out_hw",
+                                              cfg.get("input_hw",
+                                                      (32, 32))))
+        sample = np.zeros((cfg.get("export_batch", 8), *hw, 3),
+                          np.float32)
+        size = serving.export_inference(
+            student, state.student.params, state.student.model_state,
+            sample, args.export)
+        print(f"exported student artifact: {args.export} "
+              f"({size / 1e6:.1f} MB, input {sample.shape})")
     return acc
 
 

@@ -455,10 +455,9 @@ def test_richer_family_cli_roundtrips(tmp_path):
 
 @pytest.mark.slow
 def test_distill_cli_train(tmp_path):
-    """Distillation through train.py (steploop driver): random tiny
-    teacher, final student validation printed; test.py has no distill
-    scorer (the student exports/evaluates as a classifier once its
-    params are promoted), so this locks the train-side CLI only."""
+    """Distillation through the full CLI: train.py (steploop driver)
+    with a random tiny teacher, test.py student scoring, and --export
+    freezing the student as a classification artifact."""
     cfg_path = tmp_path / "distill_tiny.py"
     cfg_path.write_text(
         "config = dict(task='distill', model='smallnet',\n"
@@ -480,3 +479,10 @@ def test_distill_cli_train(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "val_acc" in r.stdout, r.stdout[-500:]
     assert "distill training done" in r.stdout, r.stdout[-300:]
+    art = str(tmp_path / "student.stablehlo")
+    r2 = _run(["test.py", "--config", str(cfg_path), "--ckpt", out,
+               "--synthetic", "--platform", "cpu", "--export", art])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "student val accuracy" in r2.stdout, r2.stdout[-500:]
+    assert "exported student artifact" in r2.stdout
+    assert os.path.exists(art)
