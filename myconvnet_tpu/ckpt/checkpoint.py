@@ -191,3 +191,60 @@ def checkpoint_step(path: str) -> int:
         with open(os.path.join(os.path.dirname(path), "best.json")) as f:
             return int(json.load(f)["step"])
     return int(base[len("ckpt-"):-len(".npz")])
+
+
+class AsyncCheckpointer:
+    """Background-thread checkpoint writer: hide serialize+disk time
+    from the step loop.
+
+    ``save()`` snapshots the state to HOST memory synchronously (the
+    device->host copies must happen before the training loop mutates
+    or donates the buffers) and hands the npz serialization + atomic
+    rename to one worker thread.  At most one write is in flight; a
+    new save waits for the previous (bounded memory, ordered files).
+    Call ``wait()`` before restoring or exiting — the Trainer and the
+    step-loop driver do.  The on-disk format is exactly
+    :func:`save_checkpoint`'s, so restore/prune/best tooling applies
+    unchanged.
+    """
+
+    def __init__(self):
+        self._pending = None
+        self._exc = None
+
+    def save(self, directory: str, step: int, state: dict[str, Any], *,
+             keep: int = 3, metric: float | None = None,
+             is_best: bool = False) -> None:
+        import threading
+
+        self.wait()                      # one write in flight
+        # synchronous device->host snapshot: after this the caller may
+        # freely donate/overwrite the live state.  np.asarray on a jax
+        # Array already materializes fresh host memory; an
+        # already-host numpy leaf ALIASES and must be copied.
+        def _snap(x):
+            return x.copy() if isinstance(x, np.ndarray) \
+                else np.asarray(x)
+
+        host_state = jax.tree_util.tree_map(_snap, state)
+
+        def _write():
+            try:
+                save_checkpoint(directory, step, host_state, keep=keep,
+                                metric=metric, is_best=is_best)
+            except BaseException as e:   # surfaced on next wait/save
+                self._exc = e
+
+        t = threading.Thread(target=_write, name="ckpt-writer",
+                             daemon=True)
+        t.start()
+        self._pending = t
+
+    def wait(self) -> None:
+        """Join the in-flight write; re-raise its failure if any."""
+        if self._pending is not None:
+            self._pending.join()
+            self._pending = None
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc

@@ -260,3 +260,37 @@ def test_joint_evaluator_scores_primary_reports_secondary():
     assert "precision" in rep and "macro f1" in rep
     ev.reset()
     assert ev.score() == 0.0
+
+
+def test_async_checkpointer_roundtrip(tmp_path):
+    """AsyncCheckpointer: background write lands the same artifact
+    save_checkpoint would; donation-safe (state mutated right after
+    save); write failures surface on wait()."""
+    import numpy as np
+    import pytest
+
+    from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
+
+    state = {"params": {"w": np.arange(6.0).reshape(2, 3)},
+             "step": np.asarray(7)}
+    ac = ckpt_lib.AsyncCheckpointer()
+    ac.save(str(tmp_path), 7, state, keep=2)
+    # mutate the live buffers immediately — the snapshot must protect us
+    state["params"]["w"] += 100.0
+    ac.wait()
+    latest = ckpt_lib.latest_checkpoint(str(tmp_path))
+    got = ckpt_lib.restore_checkpoint(
+        latest, {"params": {"w": np.zeros((2, 3))},
+                 "step": np.asarray(0)})
+    np.testing.assert_array_equal(got["params"]["w"],
+                                  np.arange(6.0).reshape(2, 3))
+    assert int(got["step"]) == 7
+    # failure surfaces on wait
+    ac.save("/proc/definitely-not-writable/x", 8, state)
+    with pytest.raises(BaseException):
+        ac.wait()
+    # ...and the checkpointer is reusable afterwards
+    ac.save(str(tmp_path), 9, state, keep=2)
+    ac.wait()
+    assert ckpt_lib.checkpoint_step(
+        ckpt_lib.latest_checkpoint(str(tmp_path))) == 9

@@ -249,6 +249,10 @@ def run_steploop(cfg, args, out, mesh, adapter):
     best = None
     first_batch = None
     logger = MetricLogger(log_dir=out, name=spec["name"])
+    # periodic saves ride a background writer (device->host snapshot
+    # synchronous, npz+rename off-thread) — the Trainer's
+    # async_checkpoints discipline for the step-loop families
+    ckpts = ckpt_lib.AsyncCheckpointer()
     with PreemptionGuard() as guard:
         start = get_step(state)
         it = spec["make_iter"]()
@@ -265,8 +269,7 @@ def run_steploop(cfg, args, out, mesh, adapter):
             if (i + 1) % log_every == 0:
                 logger.log(i + 1,
                            {k: float(v) for k, v in metrics.items()})
-                ckpt_lib.save_checkpoint(out, i + 1, state._asdict(),
-                                         keep=2)
+                ckpts.save(out, i + 1, state._asdict(), keep=2)
             if validate is not None and val_every \
                     and (i + 1) % val_every == 0:
                 name, score = validate(state)
@@ -275,14 +278,14 @@ def run_steploop(cfg, args, out, mesh, adapter):
                 print(f"step {i + 1}: {shown} {score:.4f}")
                 if is_better(score, best):
                     best = score
-                    ckpt_lib.save_checkpoint(out, i + 1, state._asdict(),
-                                             keep=2, metric=score,
-                                             is_best=True)
+                    ckpts.save(out, i + 1, state._asdict(), keep=2,
+                               metric=score, is_best=True)
             if sample is not None and sample_every \
                     and (i + 1) % sample_every == 0:
                 sample(state, i + 1, logger, first_batch)
         if hasattr(it, "close"):
             it.close()
+        ckpts.wait()   # surface any background write failure
         ckpt_lib.save_checkpoint(out, get_step(state), state._asdict(),
                                  keep=2)
         if validate is not None:
