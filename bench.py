@@ -300,14 +300,20 @@ def measure_hbm_gbps(n_mib=1024, chain=8, rounds=3):
 
 
 def measure_augmentation(batch=256, hw=(224, 224)):
-    """Secondary BASELINE metric: on-device augmentation images/sec."""
+    """Secondary BASELINE metric: on-device augmentation images/sec —
+    measured on the TRAIN-PATH config (bf16 output like the fused step;
+    bf16 interpolation matmuls, the measured-fastest geometric path:
+    +7%, error <=1 u8 LSB — PERF_NOTES r3)."""
     import jax
     import jax.numpy as jnp
 
     from myconvnet_tpu.data.augment import AugmentConfig, augment_train
 
     cfg = AugmentConfig(out_hw=hw, area_range=(0.08, 1.0), flip=True,
-                        brightness=0.4, contrast=0.4, saturation=0.4)
+                        brightness=0.4, contrast=0.4, saturation=0.4,
+                        out_dtype="bfloat16",
+                        interp_dtype=os.environ.get("BENCH_INTERP",
+                                                    "bfloat16"))
     raw_hw = (int(hw[0] * 8 / 7), int(hw[1] * 8 / 7))
     rng = np.random.RandomState(0)
     raw = jax.device_put(rng.randint(0, 256, (batch, *raw_hw, 3),

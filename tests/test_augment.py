@@ -174,3 +174,29 @@ def test_pair_pad_crop_masks_get_ignore_label():
                                np.broadcast_to(expect_border,
                                                border_pix.shape),
                                atol=1e-4)
+
+
+def test_interp_dtype_bf16_close_to_f32():
+    """interp_dtype='bfloat16' runs the sampling einsums on the bf16
+    MXU path; the result must stay within ~1 u8 LSB of the exact-f32
+    geometry (pixel values <=255 are exact in bf16; only interpolation
+    weights round)."""
+    import jax
+    import numpy as np
+
+    from myconvnet_tpu.data.augment import AugmentConfig, augment_train
+
+    rng = np.random.RandomState(0)
+    raw = rng.randint(0, 256, (8, 40, 40, 3), np.uint8)
+    base = dict(out_hw=(32, 32), area_range=(0.5, 1.0), flip=True,
+                mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0))
+    key = jax.random.key(3)
+    y32 = np.asarray(augment_train(key, raw,
+                                   AugmentConfig(**base)), np.float32)
+    y16 = np.asarray(augment_train(
+        key, raw, AugmentConfig(**base, interp_dtype="bfloat16")),
+        np.float32)
+    # same random geometry (same key), so only interpolation rounding
+    # differs: ~1/255 in [0,1] units
+    assert np.max(np.abs(y32 - y16)) <= 2.5 / 255.0
+    assert np.mean(np.abs(y32 - y16)) <= 0.5 / 255.0
