@@ -434,7 +434,8 @@ def augment_eval_pair(images_u8: jax.Array, masks: jax.Array,
     n, h, w, _ = images_u8.shape
     boxes = jnp.broadcast_to(
         jnp.asarray([0.0, 0.0, float(h), float(w)])[None], (n, 4))
-    x = batched_crop_resize(images_u8, boxes, cfg.out_hw)
+    x = batched_crop_resize(images_u8, boxes, cfg.out_hw,
+                            interp_dtype=cfg.interp_dtype)
     y = batched_crop_nearest(masks, boxes, cfg.out_hw)
     return (normalize(x * (1.0 / 255.0), cfg.mean,
                       cfg.std).astype(cfg.out_dtype), y)

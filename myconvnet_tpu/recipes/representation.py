@@ -225,6 +225,23 @@ def build_semisup(cfg: dict, synthetic: bool = False, mesh=None):
 
 # ------------------------------------------------- knowledge distillation
 
+def make_policy_net(cfg: dict, name: str, mkw: dict):
+    """``transform()`` of a zoo model under the recipe's precision
+    policy — the shared wiring for distill's student/teacher and the
+    student export path (test.py eval_distill); one definition so the
+    exported artifact's forward cannot drift from the trained one."""
+    policy = get_policy(cfg.get("precision", "f32"))
+    ncls = cfg["num_classes"]
+    fn = models.get_model(name)
+
+    def fwd(x, train=False):
+        with policy_scope(policy):
+            return fn(x.astype(policy.compute_dtype), ncls,
+                      train=train, **dict(mkw))
+
+    return transform(fwd)
+
+
 def build_distill(cfg: dict, synthetic: bool = False, mesh=None):
     """Knowledge-distillation recipe wiring (train/distill.py made a
     first-class task — the compress-the-zoo workflow: a trained
@@ -260,21 +277,12 @@ def build_distill(cfg: dict, synthetic: bool = False, mesh=None):
     dcfg = dict(cfg.get("distill") or {})
     if "teacher" not in dcfg:
         raise ValueError("task='distill' needs distill=dict(teacher=...)")
+
+    student = make_policy_net(cfg, cfg["model"],
+                              cfg.get("model_kwargs", {}))
+    teacher = make_policy_net(cfg, dcfg["teacher"],
+                              dcfg.get("teacher_kwargs", {}))
     policy = get_policy(cfg.get("precision", "f32"))
-    ncls = cfg["num_classes"]
-
-    def make_net(name, mkw):
-        fn = models.get_model(name)
-
-        def fwd(x, train=False):
-            with policy_scope(policy):
-                return fn(x.astype(policy.compute_dtype), ncls,
-                          train=train, **mkw)
-
-        return transform(fwd)
-
-    student = make_net(cfg["model"], cfg.get("model_kwargs", {}))
-    teacher = make_net(dcfg["teacher"], dcfg.get("teacher_kwargs", {}))
 
     aug = make_augment(cfg["augment"])
     hw = tuple(aug.out_hw)

@@ -585,39 +585,32 @@ class Trainer:
 
     # -------------------------------------------------------- checkpointing
 
-    _save_thread: Any = None
+    _checkpointer: Any = None
 
     def save(self, state: TrainState, metric: float | None = None,
              is_best: bool = False) -> str:
+        """Synchronous or background save; async rides the shared
+        ckpt.AsyncCheckpointer (one write in flight, synchronous
+        device->host snapshot — the next train_step donates the state's
+        buffers — and write failures re-raised on the next save/wait
+        instead of dying silently in the daemon thread)."""
         assert self.ckpt_dir
         step = int(state.step)
         if not self.async_checkpoints:
             return ckpt_lib.save_checkpoint(
                 self.ckpt_dir, step, state._asdict(),
                 keep=self.keep_checkpoints, metric=metric, is_best=is_best)
-        # at most one save in flight; join the previous first
-        self.wait_for_saves()
-        # The device->host readback MUST be synchronous: the caller's next
-        # train_step donates the state's buffers, so a background thread
-        # reading them later would hit freed memory.  Only the file write
-        # (npz compress + fsync + prune) goes to the thread.
-        snapshot = jax.device_get(state._asdict())
-        import threading
-
-        def _write():
-            ckpt_lib.save_checkpoint(self.ckpt_dir, step, snapshot,
-                                     keep=self.keep_checkpoints,
-                                     metric=metric, is_best=is_best)
-
-        self._save_thread = threading.Thread(target=_write, daemon=True)
-        self._save_thread.start()
+        if self._checkpointer is None:
+            self._checkpointer = ckpt_lib.AsyncCheckpointer()
+        self._checkpointer.save(self.ckpt_dir, step, state._asdict(),
+                                keep=self.keep_checkpoints, metric=metric,
+                                is_best=is_best)
         import os
         return os.path.join(self.ckpt_dir, f"ckpt-{step}.npz")
 
     def wait_for_saves(self) -> None:
-        if self._save_thread is not None:
-            self._save_thread.join()
-            self._save_thread = None
+        if self._checkpointer is not None:
+            self._checkpointer.wait()
 
     def restore(self, state_template: TrainState,
                 path: str | None = None) -> TrainState:

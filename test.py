@@ -509,6 +509,15 @@ def eval_distill(cfg, args):
     from myconvnet_tpu import recipes
     from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
 
+    # the distill checkpoint is SELF-CONTAINED (teacher params ride in
+    # the state): never require the original teacher weight source at
+    # eval time (it may be gone), and never waste its load — the
+    # restore below overwrites teacher params either way
+    cfg = dict(cfg)
+    dcfg = {k: v for k, v in dict(cfg.get("distill") or {}).items()
+            if k not in ("ckpt", "npz", "torch")}
+    dcfg["allow_random"] = True
+    cfg["distill"] = dcfg
     state, _step, _it, val_set, eval_fn = recipes.build_distill(
         cfg, synthetic=args.synthetic)
     restored = ckpt_lib.restore_checkpoint(args.ckpt, state._asdict())
@@ -518,24 +527,13 @@ def eval_distill(cfg, args):
     if args.export:
         import numpy as np
 
-        from myconvnet_tpu import models, serving
-        from myconvnet_tpu.core import transform
-        from myconvnet_tpu.core.precision import (get_policy,
-                                                  policy_scope)
+        from myconvnet_tpu import serving
+        from myconvnet_tpu.recipes.representation import make_policy_net
 
-        policy = get_policy(cfg.get("precision", "f32"))
-        mkw = dict(cfg.get("model_kwargs", {}))
-        fn = models.get_model(cfg["model"])
-
-        def fwd(x, train=False):
-            with policy_scope(policy):
-                return fn(x.astype(policy.compute_dtype),
-                          cfg["num_classes"], train=train, **mkw)
-
-        student = transform(fwd)
-        hw = tuple(cfg.get("augment", {}).get("out_hw",
-                                              cfg.get("input_hw",
-                                                      (32, 32))))
+        student = make_policy_net(cfg, cfg["model"],
+                                  cfg.get("model_kwargs", {}))
+        # the resolution the student actually trained/evals at
+        hw = tuple(recipes.make_augment(cfg["augment"]).out_hw)
         sample = np.zeros((cfg.get("export_batch", 8), *hw, 3),
                           np.float32)
         size = serving.export_inference(

@@ -256,36 +256,49 @@ def run_steploop(cfg, args, out, mesh, adapter):
     with PreemptionGuard() as guard:
         start = get_step(state)
         it = spec["make_iter"]()
-        for i, batch in enumerate(it):
-            i = start + i
-            if i >= total:
-                break
-            if guard.preempted:
-                logger.log(i, {"preempted": 1.0})
-                break
-            if sample is not None and first_batch is None:
-                first_batch = batch  # retained only for sample hooks
-            state, metrics = step(state, batch)
-            if (i + 1) % log_every == 0:
-                logger.log(i + 1,
-                           {k: float(v) for k, v in metrics.items()})
-                ckpts.save(out, i + 1, state._asdict(), keep=2)
-            if validate is not None and val_every \
-                    and (i + 1) % val_every == 0:
-                name, score = validate(state)
-                shown = spec.get("display", {}).get(name, name)
-                logger.log(i + 1, {name: score})
-                print(f"step {i + 1}: {shown} {score:.4f}")
-                if is_better(score, best):
-                    best = score
-                    ckpts.save(out, i + 1, state._asdict(), keep=2,
-                               metric=score, is_best=True)
-            if sample is not None and sample_every \
-                    and (i + 1) % sample_every == 0:
-                sample(state, i + 1, logger, first_batch)
-        if hasattr(it, "close"):
-            it.close()
-        ckpts.wait()   # surface any background write failure
+        try:
+            for i, batch in enumerate(it):
+                i = start + i
+                if i >= total:
+                    break
+                if guard.preempted:
+                    logger.log(i, {"preempted": 1.0})
+                    break
+                if sample is not None and first_batch is None:
+                    first_batch = batch  # retained only for sample hooks
+                state, metrics = step(state, batch)
+                if (i + 1) % log_every == 0:
+                    logger.log(i + 1,
+                               {k: float(v) for k, v in metrics.items()})
+                    ckpts.save(out, i + 1, state._asdict(), keep=2)
+                if validate is not None and val_every \
+                        and (i + 1) % val_every == 0:
+                    name, score = validate(state)
+                    shown = spec.get("display", {}).get(name, name)
+                    logger.log(i + 1, {name: score})
+                    print(f"step {i + 1}: {shown} {score:.4f}")
+                    if is_better(score, best):
+                        best = score
+                        ckpts.save(out, i + 1, state._asdict(), keep=2,
+                                   metric=score, is_best=True)
+                if sample is not None and sample_every \
+                        and (i + 1) % sample_every == 0:
+                    sample(state, i + 1, logger, first_batch)
+        finally:
+            # a crashing step must not abandon the in-flight write:
+            # the synchronous saves this replaced guaranteed the last
+            # periodic checkpoint was on disk before any later crash.
+            # Join here; surface a write failure only when the loop
+            # itself did not raise (never mask the step's exception).
+            import sys
+            loop_raised = sys.exc_info()[1] is not None
+            try:
+                ckpts.wait()
+            except Exception:
+                if not loop_raised:
+                    raise
+            if hasattr(it, "close"):
+                it.close()
         ckpt_lib.save_checkpoint(out, get_step(state), state._asdict(),
                                  keep=2)
         if validate is not None:
