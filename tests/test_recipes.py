@@ -1,9 +1,13 @@
 """Config loading + recipe builders for the five BASELINE recipes."""
 
+import os
+
 import numpy as np
 import pytest
 
 from myconvnet_tpu import recipes
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CONFIGS = [
     "configs/cifar10_smallnet.py",
@@ -221,3 +225,39 @@ def test_apply_overrides_literals_strings_and_dotted_keys():
     assert recipes.apply_overrides(cfg, None) is cfg
     with pytest.raises(ValueError, match="KEY=VALUE"):
         recipes.apply_overrides(cfg, ["oops"])
+
+
+def test_every_shipped_config_loads_and_is_registered():
+    """Sweep ALL of configs/: each recipe must load, name a task the
+    registry knows (train.py now fails fast on unregistered tasks),
+    and build its evaluator when it rides an evaluator path."""
+    import glob
+    import os
+
+    paths = sorted(glob.glob(os.path.join(REPO, "configs", "*.py")))
+    assert len(paths) >= 50
+    for path in paths:
+        cfg = recipes.load_config(path)
+        assert cfg["task"] in recipes.TASKS, (path, cfg["task"])
+        assert cfg.get("batch_size", 1) > 0, path
+        if recipes.TASKS[cfg["task"]] == "convnet" \
+                or cfg["task"] == "detection":
+            ev = recipes.build_evaluator(cfg)
+            assert ev is not None, path
+
+
+def test_registry_rows_resolve_builders():
+    """Every convnet-kind registry row resolves to a callable builder
+    and every step-loop kind has a train.py adapter."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "_train_mod", os.path.join(REPO, "train.py"))
+    train_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(train_mod)
+    for task, kind in recipes.TASKS.items():
+        if kind == "convnet":
+            assert callable(recipes.convnet_builder(task)), task
+        else:
+            assert kind in train_mod.STEPLOOP_ADAPTERS, (task, kind)
