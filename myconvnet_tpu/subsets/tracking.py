@@ -86,6 +86,14 @@ class TrackPairSource:
         self.videos, self.boxes, self.pairs = videos, boxes, pairs
         self.search_hw = tuple(search_hw)
         self.exemplar_hw = tuple(exemplar_hw)
+        # the SiamFC context-crop geometry scales the (square) source
+        # window by search/exemplar along ROWS; a mismatched aspect
+        # ratio would make that scale axis-ambiguous
+        if (self.search_hw[0] * self.exemplar_hw[1]
+                != self.search_hw[1] * self.exemplar_hw[0]):
+            raise ValueError(
+                f"search_hw {self.search_hw} and exemplar_hw "
+                f"{self.exemplar_hw} must share an aspect ratio")
         self._workers = workers
         self._pool = None  # created lazily; see close()
 
