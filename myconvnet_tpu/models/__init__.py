@@ -11,6 +11,8 @@ API lives in ``models.base``.
 from myconvnet_tpu.models.alexnet import alexnet
 from myconvnet_tpu.models.convnext import (convnext, convnext_small,
                                            convnext_tiny)
+from myconvnet_tpu.models.repvgg import (repvgg, repvgg_a0, repvgg_a1,
+                                         tinyrepvgg)
 from myconvnet_tpu.models.regnet import (regnet, regnet_x_400mf,
                                          regnet_x_1_6gf,
                                          regnet_y_400mf,
@@ -108,6 +110,8 @@ CLASSIFIERS = {
     "squeezenet": squeezenet,
     "xception65": xception65,
     "convnext_tiny": convnext_tiny,
+    "repvgg_a0": repvgg_a0, "repvgg_a1": repvgg_a1,
+    "tinyrepvgg": tinyrepvgg,
     "convnext_small": convnext_small,
     "regnet_x_400mf": regnet_x_400mf, "regnet_y_400mf": regnet_y_400mf,
     "regnet_x_1_6gf": regnet_x_1_6gf, "regnet_y_1_6gf": regnet_y_1_6gf,
