@@ -141,3 +141,12 @@ def repvgg_deploy(x: jax.Array, num_classes: int = 1000, *,
             x = nn.relu(x)
     x = nn.gap(x)
     return nn.dense(x, num_classes, name="logits")
+
+
+# name -> deploy-forward partial matching the train-time registry names
+DEPLOY_FORWARDS = {
+    "repvgg_a0": partial(repvgg_deploy, a=0.75, b=2.5),
+    "repvgg_a1": partial(repvgg_deploy, a=1.0, b=2.5),
+    "tinyrepvgg": partial(repvgg_deploy, a=0.125, b=0.25,
+                          stages=(1, 1, 2, 2, 1)),
+}

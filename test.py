@@ -160,6 +160,56 @@ def main():
         net.state = net.state._replace(params=jax.tree.map(
             lambda p, e: e.astype(p.dtype), net.state.params, ema))
         print("evaluating EMA parameters")
+    if args.export and cfg["task"] == "classification":
+        import jax
+        import numpy as np
+
+        from myconvnet_tpu import serving
+        hw = tuple((cfg.get("augment") or {}).get(
+            "out_hw", cfg.get("input_hw", (224, 224))))
+        sample = np.zeros((cfg.get("export_batch", 8), *hw, 3),
+                          np.float32)
+        cal = None
+        if args.int8:
+            # classification artifacts take NORMALIZED inputs (serve.py
+            # normalizes client-side): calibrate on the same
+            from myconvnet_tpu.data.augment import (AugmentConfig,
+                                                    augment_eval)
+            acfg = recipes.make_augment(cfg.get("augment")) \
+                or AugmentConfig(out_hw=hw)
+            xb = val_set.source.get_batch(
+                np.arange(min(8, len(val_set.source))))[0]
+            cal = [np.asarray(augment_eval(np.asarray(xb, np.uint8),
+                                           acfg), np.float32)]
+        from myconvnet_tpu.models.repvgg import DEPLOY_FORWARDS
+        if cfg["model"] in DEPLOY_FORWARDS:
+            # structural re-parameterization: export the folded plain
+            # 3x3 stack (+23% measured serving win — PERF_NOTES r3)
+            import importlib
+
+            from myconvnet_tpu.core import transform
+            rv = importlib.import_module("myconvnet_tpu.models.repvgg")
+            folded = rv.deploy_params(net.state.params,
+                                      net.state.model_state)
+            dep_fn = DEPLOY_FORWARDS[cfg["model"]]
+            dep = transform(lambda x, train=False: dep_fn(
+                x, cfg["num_classes"], train=train))
+            _dp, ds = dep.init(jax.random.key(0), sample[:1], False)
+            size = serving.export_inference(
+                dep, folded, ds, sample, args.export, fold_bn=False,
+                int8=args.int8, calibrate_with=cal)
+            print(f"exported classification artifact (reparameterized):"
+                  f" {args.export} ({size / 1e6:.1f} MB, input "
+                  f"{sample.shape}"
+                  f"{', int8 calibrated' if args.int8 else ''})")
+            return
+        size = serving.export_inference(
+            net._transformed, net.state.params, net.state.model_state,
+            sample, args.export, int8=args.int8, calibrate_with=cal)
+        print(f"exported classification artifact: {args.export} "
+              f"({size / 1e6:.1f} MB, input {sample.shape}"
+              f"{', int8 calibrated' if args.int8 else ''})")
+        return
     if args.export and cfg["task"] == "tracking":
         import numpy as np
 

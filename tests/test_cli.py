@@ -486,3 +486,35 @@ def test_distill_cli_train(tmp_path):
     assert "student val accuracy" in r2.stdout, r2.stdout[-500:]
     assert "exported student artifact" in r2.stdout
     assert os.path.exists(art)
+
+
+@pytest.mark.slow
+def test_classification_export_cli(tmp_path):
+    """test.py --export for classification: plain checkpoint exports a
+    StableHLO artifact serve.py can load; a RepVGG checkpoint exports
+    the RE-PARAMETERIZED deploy network."""
+    cfg_path = tmp_path / "repvgg_tiny.py"
+    cfg_path.write_text(
+        "config = dict(task='classification', model='tinyrepvgg',\n"
+        "  model_kwargs={}, dataset='cifar10', data_dir=None,\n"
+        "  num_classes=10, input_hw=(32, 32), batch_size=8,\n"
+        "  total_steps=4, val_every=0, log_every=2, seed=0,\n"
+        "  precision='f32',\n"
+        "  optimizer=dict(name='momentum', momentum_coef=0.9,"
+        " lr=0.05),\n"
+        "  augment=dict(out_hw=(32, 32), area_range=None,"
+        " flip=True))\n")
+    out = str(tmp_path / "run")
+    r = _run(["train.py", "--config", str(cfg_path), "--synthetic",
+              "--platform", "cpu", "--out", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    art = str(tmp_path / "cls.stablehlo")
+    r2 = _run(["test.py", "--config", str(cfg_path), "--ckpt", out,
+               "--synthetic", "--platform", "cpu", "--export", art])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "reparameterized" in r2.stdout, r2.stdout[-300:]
+    assert os.path.exists(art)
+    r3 = _run(["serve.py", "--artifact", art, "--latency",
+               "--sizes", "4", "--platform", "cpu"])
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    assert "p50=" in r3.stdout
