@@ -6,7 +6,8 @@ shapes allow), summed, ReLU.  Deploy-time: the three branches fold
 ALGEBRAICALLY into one 3x3 conv + bias, giving a plain VGG-style
 conv stack — the ideal TPU serving shape (uniform 3x3 convs are this
 MXU's best case: VGG-16 measures 62.5% nominal MFU on the round-3
-chip where ResNet-50's branchy 1x1s read 16.8%).
+chip where ResNet-50's branchy 1x1s read 33.5% — both against the
+197 TF/s v5e bf16 peak, utils/mfu.py).
 
 This slots into the serving story as a third folding level beyond
 BN-folding (models/folding.py): :func:`deploy_params` produces the

@@ -11,13 +11,27 @@ from __future__ import annotations
 import jax
 
 # Peak dense matmul FLOP/s per chip (bf16), by platform/type.
+#
+# NOTE: the v5e figure is 197 TF/s *bf16*; 394 TF/s is the v5e *int8*
+# peak (kept separately below).  An earlier revision used 394 here,
+# which halved every reported bf16 MFU — the chip's own measured
+# 2048^3 bf16 matmul rate (189 TF/s, PERF_NOTES round 3) is 96% of
+# 197, confirming 197 as the bf16 spec.
 PEAK_FLOPS = {
-    "tpu v5 lite": 394e12,   # v5e: 394 TFLOP/s bf16
-    "tpu v5e": 394e12,
+    "tpu v5 lite": 197e12,   # v5e: 197 TFLOP/s bf16
+    "tpu v5e": 197e12,
     "tpu v5": 459e12,        # v5p
     "tpu v4": 275e12,
     "tpu v6 lite": 918e12,   # v6e (Trillium)
     "cpu": 1e11,             # nominal, for smoke tests only
+}
+
+# Peak int8 OP/s per chip, for int8-serving MFU accounting only.
+PEAK_OPS_INT8 = {
+    "tpu v5 lite": 394e12,   # v5e int8
+    "tpu v5e": 394e12,
+    "tpu v4": 275e12,        # v4 has no int8 doubling
+    "tpu v6 lite": 1836e12,  # v6e int8
 }
 
 
