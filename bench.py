@@ -79,7 +79,9 @@ def build_step(batch, hw, num_classes, smoke=False):
     opt = optim.momentum(0.1, 0.9, weight_decay=1e-4)
     cfg = AugmentConfig(out_hw=hw, area_range=(0.08, 1.0), flip=True,
                         brightness=0.4, contrast=0.4, saturation=0.4,
-                        out_dtype="bfloat16")
+                        out_dtype="bfloat16",
+                        interp_dtype=os.environ.get("BENCH_INTERP",
+                                                    "bfloat16"))
     raw_hw = (int(hw[0] * 8 / 7), int(hw[1] * 8 / 7))
 
     state = init_train_state(model, opt, jax.random.key(0),

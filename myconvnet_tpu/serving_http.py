@@ -20,6 +20,12 @@ conventions (health, model list, ``:predict``):
          track    -> {"tracks": [{"dx","dy","score"}, ...]}  (tracking
                      artifacts take [H,W,6] search+exemplar blobs —
                      JSON instances only, raw [0, 1])
+         segment  -> {"segmentations": [{"size": [H, W], "rle":
+                     [class, run, class, run, ...], "coverage":
+                     {label: fraction}, "mean_conf"} , ...]}  (the
+                     class map run-length encoded in row-major order;
+                     segmentation artifacts normalize internally —
+                     raw [0, 1] in, like detect)
 
 No web framework — ``http.server.ThreadingHTTPServer`` plus one
 dispatch lock: request decode/encode runs on handler threads, the
@@ -46,7 +52,7 @@ class Route:
     """One served artifact: the loaded program plus its request codec."""
 
     name: str
-    kind: str              # "classify" | "detect" | "embed" | "track"
+    kind: str    # "classify" | "detect" | "embed" | "track" | "segment"
     fn: Callable                   # load_inference product (fixed shapes)
     input_shape: tuple             # (B, H, W, C)
     mean: np.ndarray = None        # classify: normalization applied here
@@ -71,7 +77,7 @@ def build_route(name: str, kind: str, artifact: str,
     class names from the recipe's dataset when known."""
     from myconvnet_tpu import serving
 
-    if kind not in ("classify", "detect", "embed", "track"):
+    if kind not in ("classify", "detect", "embed", "track", "segment"):
         raise ValueError(f"route {name!r}: unknown kind {kind!r}")
     fn = serving.load_inference(artifact)
     shape = fn.input_shapes[0]
@@ -80,7 +86,7 @@ def build_route(name: str, kind: str, artifact: str,
     if config:
         from myconvnet_tpu import recipes
         cfg = recipes.load_config(config)
-        names = _dataset_class_names(cfg)
+        names = _dataset_class_names(cfg, kind)
     if kind in ("classify", "embed"):
         from myconvnet_tpu.data.augment import AugmentConfig
         acfg = AugmentConfig()
@@ -99,13 +105,17 @@ def build_route(name: str, kind: str, artifact: str,
                  threshold=threshold)
 
 
-def _dataset_class_names(cfg: dict):
+def _dataset_class_names(cfg: dict, kind: str = "classify"):
     ds = cfg.get("dataset")
     if ds == "fashion_mnist":
         from myconvnet_tpu.subsets.mnist import FASHION_CLASS_NAMES
         return FASHION_CLASS_NAMES
     if ds == "voc":
         from myconvnet_tpu.subsets.voc import DET_CLASS_NAMES
+        if kind == "segment":
+            # semantic ids are 0-based with 0 = background (detection
+            # labels are 1-based over the same 20 classes)
+            return ("background", *DET_CLASS_NAMES)
         return DET_CLASS_NAMES
     return None
 
@@ -126,6 +136,31 @@ def _run_chunked(fn, x: np.ndarray, batch: int):
         out = fn(chunk)
         outs.append(jax.tree.map(lambda t: np.asarray(t)[:n], out))
     return jax.tree.map(lambda *ts: np.concatenate(ts), *outs)
+
+
+def _rle_encode(flat: np.ndarray) -> list:
+    """Row-major run-length encoding: [class, run, class, run, ...].
+    Decode: np.repeat(rle[0::2], rle[1::2]).reshape(size)."""
+    if flat.size == 0:
+        return []
+    change = np.flatnonzero(np.diff(flat)) + 1
+    starts = np.concatenate([[0], change])
+    runs = np.diff(np.concatenate([starts, [flat.size]]))
+    out = np.empty(2 * len(starts), np.int64)
+    out[0::2] = flat[starts]
+    out[1::2] = runs
+    return out.tolist()
+
+
+def _class_coverage(cls: np.ndarray, names=None, top: int = 5) -> dict:
+    ids, counts = np.unique(cls, return_counts=True)
+    order = np.argsort(-counts)[:top]
+    cov = {}
+    for j in order:
+        cid = int(ids[j])
+        label = names[cid] if names and cid < len(names) else str(cid)
+        cov[label] = round(float(counts[j]) / cls.size, 4)
+    return cov
 
 
 class ModelServer:
@@ -211,6 +246,22 @@ class ModelServer:
                  "dy": round(float(o[1]), 3),
                  "score": round(float(s), 6)}
                 for o, s in zip(offsets, scores)]}
+        if route.kind == "segment":
+            # artifact normalizes internally — raw [0, 1] in;
+            # (classes [N,H,W] s32, conf [N,H,W] f32) out
+            with self._lock:
+                classes, conf = _run_chunked(route.fn, x, batch)
+            out = []
+            for i in range(len(x)):
+                cls_i = np.asarray(classes[i])
+                out.append({
+                    "size": list(cls_i.shape),
+                    "rle": _rle_encode(cls_i.reshape(-1)),
+                    "coverage": _class_coverage(cls_i,
+                                                route.class_names),
+                    "mean_conf": round(float(np.mean(conf[i])), 4),
+                })
+            return {"segmentations": out}
         # detect: artifact normalizes internally — raw [0, 1] in
         with self._lock:
             boxes, scores, labels, valid = _run_chunked(route.fn, x,

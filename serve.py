@@ -55,6 +55,15 @@ def main():
                          "normalizes internally) and print boxes")
     ap.add_argument("--det_threshold", type=float, default=0.5,
                     help="--detect: minimum score to print")
+    ap.add_argument("--segment", action="store_true",
+                    help="the artifact is a segmentation export "
+                         "(test.py --export on a task='segmentation' "
+                         "config): feed raw [0,1] images (it "
+                         "normalizes internally), print per-image "
+                         "class coverage and write VOC-palette mask "
+                         "PNGs next to the inputs (--out overrides)")
+    ap.add_argument("--out", default=None,
+                    help="--segment: directory for the mask PNGs")
     ap.add_argument("--track", action="store_true",
                     help="the artifact is a tracking export (test.py "
                          "--export on a task='tracking' config): pair "
@@ -87,6 +96,8 @@ def main():
 
     if args.detect:
         return run_detect(fn, art_shape, args)
+    if args.segment:
+        return run_segment(fn, art_shape, args)
     if args.track:
         return run_track(fn, art_shape, args)
     # the artifact is compiled for one shape: the only valid bucket is
@@ -271,6 +282,68 @@ def run_detect(fn, art_shape, args):
                     else str(l)
                 print(f"{path}: {name} {s:.2f} "
                       f"[{b[0]:.3f},{b[1]:.3f},{b[2]:.3f},{b[3]:.3f}]")
+
+
+def run_segment(fn, art_shape, args):
+    """Serve a segmentation artifact: chunk/pad the request through its
+    fixed batch, print per-image class coverage, write VOC-palette mask
+    PNGs (serving.export_segmentation normalizes internally — images go
+    in as raw [0, 1] floats at the artifact's resolution)."""
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from myconvnet_tpu.utils.images import colorize_mask, save_png
+
+    if not args.images:
+        raise SystemExit("--segment needs --images DIR")
+    paths = sorted(
+        os.path.join(args.images, f) for f in os.listdir(args.images)
+        if f.lower().endswith((".jpg", ".jpeg", ".png")))
+    if not paths:
+        raise SystemExit(f"no images under {args.images!r}")
+    names = None
+    if args.config:
+        from myconvnet_tpu import recipes
+        cfg = recipes.load_config(args.config)
+        if cfg.get("dataset") == "voc":
+            from myconvnet_tpu.subsets.voc import DET_CLASS_NAMES
+            # VOC semantic ids: 0 = background, then the 20 classes
+            names = ("background", *DET_CLASS_NAMES)
+    out_dir = args.out or args.images
+    os.makedirs(out_dir, exist_ok=True)
+    batch, h, w = art_shape[0], art_shape[1], art_shape[2]
+
+    def load(p):
+        return np.asarray(Image.open(p).convert("RGB").resize(
+            (w, h), Image.BILINEAR), np.float32) / 255.0
+
+    for start in range(0, len(paths), batch):
+        chunk = np.stack([load(p) for p in paths[start:start + batch]])
+        n = len(chunk)
+        if n < batch:
+            chunk = np.concatenate(
+                [chunk, np.zeros((batch - n, h, w, 3), np.float32)])
+        classes, conf = (np.asarray(t) for t in fn(chunk))
+        for i in range(n):
+            path = paths[start + i]
+            base = os.path.basename(path)
+            cls_i = classes[i]
+            ids, counts = np.unique(cls_i, return_counts=True)
+            order = np.argsort(-counts)
+            parts = []
+            for j in order[:5]:
+                cid = int(ids[j])
+                label = (names[cid] if names and cid < len(names)
+                         else str(cid))
+                pct = 100.0 * counts[j] / cls_i.size
+                parts.append(f"{label}:{pct:.0f}%")
+            mask_path = os.path.join(
+                out_dir, os.path.splitext(base)[0] + "_mask.png")
+            save_png(mask_path, colorize_mask(cls_i))
+            print(f"{base}: {', '.join(parts)} "
+                  f"(mean conf {conf[i].mean():.2f}) -> {mask_path}")
 
 
 def run_track(fn, art_shape, args):

@@ -233,6 +233,40 @@ def main():
               f"({size / 1e6:.1f} MB, input {sample.shape}"
               f"{', int8 calibrated' if args.int8 else ''})")
         return
+    if args.export and cfg["task"] == "segmentation":
+        import numpy as np
+
+        from myconvnet_tpu import serving
+        from myconvnet_tpu.data.augment import AugmentConfig
+        # the net's own augment config (build_segmenter shrinks out_hw
+        # under --synthetic; the artifact must match the built net)
+        acfg = getattr(net, "augment", None) \
+            or recipes.make_augment(cfg.get("augment")) \
+            or AugmentConfig()
+        hw = tuple(acfg.out_hw)
+        sample = np.zeros((cfg.get("export_batch", 4), *hw, 3),
+                          np.float32)
+        cal = None
+        if args.int8:
+            # segmentation artifacts take raw [0,1] frames (the recipe
+            # mean/std bakes in); calibrate on the same wire format
+            xb = val_set.source.get_batch(
+                np.arange(min(4, len(val_set.source))))[0]
+            xb = np.asarray(xb, np.float32) / 255.0
+            if xb.shape[1:3] != hw:
+                import jax.numpy as jnp
+
+                from myconvnet_tpu.ops.resize import resize_bilinear
+                xb = np.asarray(resize_bilinear(jnp.asarray(xb), hw))
+            cal = [xb]
+        size = serving.export_segmentation(
+            net._transformed, net.state.params, net.state.model_state,
+            sample, args.export, mean=acfg.mean, std=acfg.std,
+            int8=args.int8, calibrate_with=cal)
+        print(f"exported segmentation artifact: {args.export} "
+              f"({size / 1e6:.1f} MB, input {sample.shape}"
+              f"{', int8 calibrated' if args.int8 else ''})")
+        return
     batch = cfg["batch_size"]
     if args.tta and cfg["task"] == "classification":
         evaluator.reset()

@@ -62,7 +62,7 @@ def test_parse_route_spec_errors():
 
 def test_build_route_rejects_unknown_kind(tmp_path):
     with pytest.raises(ValueError):
-        serving_http.build_route("x", "segment", "whatever")
+        serving_http.build_route("x", "caption", "whatever")
 
 
 def test_run_chunked_is_pytree_aware():
@@ -229,3 +229,48 @@ def test_track_route_roundtrip(tmp_path):
         assert abs(t["dx"]) <= 32 and abs(t["dy"]) <= 32
     with pytest.raises(ValueError, match="JSON instances"):
         server.predict("trk", b"\xff\xd8fake", "image/jpeg")
+
+
+def _segmenter_artifact(tmp_path, hw=32, classes=6):
+    from myconvnet_tpu import models
+    net = transform(lambda x, train=False: models.fcn(
+        x, classes, train=train, backbone_depth=18, head_features=16,
+        dropout_rate=0.0))
+    x = jax.random.uniform(jax.random.key(4), (2, hw, hw, 3))
+    params, state = net.init(jax.random.key(5), x, True)
+    path = str(tmp_path / "seg.stablehlo")
+    serving.export_segmentation(net, params, state, np.asarray(x), path,
+                                mean=(0.5,) * 3, std=(0.5,) * 3)
+    return path
+
+
+def test_segment_route_roundtrip(tmp_path):
+    """A segmentation route through the ModelServer: raw [0,1] images
+    in (JSON or image bytes), RLE class maps + coverage out; the RLE
+    decodes back to the full [H, W] map."""
+    route = serving_http.build_route(
+        "seg", "segment", _segmenter_artifact(tmp_path))
+    server = serving_http.ModelServer([route])
+    rng = np.random.default_rng(0)
+    x = rng.random((2, 32, 32, 3)).astype(np.float32)
+    body = json.dumps({"instances": x.tolist()})
+    out = server.predict("seg", body.encode(), "application/json")
+    segs = out["segmentations"]
+    assert len(segs) == 2
+    for s in segs:
+        assert s["size"] == [32, 32]
+        rle = np.asarray(s["rle"])
+        decoded = np.repeat(rle[0::2], rle[1::2])
+        assert decoded.size == 32 * 32
+        assert decoded.min() >= 0 and decoded.max() < 6
+        assert 0.0 < s["mean_conf"] <= 1.0
+        assert abs(sum(s["coverage"].values()) - 1.0) < 0.05 \
+            or len(s["coverage"]) == 5  # top-5 truncation
+    # image bytes work too (decode -> resize -> [0,1])
+    import io
+
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray((x[0] * 255).astype(np.uint8)).save(buf, "PNG")
+    out2 = server.predict("seg", buf.getvalue(), "image/png")
+    assert len(out2["segmentations"]) == 1

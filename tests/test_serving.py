@@ -161,3 +161,91 @@ def test_batched_server_chunk_remainders_and_padding():
     import pytest
     with pytest.raises(ValueError):
         serve(xs[:0])
+
+
+def test_resolve_bn_eps_picks_trained_eps():
+    """The export-path eps resolver recovers the eps a model actually
+    trained with (the zoo splits between 1e-5 and 1e-3 — ADVICE r3)."""
+    from myconvnet_tpu import nn
+    from myconvnet_tpu.serving import resolve_bn_eps
+
+    def make(eps):
+        def f(x, train=False):
+            # conv/bn naming so fold_batch_norms pairs the scopes
+            y = nn.conv(x, 8, 3, use_bias=False, name="conv")
+            y = nn.batch_norm(y, train=train, eps=eps, name="bn")
+            return nn.relu(y)
+        return transform(f)
+
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 3))
+    for eps in (1e-5, 1e-3):
+        net = make(eps)
+        params, state = net.init(jax.random.key(1), x, True)
+        # tiny moving variance in one channel makes the wrong-eps fold
+        # visibly wrong (rstd off by ~10x there)
+        touched = 0
+        for scope, vals in state.items():
+            if "moving_var" in vals:
+                vals["moving_var"] = vals["moving_var"].at[0].set(1e-6)
+                touched += 1
+        assert touched, f"no moving_var in state scopes {list(state)}"
+        fold, got = resolve_bn_eps(net, params, state, x)
+        assert fold, f"eps={eps}: resolver refused to fold"
+        assert got == eps, f"trained eps {eps}, resolver picked {got}"
+    # a float bn_eps checks only that value
+    net = make(1e-3)
+    params, state = net.init(jax.random.key(1), x, True)
+    fold, got = resolve_bn_eps(net, params, state, x, bn_eps=1e-3)
+    assert fold and got == 1e-3
+
+
+def test_export_segmentation_roundtrip(tmp_path):
+    """Segmentation artifact (BASELINE #4 family): normalize + forward
+    + upsample + argmax in one StableHLO program; reload matches the
+    in-process eval forward's argmax."""
+    net = transform(lambda x, train=False: models.fcn(
+        x, 6, train=train, backbone_depth=18, head_features=16,
+        dropout_rate=0.0))
+    x01 = jax.random.uniform(jax.random.key(0), (2, 32, 32, 3))
+    params, state = net.init(jax.random.key(1), x01, True)
+    for i in range(2):
+        _, state = net.apply(params, state, jax.random.key(i), x01, True)
+
+    mean, std = (0.5, 0.5, 0.5), (0.25, 0.25, 0.25)
+    path = str(tmp_path / "seg.bin")
+    size = serving.export_segmentation(net, params, state, x01, path,
+                                       mean=mean, std=std)
+    assert size > 1000
+    fn = serving.load_inference(path)
+    classes, conf = fn(x01)
+    classes, conf = np.asarray(classes), np.asarray(conf)
+    assert classes.shape == (2, 32, 32) and classes.dtype == np.int32
+    assert conf.shape == (2, 32, 32)
+    assert np.all((conf >= 1.0 / 6 - 1e-5) & (conf <= 1.0 + 1e-5))
+
+    xn = (jnp.asarray(x01) - jnp.asarray(mean)) / jnp.asarray(std)
+    logits_ref, _ = net.apply(params, state, None, xn, False)
+    ref = np.argmax(np.asarray(logits_ref), axis=-1)
+    # argmax can legitimately flip where two logits are ~equal under
+    # fold rounding; demand near-total agreement instead of exactness
+    agree = float(np.mean(ref == classes))
+    assert agree > 0.99, f"argmax agreement {agree}"
+
+
+def test_export_segmentation_int8_calibrated(tmp_path):
+    """int8 segmentation export with baked static scales reloads and
+    produces a plausible class map."""
+    net = transform(lambda x, train=False: models.fcn(
+        x, 5, train=train, backbone_depth=18, head_features=16,
+        dropout_rate=0.0))
+    x01 = jax.random.uniform(jax.random.key(0), (2, 32, 32, 3))
+    params, state = net.init(jax.random.key(1), x01, True)
+    path = str(tmp_path / "seg8.bin")
+    serving.export_segmentation(net, params, state, x01, path,
+                                mean=(0.5,) * 3, std=(0.5,) * 3,
+                                int8=True,
+                                calibrate_with=[np.asarray(x01)])
+    classes, conf = serving.load_inference(path)(x01)
+    classes = np.asarray(classes)
+    assert classes.shape == (2, 32, 32)
+    assert classes.min() >= 0 and classes.max() < 5
