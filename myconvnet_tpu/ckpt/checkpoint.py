@@ -219,12 +219,13 @@ class AsyncCheckpointer:
 
         self.wait()                      # one write in flight
         # synchronous device->host snapshot: after this the caller may
-        # freely donate/overwrite the live state.  np.asarray on a jax
-        # Array already materializes fresh host memory; an
-        # already-host numpy leaf ALIASES and must be copied.
+        # freely donate/overwrite the live state.  Copy UNCONDITIONALLY
+        # — np.asarray on a jax Array can return a zero-copy read-only
+        # view on the CPU backend (ADVICE r3), and the caller's next
+        # donated step would then overwrite memory the background
+        # writer is still serializing.
         def _snap(x):
-            return x.copy() if isinstance(x, np.ndarray) \
-                else np.asarray(x)
+            return np.array(x, copy=True)
 
         host_state = jax.tree_util.tree_map(_snap, state)
 

@@ -192,8 +192,19 @@ def main():
             folded = rv.deploy_params(net.state.params,
                                       net.state.model_state)
             dep_fn = DEPLOY_FORWARDS[cfg["model"]]
+            # train-time a/b/stages overrides must shape the deploy
+            # net identically, or the folded tree mismatches (ADVICE
+            # r3); dropout_rate only exists on the train forward
+            mk = {k: v for k, v in cfg.get("model_kwargs", {}).items()
+                  if k != "dropout_rate"}
+            unknown = set(mk) - {"a", "b", "stages"}
+            if unknown:
+                raise SystemExit(
+                    f"model_kwargs {sorted(unknown)} have no deploy-"
+                    f"forward equivalent; cannot export a matching "
+                    f"reparameterized artifact")
             dep = transform(lambda x, train=False: dep_fn(
-                x, cfg["num_classes"], train=train))
+                x, cfg["num_classes"], train=train, **mk))
             _dp, ds = dep.init(jax.random.key(0), sample[:1], False)
             size = serving.export_inference(
                 dep, folded, ds, sample, args.export, fold_bn=False,

@@ -265,7 +265,11 @@ def run_steploop(cfg, args, out, mesh, adapter):
                     logger.log(i, {"preempted": 1.0})
                     break
                 if sample is not None and first_batch is None:
-                    first_batch = batch  # retained only for sample hooks
+                    # retain only the slice the sample hooks visualize
+                    # (<=16 rows; a full pix2pix-scale device batch
+                    # would otherwise stay pinned all run — ADVICE r3)
+                    import jax as _jax
+                    first_batch = _jax.tree.map(lambda a: a[:16], batch)
                 state, metrics = step(state, batch)
                 if (i + 1) % log_every == 0:
                     logger.log(i + 1,
@@ -297,6 +301,14 @@ def run_steploop(cfg, args, out, mesh, adapter):
             except Exception:
                 if not loop_raised:
                     raise
+                # the step's exception wins, but the operator must
+                # still learn the last periodic checkpoint is missing
+                # or partial (ADVICE r3)
+                import traceback
+                print("WARNING: background checkpoint write also "
+                      "failed while the step was raising:",
+                      file=sys.stderr)
+                traceback.print_exc()
             if hasattr(it, "close"):
                 it.close()
         ckpt_lib.save_checkpoint(out, get_step(state), state._asdict(),
