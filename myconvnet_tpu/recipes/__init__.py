@@ -26,6 +26,7 @@ from myconvnet_tpu.recipes.detection import (build_detector,
 from myconvnet_tpu.recipes.diffusion import (build_diffusion,
                                              make_diffusion_sampler)
 from myconvnet_tpu.recipes.gan_style import (build_gan, build_style,
+                                             gan_generator,
                                              make_gan_sampler,
                                              make_stylizer,
                                              make_stylizer_fn,
@@ -48,7 +49,8 @@ __all__ = [
     "make_detector_inference", "make_instance_sources",
     "make_keypoint_sources", "resolve_num_keypoints",
     "build_diffusion", "make_diffusion_sampler",
-    "build_gan", "build_style", "make_gan_sampler", "make_stylizer",
+    "build_gan", "build_style", "gan_generator", "make_gan_sampler",
+    "make_stylizer",
     "make_stylizer_fn", "procedural_style_image",
     "build_audio", "build_depth", "build_flow", "build_ocr",
     "build_tracking",

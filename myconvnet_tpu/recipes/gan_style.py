@@ -18,10 +18,11 @@ from myconvnet_tpu.subsets import cifar10
 from myconvnet_tpu.train import gan as gan_lib
 from myconvnet_tpu.recipes.common import make_optimizer
 
-def _gan_generator(cfg: dict):
+def gan_generator(cfg: dict):
     """The transformed generator for a GAN config — the single source of
-    truth shared by build_gan (training) and make_gan_sampler
-    (visualization/generate.py), so restored states always apply."""
+    truth shared by build_gan (training), make_gan_sampler
+    (visualization/generate.py) and test.py --export (StableHLO
+    generator artifacts), so restored states always apply."""
     kind = cfg.get("gan_kind", "dcgan")
     policy = get_policy(cfg.get("precision", "f32"))
     size = cfg.get("image_size", 32)
@@ -67,7 +68,7 @@ def build_gan(cfg: dict, synthetic: bool = False):
             with policy_scope(policy):
                 return models.dcgan_discriminator(x, train=train, **dkw)
 
-        gen, disc = _gan_generator(cfg), transform(d_fwd)
+        gen, disc = gan_generator(cfg), transform(d_fwd)
         g_opt = make_optimizer(cfg["g_optimizer"])
         d_opt = make_optimizer(cfg["d_optimizer"])
         latent = cfg.get("latent_dim", 100)
@@ -102,7 +103,7 @@ def build_gan(cfg: dict, synthetic: bool = False):
                 return models.patchgan_discriminator(a, b, train=train,
                                                      **dkw)
 
-        gen, disc = _gan_generator(cfg), transform(d_fwd)
+        gen, disc = gan_generator(cfg), transform(d_fwd)
         g_opt = make_optimizer(cfg["g_optimizer"])
         d_opt = make_optimizer(cfg["d_optimizer"])
         import jax.numpy as jnp
@@ -158,7 +159,7 @@ def build_gan(cfg: dict, synthetic: bool = False):
             with policy_scope(policy):
                 return models.sr_discriminator(b, train=train, **dkw)
 
-        gen, disc = _gan_generator(cfg), transform(d_fwd)
+        gen, disc = gan_generator(cfg), transform(d_fwd)
         g_opt = make_optimizer(cfg["g_optimizer"])
         d_opt = make_optimizer(cfg["d_optimizer"])
         lr0 = jnp.zeros((batch, lr_size, lr_size, 3))
@@ -232,7 +233,7 @@ def build_gan(cfg: dict, synthetic: bool = False):
                                                      norm="instance",
                                                      **dkw)
 
-        gen, disc = _gan_generator(cfg), transform(d_fwd)
+        gen, disc = gan_generator(cfg), transform(d_fwd)
         g_opt = make_optimizer(cfg["g_optimizer"])
         d_opt = make_optimizer(cfg["d_optimizer"])
         import jax.numpy as jnp
@@ -271,12 +272,12 @@ def make_gan_sampler(cfg: dict):
     dcgan: ``sample(state, n, seed) -> uint8 [n,H,W,3]`` from fresh
     latents.  pix2pix: ``sample(state, x) -> uint8`` translating input
     images.  cyclegan adds ``direction="ab"|"ba"``.  Shares the
-    generator transform with build_gan (_gan_generator), so restored
+    generator transform with build_gan (gan_generator), so restored
     states apply cleanly.
     """
     from myconvnet_tpu.utils.images import to_uint8
     kind = cfg.get("gan_kind", "dcgan")
-    gen = _gan_generator(cfg)
+    gen = gan_generator(cfg)
 
     if kind == "dcgan":
         def sample(state, n: int = 64, seed: int = 0):
@@ -294,7 +295,7 @@ def make_gan_sampler(cfg: dict):
             imgs, _ = gen.apply(state.g_params, state.g_state, None,
                                 jax.numpy.asarray(x), False)
             return to_uint8(imgs, vrange)
-    else:  # cyclegan (unknown kinds rejected by _gan_generator)
+    else:  # cyclegan (unknown kinds rejected by gan_generator)
         def sample(state, x, direction: str = "ab"):
             imgs, _ = gen.apply(state.g_params[direction],
                                 state.g_state[direction], None,

@@ -268,6 +268,59 @@ def export_segmentation(model: Transformed, params: Params, state: State,
     return len(blob)
 
 
+def export_image_to_image(model: Transformed, params: Params,
+                          state: State, sample_input, path: str, *,
+                          pre=None, post=None, fold_bn: bool = True,
+                          bn_eps="auto", int8: bool = False,
+                          calibrate_with=None) -> int:
+    """Serialize an image-to-image chain (style transfer, SR, GAN
+    generators/translators — VERDICT r3 next #7) to ``path``.
+
+    The artifact computes ``post(model(pre(x)))`` in one StableHLO
+    program: ``pre`` maps the wire format (raw [0, 1] floats for image
+    inputs; latents for dcgan) into the model's input space, ``post``
+    maps the model's output space back to clipped [0, 1] floats, so
+    every image-to-image artifact speaks the SAME [0, 1]-in /
+    [0, 1]-out protocol regardless of the family's internal ranges
+    (tanh [-1, 1] for pix2pix/dcgan, mean-subtracted for EDSR).
+    ``calibrate_with`` batches are in the WIRE format (``pre`` is
+    applied before calibration).  BN folding is verify-gated at the
+    empirically-resolved eps like every other export.
+    """
+    from jax import export as jexport
+
+    if fold_bn:
+        sample0 = jnp.asarray(
+            np.random.RandomState(0).standard_normal(
+                np.shape(sample_input)),
+            jnp.float32)
+        probe = pre(sample0) if pre is not None else sample0
+        fold_bn, bn_eps = resolve_bn_eps(model, params, state, probe,
+                                         bn_eps)
+    elif bn_eps == "auto":
+        bn_eps = BN_EPS_CANDIDATES[0]
+    cal = None
+    if calibrate_with is not None:
+        cal = [pre(jnp.asarray(b, jnp.float32)) if pre is not None
+               else jnp.asarray(b, jnp.float32) for b in calibrate_with]
+    fn = make_inference_fn(model, params, state, fold_bn=fold_bn,
+                           bn_eps=bn_eps, int8=int8, calibrate_with=cal)
+
+    def chain(x):
+        y = fn(pre(x) if pre is not None else x)
+        y = jnp.asarray(y, jnp.float32)
+        if post is not None:
+            y = post(y)
+        return jnp.clip(y, 0.0, 1.0)
+
+    exported = jexport.export(jax.jit(chain))(
+        jax.ShapeDtypeStruct(np.shape(sample_input), jnp.float32))
+    blob = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(blob)
+    return len(blob)
+
+
 def load_inference(path: str):
     """Load an exported artifact; returns ``fn(x) -> logits`` with the
     artifact's expected input shapes attached as ``fn.input_shapes``

@@ -64,6 +64,18 @@ def main():
                          "PNGs next to the inputs (--out overrides)")
     ap.add_argument("--out", default=None,
                     help="--segment: directory for the mask PNGs")
+    ap.add_argument("--translate", action="store_true",
+                    help="the artifact is an image-to-image export "
+                         "(test.py --export on style/sr/pix2pix/"
+                         "cyclegan configs): feed raw [0,1] images, "
+                         "write <name>_out.png next to the inputs "
+                         "(--out overrides)")
+    ap.add_argument("--sample", type=int, default=0, metavar="N",
+                    help="the artifact is a latent-input generator "
+                         "export (dcgan): draw N latents and write a "
+                         "sample grid to --out (default samples.png)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="--sample: latent seed")
     ap.add_argument("--track", action="store_true",
                     help="the artifact is a tracking export (test.py "
                          "--export on a task='tracking' config): pair "
@@ -98,6 +110,10 @@ def main():
         return run_detect(fn, art_shape, args)
     if args.segment:
         return run_segment(fn, art_shape, args)
+    if args.translate:
+        return run_translate(fn, art_shape, args)
+    if args.sample:
+        return run_sample(fn, art_shape, args)
     if args.track:
         return run_track(fn, art_shape, args)
     # the artifact is compiled for one shape: the only valid bucket is
@@ -344,6 +360,73 @@ def run_segment(fn, art_shape, args):
             save_png(mask_path, colorize_mask(cls_i))
             print(f"{base}: {', '.join(parts)} "
                   f"(mean conf {conf[i].mean():.2f}) -> {mask_path}")
+
+
+def run_translate(fn, art_shape, args):
+    """Serve an image-to-image artifact (style/sr/pix2pix/cyclegan from
+    test.py --export): raw [0,1] images in at the artifact's
+    resolution, [0,1] images out (possibly upscaled — SR), written as
+    <name>_out.png."""
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    if not args.images:
+        raise SystemExit("--translate needs --images DIR")
+    paths = sorted(
+        os.path.join(args.images, f) for f in os.listdir(args.images)
+        if f.lower().endswith((".jpg", ".jpeg", ".png")))
+    if not paths:
+        raise SystemExit(f"no images under {args.images!r}")
+    out_dir = args.out or args.images
+    os.makedirs(out_dir, exist_ok=True)
+    batch, h, w = art_shape[0], art_shape[1], art_shape[2]
+
+    def load(p):
+        return np.asarray(Image.open(p).convert("RGB").resize(
+            (w, h), Image.BILINEAR), np.float32) / 255.0
+
+    for start in range(0, len(paths), batch):
+        chunk = np.stack([load(p) for p in paths[start:start + batch]])
+        n = len(chunk)
+        if n < batch:
+            chunk = np.concatenate(
+                [chunk, np.zeros((batch - n, h, w, 3), np.float32)])
+        out = np.asarray(fn(chunk))
+        for i in range(n):
+            base = os.path.splitext(
+                os.path.basename(paths[start + i]))[0]
+            dst = os.path.join(out_dir, base + "_out.png")
+            Image.fromarray(
+                (np.clip(out[i], 0.0, 1.0) * 255).astype(
+                    np.uint8)).save(dst)
+            oh, ow = out[i].shape[:2]
+            print(f"{os.path.basename(paths[start + i])}: "
+                  f"{h}x{w} -> {oh}x{ow} -> {dst}")
+
+
+def run_sample(fn, art_shape, args):
+    """Serve a latent-input generator artifact (dcgan from test.py
+    --export): draw --sample N(0,1) latents, write a grid PNG."""
+    import numpy as np
+    from PIL import Image
+
+    from myconvnet_tpu.utils.images import make_grid
+
+    batch, dim = art_shape[0], art_shape[1]
+    rng = np.random.RandomState(args.seed)
+    outs = []
+    need = args.sample
+    while need > 0:
+        z = rng.standard_normal((batch, dim)).astype(np.float32)
+        outs.append(np.asarray(fn(z))[:min(need, batch)])
+        need -= batch
+    imgs = (np.clip(np.concatenate(outs), 0.0, 1.0) * 255).astype(
+        np.uint8)
+    dst = args.out or "samples.png"
+    Image.fromarray(make_grid(imgs)).save(dst)
+    print(f"wrote {len(imgs)} samples to {dst}")
 
 
 def run_track(fn, art_shape, args):

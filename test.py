@@ -99,6 +99,8 @@ def main():
     if cfg["task"] == "distill":
         return eval_distill(cfg, args)
     if cfg["task"] == "gan":
+        if args.export:
+            return export_gan(cfg, args)
         if args.fid:
             return eval_gan_fid(cfg, args)
         if cfg.get("gan_kind") == "pix2pix":
@@ -109,11 +111,15 @@ def main():
                          "(sample grids) or test.py --fid "
                          "--fid_extractor CONFIG:CKPT; paired "
                          "translation (pix2pix) is scored here with "
-                         "PSNR/SSIM")
+                         "PSNR/SSIM; --export writes a generator "
+                         "StableHLO artifact")
     if cfg["task"] == "style":
+        if args.export:
+            return export_style(cfg, args)
         raise SystemExit("style checkpoints: use generate.py "
                          "--config CONFIG --ckpt DIR [--input IMGDIR] "
-                         "to write content|stylized grids")
+                         "to write content|stylized grids, or test.py "
+                         "--export for a StableHLO stylizer artifact")
     if cfg["task"] == "detection":
         return eval_detection(cfg, args)
     if cfg["task"] == "ssl":
@@ -276,6 +282,31 @@ def main():
             int8=args.int8, calibrate_with=cal)
         print(f"exported segmentation artifact: {args.export} "
               f"({size / 1e6:.1f} MB, input {sample.shape}"
+              f"{', int8 calibrated' if args.int8 else ''})")
+        return
+    if args.export and cfg["task"] == "sr":
+        import jax.numpy as jnp
+        import numpy as np
+
+        from myconvnet_tpu import serving
+        scale = int(cfg.get("scale", 4))
+        lr = int(cfg.get("hr_size", 192)) // scale
+        mean = jnp.asarray(cfg.get("mean", (0.4488, 0.4371, 0.4040)),
+                           jnp.float32)
+        sample = np.zeros((cfg.get("export_batch", 4), lr, lr, 3),
+                          np.float32)
+        # wire format: raw [0,1] LR floats; the recipe's mean
+        # subtraction bakes in (the model forward adds it back, so the
+        # artifact returns [0,1] HR directly)
+        size = serving.export_image_to_image(
+            net._transformed, net.state.params, net.state.model_state,
+            sample, args.export, pre=lambda x: x - mean,
+            int8=args.int8,
+            calibrate_with=[np.random.RandomState(0).uniform(
+                0, 1, sample.shape).astype(np.float32)]
+            if args.int8 else None)
+        print(f"exported sr artifact: {args.export} "
+              f"({size / 1e6:.1f} MB, input {sample.shape}, x{scale}"
               f"{', int8 calibrated' if args.int8 else ''})")
         return
     batch = cfg["batch_size"]
@@ -718,6 +749,101 @@ def eval_gan_fid(cfg, args):
     fid = fid_from_features(feature_fn(reals), feature_fn(fakes))
     print(f"fid: {fid:.3f} (n={n}, extractor={args.fid_extractor})")
     return fid
+
+
+def export_gan(cfg, args):
+    """--export for GAN checkpoints: freeze the (restored, optionally
+    EMA) generator as a StableHLO artifact speaking the uniform
+    image-to-image wire protocol ([0,1] floats in and out; dcgan takes
+    [N, latent_dim] latents).  cyclegan writes BOTH directions
+    (<path> = a->b, <path>.ba = b->a)."""
+    import jax
+    import numpy as np
+
+    from myconvnet_tpu import recipes, serving
+    from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
+
+    kind = cfg.get("gan_kind", "dcgan")
+    state, _step, _it, _kind = recipes.build_gan(cfg,
+                                                 synthetic=args.synthetic)
+    restored = ckpt_lib.restore_checkpoint(args.ckpt, state._asdict())
+    state = type(state)(**restored)
+    if args.ema:
+        from myconvnet_tpu.train import optim as optim_lib
+        ema = optim_lib.extract_ema(state.g_opt)
+        state = state._replace(g_params=jax.tree.map(
+            lambda p, e: e.astype(p.dtype), state.g_params, ema))
+        print("exporting EMA generator")
+    gen = recipes.gan_generator(cfg)
+    size = int(cfg.get("image_size", 32))
+    nb = cfg.get("export_batch", 4)
+    tanh_post = lambda y: (y + 1.0) / 2.0  # noqa: E731
+
+    if kind == "dcgan":
+        sample = np.zeros((nb, cfg.get("latent_dim", 100)), np.float32)
+        n = serving.export_image_to_image(
+            gen, state.g_params, state.g_state, sample, args.export,
+            post=tanh_post, fold_bn=False)
+        print(f"exported dcgan generator artifact: {args.export} "
+              f"({n / 1e6:.1f} MB, latents {sample.shape})")
+        return
+    if kind == "srgan":
+        import jax.numpy as jnp
+        scale = int(cfg.get("scale", 4))
+        lr = int(cfg.get("hr_size", size)) // scale
+        mean = jnp.asarray(cfg.get("mean", (0.4488, 0.4371, 0.4040)),
+                           jnp.float32)
+        sample = np.zeros((nb, lr, lr, 3), np.float32)
+        n = serving.export_image_to_image(
+            gen, state.g_params, state.g_state, sample, args.export,
+            pre=lambda x: x - mean)
+        print(f"exported srgan generator artifact: {args.export} "
+              f"({n / 1e6:.1f} MB, input {sample.shape}, x{scale})")
+        return
+    # pix2pix / cyclegan translators: [0,1] in -> tanh net -> [0,1] out
+    pre = lambda x: x * 2.0 - 1.0  # noqa: E731
+    sample = np.zeros((nb, size, size, 3), np.float32)
+    if kind == "cyclegan":
+        total = 0
+        for direction, path in (("ab", args.export),
+                                ("ba", args.export + ".ba")):
+            total = serving.export_image_to_image(
+                gen, state.g_params[direction], state.g_state[direction],
+                sample, path, pre=pre, post=tanh_post, fold_bn=False)
+            print(f"exported cyclegan {direction} artifact: {path} "
+                  f"({total / 1e6:.1f} MB, input {sample.shape})")
+        return
+    n = serving.export_image_to_image(
+        gen, state.g_params, state.g_state, sample, args.export,
+        pre=pre, post=tanh_post, fold_bn=False)
+    print(f"exported {kind} generator artifact: {args.export} "
+          f"({n / 1e6:.1f} MB, input {sample.shape})")
+
+
+def export_style(cfg, args):
+    """--export for style checkpoints: the Johnson transformer net as a
+    StableHLO artifact ([0,1] floats in/out; serve.py --translate)."""
+    import numpy as np
+
+    from myconvnet_tpu import models, recipes, serving
+    from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
+    from myconvnet_tpu.core import transform
+
+    state, _step, _it, _kind = recipes.build_style(cfg, synthetic=True)
+    restored = ckpt_lib.restore_checkpoint(args.ckpt, state._asdict())
+    state = type(state)(**restored)
+    width = int(cfg.get("gen_width", 32))
+    n_res = int(cfg.get("gen_res_blocks", 5))
+    gen = transform(lambda x, train=False: models.transformer_net(
+        x, width=width, n_res=n_res, train=train))
+    size = int(cfg.get("image_size", 256))
+    sample = np.zeros((cfg.get("export_batch", 4), size, size, 3),
+                      np.float32)
+    n = serving.export_image_to_image(
+        gen, state.params, state.model_state, sample, args.export,
+        fold_bn=False)
+    print(f"exported style artifact: {args.export} "
+          f"({n / 1e6:.1f} MB, input {sample.shape})")
 
 
 def eval_pix2pix(cfg, args):
