@@ -26,6 +26,10 @@ conventions (health, model list, ``:predict``):
                      class map run-length encoded in row-major order;
                      segmentation artifacts normalize internally —
                      raw [0, 1] in, like detect)
+         translate -> {"images": [base64 PNG, ...]}  (image-to-image
+                     artifacts — style/SR/pix2pix/cyclegan from
+                     test.py --export; raw [0, 1] in, [0, 1] out,
+                     returned as base64-encoded PNGs)
 
 No web framework — ``http.server.ThreadingHTTPServer`` plus one
 dispatch lock: request decode/encode runs on handler threads, the
@@ -52,7 +56,8 @@ class Route:
     """One served artifact: the loaded program plus its request codec."""
 
     name: str
-    kind: str    # "classify" | "detect" | "embed" | "track" | "segment"
+    # "classify" | "detect" | "embed" | "track" | "segment" | "translate"
+    kind: str
     fn: Callable                   # load_inference product (fixed shapes)
     input_shape: tuple             # (B, H, W, C)
     mean: np.ndarray = None        # classify: normalization applied here
@@ -77,7 +82,8 @@ def build_route(name: str, kind: str, artifact: str,
     class names from the recipe's dataset when known."""
     from myconvnet_tpu import serving
 
-    if kind not in ("classify", "detect", "embed", "track", "segment"):
+    if kind not in ("classify", "detect", "embed", "track", "segment",
+                    "translate"):
         raise ValueError(f"route {name!r}: unknown kind {kind!r}")
     fn = serving.load_inference(artifact)
     shape = fn.input_shapes[0]
@@ -246,6 +252,23 @@ class ModelServer:
                  "dy": round(float(o[1]), 3),
                  "score": round(float(s), 6)}
                 for o, s in zip(offsets, scores)]}
+        if route.kind == "translate":
+            # image-to-image artifact: raw [0, 1] in, [0, 1] out
+            import base64
+            import io
+
+            from PIL import Image
+            with self._lock:
+                out = _run_chunked(route.fn, x, batch)
+            imgs = []
+            for y in np.asarray(out):
+                buf = io.BytesIO()
+                Image.fromarray(
+                    (np.clip(y, 0.0, 1.0) * 255).astype(
+                        np.uint8)).save(buf, "PNG")
+                imgs.append(base64.b64encode(
+                    buf.getvalue()).decode("ascii"))
+            return {"images": imgs}
         if route.kind == "segment":
             # artifact normalizes internally — raw [0, 1] in;
             # (classes [N,H,W] s32, conf [N,H,W] f32) out

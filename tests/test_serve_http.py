@@ -274,3 +274,36 @@ def test_segment_route_roundtrip(tmp_path):
     Image.fromarray((x[0] * 255).astype(np.uint8)).save(buf, "PNG")
     out2 = server.predict("seg", buf.getvalue(), "image/png")
     assert len(out2["segmentations"]) == 1
+
+
+def _style_artifact(tmp_path, hw=32):
+    from myconvnet_tpu import models
+    net = transform(lambda x, train=False: models.transformer_net(
+        x, width=8, n_res=1, train=train))
+    x = jax.random.uniform(jax.random.key(6), (2, hw, hw, 3))
+    params, state = net.init(jax.random.key(7), x, True)
+    path = str(tmp_path / "style.stablehlo")
+    serving.export_image_to_image(net, params, state, np.asarray(x),
+                                  path, fold_bn=False)
+    return path
+
+
+def test_translate_route_roundtrip(tmp_path):
+    """An image-to-image route through the ModelServer: raw [0,1]
+    images in, base64 PNGs out, decodable back to the output size."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    route = serving_http.build_route(
+        "sty", "translate", _style_artifact(tmp_path))
+    server = serving_http.ModelServer([route])
+    rng = np.random.default_rng(1)
+    x = rng.random((2, 32, 32, 3)).astype(np.float32)
+    body = json.dumps({"instances": x.tolist()})
+    out = server.predict("sty", body.encode(), "application/json")
+    assert len(out["images"]) == 2
+    for b64 in out["images"]:
+        img = Image.open(io.BytesIO(base64.b64decode(b64)))
+        assert img.size == (32, 32) and img.mode == "RGB"
