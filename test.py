@@ -33,12 +33,19 @@ def main():
     ap.add_argument("--topk", type=int, default=1,
                     help="score top-k accuracy (classification)")
     ap.add_argument("--export", default=None, metavar="PATH",
-                    help="detection: export the fused predict chain "
-                         "(normalize -> forward -> decode -> NMS) as a "
-                         "StableHLO artifact for serve.py --detect, "
-                         "then exit (no scoring); tracking: export the "
-                         "blob -> peak-offset chain for serve.py "
-                         "--track")
+                    help="freeze the checkpoint as a StableHLO "
+                         "artifact, then exit (no scoring).  "
+                         "classification (incl. RepVGG deploy fold) "
+                         "-> serve.py; detection (normalize -> "
+                         "forward -> decode -> NMS) -> serve.py "
+                         "--detect; tracking (blob -> peak offset) -> "
+                         "serve.py --track; segmentation (normalize "
+                         "-> forward -> upsample -> argmax) -> "
+                         "serve.py --segment; sr/style/gan "
+                         "([0,1]-in/[0,1]-out image-to-image; dcgan "
+                         "takes latents, cyclegan writes both "
+                         "directions) -> serve.py --translate / "
+                         "--sample")
     ap.add_argument("--int8", action="store_true",
                     help="with --export: quantize the backbone through "
                          "the int8 MXU path, calibrating static "
