@@ -87,6 +87,14 @@ def build_route(name: str, kind: str, artifact: str,
         raise ValueError(f"route {name!r}: unknown kind {kind!r}")
     fn = serving.load_inference(artifact)
     shape = fn.input_shapes[0]
+    if len(shape) != 4:
+        # fail at startup, not with a 500 on the first request: every
+        # HTTP kind decodes [N, H, W, C] bodies (latent-input dcgan
+        # artifacts are a serve.py --sample consumer, not a route)
+        raise ValueError(
+            f"route {name!r}: artifact input {tuple(shape)} is not "
+            f"[N, H, W, C] — {kind!r} routes serve image-input "
+            "artifacts only")
     mean = std = None
     names = None
     if config:
@@ -117,12 +125,9 @@ def _dataset_class_names(cfg: dict, kind: str = "classify"):
         from myconvnet_tpu.subsets.mnist import FASHION_CLASS_NAMES
         return FASHION_CLASS_NAMES
     if ds == "voc":
-        from myconvnet_tpu.subsets.voc import DET_CLASS_NAMES
-        if kind == "segment":
-            # semantic ids are 0-based with 0 = background (detection
-            # labels are 1-based over the same 20 classes)
-            return ("background", *DET_CLASS_NAMES)
-        return DET_CLASS_NAMES
+        from myconvnet_tpu.subsets.voc import (DET_CLASS_NAMES,
+                                               SEG_CLASS_NAMES)
+        return SEG_CLASS_NAMES if kind == "segment" else DET_CLASS_NAMES
     return None
 
 

@@ -92,6 +92,9 @@ DET_CLASS_NAMES = (
     "cat", "chair", "cow", "diningtable", "dog", "horse", "motorbike",
     "person", "pottedplant", "sheep", "sofa", "train", "tvmonitor")
 DET_NUM_CLASSES = 21  # 20 foreground + background id 0
+# VOC semantic-segmentation ids are 0-based with 0 = background over
+# the same 20 classes (detection labels are 1-based)
+SEG_CLASS_NAMES = ("background", *DET_CLASS_NAMES)
 DET_IMAGE_HW = (300, 300)  # SSD300 input
 MAX_BOXES = 64  # >= VOC2012's densest image (56 objects)
 

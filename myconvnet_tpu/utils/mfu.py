@@ -26,19 +26,24 @@ PEAK_FLOPS = {
     "cpu": 1e11,             # nominal, for smoke tests only
 }
 
-# Peak int8 OP/s per chip, for int8-serving MFU accounting only.
+# Peak int8 OP/s per chip, for int8-serving MFU accounting
+# (device_peak_flops(dtype="int8")).
 PEAK_OPS_INT8 = {
     "tpu v5 lite": 394e12,   # v5e int8
     "tpu v5e": 394e12,
+    "tpu v5": 918e12,        # v5p int8
     "tpu v4": 275e12,        # v4 has no int8 doubling
     "tpu v6 lite": 1836e12,  # v6e int8
 }
 
 
-def device_peak_flops(device=None) -> float:
+def device_peak_flops(device=None, dtype: str = "bf16") -> float:
+    """Peak OP/s of the device for ``dtype`` ("bf16" default; "int8"
+    reads the doubled-throughput int8 table for serving MFU)."""
     d = device or jax.devices()[0]
     kind = getattr(d, "device_kind", "cpu").lower()
-    for k, v in PEAK_FLOPS.items():
+    table = PEAK_OPS_INT8 if dtype == "int8" else PEAK_FLOPS
+    for k, v in table.items():
         if k in kind:
             return v
     return PEAK_FLOPS["cpu"]

@@ -36,7 +36,7 @@ def main():
     ap.add_argument("--route", action="append", default=[],
                     metavar="NAME=KIND:ARTIFACT[:CONFIG]",
                     help="--serve route, repeatable; KIND is classify, "
-                         "detect, embed or track "
+                         "detect, embed, track, segment or translate "
                          "(e.g. det=detect:ssd.stablehlo, "
                          "face=embed:arcface.stablehlo:configs/"
                          "faces_arcface_r50.py)")
@@ -213,7 +213,10 @@ def run_server(args):
 
     specs = list(args.route)
     if not specs and args.artifact:
-        kind = "detect" if args.detect else "classify"
+        kind = ("detect" if args.detect else
+                "segment" if args.segment else
+                "translate" if args.translate else
+                "track" if args.track else "classify")
         spec = f"default={kind}:{args.artifact}"
         if args.config:
             spec += f":{args.config}"
@@ -239,6 +242,40 @@ def run_server(args):
         httpd.server_close()
 
 
+def _iter_image_chunks(images_dir, batch, h, w, exclude_suffix=()):
+    """Yield (paths_chunk, [batch, h, w, 3] raw [0,1] float array) over
+    every image in ``images_dir``, padded to the artifact's fixed
+    batch.  ``exclude_suffix`` filters this tool's OWN outputs (e.g.
+    '_mask.png'), so re-runs over the same directory don't ingest
+    previous results as inputs."""
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    if not images_dir:
+        raise SystemExit("this mode needs --images DIR")
+    paths = sorted(
+        os.path.join(images_dir, f) for f in os.listdir(images_dir)
+        if f.lower().endswith((".jpg", ".jpeg", ".png"))
+        and not any(f.lower().endswith(s) for s in exclude_suffix))
+    if not paths:
+        raise SystemExit(f"no images under {images_dir!r}")
+
+    def load(p):
+        return np.asarray(Image.open(p).convert("RGB").resize(
+            (w, h), Image.BILINEAR), np.float32) / 255.0
+
+    for start in range(0, len(paths), batch):
+        chunk_paths = paths[start:start + batch]
+        chunk = np.stack([load(p) for p in chunk_paths])
+        if len(chunk) < batch:
+            chunk = np.concatenate(
+                [chunk, np.zeros((batch - len(chunk), h, w, 3),
+                                 np.float32)])
+        yield chunk_paths, chunk
+
+
 def run_detect(fn, art_shape, args):
     """Serve a detection artifact: chunk/pad the request through its
     fixed batch, print per-image boxes above --det_threshold.
@@ -249,15 +286,7 @@ def run_detect(fn, art_shape, args):
     import os
 
     import numpy as np
-    from PIL import Image
 
-    if not args.images:
-        raise SystemExit("--detect needs --images DIR")
-    paths = sorted(
-        os.path.join(args.images, f) for f in os.listdir(args.images)
-        if f.lower().endswith((".jpg", ".jpeg", ".png")))
-    if not paths:
-        raise SystemExit(f"no images under {args.images!r}")
     names = None
     if args.config:
         from myconvnet_tpu import recipes
@@ -267,25 +296,15 @@ def run_detect(fn, art_shape, args):
             names = DET_CLASS_NAMES
     batch, h, w = art_shape[0], art_shape[1], art_shape[2]
 
-    def load(p):
-        return np.asarray(Image.open(p).convert("RGB").resize(
-            (w, h), Image.BILINEAR), np.float32) / 255.0
-
-    for start in range(0, len(paths), batch):
-        # decode per chunk: memory stays at one batch, not the whole
-        # directory
-        chunk = np.stack([load(p) for p in paths[start:start + batch]])
-        n = len(chunk)
-        if n < batch:
-            chunk = np.concatenate(
-                [chunk, np.zeros((batch - n, h, w, 3), np.float32)])
+    for chunk_paths, chunk in _iter_image_chunks(args.images, batch,
+                                                 h, w):
         # mask/keypoint/panoptic artifacts append extra outputs past
         # the common 4-tuple (per-detection masks, keypoints, semantic
         # map) — the box printout reads only the shared prefix
         boxes, scores, labels, valid, *_extra = (np.asarray(t)
                                                  for t in fn(chunk))
-        for i in range(n):
-            path = os.path.basename(paths[start + i])
+        for i in range(len(chunk_paths)):
+            path = os.path.basename(chunk_paths[i])
             kept = [(float(s), int(l), b)
                     for b, s, l, v in zip(boxes[i], scores[i], labels[i],
                                           valid[i])
@@ -308,43 +327,25 @@ def run_segment(fn, art_shape, args):
     import os
 
     import numpy as np
-    from PIL import Image
 
     from myconvnet_tpu.utils.images import colorize_mask, save_png
 
-    if not args.images:
-        raise SystemExit("--segment needs --images DIR")
-    paths = sorted(
-        os.path.join(args.images, f) for f in os.listdir(args.images)
-        if f.lower().endswith((".jpg", ".jpeg", ".png")))
-    if not paths:
-        raise SystemExit(f"no images under {args.images!r}")
     names = None
     if args.config:
         from myconvnet_tpu import recipes
         cfg = recipes.load_config(args.config)
         if cfg.get("dataset") == "voc":
-            from myconvnet_tpu.subsets.voc import DET_CLASS_NAMES
-            # VOC semantic ids: 0 = background, then the 20 classes
-            names = ("background", *DET_CLASS_NAMES)
+            from myconvnet_tpu.subsets.voc import SEG_CLASS_NAMES
+            names = SEG_CLASS_NAMES
     out_dir = args.out or args.images
     os.makedirs(out_dir, exist_ok=True)
     batch, h, w = art_shape[0], art_shape[1], art_shape[2]
 
-    def load(p):
-        return np.asarray(Image.open(p).convert("RGB").resize(
-            (w, h), Image.BILINEAR), np.float32) / 255.0
-
-    for start in range(0, len(paths), batch):
-        chunk = np.stack([load(p) for p in paths[start:start + batch]])
-        n = len(chunk)
-        if n < batch:
-            chunk = np.concatenate(
-                [chunk, np.zeros((batch - n, h, w, 3), np.float32)])
+    for chunk_paths, chunk in _iter_image_chunks(
+            args.images, batch, h, w, exclude_suffix=("_mask.png",)):
         classes, conf = (np.asarray(t) for t in fn(chunk))
-        for i in range(n):
-            path = paths[start + i]
-            base = os.path.basename(path)
+        for i in range(len(chunk_paths)):
+            base = os.path.basename(chunk_paths[i])
             cls_i = classes[i]
             ids, counts = np.unique(cls_i, return_counts=True)
             order = np.argsort(-counts)
@@ -372,37 +373,21 @@ def run_translate(fn, art_shape, args):
     import numpy as np
     from PIL import Image
 
-    if not args.images:
-        raise SystemExit("--translate needs --images DIR")
-    paths = sorted(
-        os.path.join(args.images, f) for f in os.listdir(args.images)
-        if f.lower().endswith((".jpg", ".jpeg", ".png")))
-    if not paths:
-        raise SystemExit(f"no images under {args.images!r}")
     out_dir = args.out or args.images
     os.makedirs(out_dir, exist_ok=True)
     batch, h, w = art_shape[0], art_shape[1], art_shape[2]
 
-    def load(p):
-        return np.asarray(Image.open(p).convert("RGB").resize(
-            (w, h), Image.BILINEAR), np.float32) / 255.0
-
-    for start in range(0, len(paths), batch):
-        chunk = np.stack([load(p) for p in paths[start:start + batch]])
-        n = len(chunk)
-        if n < batch:
-            chunk = np.concatenate(
-                [chunk, np.zeros((batch - n, h, w, 3), np.float32)])
+    for chunk_paths, chunk in _iter_image_chunks(
+            args.images, batch, h, w, exclude_suffix=("_out.png",)):
         out = np.asarray(fn(chunk))
-        for i in range(n):
-            base = os.path.splitext(
-                os.path.basename(paths[start + i]))[0]
+        for i, path in enumerate(chunk_paths):
+            base = os.path.splitext(os.path.basename(path))[0]
             dst = os.path.join(out_dir, base + "_out.png")
             Image.fromarray(
                 (np.clip(out[i], 0.0, 1.0) * 255).astype(
                     np.uint8)).save(dst)
             oh, ow = out[i].shape[:2]
-            print(f"{os.path.basename(paths[start + i])}: "
+            print(f"{os.path.basename(path)}: "
                   f"{h}x{w} -> {oh}x{ow} -> {dst}")
 
 

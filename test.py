@@ -786,13 +786,17 @@ def export_gan(cfg, args):
     nb = cfg.get("export_batch", 4)
     tanh_post = lambda y: (y + 1.0) / 2.0  # noqa: E731
 
+    rng = np.random.RandomState(0)
+    tag = ", int8 calibrated" if args.int8 else ""
     if kind == "dcgan":
         sample = np.zeros((nb, cfg.get("latent_dim", 100)), np.float32)
         n = serving.export_image_to_image(
             gen, state.g_params, state.g_state, sample, args.export,
-            post=tanh_post, fold_bn=False)
+            post=tanh_post, fold_bn=False, int8=args.int8,
+            calibrate_with=[rng.standard_normal(sample.shape).astype(
+                np.float32)] if args.int8 else None)
         print(f"exported dcgan generator artifact: {args.export} "
-              f"({n / 1e6:.1f} MB, latents {sample.shape})")
+              f"({n / 1e6:.1f} MB, latents {sample.shape}{tag})")
         return
     if kind == "srgan":
         import jax.numpy as jnp
@@ -803,9 +807,11 @@ def export_gan(cfg, args):
         sample = np.zeros((nb, lr, lr, 3), np.float32)
         n = serving.export_image_to_image(
             gen, state.g_params, state.g_state, sample, args.export,
-            pre=lambda x: x - mean)
+            pre=lambda x: x - mean, int8=args.int8,
+            calibrate_with=[rng.uniform(0, 1, sample.shape).astype(
+                np.float32)] if args.int8 else None)
         print(f"exported srgan generator artifact: {args.export} "
-              f"({n / 1e6:.1f} MB, input {sample.shape}, x{scale})")
+              f"({n / 1e6:.1f} MB, input {sample.shape}, x{scale}{tag})")
         return
     # pix2pix / cyclegan translators: [0,1] in -> tanh net -> [0,1] out
     pre = lambda x: x * 2.0 - 1.0  # noqa: E731
@@ -816,15 +822,20 @@ def export_gan(cfg, args):
                                 ("ba", args.export + ".ba")):
             total = serving.export_image_to_image(
                 gen, state.g_params[direction], state.g_state[direction],
-                sample, path, pre=pre, post=tanh_post, fold_bn=False)
+                sample, path, pre=pre, post=tanh_post, fold_bn=False,
+                int8=args.int8,
+                calibrate_with=[rng.uniform(0, 1, sample.shape).astype(
+                    np.float32)] if args.int8 else None)
             print(f"exported cyclegan {direction} artifact: {path} "
-                  f"({total / 1e6:.1f} MB, input {sample.shape})")
+                  f"({total / 1e6:.1f} MB, input {sample.shape}{tag})")
         return
     n = serving.export_image_to_image(
         gen, state.g_params, state.g_state, sample, args.export,
-        pre=pre, post=tanh_post, fold_bn=False)
+        pre=pre, post=tanh_post, fold_bn=False, int8=args.int8,
+        calibrate_with=[rng.uniform(0, 1, sample.shape).astype(
+            np.float32)] if args.int8 else None)
     print(f"exported {kind} generator artifact: {args.export} "
-          f"({n / 1e6:.1f} MB, input {sample.shape})")
+          f"({n / 1e6:.1f} MB, input {sample.shape}{tag})")
 
 
 def export_style(cfg, args):
@@ -848,9 +859,13 @@ def export_style(cfg, args):
                       np.float32)
     n = serving.export_image_to_image(
         gen, state.params, state.model_state, sample, args.export,
-        fold_bn=False)
+        fold_bn=False, int8=args.int8,
+        calibrate_with=[np.random.RandomState(0).uniform(
+            0, 1, sample.shape).astype(np.float32)]
+        if args.int8 else None)
     print(f"exported style artifact: {args.export} "
-          f"({n / 1e6:.1f} MB, input {sample.shape})")
+          f"({n / 1e6:.1f} MB, input {sample.shape}"
+          f"{', int8 calibrated' if args.int8 else ''})")
 
 
 def eval_pix2pix(cfg, args):

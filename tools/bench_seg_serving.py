@@ -49,7 +49,10 @@ def main():
     from myconvnet_tpu.data.augment import normalize
 
     try:
-        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           "/root/.jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           1.0)
     except Exception:
@@ -116,11 +119,23 @@ def main():
             float(jnp.sum(conf))
             dt = (time.perf_counter() - t0) / args.steps
             best = dt if best is None else min(best, dt)
+        from myconvnet_tpu.utils.mfu import device_peak_flops
+        try:
+            comp = chain.lower(x).compile()
+            an = comp.cost_analysis()
+            if isinstance(an, (list, tuple)):
+                an = an[0]
+            fl = float(an.get("flops", 0.0))
+        except Exception:
+            fl = 0.0
+        peak = device_peak_flops(
+            dtype="int8" if precision == "int8" else "bf16")
         print(json.dumps({
             "row": f"deeplabv3plus_serving_{precision}",
             "hw": hw, "batch": batch,
             "ms_per_batch": round(best * 1e3, 2),
             "images_per_sec": round(batch / best, 1),
+            "mfu_nominal": round(fl / best / peak, 3) if fl else None,
             "device": str(jax.devices()[0]),
         }), flush=True)
 
