@@ -89,7 +89,7 @@ def main():
         import jax
         jax.config.update("jax_platforms", args.platform)
 
-    from myconvnet_tpu import recipes
+    from myconvnet_tpu import export_cli, recipes
     from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
 
     cfg = recipes.load_config(args.config, batch_size=args.batch,
@@ -107,7 +107,7 @@ def main():
         return eval_distill(cfg, args)
     if cfg["task"] == "gan":
         if args.export:
-            return export_gan(cfg, args)
+            return export_cli.export_gan(cfg, args)
         if args.fid:
             return eval_gan_fid(cfg, args)
         if cfg.get("gan_kind") == "pix2pix":
@@ -122,7 +122,7 @@ def main():
                          "StableHLO artifact")
     if cfg["task"] == "style":
         if args.export:
-            return export_style(cfg, args)
+            return export_cli.export_style(cfg, args)
         raise SystemExit("style checkpoints: use generate.py "
                          "--config CONFIG --ckpt DIR [--input IMGDIR] "
                          "to write content|stylized grids, or test.py "
@@ -173,149 +173,9 @@ def main():
         net.state = net.state._replace(params=jax.tree.map(
             lambda p, e: e.astype(p.dtype), net.state.params, ema))
         print("evaluating EMA parameters")
-    if args.export and cfg["task"] == "classification":
-        import jax
-        import numpy as np
-
-        from myconvnet_tpu import serving
-        hw = tuple((cfg.get("augment") or {}).get(
-            "out_hw", cfg.get("input_hw", (224, 224))))
-        sample = np.zeros((cfg.get("export_batch", 8), *hw, 3),
-                          np.float32)
-        cal = None
-        if args.int8:
-            # classification artifacts take NORMALIZED inputs (serve.py
-            # normalizes client-side): calibrate on the same
-            from myconvnet_tpu.data.augment import (AugmentConfig,
-                                                    augment_eval)
-            acfg = recipes.make_augment(cfg.get("augment")) \
-                or AugmentConfig(out_hw=hw)
-            xb = val_set.source.get_batch(
-                np.arange(min(8, len(val_set.source))))[0]
-            cal = [np.asarray(augment_eval(np.asarray(xb, np.uint8),
-                                           acfg), np.float32)]
-        from myconvnet_tpu.models.repvgg import DEPLOY_FORWARDS
-        if cfg["model"] in DEPLOY_FORWARDS:
-            # structural re-parameterization: export the folded plain
-            # 3x3 stack (+23% measured serving win — PERF_NOTES r3)
-            import importlib
-
-            from myconvnet_tpu.core import transform
-            rv = importlib.import_module("myconvnet_tpu.models.repvgg")
-            folded = rv.deploy_params(net.state.params,
-                                      net.state.model_state)
-            dep_fn = DEPLOY_FORWARDS[cfg["model"]]
-            # train-time a/b/stages overrides must shape the deploy
-            # net identically, or the folded tree mismatches (ADVICE
-            # r3); dropout_rate only exists on the train forward
-            mk = {k: v for k, v in cfg.get("model_kwargs", {}).items()
-                  if k != "dropout_rate"}
-            unknown = set(mk) - {"a", "b", "stages"}
-            if unknown:
-                raise SystemExit(
-                    f"model_kwargs {sorted(unknown)} have no deploy-"
-                    f"forward equivalent; cannot export a matching "
-                    f"reparameterized artifact")
-            dep = transform(lambda x, train=False: dep_fn(
-                x, cfg["num_classes"], train=train, **mk))
-            _dp, ds = dep.init(jax.random.key(0), sample[:1], False)
-            size = serving.export_inference(
-                dep, folded, ds, sample, args.export, fold_bn=False,
-                int8=args.int8, calibrate_with=cal)
-            print(f"exported classification artifact (reparameterized):"
-                  f" {args.export} ({size / 1e6:.1f} MB, input "
-                  f"{sample.shape}"
-                  f"{', int8 calibrated' if args.int8 else ''})")
-            return
-        size = serving.export_inference(
-            net._transformed, net.state.params, net.state.model_state,
-            sample, args.export, int8=args.int8, calibrate_with=cal)
-        print(f"exported classification artifact: {args.export} "
-              f"({size / 1e6:.1f} MB, input {sample.shape}"
-              f"{', int8 calibrated' if args.int8 else ''})")
-        return
-    if args.export and cfg["task"] == "tracking":
-        import numpy as np
-
-        from myconvnet_tpu import serving
-        from myconvnet_tpu.models.tracking import SIAMFC_STRIDE
-        from myconvnet_tpu.subsets.tracking import DEFAULT_SEARCH_HW
-        hw = tuple(cfg.get("input_hw", DEFAULT_SEARCH_HW))
-        sample = np.zeros((cfg.get("export_batch", 8), *hw, 6),
-                          np.float32)
-        cal = None
-        if args.int8:
-            cal = [np.asarray(val_set.source.get_batch(
-                np.arange(min(8, len(val_set.source))))[0],
-                np.float32) / 255.0]
-        size = serving.export_tracking(
-            net._transformed, net.state.params, net.state.model_state,
-            sample, args.export,
-            stride=int(cfg.get("response_stride", SIAMFC_STRIDE)),
-            int8=args.int8, calibrate_with=cal)
-        print(f"exported tracking artifact: {args.export} "
-              f"({size / 1e6:.1f} MB, input {sample.shape}"
-              f"{', int8 calibrated' if args.int8 else ''})")
-        return
-    if args.export and cfg["task"] == "segmentation":
-        import numpy as np
-
-        from myconvnet_tpu import serving
-        from myconvnet_tpu.data.augment import AugmentConfig
-        # the net's own augment config (build_segmenter shrinks out_hw
-        # under --synthetic; the artifact must match the built net)
-        acfg = getattr(net, "augment", None) \
-            or recipes.make_augment(cfg.get("augment")) \
-            or AugmentConfig()
-        hw = tuple(acfg.out_hw)
-        sample = np.zeros((cfg.get("export_batch", 4), *hw, 3),
-                          np.float32)
-        cal = None
-        if args.int8:
-            # segmentation artifacts take raw [0,1] frames (the recipe
-            # mean/std bakes in); calibrate on the same wire format
-            xb = val_set.source.get_batch(
-                np.arange(min(4, len(val_set.source))))[0]
-            xb = np.asarray(xb, np.float32) / 255.0
-            if xb.shape[1:3] != hw:
-                import jax.numpy as jnp
-
-                from myconvnet_tpu.ops.resize import resize_bilinear
-                xb = np.asarray(resize_bilinear(jnp.asarray(xb), hw))
-            cal = [xb]
-        size = serving.export_segmentation(
-            net._transformed, net.state.params, net.state.model_state,
-            sample, args.export, mean=acfg.mean, std=acfg.std,
-            int8=args.int8, calibrate_with=cal)
-        print(f"exported segmentation artifact: {args.export} "
-              f"({size / 1e6:.1f} MB, input {sample.shape}"
-              f"{', int8 calibrated' if args.int8 else ''})")
-        return
-    if args.export and cfg["task"] == "sr":
-        import jax.numpy as jnp
-        import numpy as np
-
-        from myconvnet_tpu import serving
-        scale = int(cfg.get("scale", 4))
-        lr = int(cfg.get("hr_size", 192)) // scale
-        mean = jnp.asarray(cfg.get("mean", (0.4488, 0.4371, 0.4040)),
-                           jnp.float32)
-        sample = np.zeros((cfg.get("export_batch", 4), lr, lr, 3),
-                          np.float32)
-        # wire format: raw [0,1] LR floats; the recipe's mean
-        # subtraction bakes in (the model forward adds it back, so the
-        # artifact returns [0,1] HR directly)
-        size = serving.export_image_to_image(
-            net._transformed, net.state.params, net.state.model_state,
-            sample, args.export, pre=lambda x: x - mean,
-            int8=args.int8,
-            calibrate_with=[np.random.RandomState(0).uniform(
-                0, 1, sample.shape).astype(np.float32)]
-            if args.int8 else None)
-        print(f"exported sr artifact: {args.export} "
-              f"({size / 1e6:.1f} MB, input {sample.shape}, x{scale}"
-              f"{', int8 calibrated' if args.int8 else ''})")
-        return
+    if args.export and cfg["task"] in export_cli.CONVNET_EXPORTERS:
+        return export_cli.CONVNET_EXPORTERS[cfg["task"]](cfg, args, net,
+                                                         val_set)
     batch = cfg["batch_size"]
     if args.tta and cfg["task"] == "classification":
         evaluator.reset()
@@ -756,116 +616,6 @@ def eval_gan_fid(cfg, args):
     fid = fid_from_features(feature_fn(reals), feature_fn(fakes))
     print(f"fid: {fid:.3f} (n={n}, extractor={args.fid_extractor})")
     return fid
-
-
-def export_gan(cfg, args):
-    """--export for GAN checkpoints: freeze the (restored, optionally
-    EMA) generator as a StableHLO artifact speaking the uniform
-    image-to-image wire protocol ([0,1] floats in and out; dcgan takes
-    [N, latent_dim] latents).  cyclegan writes BOTH directions
-    (<path> = a->b, <path>.ba = b->a)."""
-    import jax
-    import numpy as np
-
-    from myconvnet_tpu import recipes, serving
-    from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
-
-    kind = cfg.get("gan_kind", "dcgan")
-    state, _step, _it, _kind = recipes.build_gan(cfg,
-                                                 synthetic=args.synthetic)
-    restored = ckpt_lib.restore_checkpoint(args.ckpt, state._asdict())
-    state = type(state)(**restored)
-    if args.ema:
-        from myconvnet_tpu.train import optim as optim_lib
-        ema = optim_lib.extract_ema(state.g_opt)
-        state = state._replace(g_params=jax.tree.map(
-            lambda p, e: e.astype(p.dtype), state.g_params, ema))
-        print("exporting EMA generator")
-    gen = recipes.gan_generator(cfg)
-    size = int(cfg.get("image_size", 32))
-    nb = cfg.get("export_batch", 4)
-    tanh_post = lambda y: (y + 1.0) / 2.0  # noqa: E731
-
-    rng = np.random.RandomState(0)
-    tag = ", int8 calibrated" if args.int8 else ""
-    if kind == "dcgan":
-        sample = np.zeros((nb, cfg.get("latent_dim", 100)), np.float32)
-        n = serving.export_image_to_image(
-            gen, state.g_params, state.g_state, sample, args.export,
-            post=tanh_post, fold_bn=False, int8=args.int8,
-            calibrate_with=[rng.standard_normal(sample.shape).astype(
-                np.float32)] if args.int8 else None)
-        print(f"exported dcgan generator artifact: {args.export} "
-              f"({n / 1e6:.1f} MB, latents {sample.shape}{tag})")
-        return
-    if kind == "srgan":
-        import jax.numpy as jnp
-        scale = int(cfg.get("scale", 4))
-        lr = int(cfg.get("hr_size", size)) // scale
-        mean = jnp.asarray(cfg.get("mean", (0.4488, 0.4371, 0.4040)),
-                           jnp.float32)
-        sample = np.zeros((nb, lr, lr, 3), np.float32)
-        n = serving.export_image_to_image(
-            gen, state.g_params, state.g_state, sample, args.export,
-            pre=lambda x: x - mean, int8=args.int8,
-            calibrate_with=[rng.uniform(0, 1, sample.shape).astype(
-                np.float32)] if args.int8 else None)
-        print(f"exported srgan generator artifact: {args.export} "
-              f"({n / 1e6:.1f} MB, input {sample.shape}, x{scale}{tag})")
-        return
-    # pix2pix / cyclegan translators: [0,1] in -> tanh net -> [0,1] out
-    pre = lambda x: x * 2.0 - 1.0  # noqa: E731
-    sample = np.zeros((nb, size, size, 3), np.float32)
-    if kind == "cyclegan":
-        total = 0
-        for direction, path in (("ab", args.export),
-                                ("ba", args.export + ".ba")):
-            total = serving.export_image_to_image(
-                gen, state.g_params[direction], state.g_state[direction],
-                sample, path, pre=pre, post=tanh_post, fold_bn=False,
-                int8=args.int8,
-                calibrate_with=[rng.uniform(0, 1, sample.shape).astype(
-                    np.float32)] if args.int8 else None)
-            print(f"exported cyclegan {direction} artifact: {path} "
-                  f"({total / 1e6:.1f} MB, input {sample.shape}{tag})")
-        return
-    n = serving.export_image_to_image(
-        gen, state.g_params, state.g_state, sample, args.export,
-        pre=pre, post=tanh_post, fold_bn=False, int8=args.int8,
-        calibrate_with=[rng.uniform(0, 1, sample.shape).astype(
-            np.float32)] if args.int8 else None)
-    print(f"exported {kind} generator artifact: {args.export} "
-          f"({n / 1e6:.1f} MB, input {sample.shape}{tag})")
-
-
-def export_style(cfg, args):
-    """--export for style checkpoints: the Johnson transformer net as a
-    StableHLO artifact ([0,1] floats in/out; serve.py --translate)."""
-    import numpy as np
-
-    from myconvnet_tpu import models, recipes, serving
-    from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
-    from myconvnet_tpu.core import transform
-
-    state, _step, _it, _kind = recipes.build_style(cfg, synthetic=True)
-    restored = ckpt_lib.restore_checkpoint(args.ckpt, state._asdict())
-    state = type(state)(**restored)
-    width = int(cfg.get("gen_width", 32))
-    n_res = int(cfg.get("gen_res_blocks", 5))
-    gen = transform(lambda x, train=False: models.transformer_net(
-        x, width=width, n_res=n_res, train=train))
-    size = int(cfg.get("image_size", 256))
-    sample = np.zeros((cfg.get("export_batch", 4), size, size, 3),
-                      np.float32)
-    n = serving.export_image_to_image(
-        gen, state.params, state.model_state, sample, args.export,
-        fold_bn=False, int8=args.int8,
-        calibrate_with=[np.random.RandomState(0).uniform(
-            0, 1, sample.shape).astype(np.float32)]
-        if args.int8 else None)
-    print(f"exported style artifact: {args.export} "
-          f"({n / 1e6:.1f} MB, input {sample.shape}"
-          f"{', int8 calibrated' if args.int8 else ''})")
 
 
 def eval_pix2pix(cfg, args):
