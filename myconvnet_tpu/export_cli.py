@@ -238,6 +238,59 @@ def export_gan(cfg, args):
           f"({n / 1e6:.1f} MB, input {sample.shape}{tag})")
 
 
+def export_diffusion(cfg, args):
+    """--export for diffusion checkpoints: the FULL eta=0 DDIM reverse
+    process (every denoising step, one lax.scan) as a single StableHLO
+    artifact.  Wire format: N(0,1) latents [N, H, W, 3] in, [0, 1]
+    float images out — serve.py --sample N draws the latents.
+    Conditional models bake the class-spread grid (arange % classes),
+    with classifier-free guidance per the config's guidance_scale;
+    stochastic eta>0 sampling stays a generate.py in-process consumer
+    (it needs a seed input)."""
+    import jax
+    import numpy as np
+    from jax import export as jexport
+
+    from myconvnet_tpu import recipes
+    from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
+    from myconvnet_tpu.recipes.diffusion import _diffusion_model
+    from myconvnet_tpu.train import diffusion as diff_lib
+
+    if float(cfg.get("ddim_eta", 0.0)) != 0.0:
+        raise SystemExit(
+            "diffusion --export supports eta=0 (DDIM) only — "
+            "stochastic sampling needs a seed input; use generate.py")
+    state, _step, _it, _ = recipes.build_diffusion(cfg, synthetic=True)
+    restored = ckpt_lib.restore_checkpoint(args.ckpt, state._asdict())
+    state = type(state)(**restored)
+    params = (state.ema_params if cfg.get("sample_ema", True)
+              else state.params)
+    mstate = state.model_state
+    size = int(cfg.get("image_size", 32))
+    sched = diff_lib.make_schedule(
+        cfg.get("beta_schedule", "linear"),
+        num_steps=cfg.get("diffusion_steps", 1000))
+    chain = diff_lib.make_ddim_export_chain(
+        _diffusion_model(cfg), sched,
+        sample_steps=cfg.get("sample_steps"),
+        num_classes=int(cfg.get("num_classes", 0) or 0),
+        guidance_scale=cfg.get("guidance_scale", 0.0))
+    nb = cfg.get("export_batch", 4)
+
+    def fn(z):
+        return chain(params, mstate, z)
+
+    exported = jexport.export(jax.jit(fn))(
+        jax.ShapeDtypeStruct((nb, size, size, 3), np.float32))
+    blob = exported.serialize()
+    with open(args.export, "wb") as f:
+        f.write(blob)
+    steps = cfg.get("sample_steps") or cfg.get("diffusion_steps", 1000)
+    print(f"exported diffusion sampler artifact: {args.export} "
+          f"({len(blob) / 1e6:.1f} MB, latents ({nb}, {size}, {size}, "
+          f"3), {steps} DDIM steps in-program)")
+
+
 def export_style(cfg, args):
     """--export for style checkpoints: the Johnson transformer net as a
     StableHLO artifact ([0,1] floats in/out; serve.py --translate)."""

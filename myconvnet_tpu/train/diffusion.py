@@ -227,3 +227,65 @@ def make_sampler(model: Transformed, sched: Schedule, *,
     # only n is genuinely static (shapes); seed traces into the key so
     # a seed-per-batch FID loop reuses ONE compiled reverse process
     return jax.jit(sample, static_argnums=(1,), static_argnames=("n",))
+
+
+def make_ddim_export_chain(model: Transformed, sched: Schedule, *,
+                           sample_steps: int | None = None,
+                           num_classes: int = 0,
+                           guidance_scale: float = 0.0) -> Callable:
+    """The eta=0 DDIM reverse process as a PURE function
+    ``chain(params, mstate, z, y) -> [0,1] f32 images`` — the
+    exportable (StableHLO) form of :func:`make_sampler`'s scan.
+
+    Deterministic by construction (DDIM's sigma is 0, so the ancestral
+    noise term vanishes); stochastic eta>0 sampling would need a seed
+    input and stays an in-process consumer.  ``y`` is ignored for
+    unconditional models; conditional ones take int labels (guidance
+    per ``guidance_scale``, same doubled-batch trick as the sampler).
+    """
+    T = sched.num_steps
+    steps = sample_steps or T
+    seq = np.linspace(0, T - 1, steps).round().astype(np.int32)
+    prev = np.concatenate([[-1], seq[:-1]]).astype(np.int32)
+    ab = jnp.asarray(sched.alphas_bar)
+    ab_prev_of = jnp.where(jnp.asarray(prev) < 0, 1.0,
+                           ab[jnp.maximum(jnp.asarray(prev), 0)])
+    ts = jnp.asarray(seq)[::-1]
+    ab_prevs = ab_prev_of[::-1]
+
+    def chain(params, mstate, z, y=None):
+        n = z.shape[0]
+        yb = None
+        if num_classes > 0:
+            yb = (jnp.arange(n, dtype=jnp.int32) % num_classes
+                  if y is None else jnp.asarray(y, jnp.int32))
+
+        def eps_of(x, tb):
+            if num_classes > 0 and guidance_scale > 0.0:
+                null = jnp.full((n,), num_classes, jnp.int32)
+                e, _ = model.apply(params, mstate, None,
+                                   jnp.concatenate([x, x]),
+                                   jnp.concatenate([tb, tb]),
+                                   jnp.concatenate([yb, null]), False)
+                e_c, e_u = jnp.split(e.astype(jnp.float32), 2)
+                return ((1.0 + guidance_scale) * e_c
+                        - guidance_scale * e_u)
+            e, _ = model.apply(params, mstate, None, x, tb, yb, False)
+            return e.astype(jnp.float32)
+
+        def body(x, inp):
+            t, ab_prev = inp
+            tb = jnp.full((n,), t, jnp.int32)
+            eps = eps_of(x, tb)
+            ab_t = ab[t]
+            x0 = (x - jnp.sqrt(1.0 - ab_t) * eps) * jax.lax.rsqrt(ab_t)
+            x0 = jnp.clip(x0, -1.0, 1.0)
+            x_next = (jnp.sqrt(ab_prev) * x0
+                      + jnp.sqrt(jnp.maximum(1.0 - ab_prev, 0.0)) * eps)
+            return x_next, ()
+
+        x, _ = jax.lax.scan(body, z.astype(jnp.float32),
+                            (ts, ab_prevs))
+        return jnp.clip((x + 1.0) * 0.5, 0.0, 1.0)
+
+    return chain

@@ -392,19 +392,21 @@ def run_translate(fn, art_shape, args):
 
 
 def run_sample(fn, art_shape, args):
-    """Serve a latent-input generator artifact (dcgan from test.py
-    --export): draw --sample N(0,1) latents, write a grid PNG."""
+    """Serve a latent-input generator artifact (dcgan or a diffusion
+    DDIM sampler from test.py --export): draw --sample N(0,1) latents
+    — [B, D] vectors or [B, H, W, C] image-shaped noise, per the
+    artifact's input — and write a grid PNG."""
     import numpy as np
     from PIL import Image
 
     from myconvnet_tpu.utils.images import make_grid
 
-    batch, dim = art_shape[0], art_shape[1]
+    batch, z_shape = art_shape[0], tuple(art_shape[1:])
     rng = np.random.RandomState(args.seed)
     outs = []
     need = args.sample
     while need > 0:
-        z = rng.standard_normal((batch, dim)).astype(np.float32)
+        z = rng.standard_normal((batch, *z_shape)).astype(np.float32)
         outs.append(np.asarray(fn(z))[:min(need, batch)])
         need -= batch
     imgs = (np.clip(np.concatenate(outs), 0.0, 1.0) * 255).astype(

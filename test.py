@@ -96,11 +96,15 @@ def main():
                               data_dir=args.data_dir)
     cfg = recipes.apply_overrides(cfg, args.overrides)
     if cfg["task"] == "diffusion":
+        if args.export:
+            return export_cli.export_diffusion(cfg, args)
         if args.fid:
             return eval_gan_fid(cfg, args)
         raise SystemExit("diffusion checkpoints: use generate.py for "
-                         "sample grids or test.py --fid "
-                         "--fid_extractor CONFIG:CKPT to score")
+                         "sample grids, test.py --fid "
+                         "--fid_extractor CONFIG:CKPT to score, or "
+                         "--export for a StableHLO DDIM sampler "
+                         "artifact (serve.py --sample)")
     if cfg["task"] == "semisup":
         return eval_semisup(cfg, args)
     if cfg["task"] == "distill":

@@ -690,3 +690,35 @@ def test_image_to_image_export_cli(tmp_path):
               "--platform", "cpu"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert (tmp_path / "p2p" / "s0_out.png").exists()
+
+
+@pytest.mark.slow
+def test_diffusion_sampler_export_cli(tmp_path):
+    """The full DDIM reverse process exports as ONE StableHLO artifact
+    (every denoising step in-program) and serves via serve.py
+    --sample."""
+    cfg_path = tmp_path / "tinyddpm.py"
+    cfg_path.write_text(
+        "config = dict(task='diffusion', model='tinyddpm',\n"
+        "  dataset='cifar10', data_dir=None, image_size=8,\n"
+        "  diffusion_steps=10, sample_steps=5, batch_size=8,\n"
+        "  total_steps=4, log_every=2, precision='f32', seed=0,\n"
+        "  model_kwargs=dict(base=8, channel_mults=(1, 2),\n"
+        "                    num_res_blocks=1, attn_resolutions=(4,),\n"
+        "                    dropout=0.0),\n"
+        "  optimizer=dict(name='adam', lr=2e-4))\n")
+    out = str(tmp_path / "run")
+    r = _run(["train.py", "--config", str(cfg_path), "--synthetic",
+              "--platform", "cpu", "--out", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    art = str(tmp_path / "ddim.hlo")
+    r2 = _run(["test.py", "--config", str(cfg_path), "--ckpt", out,
+               "--synthetic", "--export", art, "--platform", "cpu"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "exported diffusion sampler artifact" in r2.stdout
+    assert "5 DDIM steps in-program" in r2.stdout
+    grid = str(tmp_path / "ddim_grid.png")
+    r3 = _run(["serve.py", "--artifact", art, "--sample", "6",
+               "--out", grid, "--platform", "cpu"])
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    assert "wrote 6 samples" in r3.stdout and os.path.exists(grid)

@@ -267,3 +267,58 @@ def test_cli_train_and_generate(tmp_path):
         capture_output=True, text=True, cwd="/root/repo", timeout=600)
     assert g.returncode == 0, g.stderr[-2000:]
     assert png.exists()
+
+
+def test_ddim_export_chain_matches_sampler():
+    """The exportable pure DDIM chain reproduces make_sampler's eta=0
+    output exactly on the same initial noise (the export path must not
+    drift from the in-process sampler)."""
+    from myconvnet_tpu.recipes.diffusion import _diffusion_model
+
+    cfg = _tiny_cfg()
+    state, _step, _it, _ = recipes.build_diffusion(cfg, synthetic=True)
+    sample = recipes.make_diffusion_sampler(cfg)
+    ref = np.asarray(sample(state, 2, 0))          # uint8
+
+    sched = diff.make_schedule(cfg["beta_schedule"],
+                               num_steps=cfg["diffusion_steps"])
+    chain = diff.make_ddim_export_chain(
+        _diffusion_model(cfg), sched,
+        sample_steps=cfg["sample_steps"])
+    # reconstruct the sampler's initial draw: key(seed) -> split -> kx
+    kx, _kn = jax.random.split(jax.random.key(0))
+    z = jax.random.normal(kx, (2, 8, 8, 3), jnp.float32)
+    x01 = chain(state.ema_params, state.model_state, z)
+    got = np.asarray(
+        (jnp.clip(x01, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_ddim_export_chain_exports_and_reloads(tmp_path):
+    """jax.export roundtrip of the full reverse scan."""
+    from jax import export as jexport
+
+    from myconvnet_tpu.recipes.diffusion import _diffusion_model
+
+    cfg = _tiny_cfg()
+    state, _step, _it, _ = recipes.build_diffusion(cfg, synthetic=True)
+    sched = diff.make_schedule(cfg["beta_schedule"],
+                               num_steps=cfg["diffusion_steps"])
+    chain = diff.make_ddim_export_chain(
+        _diffusion_model(cfg), sched, sample_steps=cfg["sample_steps"])
+    params, mstate = state.ema_params, state.model_state
+
+    fn = lambda z: chain(params, mstate, z)  # noqa: E731
+    exported = jexport.export(jax.jit(fn))(
+        jax.ShapeDtypeStruct((2, 8, 8, 3), jnp.float32))
+    path = tmp_path / "ddim.hlo"
+    path.write_bytes(exported.serialize())
+
+    from myconvnet_tpu import serving
+    re = serving.load_inference(str(path))
+    z = jax.random.normal(jax.random.key(3), (2, 8, 8, 3))
+    direct = np.asarray(fn(z))
+    via = np.asarray(re(z))
+    assert via.shape == (2, 8, 8, 3)
+    assert via.min() >= 0.0 and via.max() <= 1.0
+    np.testing.assert_allclose(via, direct, atol=1e-5)
