@@ -321,6 +321,33 @@ def export_style(cfg, args):
           f"{', int8 calibrated' if args.int8 else ''})")
 
 
+def export_audio(cfg, args, net, val_set):
+    """--export for audio checkpoints (m5/m11/melspec_cnn): the
+    classifier forward as a StableHLO artifact.  Wire format:
+    normalized float waveforms in [-1, 1], ``[N, num_samples, 1]``
+    (the int16/32768 normalization the recipe applies host-side —
+    serve.py --wav does the same for .wav files)."""
+    import numpy as np
+
+    from myconvnet_tpu import serving
+    from myconvnet_tpu.subsets import audio as audio_mod
+
+    t = int(cfg.get("num_samples", audio_mod.DEFAULT_NUM_SAMPLES))
+    sample = np.zeros((cfg.get("export_batch", 8), t, 1), np.float32)
+    cal = None
+    if args.int8:
+        xb = val_set.source.get_batch(
+            np.arange(min(8, len(val_set.source))))[0]
+        cal = [np.asarray(xb, np.float32) / 32768.0]
+    size = serving.export_inference(
+        net._transformed, net.state.params, net.state.model_state,
+        sample, args.export, int8=args.int8, calibrate_with=cal)
+    print(f"exported audio artifact: {args.export} "
+          f"({size / 1e6:.1f} MB, input {sample.shape}, "
+          f"{cfg.get('sample_rate', audio_mod.DEFAULT_SAMPLE_RATE)} Hz"
+          f"{', int8 calibrated' if args.int8 else ''})")
+
+
 # ConvNet-family exporters keyed by task (the GAN/style families
 # restore their own states and dispatch earlier in test.py)
 CONVNET_EXPORTERS = {
@@ -328,4 +355,5 @@ CONVNET_EXPORTERS = {
     "tracking": export_tracking,
     "segmentation": export_segmentation,
     "sr": export_sr,
+    "audio": export_audio,
 }

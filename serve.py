@@ -64,6 +64,12 @@ def main():
                          "PNGs next to the inputs (--out overrides)")
     ap.add_argument("--out", default=None,
                     help="--segment: directory for the mask PNGs")
+    ap.add_argument("--wav", default=None, metavar="DIR",
+                    help="the artifact is an audio export (test.py "
+                         "--export on a task='audio' config): classify "
+                         "the .wav files under DIR (int16 mono; "
+                         "padded/trimmed to the artifact's sample "
+                         "count, /32768-normalized)")
     ap.add_argument("--translate", action="store_true",
                     help="the artifact is an image-to-image export "
                          "(test.py --export on style/sr/pix2pix/"
@@ -110,6 +116,8 @@ def main():
         return run_detect(fn, art_shape, args)
     if args.segment:
         return run_segment(fn, art_shape, args)
+    if args.wav:
+        return run_wav(fn, art_shape, args)
     if args.translate:
         return run_translate(fn, art_shape, args)
     if args.sample:
@@ -361,6 +369,58 @@ def run_segment(fn, art_shape, args):
             save_png(mask_path, colorize_mask(cls_i))
             print(f"{base}: {', '.join(parts)} "
                   f"(mean conf {conf[i].mean():.2f}) -> {mask_path}")
+
+
+def run_wav(fn, art_shape, args):
+    """Serve an audio artifact: stdlib-wave decode of int16 mono .wav
+    files, pad/trim to the artifact's sample count, /32768 normalize,
+    print top-k classes."""
+    import os
+    import wave
+
+    import numpy as np
+
+    paths = sorted(
+        os.path.join(args.wav, f) for f in os.listdir(args.wav)
+        if f.lower().endswith(".wav"))
+    if not paths:
+        raise SystemExit(f"no .wav files under {args.wav!r}")
+    batch, t = art_shape[0], art_shape[1]
+    names = None
+    if args.config:
+        from myconvnet_tpu import recipes
+        cfg = recipes.load_config(args.config)
+        names = cfg.get("class_names")
+
+    def load(p):
+        with wave.open(p, "rb") as w:
+            if w.getsampwidth() != 2:
+                raise SystemExit(f"{p}: want 16-bit PCM, got "
+                                 f"{8 * w.getsampwidth()}-bit")
+            data = np.frombuffer(w.readframes(w.getnframes()),
+                                 np.int16)
+            if w.getnchannels() > 1:
+                data = data.reshape(-1, w.getnchannels()).mean(
+                    axis=1).astype(np.int16)
+        clip = np.zeros((t,), np.float32)
+        n = min(len(data), t)
+        clip[:n] = data[:n].astype(np.float32) / 32768.0
+        return clip[:, None]
+
+    from myconvnet_tpu.eval.evaluators import decode_predictions
+    for start in range(0, len(paths), batch):
+        chunk_paths = paths[start:start + batch]
+        x = np.stack([load(p) for p in chunk_paths])
+        if len(x) < batch:
+            x = np.concatenate(
+                [x, np.zeros((batch - len(x), t, 1), np.float32)])
+        logits = np.asarray(fn(x))
+        labels = names or [str(i) for i in range(logits.shape[-1])]
+        for p, row in zip(chunk_paths,
+                          decode_predictions(logits, labels,
+                                             args.topk)):
+            pretty = ", ".join(f"{n}:{pr:.2f}" for n, pr in row)
+            print(f"{os.path.basename(p)}: {pretty}")
 
 
 def run_translate(fn, art_shape, args):

@@ -722,3 +722,46 @@ def test_diffusion_sampler_export_cli(tmp_path):
                "--out", grid, "--platform", "cpu"])
     assert r3.returncode == 0, r3.stderr[-2000:]
     assert "wrote 6 samples" in r3.stdout and os.path.exists(grid)
+
+
+@pytest.mark.slow
+def test_audio_export_cli(tmp_path):
+    """Audio family serving: test.py --export freezes the waveform
+    classifier; serve.py --wav scores real .wav files through it."""
+    cfg_path = tmp_path / "tinyaudio.py"
+    cfg_path.write_text(
+        "config = dict(task='audio', model='tinyaudio',\n"
+        "  model_kwargs={}, dataset='audio', data_dir=None,\n"
+        "  num_classes=4, num_samples=1024, sample_rate=4000,\n"
+        "  batch_size=8, total_steps=4, val_every=0, log_every=2,\n"
+        "  optimizer=dict(name='momentum', momentum_coef=0.9, lr=0.1),\n"
+        "  precision='f32', seed=0)\n")
+    out = str(tmp_path / "run")
+    r = _run(["train.py", "--config", str(cfg_path), "--synthetic",
+              "--platform", "cpu", "--out", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    art = str(tmp_path / "audio.hlo")
+    r2 = _run(["test.py", "--config", str(cfg_path), "--ckpt", out,
+               "--synthetic", "--export", art, "--platform", "cpu"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "exported audio artifact" in r2.stdout
+    assert "4000 Hz" in r2.stdout
+    # write two int16 mono wavs (one short -> pad, one long -> trim)
+    import wave
+
+    import numpy as np
+    wavdir = tmp_path / "wavs"
+    wavdir.mkdir()
+    rng = np.random.default_rng(0)
+    for name, n in (("a.wav", 600), ("b.wav", 2000)):
+        with wave.open(str(wavdir / name), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(4000)
+            tone = (np.sin(2 * np.pi * 440 * np.arange(n) / 4000)
+                    * 8000 + rng.normal(0, 100, n)).astype(np.int16)
+            w.writeframes(tone.tobytes())
+    r3 = _run(["serve.py", "--artifact", art, "--wav", str(wavdir),
+               "--topk", "2", "--platform", "cpu"])
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    assert "a.wav:" in r3.stdout and "b.wav:" in r3.stdout
