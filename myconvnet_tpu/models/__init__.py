@@ -35,6 +35,8 @@ from myconvnet_tpu.models.efficientnetv2 import (efficientnet_v2,
                                                  efficientnet_v2_s)
 from myconvnet_tpu.models.inception import inception_v3
 from myconvnet_tpu.models.mobilenet import mobilenet_v2
+from myconvnet_tpu.models.mobilenetv3 import (mobilenet_v3_large,
+                                              mobilenet_v3_small)
 from myconvnet_tpu.models.pspnet import pspnet, pyramid_pooling
 from myconvnet_tpu.models.gan import (dcgan_discriminator, dcgan_generator,
                                       patchgan_discriminator,
@@ -97,6 +99,8 @@ CLASSIFIERS = {
     "densenet201": densenet201,
     "inception_v3": inception_v3,
     "mobilenet_v2": mobilenet_v2,
+    "mobilenet_v3_large": mobilenet_v3_large,
+    "mobilenet_v3_small": mobilenet_v3_small,
     "efficientnet_b0": efficientnet_b0, "efficientnet_b1": efficientnet_b1,
     "efficientnet_b2": efficientnet_b2, "efficientnet_b3": efficientnet_b3,
     "efficientnet_b4": efficientnet_b4, "efficientnet_b5": efficientnet_b5,

@@ -119,3 +119,49 @@ def test_tree_nonfinite_report():
             "c": jnp.asarray([jnp.inf])}
     rep = tree_nonfinite_report(tree)
     assert rep == {"a": 1, "c": 1}
+
+
+@pytest.mark.slow
+def test_mobilenet_v3_param_counts_exact():
+    """torchvision mobilenet_v3_large = 5,483,032 / _small = 2,542,856
+    params — EXACT (the V3 tables, expanded-channel SE with round8
+    reduction, and the post-pool biased expansion fc all verified by
+    the count)."""
+    for fn, target in ((models.mobilenet_v3_large, 5_483_032),
+                       (models.mobilenet_v3_small, 2_542_856)):
+        net = transform(lambda x, train=False, f=fn: f(x, 1000,
+                                                       train=train))
+        params, _ = net.init(jax.random.key(0),
+                             jnp.zeros((1, 64, 64, 3)), False)
+        n = sum(int(np.prod(p.shape)) for b in params.values()
+                for p in b.values())
+        assert n == target, (fn.__name__, n, target)
+
+
+@pytest.mark.slow
+def test_mobilenet_v3_forward_and_train_step():
+    from myconvnet_tpu.models.mobilenetv3 import hard_sigmoid, hard_swish
+
+    # activation identities (torch Hardsigmoid/Hardswish semantics)
+    xs = jnp.asarray([-4.0, -3.0, -1.0, 0.0, 1.0, 3.0, 4.0])
+    np.testing.assert_allclose(hard_sigmoid(xs),
+                               jnp.clip((xs + 3) / 6, 0, 1), atol=1e-6)
+    np.testing.assert_allclose(hard_swish(xs),
+                               xs * jnp.clip((xs + 3) / 6, 0, 1),
+                               atol=1e-6)
+
+    net = transform(lambda x, train=False: models.mobilenet_v3_small(
+        x, 10, train=train, dropout_rate=0.0))
+    x = jax.random.uniform(jax.random.key(0), (2, 64, 64, 3))
+    params, state = net.init(jax.random.key(1), x, True)
+    y, new_state = net.apply(params, state, jax.random.key(2), x, True)
+    assert y.shape == (2, 10)
+    assert np.all(np.isfinite(np.asarray(y)))
+    # BN stats actually update in train mode
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for (sa, va), (sb, vb) in zip(sorted(state.items()),
+                                      sorted(new_state.items()))
+        for (ka, a), (kb, b) in zip(sorted(va.items()),
+                                    sorted(vb.items())))
+    assert moved

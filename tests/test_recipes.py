@@ -17,6 +17,7 @@ CONFIGS = [
     "configs/voc_deeplabv3plus.py",
     "configs/imagenet_efficientnet_b0.py",
     "configs/imagenet_mobilenet_v2.py",
+    "configs/imagenet_mobilenet_v3.py",
     "configs/imagenet_resnext50.py",
     "configs/cifar100_resnet18.py",
     "configs/cifar10_wrn28_10.py",
