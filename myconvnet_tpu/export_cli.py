@@ -348,6 +348,53 @@ def export_audio(cfg, args, net, val_set):
           f"{', int8 calibrated' if args.int8 else ''})")
 
 
+def export_depth(cfg, args, net, val_set=None):
+    """--export for monocular-depth checkpoints: raw [0,1] RGB frames
+    ``[N, H, W, 3]`` in, metric depth ``[N, H, W]`` f32 (meters,
+    clamped to the recipe's min/max) out; serve.py --depth writes
+    normalized grayscale PNGs."""
+    import numpy as np
+
+    from myconvnet_tpu import serving
+    from myconvnet_tpu.subsets import depth as depth_mod
+
+    hw = tuple(cfg.get("input_hw", depth_mod.DEFAULT_HW))
+    sample = np.zeros((cfg.get("export_batch", 4), *hw, 3), np.float32)
+    model, params, mstate = (net._transformed, net.state.params,
+                             net.state.model_state)
+
+    def fn(x):
+        d, _ = model.apply(params, mstate, None, x, False)
+        return d[..., 0].astype(np.float32)
+
+    size = serving.export_fn(fn, sample, args.export)
+    print(f"exported depth artifact: {args.export} "
+          f"({size / 1e6:.1f} MB, input {sample.shape}, meters out)")
+
+
+def export_flow(cfg, args, net, val_set=None):
+    """--export for optical-flow checkpoints: raw [0,1] frame pairs
+    ``[N, H, W, 6]`` (frame1 ++ frame2) in, flow ``[N, H, W, 2]`` f32
+    pixels out; serve.py --flow writes color-wheel PNGs."""
+    import numpy as np
+
+    from myconvnet_tpu import serving
+    from myconvnet_tpu.subsets import flow as flow_mod
+
+    hw = tuple(cfg.get("input_hw", flow_mod.DEFAULT_HW))
+    sample = np.zeros((cfg.get("export_batch", 4), *hw, 6), np.float32)
+    model, params, mstate = (net._transformed, net.state.params,
+                             net.state.model_state)
+
+    def fn(x):
+        f, _ = model.apply(params, mstate, None, x, False)
+        return f.astype(np.float32)
+
+    size = serving.export_fn(fn, sample, args.export)
+    print(f"exported flow artifact: {args.export} "
+          f"({size / 1e6:.1f} MB, input {sample.shape}, px flow out)")
+
+
 # ConvNet-family exporters keyed by task (the GAN/style families
 # restore their own states and dispatch earlier in test.py)
 CONVNET_EXPORTERS = {
@@ -356,4 +403,6 @@ CONVNET_EXPORTERS = {
     "segmentation": export_segmentation,
     "sr": export_sr,
     "audio": export_audio,
+    "depth": export_depth,
+    "flow": export_flow,
 }

@@ -128,6 +128,22 @@ def export_inference(model: Transformed, params: Params, state: State,
     return len(blob)
 
 
+def export_fn(fn, sample_input, path: str, *,
+              dtype=jnp.float32) -> int:
+    """Serialize ANY closed single-argument jax function to ``path``
+    (weights travel as constants).  The generic core under
+    export_detection and the depth/flow exports; prefer the task-
+    specific wrappers, which document their wire formats."""
+    from jax import export as jexport
+
+    exported = jexport.export(jax.jit(fn))(
+        jax.ShapeDtypeStruct(np.shape(sample_input), dtype))
+    blob = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(blob)
+    return len(blob)
+
+
 def export_detection(predict, state, sample_images, path: str) -> int:
     """Serialize a detection recipe's fused predict chain to ``path``.
 
@@ -141,20 +157,13 @@ def export_detection(predict, state, sample_images, path: str) -> int:
     already a closed-over single-arg ``fn(images)`` (e.g.
     recipes.make_detector_inference, possibly int8-calibrated).
     """
-    from jax import export as jexport
-
     if state is None:
         fn = predict
     else:
         def fn(x):
             return predict(state, x)
 
-    exported = jexport.export(jax.jit(fn))(
-        jax.ShapeDtypeStruct(np.shape(sample_images), jnp.float32))
-    blob = exported.serialize()
-    with open(path, "wb") as f:
-        f.write(blob)
-    return len(blob)
+    return export_fn(fn, sample_images, path)
 
 
 def export_tracking(model: Transformed, params: Params, state: State,

@@ -64,6 +64,16 @@ def main():
                          "PNGs next to the inputs (--out overrides)")
     ap.add_argument("--out", default=None,
                     help="--segment: directory for the mask PNGs")
+    ap.add_argument("--depth", action="store_true",
+                    help="the artifact is a depth export (test.py "
+                         "--export on a task='depth' config): feed raw "
+                         "[0,1] images, print depth stats and write "
+                         "<name>_depth.png normalized grayscale maps")
+    ap.add_argument("--flow", action="store_true",
+                    help="the artifact is an optical-flow export: pair "
+                         "<name>_a.* / <name>_b.* frames under "
+                         "--images, print mean |flow| and write "
+                         "<name>_flow.png color-wheel maps")
     ap.add_argument("--wav", default=None, metavar="DIR",
                     help="the artifact is an audio export (test.py "
                          "--export on a task='audio' config): classify "
@@ -116,6 +126,10 @@ def main():
         return run_detect(fn, art_shape, args)
     if args.segment:
         return run_segment(fn, art_shape, args)
+    if args.depth:
+        return run_depth(fn, art_shape, args)
+    if args.flow:
+        return run_flow(fn, art_shape, args)
     if args.wav:
         return run_wav(fn, art_shape, args)
     if args.translate:
@@ -369,6 +383,80 @@ def run_segment(fn, art_shape, args):
             save_png(mask_path, colorize_mask(cls_i))
             print(f"{base}: {', '.join(parts)} "
                   f"(mean conf {conf[i].mean():.2f}) -> {mask_path}")
+
+
+def run_depth(fn, art_shape, args):
+    """Serve a depth artifact: raw [0,1] frames in, metric depth out;
+    per-image min/mean/max print + normalized grayscale PNGs."""
+    import os
+
+    import numpy as np
+
+    from myconvnet_tpu.utils.images import save_png
+
+    out_dir = args.out or args.images
+    os.makedirs(out_dir, exist_ok=True)
+    batch, h, w = art_shape[0], art_shape[1], art_shape[2]
+    for chunk_paths, chunk in _iter_image_chunks(
+            args.images, batch, h, w, exclude_suffix=("_depth.png",)):
+        depth = np.asarray(fn(chunk))
+        for i, path in enumerate(chunk_paths):
+            d = depth[i]
+            lo, hi = float(d.min()), float(d.max())
+            norm = (d - lo) / max(hi - lo, 1e-6)
+            base = os.path.splitext(os.path.basename(path))[0]
+            dst = os.path.join(out_dir, base + "_depth.png")
+            save_png(dst, (norm * 255).astype(np.uint8))
+            print(f"{os.path.basename(path)}: depth [{lo:.2f}, "
+                  f"{hi:.2f}]m mean {float(d.mean()):.2f}m -> {dst}")
+
+
+def run_flow(fn, art_shape, args):
+    """Serve an optical-flow artifact: <name>_a.* / <name>_b.* frame
+    pairs packed as [N, H, W, 6], color-wheel PNGs out."""
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from myconvnet_tpu.utils.images import flow_to_color, save_png
+
+    if not args.images:
+        raise SystemExit("--flow needs --images DIR with "
+                         "<name>_a.* / <name>_b.* frame pairs")
+    batch, h, w = art_shape[0], art_shape[1], art_shape[2]
+    pairs = {}
+    for f in sorted(os.listdir(args.images)):
+        base, ext = os.path.splitext(f)
+        if ext.lower() not in (".jpg", ".jpeg", ".png"):
+            continue
+        for tag in ("a", "b"):
+            if base.endswith("_" + tag):
+                pairs.setdefault(base[:-2], {})[tag] = \
+                    os.path.join(args.images, f)
+    names = sorted(k for k, v in pairs.items() if "a" in v and "b" in v)
+    if not names:
+        raise SystemExit(f"no <name>_a/<name>_b frame pairs under "
+                         f"{args.images!r}")
+    out_dir = args.out or args.images
+    os.makedirs(out_dir, exist_ok=True)
+
+    def load(p):
+        return np.asarray(Image.open(p).convert("RGB").resize(
+            (w, h), Image.BILINEAR), np.float32) / 255.0
+
+    for start in range(0, len(names), batch):
+        chunk_names = names[start:start + batch]
+        x = np.zeros((batch, h, w, 6), np.float32)
+        for i, name in enumerate(chunk_names):
+            x[i, :, :, :3] = load(pairs[name]["a"])
+            x[i, :, :, 3:] = load(pairs[name]["b"])
+        flow = np.asarray(fn(x))
+        for i, name in enumerate(chunk_names):
+            mag = float(np.sqrt((flow[i] ** 2).sum(-1)).mean())
+            dst = os.path.join(out_dir, name + "_flow.png")
+            save_png(dst, flow_to_color(flow[i]))
+            print(f"{name}: mean |flow| {mag:.2f}px -> {dst}")
 
 
 def run_wav(fn, art_shape, args):

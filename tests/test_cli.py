@@ -765,3 +765,71 @@ def test_audio_export_cli(tmp_path):
                "--topk", "2", "--platform", "cpu"])
     assert r3.returncode == 0, r3.stderr[-2000:]
     assert "a.wav:" in r3.stdout and "b.wav:" in r3.stdout
+
+
+@pytest.mark.slow
+def test_depth_flow_export_cli(tmp_path):
+    """Depth and flow serving: export the dense-prediction chains,
+    serve on image files (grayscale depth maps, color-wheel flow)."""
+    import numpy as np
+    from PIL import Image
+
+    # ---- depth
+    dcfg = tmp_path / "tinydepth.py"
+    dcfg.write_text(
+        "config = dict(task='depth', model='tinydepth', dataset='depth',\n"
+        "  data_dir=None, input_hw=(24, 32), synthetic_n=8,\n"
+        "  batch_size=4, total_steps=4, val_every=0, log_every=2,\n"
+        "  optimizer=dict(name='adam', lr=dict(kind='constant',"
+        " lr=1e-3)),\n"
+        "  precision='f32', seed=0)\n")
+    out = str(tmp_path / "drun")
+    r = _run(["train.py", "--config", str(dcfg), "--synthetic",
+              "--platform", "cpu", "--out", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    art = str(tmp_path / "depth.hlo")
+    r2 = _run(["test.py", "--config", str(dcfg), "--ckpt", out,
+               "--synthetic", "--export", art, "--platform", "cpu"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "exported depth artifact" in r2.stdout
+    imgdir = tmp_path / "imgs"
+    imgdir.mkdir()
+    rng = np.random.default_rng(0)
+    Image.fromarray((rng.random((48, 64, 3)) * 255).astype(
+        np.uint8)).save(imgdir / "room.png")
+    r3 = _run(["serve.py", "--artifact", art, "--depth",
+               "--images", str(imgdir), "--out", str(tmp_path / "d"),
+               "--platform", "cpu"])
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    assert "room.png: depth [" in r3.stdout
+    assert (tmp_path / "d" / "room_depth.png").exists()
+
+    # ---- flow
+    fcfg = tmp_path / "tinyflow.py"
+    fcfg.write_text(
+        "config = dict(task='flow', model='tinypwc', dataset='flow',\n"
+        "  data_dir=None, input_hw=(24, 32), max_motion=4,\n"
+        "  synthetic_n=8, batch_size=4, total_steps=4, val_every=0,\n"
+        "  log_every=2,\n"
+        "  optimizer=dict(name='adam', lr=dict(kind='constant',"
+        " lr=1e-3)),\n"
+        "  precision='f32', seed=0)\n")
+    out = str(tmp_path / "frun")
+    r = _run(["train.py", "--config", str(fcfg), "--synthetic",
+              "--platform", "cpu", "--out", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    art = str(tmp_path / "flow.hlo")
+    r2 = _run(["test.py", "--config", str(fcfg), "--ckpt", out,
+               "--synthetic", "--export", art, "--platform", "cpu"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "exported flow artifact" in r2.stdout
+    base = (rng.random((24, 32, 3)) * 255).astype(np.uint8)
+    Image.fromarray(base).save(imgdir / "scene_a.png")
+    Image.fromarray(np.roll(base, 3, axis=1)).save(
+        imgdir / "scene_b.png")
+    r3 = _run(["serve.py", "--artifact", art, "--flow",
+               "--images", str(imgdir), "--out", str(tmp_path / "f"),
+               "--platform", "cpu"])
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    assert "scene: mean |flow|" in r3.stdout
+    assert (tmp_path / "f" / "scene_flow.png").exists()
