@@ -37,7 +37,9 @@ device executes one program at a time (honest per-request latency, no
 interleaving).  Arbitrary request sizes pad/chunk through each
 artifact's fixed compiled batch, pytree-aware (detection outputs are
 4-tuples, so the classifier-only ``make_batched_server`` slice does
-not apply here).
+not apply here).  ``ModelServer(batch_window_ms=...)`` adds per-route
+cross-request micro-batching (serve.py --batch_window_ms): concurrent
+requests within the window coalesce into one device call.
 """
 
 from __future__ import annotations
@@ -174,16 +176,96 @@ def _class_coverage(cls: np.ndarray, names=None, top: int = 5) -> dict:
     return cov
 
 
-class ModelServer:
-    """The route table + device lock; http handlers delegate here."""
+class _Batcher:
+    """Cross-request micro-batching: requests to one route arriving
+    within a window coalesce into ONE device call (the classic serving
+    aggregator — trades up to ``window`` of latency for MXU batch
+    efficiency on concurrent small requests).
 
-    def __init__(self, routes: Sequence[Route]):
+    Leader-collects protocol: the first request into an empty epoch
+    becomes the leader, sleeps the window while followers append their
+    payloads, closes the epoch under the mutex, runs the concatenated
+    batch once, and wakes the followers, each slicing its own rows
+    back out (pytree-aware, so multi-output artifacts work).
+    """
+
+    def __init__(self, run, window_s: float):
+        self.run = run          # fn(x_concat) -> outputs (pytree)
+        self.window = window_s
+        self._mu = threading.Lock()
+        self._epoch = None
+
+    def submit(self, x: np.ndarray):
+        import time as _time
+
+        with self._mu:
+            epoch = self._epoch
+            lead = epoch is None
+            if lead:
+                epoch = {"xs": [], "done": threading.Event(),
+                         "outs": None, "err": None}
+                self._epoch = epoch
+            idx = len(epoch["xs"])
+            epoch["xs"].append(x)
+        if lead:
+            _time.sleep(self.window)
+            with self._mu:
+                self._epoch = None      # epoch frozen; new ones open
+            try:
+                epoch["outs"] = self.run(np.concatenate(epoch["xs"]))
+            except BaseException as e:  # wake followers with the error
+                epoch["err"] = e
+                raise
+            finally:
+                epoch["done"].set()
+        else:
+            epoch["done"].wait()
+            if epoch["err"] is not None:
+                raise RuntimeError(
+                    f"batched device call failed: {epoch['err']}")
+        import jax
+        start = sum(len(a) for a in epoch["xs"][:idx])
+        n = len(epoch["xs"][idx])
+        return jax.tree.map(lambda t: t[start:start + n],
+                            epoch["outs"])
+
+
+class ModelServer:
+    """The route table + device lock; http handlers delegate here.
+
+    ``batch_window_ms > 0`` turns on per-route cross-request
+    micro-batching (_Batcher): concurrent requests within the window
+    run as one device call instead of serializing through the lock.
+    """
+
+    def __init__(self, routes: Sequence[Route],
+                 batch_window_ms: float = 0.0):
         if not routes:
             raise ValueError("no routes")
         self.routes = {r.name: r for r in routes}
         if len(self.routes) != len(routes):
             raise ValueError("duplicate route names")
         self._lock = threading.Lock()
+        self._batchers = {}
+        if batch_window_ms > 0:
+            for r in self.routes.values():
+                self._batchers[r.name] = _Batcher(
+                    self._runner(r), batch_window_ms / 1e3)
+
+    def _runner(self, route: Route):
+        def run(x):
+            with self._lock:
+                return _run_chunked(route.fn, x, route.input_shape[0])
+        return run
+
+    def _execute(self, route: Route, x: np.ndarray):
+        """One device execution for this request's rows — direct (under
+        the lock) or through the route's micro-batcher."""
+        b = self._batchers.get(route.name)
+        if b is not None:
+            return b.submit(x)
+        with self._lock:
+            return _run_chunked(route.fn, x, route.input_shape[0])
 
     # ---------------------------------------------------------- codecs
 
@@ -223,11 +305,9 @@ class ModelServer:
         if route is None:
             raise KeyError(name)
         x = self._decode_body(route, body, content_type)
-        batch = route.input_shape[0]
         if route.kind == "classify":
             x = (x - route.mean) / route.std
-            with self._lock:
-                logits = _run_chunked(route.fn, x, batch)
+            logits = self._execute(route, x)
             from myconvnet_tpu.eval.evaluators import decode_predictions
             names = route.class_names or [
                 str(i) for i in range(logits.shape[-1])]
@@ -237,8 +317,7 @@ class ModelServer:
                 for row in rows]}
         if route.kind == "embed":
             x = (x - route.mean) / route.std
-            with self._lock:
-                emb = _run_chunked(route.fn, x, batch)
+            emb = self._execute(route, x)
             # the artifact's eval forward already unit-normalizes;
             # renormalize so truncated-precision exports stay exactly
             # cosine-comparable
@@ -250,8 +329,7 @@ class ModelServer:
         if route.kind == "track":
             # tracking artifacts decode the response peak on device:
             # raw [0, 1] [N, H, W, 6] blobs in, (offsets, scores) out
-            with self._lock:
-                offsets, scores = _run_chunked(route.fn, x, batch)
+            offsets, scores = self._execute(route, x)
             return {"tracks": [
                 {"dx": round(float(o[0]), 3),
                  "dy": round(float(o[1]), 3),
@@ -263,8 +341,7 @@ class ModelServer:
             import io
 
             from PIL import Image
-            with self._lock:
-                out = _run_chunked(route.fn, x, batch)
+            out = self._execute(route, x)
             imgs = []
             for y in np.asarray(out):
                 buf = io.BytesIO()
@@ -277,8 +354,7 @@ class ModelServer:
         if route.kind == "segment":
             # artifact normalizes internally — raw [0, 1] in;
             # (classes [N,H,W] s32, conf [N,H,W] f32) out
-            with self._lock:
-                classes, conf = _run_chunked(route.fn, x, batch)
+            classes, conf = self._execute(route, x)
             out = []
             for i in range(len(x)):
                 cls_i = np.asarray(classes[i])
@@ -291,9 +367,7 @@ class ModelServer:
                 })
             return {"segmentations": out}
         # detect: artifact normalizes internally — raw [0, 1] in
-        with self._lock:
-            boxes, scores, labels, valid = _run_chunked(route.fn, x,
-                                                        batch)
+        boxes, scores, labels, valid = self._execute(route, x)
         thr = route.threshold if threshold is None else threshold
         out = []
         for i in range(len(x)):

@@ -97,6 +97,12 @@ def main():
                          "--export on a task='tracking' config): pair "
                          "<name>_search.* / <name>_exemplar.* images "
                          "under --images, print (dx, dy) offsets")
+    ap.add_argument("--batch_window_ms", type=float, default=0.0,
+                    help="--serve: cross-request micro-batching — "
+                         "concurrent requests to one route arriving "
+                         "within this window run as ONE device call "
+                         "(trades up to the window of latency for "
+                         "batch efficiency; 0 = off)")
     ap.add_argument("--latency", action="store_true",
                     help="measure p50/p95/p99 + throughput instead")
     ap.add_argument("--sizes", default="1,8,32",
@@ -247,7 +253,8 @@ def run_server(args):
         raise SystemExit("--serve needs --route specs (or --artifact)")
     routes = [serving_http.parse_route_spec(
         s, topk=args.topk, threshold=args.det_threshold) for s in specs]
-    server = serving_http.ModelServer(routes)
+    server = serving_http.ModelServer(
+        routes, batch_window_ms=args.batch_window_ms)
     host, _, port = args.serve.rpartition(":")
     httpd = serving_http.make_http_server(server, host or "127.0.0.1",
                                           int(port))
