@@ -247,11 +247,9 @@ def export_diffusion(cfg, args):
     with classifier-free guidance per the config's guidance_scale;
     stochastic eta>0 sampling stays a generate.py in-process consumer
     (it needs a seed input)."""
-    import jax
     import numpy as np
-    from jax import export as jexport
 
-    from myconvnet_tpu import recipes
+    from myconvnet_tpu import recipes, serving
     from myconvnet_tpu.ckpt import checkpoint as ckpt_lib
     from myconvnet_tpu.recipes.diffusion import _diffusion_model
     from myconvnet_tpu.train import diffusion as diff_lib
@@ -260,10 +258,19 @@ def export_diffusion(cfg, args):
         raise SystemExit(
             "diffusion --export supports eta=0 (DDIM) only — "
             "stochastic sampling needs a seed input; use generate.py")
+    if args.int8:
+        raise SystemExit(
+            "diffusion --export does not support --int8: the reverse "
+            "scan re-enters the UNet hundreds of times and int8 "
+            "requantization error compounds per step — export f32 "
+            "and serve bf16, or quantize a single-step distillation")
     state, _step, _it, _ = recipes.build_diffusion(cfg, synthetic=True)
     restored = ckpt_lib.restore_checkpoint(args.ckpt, state._asdict())
     state = type(state)(**restored)
-    params = (state.ema_params if cfg.get("sample_ema", True)
+    # --ema forces the Polyak weights; the config's sample_ema governs
+    # otherwise (True by default — the paper's sampling convention)
+    params = (state.ema_params
+              if (args.ema or cfg.get("sample_ema", True))
               else state.params)
     mstate = state.model_state
     size = int(cfg.get("image_size", 32))
@@ -280,14 +287,11 @@ def export_diffusion(cfg, args):
     def fn(z):
         return chain(params, mstate, z)
 
-    exported = jexport.export(jax.jit(fn))(
-        jax.ShapeDtypeStruct((nb, size, size, 3), np.float32))
-    blob = exported.serialize()
-    with open(args.export, "wb") as f:
-        f.write(blob)
+    n = serving.export_fn(fn, np.zeros((nb, size, size, 3), np.float32),
+                          args.export)
     steps = cfg.get("sample_steps") or cfg.get("diffusion_steps", 1000)
     print(f"exported diffusion sampler artifact: {args.export} "
-          f"({len(blob) / 1e6:.1f} MB, latents ({nb}, {size}, {size}, "
+          f"({n / 1e6:.1f} MB, latents ({nb}, {size}, {size}, "
           f"3), {steps} DDIM steps in-program)")
 
 
@@ -348,11 +352,44 @@ def export_audio(cfg, args, net, val_set):
           f"{', int8 calibrated' if args.int8 else ''})")
 
 
-def export_depth(cfg, args, net, val_set=None):
+def _dense_chain(net, args, val_set, take):
+    """Shared depth/flow chain builder: the net's eval forward with
+    optional int8 quantization (static scales calibrated on a val
+    batch in the [0,1] wire format), post-processed by ``take``."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    model, params, mstate = (net._transformed, net.state.params,
+                             net.state.model_state)
+    scales = None
+    if args.int8:
+        from myconvnet_tpu.core.quantize import calibration_scope
+        xb = val_set.source.get_batch(
+            np.arange(min(4, len(val_set.source))))[0]
+        scales = {}
+        with calibration_scope(scales):
+            model.apply(params, mstate, None,
+                        jnp.asarray(xb, jnp.float32) / 255.0, False)
+
+    def fn(x):
+        if scales is not None:
+            from myconvnet_tpu.core.quantize import int8_scope
+            with int8_scope(scales=scales):
+                out, _ = model.apply(params, mstate, None, x, False)
+        else:
+            out, _ = model.apply(params, mstate, None, x, False)
+        return take(out)
+
+    return fn
+
+
+def export_depth(cfg, args, net, val_set):
     """--export for monocular-depth checkpoints: raw [0,1] RGB frames
     ``[N, H, W, 3]`` in, metric depth ``[N, H, W]`` f32 (meters,
     clamped to the recipe's min/max) out; serve.py --depth writes
-    normalized grayscale PNGs."""
+    normalized grayscale PNGs.  ``--int8`` bakes calibrated static
+    scales like the other families."""
+    import jax.numpy as jnp
     import numpy as np
 
     from myconvnet_tpu import serving
@@ -360,22 +397,20 @@ def export_depth(cfg, args, net, val_set=None):
 
     hw = tuple(cfg.get("input_hw", depth_mod.DEFAULT_HW))
     sample = np.zeros((cfg.get("export_batch", 4), *hw, 3), np.float32)
-    model, params, mstate = (net._transformed, net.state.params,
-                             net.state.model_state)
-
-    def fn(x):
-        d, _ = model.apply(params, mstate, None, x, False)
-        return d[..., 0].astype(np.float32)
-
+    fn = _dense_chain(net, args, val_set,
+                      lambda d: d[..., 0].astype(jnp.float32))
     size = serving.export_fn(fn, sample, args.export)
     print(f"exported depth artifact: {args.export} "
-          f"({size / 1e6:.1f} MB, input {sample.shape}, meters out)")
+          f"({size / 1e6:.1f} MB, input {sample.shape}, meters out"
+          f"{', int8 calibrated' if args.int8 else ''})")
 
 
-def export_flow(cfg, args, net, val_set=None):
+def export_flow(cfg, args, net, val_set):
     """--export for optical-flow checkpoints: raw [0,1] frame pairs
     ``[N, H, W, 6]`` (frame1 ++ frame2) in, flow ``[N, H, W, 2]`` f32
-    pixels out; serve.py --flow writes color-wheel PNGs."""
+    pixels out; serve.py --flow writes color-wheel PNGs.  ``--int8``
+    bakes calibrated static scales."""
+    import jax.numpy as jnp
     import numpy as np
 
     from myconvnet_tpu import serving
@@ -383,16 +418,12 @@ def export_flow(cfg, args, net, val_set=None):
 
     hw = tuple(cfg.get("input_hw", flow_mod.DEFAULT_HW))
     sample = np.zeros((cfg.get("export_batch", 4), *hw, 6), np.float32)
-    model, params, mstate = (net._transformed, net.state.params,
-                             net.state.model_state)
-
-    def fn(x):
-        f, _ = model.apply(params, mstate, None, x, False)
-        return f.astype(np.float32)
-
+    fn = _dense_chain(net, args, val_set,
+                      lambda f: f.astype(jnp.float32))
     size = serving.export_fn(fn, sample, args.export)
     print(f"exported flow artifact: {args.export} "
-          f"({size / 1e6:.1f} MB, input {sample.shape}, px flow out)")
+          f"({size / 1e6:.1f} MB, input {sample.shape}, px flow out"
+          f"{', int8 calibrated' if args.int8 else ''})")
 
 
 # ConvNet-family exporters keyed by task (the GAN/style families

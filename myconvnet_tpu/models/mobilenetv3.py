@@ -119,8 +119,11 @@ def _mobilenet_v3(x, num_classes, blocks, last_conv, head_dim, *,
         x = hard_swish(x)
     x = nn.gap(x)
     # the 1280/1024 "expansion fc" sits AFTER pooling (paper fig. 5:
-    # no BN at 1x1 resolution), biased, hard-swish
-    x = hard_swish(nn.dense(x, head_dim, name="pre_logits"))
+    # no BN at 1x1 resolution), biased, hard-swish; it scales with the
+    # width multiplier like torchvision's last_channel
+    x = hard_swish(nn.dense(x, _round_filters(head_dim,
+                                              width_multiplier),
+                            name="pre_logits"))
     x = nn.dropout(x, dropout_rate, train=train)
     return nn.dense(x, num_classes, name="logits")
 

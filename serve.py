@@ -366,6 +366,8 @@ def run_segment(fn, art_shape, args):
         if cfg.get("dataset") == "voc":
             from myconvnet_tpu.subsets.voc import SEG_CLASS_NAMES
             names = SEG_CLASS_NAMES
+    if not args.images:
+        raise SystemExit("--segment needs --images DIR")
     out_dir = args.out or args.images
     os.makedirs(out_dir, exist_ok=True)
     batch, h, w = art_shape[0], art_shape[1], art_shape[2]
@@ -401,6 +403,8 @@ def run_depth(fn, art_shape, args):
 
     from myconvnet_tpu.utils.images import save_png
 
+    if not args.images:
+        raise SystemExit("--depth needs --images DIR")
     out_dir = args.out or args.images
     os.makedirs(out_dir, exist_ok=True)
     batch, h, w = art_shape[0], art_shape[1], art_shape[2]
@@ -467,13 +471,15 @@ def run_flow(fn, art_shape, args):
 
 
 def run_wav(fn, art_shape, args):
-    """Serve an audio artifact: stdlib-wave decode of int16 mono .wav
-    files, pad/trim to the artifact's sample count, /32768 normalize,
-    print top-k classes."""
+    """Serve an audio artifact via the TRAINING-path wav loader
+    (subsets.audio.load_wav: 16-bit check, mixdown, pad/center-crop,
+    and the sample-rate guard — a mis-rated corpus must fail loudly,
+    not classify time-dilated audio); /32768 normalize, print top-k."""
     import os
-    import wave
 
     import numpy as np
+
+    from myconvnet_tpu.subsets.audio import load_wav
 
     paths = sorted(
         os.path.join(args.wav, f) for f in os.listdir(args.wav)
@@ -482,25 +488,16 @@ def run_wav(fn, art_shape, args):
         raise SystemExit(f"no .wav files under {args.wav!r}")
     batch, t = art_shape[0], art_shape[1]
     names = None
+    rate = None
     if args.config:
         from myconvnet_tpu import recipes
         cfg = recipes.load_config(args.config)
         names = cfg.get("class_names")
+        rate = cfg.get("sample_rate")
 
     def load(p):
-        with wave.open(p, "rb") as w:
-            if w.getsampwidth() != 2:
-                raise SystemExit(f"{p}: want 16-bit PCM, got "
-                                 f"{8 * w.getsampwidth()}-bit")
-            data = np.frombuffer(w.readframes(w.getnframes()),
-                                 np.int16)
-            if w.getnchannels() > 1:
-                data = data.reshape(-1, w.getnchannels()).mean(
-                    axis=1).astype(np.int16)
-        clip = np.zeros((t,), np.float32)
-        n = min(len(data), t)
-        clip[:n] = data[:n].astype(np.float32) / 32768.0
-        return clip[:, None]
+        clip = load_wav(p, t, sample_rate=rate)
+        return clip.astype(np.float32)[:, None] / 32768.0
 
     from myconvnet_tpu.eval.evaluators import decode_predictions
     for start in range(0, len(paths), batch):
@@ -528,6 +525,8 @@ def run_translate(fn, art_shape, args):
     import numpy as np
     from PIL import Image
 
+    if not args.images:
+        raise SystemExit("--translate needs --images DIR")
     out_dir = args.out or args.images
     os.makedirs(out_dir, exist_ok=True)
     batch, h, w = art_shape[0], art_shape[1], art_shape[2]
