@@ -10,7 +10,14 @@
         [--sizes 1,8,32] [--hw 224,224]  # SLO numbers
     python serve.py --serve 127.0.0.1:8080 \
         --route cls=classify:resnet.stablehlo:configs/r50.py \
-        --route det=detect:ssd.stablehlo   # multi-artifact HTTP server
+        --route det=detect:ssd.stablehlo \
+        [--batch_window_ms 5]              # multi-artifact HTTP server
+    python serve.py --artifact seg.stablehlo --segment --images d/
+    python serve.py --artifact sr.stablehlo --translate --images d/
+    python serve.py --artifact ddim.stablehlo --sample 64
+    python serve.py --artifact depth.stablehlo --depth --images d/
+    python serve.py --artifact flow.stablehlo --flow --images d/
+    python serve.py --artifact audio.stablehlo --wav clips/
 
 The artifact reloads WITHOUT model code or weights (serving.py); the
 bucketing wrapper serves arbitrary request sizes on fixed compiled
