@@ -195,7 +195,7 @@ def _stage_io_shapes(stage_aps, metas, mb_shape, dtype):
 
 def pipeline_hetero(mesh, stage_aps, flat_params, metas, x, *,
                     microbatches: int, axis_name: str = PIPELINE_AXIS,
-                    buf_dtype=None):
+                    buf_dtype=None, data_axis: str | None = None):
     """Run x through S heterogeneous stages pipelined over a mesh axis.
 
     stage_aps: list of S pure fns ``(params_tree, x) -> y``.
@@ -204,7 +204,17 @@ def pipeline_hetero(mesh, stage_aps, flat_params, metas, x, *,
     buf_dtype: dtype activations travel in between stages (default:
     x.dtype; bf16 halves ICI bytes).
 
-    Returns the last stage's outputs [B, ...], replicated.
+    ``data_axis``: a SECOND mesh axis for 2-D pipeline x data
+    parallelism — each data shard runs its own copy of the pipeline on
+    its slice of every microbatch (activations travel per-example, so
+    the microbatch dimension shards cleanly); stage params replicate
+    over the data axis, and the caller's loss/grad over the returned
+    data-sharded outputs makes GSPMD insert the gradient all-reduce,
+    exactly like plain DP.  Requires (B / microbatches) divisible by
+    the data-axis size.
+
+    Returns the last stage's outputs [B, ...] (replicated over the
+    pipeline axis; sharded over ``data_axis`` when given).
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -214,18 +224,25 @@ def pipeline_hetero(mesh, stage_aps, flat_params, metas, x, *,
     b = x.shape[0]
     assert b % microbatches == 0, (b, microbatches)
     mb = b // microbatches
+    if data_axis is not None:
+        dp = mesh.shape[data_axis]
+        assert mb % dp == 0, (
+            f"microbatch size {mb} not divisible by data axis "
+            f"{data_axis}={dp}")
     bdt = buf_dtype or x.dtype
 
-    avals = _stage_io_shapes(stage_aps, metas, (mb, *x.shape[1:]), x.dtype)
-    sizes = [int(np.prod(a.shape)) for a in avals]
-    maxb = max(sizes)
+    avals = _stage_io_shapes(stage_aps, metas, (mb, *x.shape[1:]),
+                             x.dtype)
+    # per-EXAMPLE flattened feature widths: activations travel as
+    # [mb, maxf] buffers so the microbatch axis can shard over data
+    feats = [int(np.prod(a.shape[1:])) for a in avals]
+    maxf = max(feats)
     out_aval = avals[-1]
 
-    xm = x.reshape(microbatches, mb, *x.shape[1:])
-    stream = jnp.zeros((microbatches, maxb), bdt)
-    stream = stream.at[:, :sizes[0]].set(
-        xm.reshape(microbatches, -1).astype(bdt))
-    pad = jnp.zeros((n_stages - 1, maxb), bdt)
+    xm = x.reshape(microbatches, mb, -1).astype(bdt)
+    stream = jnp.zeros((microbatches, mb, maxf), bdt)
+    stream = stream.at[:, :, :feats[0]].set(xm)
+    pad = jnp.zeros((n_stages - 1, mb, maxf), bdt)
     stream = jnp.concatenate([stream, pad], axis=0)
 
     shift_perm = [(i, i + 1) for i in range(n_stages - 1)]
@@ -235,14 +252,15 @@ def pipeline_hetero(mesh, stage_aps, flat_params, metas, x, *,
         p_local = flat_params[0]                      # [maxP], my stage
 
         def make_branch(i):
-            def run(buf):
-                xi = (buf[:sizes[i]].reshape(avals[i].shape)
+            def run(buf):                             # [mb_local, maxf]
+                xi = (buf[:, :feats[i]]
+                      .reshape(-1, *avals[i].shape[1:])
                       .astype(avals[i].dtype))
                 pi = _unflatten_params(p_local, metas[i])
                 yi = stage_aps[i](pi, xi)
-                out = jnp.zeros((maxb,), bdt)
-                return out.at[:sizes[i + 1]].set(
-                    jnp.ravel(yi).astype(bdt))
+                out = jnp.zeros(buf.shape, bdt)
+                return out.at[:, :feats[i + 1]].set(
+                    yi.reshape(yi.shape[0], -1).astype(bdt))
             return run
 
         branches = [make_branch(i) for i in range(n_stages)]
@@ -255,15 +273,18 @@ def pipeline_hetero(mesh, stage_aps, flat_params, metas, x, *,
                              jnp.zeros_like(out))
             return nxt, emit
 
-        _, emitted = lax.scan(tick, jnp.zeros((maxb,), bdt), stream)
-        outs = emitted[n_stages - 1:]                # [M, maxb]
+        _, emitted = lax.scan(tick, jnp.zeros_like(stream[0]), stream)
+        outs = emitted[n_stages - 1:]                # [M, mb_local, maxf]
         return lax.psum(outs, axis_name)
 
+    stream_spec = (P(None, data_axis, None) if data_axis is not None
+                   else P())
     f = shard_map(body, mesh=mesh,
-                  in_specs=(P(axis_name), P()), out_specs=P(),
+                  in_specs=(P(axis_name), stream_spec),
+                  out_specs=stream_spec,
                   check_vma=False)
-    outs = f(flat_params, stream)                    # [M, maxb]
-    y = outs[:, :sizes[-1]].astype(out_aval.dtype)
+    outs = f(flat_params, stream)                    # [M, mb, maxf]
+    y = outs[:, :, :feats[-1]].astype(out_aval.dtype)
     return y.reshape(microbatches * mb, *out_aval.shape[1:])
 
 
@@ -271,14 +292,22 @@ def make_pipelined_train_step(mesh, stage_aps, metas, loss_fn, optimizer,
                               *, microbatches: int,
                               axis_name: str = PIPELINE_AXIS,
                               buf_dtype=None, preprocess=None,
-                              seed: int = 0):
+                              seed: int = 0,
+                              data_axis: str | None = None):
     """jitted (flat_params, opt_state, x, y, step) -> (new_flat_params,
     new_opt_state, loss): the full pipelined fwd+bwd+update as ONE XLA
     program.  ``optimizer`` must be elementwise (SGD/momentum/Adam...)
     — it updates the stacked [S, maxP] buffer; padding lanes see zero
     gradients and stay zero.  ``preprocess``: optional ``(key, raw) ->
     x`` run inside the program before the pipeline (on-device
-    augmentation), keyed from ``seed`` and the step counter."""
+    augmentation), keyed from ``seed`` and the step counter.
+
+    ``data_axis``: 2-D pipeline x data parallelism — the batch (and
+    loss) shard over this second mesh axis while the stage params ride
+    the pipeline axis; GSPMD inserts the data-axis gradient all-reduce
+    (stage params are replicated over data, so their grads reduce),
+    making the update bitwise the same math as 1-D pipeline at equal
+    global batch."""
 
     def step_fn(flat_params, opt_state, x, y, step):
         if preprocess is not None:
@@ -289,7 +318,7 @@ def make_pipelined_train_step(mesh, stage_aps, metas, loss_fn, optimizer,
             logits = pipeline_hetero(
                 mesh, stage_aps, fp, metas, x,
                 microbatches=microbatches, axis_name=axis_name,
-                buf_dtype=buf_dtype)
+                buf_dtype=buf_dtype, data_axis=data_axis)
             return loss_fn(logits.astype(jnp.float32), y)
 
         loss, grads = jax.value_and_grad(loss_of)(flat_params)
@@ -299,6 +328,8 @@ def make_pipelined_train_step(mesh, stage_aps, metas, loss_fn, optimizer,
 
     from jax.sharding import NamedSharding, PartitionSpec as P
     pspec = NamedSharding(mesh, P(axis_name))
+    dspec = (NamedSharding(mesh, P(data_axis))
+             if data_axis is not None else None)
     return jax.jit(step_fn,
-                   in_shardings=(pspec, None, None, None, None),
+                   in_shardings=(pspec, None, dspec, dspec, None),
                    out_shardings=(pspec, None, None))

@@ -76,11 +76,21 @@ def run_pipelined(cfg, args, out, *, synthetic: bool) -> float:
             "does not carry — they would silently no-op/misapply; "
             "remove them from the pipeline recipe")
     devices = jax.devices()
-    if len(devices) < n_stages:
+    # pipeline=dict(..., data_parallel=D): 2-D pipeline x data mesh —
+    # the batch shards over D replicas of the S-stage pipeline
+    n_data = int(pp.get("data_parallel", 1))
+    if len(devices) < n_stages * n_data:
         raise SystemExit(
-            f"pipeline needs {n_stages} devices, have {len(devices)} "
+            f"pipeline needs {n_stages * n_data} devices "
+            f"({n_stages} stages x {n_data} data), have {len(devices)} "
             "(test with XLA_FLAGS=--xla_force_host_platform_device_count=N)")
-    mesh = Mesh(np.array(devices[:n_stages]), ("model",))
+    if n_data > 1:
+        mesh = Mesh(np.array(devices[:n_stages * n_data]).reshape(
+            n_data, n_stages), ("data", "model"))
+        data_axis = "data"
+    else:
+        mesh = Mesh(np.array(devices[:n_stages]), ("model",))
+        data_axis = None
 
     from myconvnet_tpu.data.augment import AugmentConfig
     stage_aps, stage_inits = _stages_for(cfg)
@@ -119,9 +129,13 @@ def run_pipelined(cfg, args, out, *, synthetic: bool) -> float:
     loss_fn = lambda lg, y: softmax_cross_entropy(  # noqa: E731
         lg, y, label_smoothing=cfg.get("label_smoothing", 0.0))
 
+    if data_axis is not None and (batch // microbatches) % n_data:
+        raise SystemExit(
+            f"microbatch size {batch // microbatches} must divide by "
+            f"data_parallel={n_data}")
     jit_step = make_pipelined_train_step(
         mesh, stage_aps, metas, loss_fn, opt,
-        microbatches=microbatches,
+        microbatches=microbatches, data_axis=data_axis,
         preprocess=lambda k, raw: augment_train(k, raw, acfg)
         .astype(jnp.float32),
         seed=cfg.get("seed", 0) + 1)
@@ -132,7 +146,8 @@ def run_pipelined(cfg, args, out, *, synthetic: bool) -> float:
     def eval_logits(flat_p, raw):
         x = augment_eval(raw, acfg).astype(jnp.float32)
         return pipeline_hetero(mesh, stage_aps, flat_p, metas, x,
-                               microbatches=microbatches)
+                               microbatches=microbatches,
+                               data_axis=data_axis)
 
     jit_eval = jax.jit(eval_logits, in_shardings=(pspec, None))
 

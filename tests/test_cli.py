@@ -833,3 +833,26 @@ def test_depth_flow_export_cli(tmp_path):
     assert r3.returncode == 0, r3.stderr[-2000:]
     assert "scene: mean |flow|" in r3.stdout
     assert (tmp_path / "f" / "scene_flow.png").exists()
+
+
+@pytest.mark.slow
+def test_pipeline_2d_cli(tmp_path):
+    """2-D pipeline x data parallelism through train.py: the GPipe
+    driver on a ('data', 'model') mesh (pipeline.data_parallel=2) —
+    trains, checkpoints, and reports pipelined validation accuracy."""
+    cfg_path = tmp_path / "pp2d.py"
+    cfg_path.write_text(
+        "config = dict(task='classification', dataset='cifar10',\n"
+        "  model='vgg11', num_classes=10, input_hw=(32, 32),\n"
+        "  batch_size=16, total_steps=4, log_every=2,\n"
+        "  pipeline=dict(stages=2, microbatches=2, data_parallel=2),\n"
+        "  augment=dict(out_hw=(32, 32), area_range=None, pad=4,\n"
+        "               flip=True, mean=(0.5, 0.5, 0.5),\n"
+        "               std=(0.25, 0.25, 0.25)),\n"
+        "  optimizer=dict(name='momentum', lr=0.01), seed=0)\n")
+    out = str(tmp_path / "run")
+    r = _run(["train.py", "--config", str(cfg_path), "--synthetic",
+              "--platform", "cpu", "--out", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "final val accuracy (pipelined, 2 stages)" in r.stdout
+    assert os.path.exists(os.path.join(out, "pipeline_ckpt.npz"))

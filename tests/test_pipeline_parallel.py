@@ -182,3 +182,75 @@ def test_hetero_pipeline_train_step_matches_unpipelined():
     # parameters agree after 3 pipelined steps
     np.testing.assert_allclose(np.asarray(fp_a), np.asarray(fp_b),
                                rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_hetero_pipeline_2d_data_axis_matches_unpipelined():
+    """2-D pipeline x data parallelism (round 4): the same staged
+    VGG trains on a ('data', 'pipe') mesh — batch sharded over data,
+    stages over pipe — with the SAME loss trajectory and final params
+    as plain sequential training at equal global batch."""
+    from jax.sharding import Mesh
+
+    from myconvnet_tpu.parallel.pipeline import (_unflatten_params,
+                                                 make_pipelined_train_step)
+    from myconvnet_tpu.train import optim
+    from myconvnet_tpu.train.losses import softmax_cross_entropy
+
+    n_pipe, n_data = 2, 2
+    mesh2 = Mesh(np.array(jax.devices()[:n_pipe * n_data]).reshape(
+        n_data, n_pipe), ("data", "pipe"))
+    stage_aps, params, flat, metas, x = _vgg_setup(n_pipe)
+    y = jax.random.randint(jax.random.key(2), (x.shape[0],), 0, 7)
+
+    opt = optim.momentum(0.05, 0.9)
+    step = make_pipelined_train_step(
+        mesh2, stage_aps, metas, softmax_cross_entropy, opt,
+        microbatches=2, axis_name="pipe", data_axis="data")
+
+    def ref_loss(fp):
+        h = x
+        for i, ap in enumerate(stage_aps):
+            h = ap(_unflatten_params(fp[i], metas[i]), h)
+        return softmax_cross_entropy(h.astype(jnp.float32), y)
+
+    @jax.jit
+    def ref_step(fp, opt_state, i):
+        loss, g = jax.value_and_grad(ref_loss)(fp)
+        new_p, new_o = opt.update(g, opt_state, fp, i)
+        return new_p, new_o, loss
+
+    fp_a, fp_b = flat, flat
+    os_a, os_b = opt.init(fp_a), opt.init(fp_b)
+    for i in range(3):
+        fp_a, os_a, loss_a = step(fp_a, os_a, x, y,
+                                  jnp.asarray(i, jnp.int32))
+        fp_b, os_b, loss_b = ref_step(fp_b, os_b,
+                                      jnp.asarray(i, jnp.int32))
+        np.testing.assert_allclose(float(loss_a), float(loss_b),
+                                   rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fp_a), np.asarray(fp_b),
+                               rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_hetero_pipeline_2d_forward_matches_1d():
+    """pipeline_hetero with a data axis returns exactly the 1-D
+    pipeline's outputs (per-example buffers shard without changing
+    the math)."""
+    from jax.sharding import Mesh
+
+    from myconvnet_tpu.parallel.pipeline import pipeline_hetero
+
+    n_pipe, n_data = 2, 4
+    stage_aps, params, flat, metas, x = _vgg_setup(n_pipe)
+    mesh1 = Mesh(np.array(jax.devices()[:n_pipe]), ("pipe",))
+    mesh2 = Mesh(np.array(jax.devices()[:n_pipe * n_data]).reshape(
+        n_data, n_pipe), ("data", "pipe"))
+    out1 = pipeline_hetero(mesh1, stage_aps, flat, metas, x,
+                           microbatches=2, axis_name="pipe")
+    out2 = pipeline_hetero(mesh2, stage_aps, flat, metas, x,
+                           microbatches=2, axis_name="pipe",
+                           data_axis="data")
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out1),
+                               rtol=1e-5, atol=1e-6)
