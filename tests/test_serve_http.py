@@ -371,3 +371,41 @@ def test_micro_batching_single_request_passthrough(tmp_path):
         (2, 24, 24, 3)).astype(np.float32).tolist()}).encode()
     assert batched.predict("cls", body, "application/json") == \
         plain.predict("cls", body, "application/json")
+
+
+def test_segment_and_translate_over_live_http(tmp_path):
+    """Full-stack HTTP roundtrip for the round-4 kinds: a ModelServer
+    with segment + translate routes behind a real ThreadingHTTPServer,
+    JSON instances in, RLE masks / base64 PNGs out."""
+    import threading
+    import urllib.request
+
+    routes = [
+        serving_http.build_route("seg", "segment",
+                                 _segmenter_artifact(tmp_path)),
+        serving_http.build_route("sty", "translate",
+                                 _style_artifact(tmp_path)),
+    ]
+    server = serving_http.ModelServer(routes, batch_window_ms=20)
+    httpd = serving_http.make_http_server(server)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = httpd.server_address
+        base = f"http://{host}:{port}"
+        models = json.loads(urllib.request.urlopen(
+            f"{base}/v1/models", timeout=30).read())["models"]
+        assert {m["kind"] for m in models} == {"segment", "translate"}
+        rng = np.random.default_rng(0)
+        x = rng.random((1, 32, 32, 3)).astype(np.float32)
+        body = json.dumps({"instances": x.tolist()}).encode()
+        for name, key in (("seg", "segmentations"), ("sty", "images")):
+            req = urllib.request.Request(
+                f"{base}/v1/models/{name}:predict", data=body,
+                headers={"Content-Type": "application/json"})
+            out = json.loads(urllib.request.urlopen(
+                req, timeout=60).read())
+            assert len(out[key]) == 1
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
