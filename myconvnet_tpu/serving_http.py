@@ -30,6 +30,20 @@ conventions (health, model list, ``:predict``):
                      artifacts — style/SR/pix2pix/cyclegan from
                      test.py --export; raw [0, 1] in, [0, 1] out,
                      returned as base64-encoded PNGs)
+         text     -> {"texts": [{"text", "conf"}, ...]}  (OCR
+                     artifacts — raw [0, 1] grayscale line images in;
+                     CTC collapse against the recipe charset runs
+                     host-side per request)
+         depth    -> {"depths": [{"size", "min", "max", "mean",
+                     "png"}, ...]}  (metric depth + min/max-normalized
+                     grayscale PNG, near = bright)
+         flow     -> {"flows": [{"size", "mean_mag", "max_mag",
+                     "png"}, ...]}  (JSON [H, W, 6] frame-pair
+                     instances in; Middlebury color-wheel PNG out)
+         audio    -> {"predictions": ...}  (waveform classifiers —
+                     POST a 16-bit PCM WAV (Content-Type audio/*) or
+                     JSON [T]/[T, 1] float instances in [-1, 1];
+                     response shaped like classify)
 
 No web framework — ``http.server.ThreadingHTTPServer`` plus one
 dispatch lock: request decode/encode runs on handler threads, the
@@ -58,15 +72,18 @@ class Route:
     """One served artifact: the loaded program plus its request codec."""
 
     name: str
-    # "classify" | "detect" | "embed" | "track" | "segment" | "translate"
+    # "classify" | "detect" | "embed" | "track" | "segment" |
+    # "translate" | "text" | "depth" | "flow" | "audio"
     kind: str
     fn: Callable                   # load_inference product (fixed shapes)
-    input_shape: tuple             # (B, H, W, C)
+    input_shape: tuple             # (B, H, W, C); audio: (B, T, 1)
     mean: np.ndarray = None        # classify: normalization applied here
     std: np.ndarray = None         # (detect artifacts normalize inside)
     class_names: Optional[Sequence[str]] = None
     topk: int = 5
     threshold: float = 0.5         # detect: default score floor
+    charset: Optional[str] = None  # text: 1-based symbol table
+    sample_rate: Optional[int] = None  # audio: wav-rate guard
 
     def describe(self) -> dict:
         return {"name": self.name, "kind": self.kind,
@@ -85,30 +102,40 @@ def build_route(name: str, kind: str, artifact: str,
     from myconvnet_tpu import serving
 
     if kind not in ("classify", "detect", "embed", "track", "segment",
-                    "translate"):
+                    "translate", "text", "depth", "flow", "audio"):
         raise ValueError(f"route {name!r}: unknown kind {kind!r}")
     fn = serving.load_inference(artifact)
     shape = fn.input_shapes[0]
-    if len(shape) != 4:
-        # fail at startup, not with a 500 on the first request: every
-        # HTTP kind decodes [N, H, W, C] bodies (latent-input dcgan
-        # artifacts are a serve.py --sample consumer, not a route)
+    want_rank = 3 if kind == "audio" else 4
+    if len(shape) != want_rank:
+        # fail at startup, not with a 500 on the first request: the
+        # image kinds decode [N, H, W, C] bodies, audio [N, T, 1]
+        # waveforms (latent-input dcgan artifacts are a serve.py
+        # --sample consumer, not a route; 5-D video artifacts are a
+        # batch/offline consumer — docs/ROADMAP.md)
         raise ValueError(
             f"route {name!r}: artifact input {tuple(shape)} is not "
-            f"[N, H, W, C] — {kind!r} routes serve image-input "
-            "artifacts only")
+            f"rank-{want_rank} — {kind!r} routes serve "
+            f"{'[N, T, 1] waveform' if kind == 'audio' else '[N, H, W, C] image'}"
+            " artifacts only")
     mean = std = None
     names = None
+    charset = sample_rate = None
+    cfg = None
     if config:
         from myconvnet_tpu import recipes
         cfg = recipes.load_config(config)
         names = _dataset_class_names(cfg, kind)
+    if kind == "text":
+        from myconvnet_tpu.subsets.ocr import DEFAULT_CHARSET
+        charset = (cfg or {}).get("charset", DEFAULT_CHARSET)
+    if kind == "audio" and cfg:
+        sample_rate = cfg.get("sample_rate")
     if kind in ("classify", "embed"):
         from myconvnet_tpu.data.augment import AugmentConfig
         acfg = AugmentConfig()
-        if config:
+        if cfg:
             from myconvnet_tpu import recipes
-            cfg = recipes.load_config(config)
             acfg = recipes.make_augment(cfg.get("augment")) or acfg
         nch = shape[3] if len(shape) > 3 else 3
         mean = np.asarray(acfg.mean, np.float32)
@@ -118,7 +145,8 @@ def build_route(name: str, kind: str, artifact: str,
             std = np.full((nch,), float(std.mean()), np.float32)
     return Route(name=name, kind=kind, fn=fn, input_shape=shape,
                  mean=mean, std=std, class_names=names, topk=topk,
-                 threshold=threshold)
+                 threshold=threshold, charset=charset,
+                 sample_rate=sample_rate)
 
 
 def _dataset_class_names(cfg: dict, kind: str = "classify"):
@@ -271,13 +299,16 @@ class ModelServer:
 
     def _decode_body(self, route: Route, body: bytes,
                      content_type: str) -> np.ndarray:
+        if route.kind == "audio":
+            return self._decode_audio(route, body, content_type)
         h, w = route.input_shape[1], route.input_shape[2]
         nch = route.input_shape[3] if len(route.input_shape) > 3 else 3
         if content_type.startswith("image/"):
-            if route.kind == "track":
+            if route.kind in ("track", "flow"):
                 raise ValueError(
-                    "track routes take JSON instances of [H, W, 6] "
-                    "search+exemplar blobs, not a single image")
+                    f"{route.kind} routes take JSON instances of "
+                    f"[H, W, {nch}] blobs (two stacked frames), not a "
+                    "single image")
             import io
 
             from PIL import Image
@@ -296,6 +327,32 @@ class ModelServer:
         if x.ndim != 4 or x.shape[1:] != want:
             raise ValueError(
                 f"instances shape {x.shape} != [N, {h}, {w}, {nch}]")
+        return x
+
+    def _decode_audio(self, route: Route, body: bytes,
+                      content_type: str) -> np.ndarray:
+        """Audio bodies: a 16-bit PCM WAV file (Content-Type audio/*),
+        or JSON instances of [T] / [T, 1] float waveforms in [-1, 1].
+        WAVs pad/center-crop to the artifact's sample count through the
+        TRAINING-path loader (rate guard included when the route has a
+        config)."""
+        t = route.input_shape[1]
+        if content_type.startswith(("audio/", "application/octet")):
+            import io
+
+            from myconvnet_tpu.subsets.audio import load_wav
+            clip = load_wav(io.BytesIO(body), t,
+                            sample_rate=route.sample_rate)
+            return (clip.astype(np.float32) / 32768.0)[None, :, None]
+        payload = json.loads(body.decode("utf-8"))
+        x = np.asarray(payload["instances"], np.float32)
+        if x.ndim == 1:
+            x = x[None]
+        if x.ndim == 2:
+            x = x[..., None]
+        if x.ndim != 3 or x.shape[1:] != (t, 1):
+            raise ValueError(
+                f"instances shape {x.shape} != [N, {t}, 1]")
         return x
 
     def predict(self, name: str, body: bytes,
@@ -366,6 +423,77 @@ class ModelServer:
                     "mean_conf": round(float(np.mean(conf[i])), 4),
                 })
             return {"segmentations": out}
+        if route.kind == "audio":
+            # waveform classifier: [-1, 1] floats in, logits out —
+            # same response shape as classify
+            logits = self._execute(route, x)
+            from myconvnet_tpu.eval.evaluators import decode_predictions
+            names = route.class_names or [
+                str(i) for i in range(logits.shape[-1])]
+            rows = decode_predictions(logits, names, route.topk)
+            return {"predictions": [
+                [{"label": n, "prob": round(float(p), 6)} for n, p in row]
+                for row in rows]}
+        if route.kind == "text":
+            # OCR artifact: raw [0, 1] line images in, (per-frame
+            # argmax ids, conf) out; collapse repeats+blanks against
+            # the route's charset host-side (serving.export_ocr)
+            from myconvnet_tpu.ops.ctc import collapse
+            from myconvnet_tpu.subsets.ocr import decode_ids
+            ids, conf = self._execute(route, x)
+            out = []
+            for i in range(len(x)):
+                sym = collapse(np.asarray(ids[i]))
+                out.append({"text": decode_ids(sym, route.charset),
+                            "conf": round(float(conf[i]), 6)})
+            return {"texts": out}
+        if route.kind == "depth":
+            # depth artifact: raw [0, 1] frames in, metric depth
+            # [N, H, W] f32 out; PNG = per-image min/max-normalized
+            # grayscale (near = bright), min/max let clients rescale
+            import base64
+            import io
+
+            from PIL import Image
+            d = np.asarray(self._execute(route, x), np.float32)
+            out = []
+            for i in range(len(x)):
+                di = d[i]
+                lo, hi = float(di.min()), float(di.max())
+                vis = 1.0 - (di - lo) / max(hi - lo, 1e-6)
+                buf = io.BytesIO()
+                Image.fromarray((vis * 255).astype(np.uint8)).save(
+                    buf, "PNG")
+                out.append({
+                    "size": list(di.shape),
+                    "min": round(lo, 4), "max": round(hi, 4),
+                    "mean": round(float(di.mean()), 4),
+                    "png": base64.b64encode(
+                        buf.getvalue()).decode("ascii")})
+            return {"depths": out}
+        if route.kind == "flow":
+            # flow artifact: raw [0, 1] [H, W, 6] frame pairs in
+            # (JSON instances), [N, H, W, 2] pixel flow out; PNG =
+            # Middlebury color wheel
+            import base64
+            import io
+
+            from PIL import Image
+
+            from myconvnet_tpu.utils.images import flow_to_color
+            f = np.asarray(self._execute(route, x), np.float32)
+            out = []
+            for i in range(len(x)):
+                mag = np.sqrt((f[i] ** 2).sum(-1))
+                buf = io.BytesIO()
+                Image.fromarray(flow_to_color(f[i])).save(buf, "PNG")
+                out.append({
+                    "size": list(f[i].shape[:2]),
+                    "mean_mag": round(float(mag.mean()), 4),
+                    "max_mag": round(float(mag.max()), 4),
+                    "png": base64.b64encode(
+                        buf.getvalue()).decode("ascii")})
+            return {"flows": out}
         # detect: artifact normalizes internally — raw [0, 1] in
         boxes, scores, labels, valid = self._execute(route, x)
         thr = route.threshold if threshold is None else threshold

@@ -18,6 +18,7 @@
     python serve.py --artifact depth.stablehlo --depth --images d/
     python serve.py --artifact flow.stablehlo --flow --images d/
     python serve.py --artifact audio.stablehlo --wav clips/
+    python serve.py --artifact crnn.stablehlo --text --images lines/
 
 The artifact reloads WITHOUT model code or weights (serving.py); the
 bucketing wrapper serves arbitrary request sizes on fixed compiled
@@ -43,10 +44,13 @@ def main():
     ap.add_argument("--route", action="append", default=[],
                     metavar="NAME=KIND:ARTIFACT[:CONFIG]",
                     help="--serve route, repeatable; KIND is classify, "
-                         "detect, embed, track, segment or translate "
+                         "detect, embed, track, segment, translate, "
+                         "text, depth, flow or audio "
                          "(e.g. det=detect:ssd.stablehlo, "
                          "face=embed:arcface.stablehlo:configs/"
-                         "faces_arcface_r50.py)")
+                         "faces_arcface_r50.py, "
+                         "ocr=text:crnn.stablehlo:configs/"
+                         "mjsynth_crnn.py)")
     ap.add_argument("--images", default=None,
                     help="directory of images to classify")
     ap.add_argument("--config", default=None,
@@ -81,6 +85,12 @@ def main():
                          "<name>_a.* / <name>_b.* frames under "
                          "--images, print mean |flow| and write "
                          "<name>_flow.png color-wheel maps")
+    ap.add_argument("--text", action="store_true",
+                    help="the artifact is an OCR export (test.py "
+                         "--export on a task='ocr' config): read the "
+                         "grayscale line images under --images and "
+                         "print the CTC-decoded strings (charset from "
+                         "--config when given)")
     ap.add_argument("--wav", default=None, metavar="DIR",
                     help="the artifact is an audio export (test.py "
                          "--export on a task='audio' config): classify "
@@ -143,6 +153,8 @@ def main():
         return run_depth(fn, art_shape, args)
     if args.flow:
         return run_flow(fn, art_shape, args)
+    if args.text:
+        return run_text(fn, art_shape, args)
     if args.wav:
         return run_wav(fn, art_shape, args)
     if args.translate:
@@ -278,12 +290,14 @@ def run_server(args):
         httpd.server_close()
 
 
-def _iter_image_chunks(images_dir, batch, h, w, exclude_suffix=()):
-    """Yield (paths_chunk, [batch, h, w, 3] raw [0,1] float array) over
-    every image in ``images_dir``, padded to the artifact's fixed
+def _iter_image_chunks(images_dir, batch, h, w, exclude_suffix=(),
+                       nch=3):
+    """Yield (paths_chunk, [batch, h, w, nch] raw [0,1] float array)
+    over every image in ``images_dir``, padded to the artifact's fixed
     batch.  ``exclude_suffix`` filters this tool's OWN outputs (e.g.
     '_mask.png'), so re-runs over the same directory don't ingest
-    previous results as inputs."""
+    previous results as inputs.  ``nch=1`` loads grayscale (OCR line
+    images)."""
     import os
 
     import numpy as np
@@ -299,15 +313,17 @@ def _iter_image_chunks(images_dir, batch, h, w, exclude_suffix=()):
         raise SystemExit(f"no images under {images_dir!r}")
 
     def load(p):
-        return np.asarray(Image.open(p).convert("RGB").resize(
+        mode = "L" if nch == 1 else "RGB"
+        x = np.asarray(Image.open(p).convert(mode).resize(
             (w, h), Image.BILINEAR), np.float32) / 255.0
+        return x[..., None] if nch == 1 else x
 
     for start in range(0, len(paths), batch):
         chunk_paths = paths[start:start + batch]
         chunk = np.stack([load(p) for p in chunk_paths])
         if len(chunk) < batch:
             chunk = np.concatenate(
-                [chunk, np.zeros((batch - len(chunk), h, w, 3),
+                [chunk, np.zeros((batch - len(chunk), h, w, nch),
                                  np.float32)])
         yield chunk_paths, chunk
 
@@ -475,6 +491,35 @@ def run_flow(fn, art_shape, args):
             dst = os.path.join(out_dir, name + "_flow.png")
             save_png(dst, flow_to_color(flow[i]))
             print(f"{name}: mean |flow| {mag:.2f}px -> {dst}")
+
+
+def run_text(fn, art_shape, args):
+    """Serve an OCR artifact (test.py --export on a task='ocr'
+    config): grayscale line images in, decoded strings out.  The
+    artifact emits the per-frame argmax path (serving.export_ocr);
+    the CTC collapse + charset decode run here, with the charset from
+    --config (default: the MJSynth alphanumerics)."""
+    import os
+
+    import numpy as np
+
+    from myconvnet_tpu.ops.ctc import collapse
+    from myconvnet_tpu.subsets.ocr import DEFAULT_CHARSET, decode_ids
+
+    charset = DEFAULT_CHARSET
+    if args.config:
+        from myconvnet_tpu import recipes
+        charset = recipes.load_config(args.config).get(
+            "charset", DEFAULT_CHARSET)
+    batch, h, w = art_shape[0], art_shape[1], art_shape[2]
+    for chunk_paths, chunk in _iter_image_chunks(
+            args.images, batch, h, w, nch=1):
+        ids, conf = fn(chunk)
+        ids, conf = np.asarray(ids), np.asarray(conf)
+        for i, path in enumerate(chunk_paths):
+            text = decode_ids(collapse(ids[i]), charset)
+            print(f"{os.path.basename(path)}: {text!r} "
+                  f"(conf {float(conf[i]):.4f})")
 
 
 def run_wav(fn, art_shape, args):

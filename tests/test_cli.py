@@ -836,6 +836,95 @@ def test_depth_flow_export_cli(tmp_path):
 
 
 @pytest.mark.slow
+def test_metric_ocr_video_export_cli(tmp_path):
+    """The last three families gain test.py --export producers
+    (VERDICT r4 missing #3): metric (the artifact the HTTP embed
+    route serves), OCR (greedy-decode StableHLO consumed by serve.py
+    --text), and video (batch/offline logits artifact)."""
+    import numpy as np
+    from PIL import Image
+
+    # ---- metric: the embed route's missing producer
+    mcfg = tmp_path / "tinymetric.py"
+    mcfg.write_text(
+        "config = dict(task='metric', model='tinyembed',\n"
+        "  model_kwargs=dict(head='arcface', embed_dim=16),\n"
+        "  dataset='cifar10', data_dir=None, num_classes=10,\n"
+        "  input_hw=(32, 32), batch_size=8, total_steps=4,\n"
+        "  val_every=0, log_every=2,\n"
+        "  optimizer=dict(name='adam', lr=1e-3),\n"
+        "  augment=dict(out_hw=(32, 32), area_range=None, flip=True,\n"
+        "    mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)),\n"
+        "  seed=0)\n")
+    out = str(tmp_path / "mrun")
+    r = _run(["train.py", "--config", str(mcfg), "--synthetic",
+              "--platform", "cpu", "--out", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    art = str(tmp_path / "embed.hlo")
+    r2 = _run(["test.py", "--config", str(mcfg), "--ckpt", out,
+               "--synthetic", "--export", art, "--platform", "cpu"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "exported metric artifact" in r2.stdout
+    assert "16-d embeddings" in r2.stdout
+    assert os.path.getsize(art) > 0
+
+    # ---- ocr: export + serve.py --text decode
+    ocfg = tmp_path / "tinyocr.py"
+    ocfg.write_text(
+        "config = dict(task='ocr', model='tinyocr', dataset='ocr',\n"
+        "  data_dir=None, charset='abcdefgh', input_hw=(32, 64),\n"
+        "  max_len=6, synthetic_n=32, batch_size=8, total_steps=4,\n"
+        "  val_every=0, log_every=2, seed=0,\n"
+        "  optimizer=dict(name='adam', lr=dict(kind='constant',"
+        " lr=2e-3)))\n")
+    out = str(tmp_path / "orun")
+    r = _run(["train.py", "--config", str(ocfg), "--synthetic",
+              "--platform", "cpu", "--out", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    art = str(tmp_path / "crnn.hlo")
+    r2 = _run(["test.py", "--config", str(ocfg), "--ckpt", out,
+               "--synthetic", "--export", art, "--platform", "cpu"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "exported ocr artifact" in r2.stdout
+    assert "8-symbol charset" in r2.stdout
+    lines = tmp_path / "lines"
+    lines.mkdir()
+    rng = np.random.default_rng(0)
+    for name in ("l1.png", "l2.png"):
+        Image.fromarray((rng.random((32, 64)) * 255).astype(
+            np.uint8), mode="L").save(lines / name)
+    r3 = _run(["serve.py", "--artifact", art, "--text",
+               "--images", str(lines), "--config", str(ocfg),
+               "--platform", "cpu"])
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    assert "l1.png:" in r3.stdout and "(conf " in r3.stdout
+
+    # ---- video: batch/offline artifact (5-D inputs — no HTTP route,
+    # docs/ROADMAP.md scope note)
+    vcfg = tmp_path / "tinyvideo.py"
+    vcfg.write_text(
+        "config = dict(task='video', model='tinyvideo',"
+        " model_kwargs={},\n"
+        "  dataset='video', data_dir=None, num_classes=4,\n"
+        "  num_frames=6, input_hw=(16, 16), batch_size=8,\n"
+        "  total_steps=3, val_every=0, log_every=2,\n"
+        "  optimizer=dict(name='momentum', momentum_coef=0.9,"
+        " lr=0.1),\n"
+        "  precision='f32', seed=0)\n")
+    out = str(tmp_path / "vrun")
+    r = _run(["train.py", "--config", str(vcfg), "--synthetic",
+              "--platform", "cpu", "--out", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    art = str(tmp_path / "video.hlo")
+    r2 = _run(["test.py", "--config", str(vcfg), "--ckpt", out,
+               "--synthetic", "--export", art, "--platform", "cpu"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "exported video artifact" in r2.stdout
+    assert "4 classes" in r2.stdout
+    assert os.path.getsize(art) > 0
+
+
+@pytest.mark.slow
 def test_pipeline_2d_cli(tmp_path):
     """2-D pipeline x data parallelism through train.py: the GPipe
     driver on a ('data', 'model') mesh (pipeline.data_parallel=2) —

@@ -309,6 +309,132 @@ def test_translate_route_roundtrip(tmp_path):
         assert img.size == (32, 32) and img.mode == "RGB"
 
 
+def _ocr_artifact(tmp_path, classes=8):
+    from myconvnet_tpu import models
+    net = transform(lambda x, train=False: models.OCR_MODELS["tinyocr"](
+        x, classes, train=train))
+    x = jax.random.uniform(jax.random.key(6), (2, 32, 64, 1))
+    params, state = net.init(jax.random.key(7), x, True)
+    path = str(tmp_path / "ocr.stablehlo")
+    serving.export_ocr(net, params, state, np.asarray(x), path)
+    return path
+
+
+def test_text_route_roundtrip(tmp_path):
+    """An OCR route through the ModelServer: line images in (JSON or
+    grayscale image bytes), CTC-collapsed strings + confidence out."""
+    route = serving_http.build_route("ocr", "text",
+                                     _ocr_artifact(tmp_path))
+    server = serving_http.ModelServer([route])
+    rng = np.random.default_rng(6)
+    x = rng.random((2, 32, 64, 1)).astype(np.float32)
+    body = json.dumps({"instances": x.tolist()}).encode()
+    out = server.predict("ocr", body, "application/json")
+    assert len(out["texts"]) == 2
+    for t in out["texts"]:
+        assert set(t) == {"text", "conf"}
+        assert isinstance(t["text"], str)
+        assert 0.0 < t["conf"] <= 1.0
+    # grayscale image bytes ride the nch=1 image codec
+    import io
+
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray((rng.random((32, 64)) * 255).astype(np.uint8),
+                    mode="L").save(buf, "PNG")
+    out2 = server.predict("ocr", buf.getvalue(), "image/png")
+    assert len(out2["texts"]) == 1
+
+
+def test_depth_route_roundtrip(tmp_path):
+    """A depth route: raw [0,1] frames in, metric stats + grayscale
+    PNG out; the PNG decodes back to the artifact's [H, W]."""
+    import base64
+    import io
+
+    import jax.numpy as jnp
+    from PIL import Image
+    path = str(tmp_path / "depth.stablehlo")
+    serving.export_fn(lambda x: jnp.clip(x.mean(-1) * 5.0, 0.0, 10.0),
+                      np.zeros((2, 24, 32, 3), np.float32), path)
+    route = serving_http.build_route("d", "depth", path)
+    server = serving_http.ModelServer([route])
+    x = np.random.default_rng(7).random((1, 24, 32, 3)).astype(
+        np.float32)
+    out = server.predict("d", json.dumps(
+        {"instances": x.tolist()}).encode(), "application/json")
+    d = out["depths"][0]
+    assert d["size"] == [24, 32]
+    assert d["min"] <= d["mean"] <= d["max"]
+    png = Image.open(io.BytesIO(base64.b64decode(d["png"])))
+    assert png.size == (32, 24)
+
+
+def test_flow_route_roundtrip(tmp_path):
+    """A flow route: JSON [H, W, 6] frame-pair instances in, magnitude
+    stats + color-wheel PNG out; image bodies refused (6 channels)."""
+    import base64
+    import io
+
+    from PIL import Image
+    path = str(tmp_path / "flow.stablehlo")
+    serving.export_fn(
+        lambda x: (x[..., 0:2] - x[..., 3:5]) * 4.0,
+        np.zeros((2, 16, 16, 6), np.float32), path)
+    route = serving_http.build_route("f", "flow", path)
+    server = serving_http.ModelServer([route])
+    x = np.random.default_rng(8).random((2, 16, 16, 6)).astype(
+        np.float32)
+    out = server.predict("f", json.dumps(
+        {"instances": x.tolist()}).encode(), "application/json")
+    assert len(out["flows"]) == 2
+    f0 = out["flows"][0]
+    assert f0["size"] == [16, 16]
+    assert 0.0 <= f0["mean_mag"] <= f0["max_mag"]
+    png = Image.open(io.BytesIO(base64.b64decode(f0["png"])))
+    assert png.size == (16, 16)
+    with pytest.raises(ValueError, match="JSON instances"):
+        server.predict("f", b"\x89PNGfake", "image/png")
+
+
+def test_audio_route_roundtrip(tmp_path):
+    """An audio route: 16-bit PCM WAV bytes or JSON [T] instances in,
+    classify-shaped predictions out; rank check rejects image-shaped
+    artifacts."""
+    from myconvnet_tpu import models
+    t = 512
+    net = transform(lambda x, train=False: models.AUDIO_MODELS[
+        "tinyaudio"](x, 4, train=train))
+    x0 = jax.random.uniform(jax.random.key(8), (2, t, 1),
+                            minval=-1.0, maxval=1.0)
+    params, state = net.init(jax.random.key(9), x0, True)
+    path = str(tmp_path / "audio.stablehlo")
+    serving.export_inference(net, params, state, np.asarray(x0), path)
+    route = serving_http.build_route("au", "audio", path, topk=2)
+    server = serving_http.ModelServer([route])
+    # JSON [T] instance
+    wave_f = np.sin(np.linspace(0, 40 * np.pi, t)).astype(np.float32)
+    out = server.predict("au", json.dumps(
+        {"instances": [wave_f.tolist()]}).encode(), "application/json")
+    assert len(out["predictions"]) == 1
+    assert len(out["predictions"][0]) == 2
+    # WAV bytes (short clip -> padded by the training-path loader)
+    import io
+    import wave as wave_mod
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(4000)
+        w.writeframes((wave_f[:300] * 20000).astype("<i2").tobytes())
+    out2 = server.predict("au", buf.getvalue(), "audio/wav")
+    assert len(out2["predictions"]) == 1
+    # an image-shaped artifact cannot serve an audio route
+    with pytest.raises(ValueError, match="rank-3"):
+        serving_http.build_route("bad", "audio",
+                                 _classifier_artifact(tmp_path))
+
+
 def test_micro_batching_coalesces_concurrent_requests(tmp_path):
     """batch_window_ms > 0: concurrent requests to one route run as
     ONE device call, and every request still gets exactly its own
