@@ -301,6 +301,26 @@ def measure_hbm_gbps(n_mib=1024, chain=8, rounds=3):
     return best
 
 
+def measure_hbm_gbps_device(mib=205, length=32):
+    """Sustained HBM bandwidth from DEVICE-TRACE durations (round 5):
+    a lax.scan of serially-dependent mul-add sweeps timed by the
+    profiler's per-op device events.  The dispatch-chain probe above
+    under-reads ~40% on relayed transports (its host clock pays
+    per-dispatch latency chaining cannot amortize) — this one
+    measures the memory system itself (~650 GB/s bf16 on this v5e,
+    80% of the 819 nominal; tools/measure_bw.py is the standalone
+    form)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.measure_bw import scan_probe_device
+    import jax.numpy as jnp
+
+    n = mib * (1 << 20) // 2
+    return scan_probe_device((n,), jnp.bfloat16, length=length,
+                             tag="bench")
+
+
 def measure_augmentation(batch=256, hw=(224, 224)):
     """Secondary BASELINE metric: on-device augmentation images/sec —
     measured on the TRAIN-PATH config (bf16 output like the fused step;
@@ -385,6 +405,15 @@ def main():
                 "bytes_per_step_xla_upper_bound": nbytes,
                 "measured_hbm_gbps": round(gbps, 1),
             })
+            # device-trace probe: the honest chip constant (the
+            # dispatch-chain number above is relay-latency-deflated —
+            # PERF_NOTES round 5); roofline_fraction uses it
+            try:
+                gbps_dev = measure_hbm_gbps_device()
+                result["detail"]["device_hbm_gbps"] = round(gbps_dev, 1)
+                gbps = gbps_dev
+            except Exception:
+                pass
             if nbytes_floor is not None:
                 bw_time = nbytes_floor / (gbps * 1e9)
                 result["detail"].update({

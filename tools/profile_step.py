@@ -504,7 +504,10 @@ def main():
     # this chip = max(flops / peak_bf16, conv-operand bytes / HBM GB/s)
     # — the checkable per-shape ceiling VERDICT r3 item 1 asked for.
     peak = float(os.environ.get("PROFILE_PEAK_TFS", "197")) * 1e12
-    bw = float(os.environ.get("PROFILE_HBM_GBPS", "411")) * 1e9
+    # 680 GB/s = device-trace-measured sustained HBM (tools/
+    # measure_bw.py, round 5); the old 411 default was the dispatch-
+    # chain probe's relay-latency artifact
+    bw = float(os.environ.get("PROFILE_HBM_GBPS", "680")) * 1e9
     print(f"\nby kind / conv shape (achieved TF/s; roofline ms = "
           f"max(flops/{peak/1e12:.0f}TF/s, bytes/{bw/1e9:.0f}GB/s)):")
     tot_fl = tot_roof = tot_nonconv_ms = tot_traf_roof = 0.0
