@@ -266,8 +266,13 @@ def _step_cost(step, state, raw, labels):
 
 
 def measure_hbm_gbps(n_mib=1024, chain=8, rounds=3):
-    """Achievable HBM bandwidth on THIS chip: elementwise mul-add
-    sweeps (read 2 arrays, write 1).  ``chain`` separate dispatches are
+    """LEGACY dispatch-chain bandwidth probe — under-reads ~40% on
+    relayed transports (host-clock timing pays per-dispatch latency
+    chaining cannot amortize; PERF_NOTES round 5).  Kept for
+    cross-round comparability; ``measure_hbm_gbps_device`` below is
+    the honest chip constant and drives roofline_fraction.
+
+    Elementwise mul-add sweeps (read 2 arrays, write 1).  ``chain`` separate dispatches are
     timed under ONE value-fetch sync so the relay's per-sync latency
     (tens of ms) amortizes — a single-dispatch probe on this transport
     under-reports bandwidth several-fold.  Separate dispatches (not an
