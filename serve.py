@@ -19,6 +19,7 @@
     python serve.py --artifact flow.stablehlo --flow --images d/
     python serve.py --artifact audio.stablehlo --wav clips/
     python serve.py --artifact crnn.stablehlo --text --images lines/
+    python serve.py --artifact video.stablehlo --clips clips/
 
 The artifact reloads WITHOUT model code or weights (serving.py); the
 bucketing wrapper serves arbitrary request sizes on fixed compiled
@@ -85,6 +86,12 @@ def main():
                          "<name>_a.* / <name>_b.* frames under "
                          "--images, print mean |flow| and write "
                          "<name>_flow.png color-wheel maps")
+    ap.add_argument("--clips", default=None, metavar="DIR",
+                    help="the artifact is a video export (test.py "
+                         "--export on a task='video' config): classify "
+                         "each frame-subdirectory clip under DIR "
+                         "(Kinetics layout; frames sampled like the "
+                         "training ClipSource)")
     ap.add_argument("--text", action="store_true",
                     help="the artifact is an OCR export (test.py "
                          "--export on a task='ocr' config): read the "
@@ -153,6 +160,8 @@ def main():
         return run_depth(fn, art_shape, args)
     if args.flow:
         return run_flow(fn, art_shape, args)
+    if args.clips:
+        return run_clips(fn, art_shape, args)
     if args.text:
         return run_text(fn, art_shape, args)
     if args.wav:
@@ -491,6 +500,64 @@ def run_flow(fn, art_shape, args):
             dst = os.path.join(out_dir, name + "_flow.png")
             save_png(dst, flow_to_color(flow[i]))
             print(f"{name}: mean |flow| {mag:.2f}px -> {dst}")
+
+
+def run_clips(fn, art_shape, args):
+    """Serve a video artifact (test.py --export on a task='video'
+    config): each SUBDIRECTORY of --clips is one clip of pre-extracted
+    frames (the Kinetics-style layout subsets/video.py reads);
+    ``num_frames`` uniformly spaced frames are sampled exactly like
+    the training ClipSource, the raw [0, 1] clip runs through the
+    artifact (recipe normalization is baked in), top-k printed."""
+    import os
+
+    import numpy as np
+
+    from myconvnet_tpu.data.pipeline import decode_image
+    from myconvnet_tpu.subsets.video import _frame_paths
+
+    batch, t, h, w = (art_shape[0], art_shape[1], art_shape[2],
+                      art_shape[3])
+    root = args.clips
+    clip_dirs = sorted(
+        os.path.join(root, d) for d in os.listdir(root)
+        if os.path.isdir(os.path.join(root, d)))
+    if not clip_dirs:
+        raise SystemExit(f"no clip subdirectories under {root!r}")
+    names = None
+    if args.config:
+        from myconvnet_tpu import recipes
+        cfg = recipes.load_config(args.config)
+        if cfg.get("data_dir"):
+            try:
+                from myconvnet_tpu.subsets.video import read_subset
+                names = read_subset(cfg["data_dir"], "train")[2]
+            except Exception:
+                names = None
+
+    def load_clip(d):
+        paths = _frame_paths(d)
+        if not paths:
+            raise SystemExit(f"no frames in {d!r}")
+        idx = np.linspace(0, len(paths) - 1, t).round().astype(int)
+        return np.stack([decode_image(paths[j], (h, w)) for j in idx])
+
+    for start in range(0, len(clip_dirs), batch):
+        chunk_dirs = clip_dirs[start:start + batch]
+        x = np.stack([load_clip(d) for d in chunk_dirs]) \
+            .astype(np.float32) / 255.0
+        if len(x) < batch:
+            x = np.concatenate(
+                [x, np.zeros((batch - len(x), t, h, w, 3), np.float32)])
+        logits = np.asarray(fn(x))
+        probs = np.exp(logits - logits.max(-1, keepdims=True))
+        probs /= probs.sum(-1, keepdims=True)
+        for i, d in enumerate(chunk_dirs):
+            order = np.argsort(-probs[i])[:args.topk]
+            row = ", ".join(
+                f"{names[c] if names and c < len(names) else c}:"
+                f"{probs[i, c]:.3f}" for c in order)
+            print(f"{os.path.basename(d)}: {row}")
 
 
 def run_text(fn, art_shape, args):

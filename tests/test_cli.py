@@ -922,6 +922,18 @@ def test_metric_ocr_video_export_cli(tmp_path):
     assert "exported video artifact" in r2.stdout
     assert "4 classes" in r2.stdout
     assert os.path.getsize(art) > 0
+    # serve.py --clips: Kinetics-layout frame dirs through the artifact
+    clips = tmp_path / "clips"
+    for name, n_frames in (("walk", 9), ("short", 3)):
+        d = clips / name
+        d.mkdir(parents=True)
+        for j in range(n_frames):
+            Image.fromarray((rng.random((20, 24, 3)) * 255).astype(
+                np.uint8)).save(d / f"{j:03d}.png")
+    r3 = _run(["serve.py", "--artifact", art, "--clips", str(clips),
+               "--topk", "2", "--platform", "cpu"])
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    assert "walk:" in r3.stdout and "short:" in r3.stdout
 
 
 @pytest.mark.slow
