@@ -282,3 +282,23 @@ def test_adaptive_avg_pool_matches_torch_semantics():
             torch.from_numpy(x).permute(0, 3, 1, 2), (bh, bw))
         ref = ref.permute(0, 2, 3, 1).numpy()
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_layout_ab_tool_parity():
+    """tools/ab_layout_nchw.py --check: NHWC and NCHW builds of the
+    bottleneck block compute the same function (PERF_NOTES round 5 §6
+    rests on this equivalence)."""
+    import importlib
+
+    mod = importlib.import_module("tools.ab_layout_nchw")
+    x_a, p_a = mod.make_inputs("NHWC", 2, 8, 16, 8)
+    out_a = mod.bottleneck("NHWC", x_a, p_a)
+    w1, s1, b1, w2, s2, b2, w3, s3, b3 = p_a
+    p_b = (jnp.transpose(w1, (3, 2, 0, 1)), s1, b1,
+           jnp.transpose(w2, (3, 2, 0, 1)), s2, b2,
+           jnp.transpose(w3, (3, 2, 0, 1)), s3, b3)
+    out_b = mod.bottleneck("NCHW", jnp.transpose(x_a, (0, 3, 1, 2)), p_b)
+    np.testing.assert_allclose(
+        np.asarray(out_a, np.float32),
+        np.asarray(jnp.transpose(out_b, (0, 2, 3, 1)), np.float32),
+        atol=1e-2)
