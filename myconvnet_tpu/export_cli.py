@@ -440,7 +440,10 @@ def export_metric(cfg, args, net, val_set):
 
     from myconvnet_tpu import recipes, serving
 
-    hw = tuple(cfg.get("input_hw", (112, 112)))
+    # eval feeds the net augment out_hw crops — trace the artifact at
+    # that resolution (like export_classification), not input_hw
+    hw = tuple((cfg.get("augment") or {}).get(
+        "out_hw", cfg.get("input_hw", (112, 112))))
     sample = np.zeros((cfg.get("export_batch", 8), *hw, 3), np.float32)
     cal = None
     if args.int8:

@@ -313,8 +313,16 @@ class ModelServer:
 
             from PIL import Image
             mode = "L" if nch == 1 else "RGB"
-            img = Image.open(io.BytesIO(body)).convert(mode).resize(
-                (w, h), Image.BILINEAR)
+            img = Image.open(io.BytesIO(body)).convert(mode)
+            if route.kind == "text":
+                # training-parity line geometry (subsets.ocr._fit_line:
+                # scale to height preserving aspect, right-pad /
+                # center-crop) — an aspect-warping resize squeezes wide
+                # lines and transcribes wrong with plausible confidence
+                from myconvnet_tpu.subsets.ocr import _fit_line
+                arr = _fit_line(np.asarray(img, np.uint8), (h, w))
+                return arr.astype(np.float32)[None, ..., None] / 255.0
+            img = img.resize((w, h), Image.BILINEAR)
             x = np.asarray(img, np.float32)[None] / 255.0
             if nch == 1:
                 x = x[..., None]

@@ -56,9 +56,21 @@ def encode_text(text: str, charset: str, max_len: int) -> np.ndarray:
 
 
 def decode_ids(ids, charset: str) -> str:
-    """Symbol ids (1-based, 0 = blank/pad) -> string."""
-    return "".join(charset[int(i) - 1] for i in np.asarray(ids)
-                   if int(i) > 0)
+    """Symbol ids (1-based, 0 = blank/pad) -> string.
+
+    Ids past the charset raise a clear error instead of a bare
+    IndexError: a served artifact trained with a LARGER charset than
+    the route's (e.g. no :CONFIG given, 36-symbol default) would
+    otherwise 500 on the first affected request."""
+    arr = np.asarray(ids)
+    hi = int(arr.max()) if arr.size else 0
+    if hi > len(charset):
+        raise ValueError(
+            f"symbol id {hi} exceeds the {len(charset)}-symbol "
+            "charset — the artifact was trained with a larger charset; "
+            "pass the training config (serve.py --config / route "
+            ":CONFIG) so the right charset is used")
+    return "".join(charset[int(i) - 1] for i in arr if int(i) > 0)
 
 
 def _fit_line(img: np.ndarray, hw: tuple[int, int]) -> np.ndarray:

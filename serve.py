@@ -300,13 +300,17 @@ def run_server(args):
 
 
 def _iter_image_chunks(images_dir, batch, h, w, exclude_suffix=(),
-                       nch=3):
+                       nch=3, line_fit=False):
     """Yield (paths_chunk, [batch, h, w, nch] raw [0,1] float array)
     over every image in ``images_dir``, padded to the artifact's fixed
     batch.  ``exclude_suffix`` filters this tool's OWN outputs (e.g.
     '_mask.png'), so re-runs over the same directory don't ingest
     previous results as inputs.  ``nch=1`` loads grayscale (OCR line
-    images)."""
+    images); ``line_fit`` applies the TRAINING loader's line geometry
+    (scale to height preserving aspect + right-pad/center-crop,
+    subsets.ocr._fit_line) instead of an aspect-warping resize — a
+    wide line squeezed 3x horizontally transcribes wrong with
+    plausible confidence."""
     import os
 
     import numpy as np
@@ -323,8 +327,13 @@ def _iter_image_chunks(images_dir, batch, h, w, exclude_suffix=(),
 
     def load(p):
         mode = "L" if nch == 1 else "RGB"
-        x = np.asarray(Image.open(p).convert(mode).resize(
-            (w, h), Image.BILINEAR), np.float32) / 255.0
+        img = Image.open(p).convert(mode)
+        if line_fit:
+            from myconvnet_tpu.subsets.ocr import _fit_line
+            arr = _fit_line(np.asarray(img, np.uint8), (h, w))
+            return arr.astype(np.float32)[..., None] / 255.0
+        x = np.asarray(img.resize((w, h), Image.BILINEAR),
+                       np.float32) / 255.0
         return x[..., None] if nch == 1 else x
 
     for start in range(0, len(paths), batch):
@@ -580,7 +589,7 @@ def run_text(fn, art_shape, args):
             "charset", DEFAULT_CHARSET)
     batch, h, w = art_shape[0], art_shape[1], art_shape[2]
     for chunk_paths, chunk in _iter_image_chunks(
-            args.images, batch, h, w, nch=1):
+            args.images, batch, h, w, nch=1, line_fit=True):
         ids, conf = fn(chunk)
         ids, conf = np.asarray(ids), np.asarray(conf)
         for i, path in enumerate(chunk_paths):

@@ -375,3 +375,40 @@ def test_ocr_learns_synthetic():
               evaluator=None, val_every=0)
     after = net.evaluate(tr, ev, batch_size=16)
     assert after < before * 0.55, (before, after)
+
+
+def test_decode_ids_rejects_oversized_symbol_ids():
+    """A served artifact trained with a larger charset than the route's
+    must produce a clear error, not a bare IndexError 500
+    (serving_http text routes / serve.py --text)."""
+    assert ocr_mod.decode_ids([1, 2, 0], "ab") == "ab"
+    with pytest.raises(ValueError, match="exceeds"):
+        ocr_mod.decode_ids([1, 40, 2], ocr_mod.DEFAULT_CHARSET[:36])
+
+
+def test_text_route_image_codec_uses_line_fit_geometry():
+    """HTTP text routes must preprocess posted line images with the
+    TRAINING loader's geometry (scale-to-height + right-pad/center-
+    crop, subsets.ocr._fit_line), not an aspect-warping resize: a
+    narrow line must come out right-padded with the border value, with
+    the glyph region unsquashed."""
+    import io
+
+    from PIL import Image
+
+    from myconvnet_tpu.serving_http import ModelServer, Route
+
+    h, w = 16, 64
+    route = Route(name="t", kind="text", fn=None,
+                  input_shape=(1, h, w, 1))
+    srv = ModelServer.__new__(ModelServer)
+    # a 16x16 black square: aspect-preserving fit keeps it 16 wide and
+    # pads the remaining 48 columns with the border value (black)
+    img = Image.fromarray(np.zeros((16, 16), np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, "PNG")
+    x = srv._decode_body(route, buf.getvalue(), "image/png")
+    assert x.shape == (1, h, w, 1)
+    expect = ocr_mod._fit_line(np.zeros((16, 16), np.uint8),
+                               (h, w)).astype(np.float32) / 255.0
+    np.testing.assert_allclose(x[0, :, :, 0], expect)

@@ -24,7 +24,6 @@ Timing: DEVICE-TRACE op durations (tools/profile_step.load_device_events)
 
 from __future__ import annotations
 
-import collections
 import os
 import sys
 
@@ -111,25 +110,8 @@ def train_step(layout):
 
 
 def device_time(fn, args, tag, iters=12):
-    import jax
-    from tools.profile_step import load_device_events
-
-    f = jax.jit(fn)
-    out = f(*args)
-    jax.block_until_ready(out)
-    tdir = f"/tmp/ab_nchw_{tag}"
-    with jax.profiler.trace(tdir):
-        for _ in range(iters):
-            out = f(*args)
-        jax.block_until_ready(out)
-    dev = load_device_events(tdir)
-    agg = collections.defaultdict(float)
-    for e in dev:
-        nm = e.get("name", "?")
-        if nm.startswith("jit_") or nm.isdigit():
-            continue
-        agg[nm] += float(e.get("dur", 0.0))
-    return sum(agg.values()) / 1e3 / iters
+    from tools.profile_step import device_time as dt
+    return dt(fn, args, f"nchw_{tag}", iters=iters)
 
 
 def check_parity():

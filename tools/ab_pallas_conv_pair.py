@@ -14,7 +14,6 @@ the dominant kernel is the number.
 
 from __future__ import annotations
 
-import collections
 import os
 import sys
 
@@ -26,27 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 def device_time(fn, args, tag, iters=12):
     """Total device-op ms/iter from a profiler trace (relay-immune)."""
-    import jax
-    import jax.numpy as jnp
-
-    from tools.profile_step import load_device_events
-
-    f = jax.jit(fn)
-    out = f(*args)
-    float(jnp.sum(out.astype(jnp.float32)[:1]))
-    tdir = f"/tmp/ab_pair_{tag}"
-    with jax.profiler.trace(tdir):
-        for _ in range(iters):
-            out = f(*args)
-        float(jnp.sum(out.astype(jnp.float32)[:1]))
-    dev = load_device_events(tdir)
-    agg = collections.defaultdict(float)
-    for e in dev:
-        nm = e.get("name", "?")
-        if nm.startswith("jit_") or nm.isdigit():
-            continue
-        agg[nm] += float(e.get("dur", 0.0))
-    return sum(agg.values()) / 1e3 / iters
+    from tools.profile_step import device_time as dt
+    return dt(fn, args, f"pair_{tag}", iters=iters)
 
 
 def main():

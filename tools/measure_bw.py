@@ -64,12 +64,15 @@ def scan_probe_device(shape, dtype, length=32, tag="bw"):
             continue
         agg[nm] += float(e.get("dur", 0.0))
         cnt[nm] += 1
-    # the scan body fusion: the op that ran ~length times
-    body_ops = [(d / cnt[nm], nm) for nm, d in agg.items()
+    # the scan body fusion: of the ops that ran ~length times, take
+    # the one DOMINATING total device time — a per-iteration counter/
+    # predicate fusion also repeats `length` times but costs ~1 us, so
+    # picking by min per-occurrence duration would report absurd GB/s
+    body_ops = [(d, d / cnt[nm], nm) for nm, d in agg.items()
                 if cnt[nm] >= length]
     if not body_ops:
         raise RuntimeError(f"no scan-body op in trace: {dict(cnt)}")
-    per_us = min(body_ops)[0]
+    per_us = max(body_ops)[1]
     return 3 * n * np.dtype(dtype).itemsize / (per_us * 1e-6) / 1e9
 
 

@@ -71,6 +71,30 @@ def load_device_events(trace_dir: str):
     return dev
 
 
+def device_time(fn, args, tag, iters=12):
+    """Total device-op ms/iter of ``jit(fn)(*args)`` from a profiler
+    trace — relay-immune (host clocks on this transport cannot resolve
+    kernel time; PERF_NOTES round 5 §1).  The one shared implementation
+    for the A/B tools (ab_pallas_conv_pair, ab_layout_nchw)."""
+    import jax
+
+    f = jax.jit(fn)
+    out = f(*args)
+    jax.block_until_ready(out)
+    tdir = f"/tmp/ab_trace_{tag}"
+    with jax.profiler.trace(tdir):
+        for _ in range(iters):
+            out = f(*args)
+        jax.block_until_ready(out)
+    agg = collections.defaultdict(float)
+    for e in load_device_events(tdir):
+        nm = e.get("name", "?")
+        if nm.startswith("jit_") or nm.isdigit():
+            continue
+        agg[nm] += float(e.get("dur", 0.0))
+    return sum(agg.values()) / 1e3 / iters
+
+
 _CONV_RE = re.compile(
     r"(%?[\w.\-]+)\s*=\s*(?:\([^)]*\)\s*)?(bf16|f32|u8|s8|s32)"
     r"\[([\d,]+)\][^ ]*\s+(convolution|dot)\(")
@@ -545,11 +569,18 @@ def main():
           f"{step_ms:.1f} ms measured -> ceiling MFU "
           f"{tot_fl/(floor_ms/1e3)/peak:.3f} at this mix, achieved "
           f"{tot_fl/(step_ms/1e3)/peak:.3f}]")
-    print(f"  [complete bound: conv rooflines {tot_roof:.1f} ms + "
-          f"non-conv traffic rooflines {tot_traf_roof:.1f} ms = "
-          f"{tot_roof + tot_traf_roof:.1f} ms -> every-bucket-"
-          f"attributed ceiling MFU "
-          f"{tot_fl/((tot_roof + tot_traf_roof)/1e3)/peak:.3f}]")
+    bound_ms = tot_roof + tot_traf_roof
+    if bound_ms > 0:
+        print(f"  [complete bound: conv rooflines {tot_roof:.1f} ms + "
+              f"non-conv traffic rooflines {tot_traf_roof:.1f} ms = "
+              f"{bound_ms:.1f} ms -> every-bucket-attributed ceiling "
+              f"MFU {tot_fl/(bound_ms/1e3)/peak:.3f}]")
+    else:
+        # no conv/dot groups and no attributable traffic (e.g. an HLO
+        # dump format parse_hlo_instructions can't resolve): say so
+        # instead of dividing by zero before --detail prints
+        print("  [complete bound: no attributable rooflines in this "
+              "trace/HLO — bound unavailable]")
 
     if args.detail:
         _print_detail(args, members, instrs, comp_of, comp_ops, agg, bw)
