@@ -342,3 +342,29 @@ def test_arcface_trains():
     net, train_set, val_set = recipes.build_metric(cfg, synthetic=True)
     state = net.train(train_set, batch_size=16, total_steps=10)
     assert state is not None
+
+
+def test_export_metric_traces_at_augment_out_hw(monkeypatch, tmp_path):
+    """export_metric must size the artifact from the augment config's
+    out_hw (what eval actually feeds the net), not input_hw — a
+    mismatch serves embeddings at a resolution never used in eval."""
+    import types
+
+    from myconvnet_tpu import export_cli, serving
+
+    seen = {}
+
+    def fake_export(model, params, state, sample, path, **kw):
+        seen["shape"] = np.shape(sample)
+        return 1
+
+    monkeypatch.setattr(serving, "export_inference", fake_export)
+    net = types.SimpleNamespace(
+        _transformed=None,
+        state=types.SimpleNamespace(params=None, model_state=None))
+    cfg = dict(input_hw=(24, 24), augment=dict(out_hw=(20, 20)),
+               model_kwargs=dict(embed_dim=8), export_batch=2)
+    args = types.SimpleNamespace(int8=False,
+                                 export=str(tmp_path / "m.stablehlo"))
+    export_cli.export_metric(cfg, args, net, val_set=None)
+    assert seen["shape"] == (2, 20, 20, 3)
