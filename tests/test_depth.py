@@ -171,7 +171,7 @@ def test_depth_pair_layout_roundtrip(tmp_path):
         Image.fromarray(rng.randint(0, 255, (40, 60, 3), np.uint8)
                         ).save(root / "rgb" / f"f{i}.png")
         d_mm = (rng.uniform(0.5, 9.0, (40, 60)) * 1000).astype(np.uint16)
-        Image.fromarray(d_mm, mode="I;16").save(
+        Image.fromarray(d_mm).save(
             root / "depth" / f"f{i}.png")
     rgb, dep = depth_mod.read_subset(str(tmp_path), "train")
     assert len(rgb) == 3

@@ -184,6 +184,6 @@ def test_native_png_declines_16bit_gray_raw(tmp_path):
         pytest.skip("native png unavailable")
     arr = (np.arange(12, dtype=np.uint16) * 100).reshape(3, 4)
     b = io.BytesIO()
-    Image.fromarray(arr, mode="I;16").save(b, format="PNG")
+    Image.fromarray(arr).save(b, format="PNG")
     assert nl.decode_png(b.getvalue(), "raw") is None
     # rgb mode may still expand it (strip_16 is fine for display data)
